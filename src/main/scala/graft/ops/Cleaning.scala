@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar cleaning operators — the reference's §2.9 surface re-expressed
+  * as pure, codegen-friendly `Column` functions (no UDFs, no Python
+  * boundary). Citations are into `/root/reference/`.
+  *
+  * Every function here stays inside whole-stage codegen: at 100 TB these
+  * run per-row in the scan→project pipeline with zero extra shuffles. */
+object Cleaning {
+
+  /** F3 — sentinel strings → real NULL on every string column.
+    * Reference: `df.na.replace(['None',''], None)`
+    * (jobs/spark/propnex_transformation.py:113,138;
+    * jobs/spark/srx_transformation.py:125,151). PySpark applies this to
+    * string columns only; we replicate that exactly. */
+  def normalizeNulls(df: DataFrame,
+                     sentinels: Seq[String] = Seq("None", "")): DataFrame = {
+    val strCols =
+      df.schema.fields.filter(_.dataType == StringType).map(_.name).toSet
+    df.select(df.columns.map { c =>
+      if (strCols(c))
+        when(col(c).isin(sentinels.map(_.asInstanceOf[Any]): _*), lit(null))
+          .otherwise(col(c)).as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
+  }
+
+  /** F4 — conditional null-out of garbage-prefixed values.
+    * Reference: `when(col.startswith('(D'), None).otherwise(col)`
+    * (jobs/spark/propnex_transformation.py:37-38). */
+  def nullIfPrefix(c: Column, prefix: String): Column =
+    when(c.startsWith(prefix), lit(null).cast(StringType)).otherwise(c)
+
+  /** Strip supplementary-plane emoji and fold newlines to spaces.
+    * Reference builds a 13-range emoji literal
+    * (jobs/spark/propnex_transformation.py:19-20,
+    * jobs/spark/srx_transformation.py:34-35); Java regex needs the
+    * surrogate-aware `\x{...}` syntax for planes above BMP. */
+  def stripEmoji(c: Column): Column = {
+    val emoji = "[\\x{1F300}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{2190}-\\x{21FF}" +
+      "\\x{2B00}-\\x{2BFF}\\x{FE0F}\\x{200D}]"
+    regexp_replace(regexp_replace(c, emoji, ""), "\n", " ")
+  }
+
+  /** SRX:17 — drop all non-ASCII runs. */
+  def stripNonAscii(c: Column): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]+", "")
+
+  /** PN:26, SRX:48 — `"$550,000"` → 550000.
+    * Reference: `regexp_replace(col, '[$,]', '').cast('int')`. */
+  def parseMoney(c: Column): Column =
+    regexp_replace(c, "[$,]", "").try_cast(IntegerType)
+
+  /** PN:46, SRX:25 — strip a leading `Blk `/`Block ` token. */
+  def stripBlockPrefix(c: Column): Column =
+    regexp_replace(c, "^(Blk\\s+|Block\\s+)", "")
+
+  /** P5 — typed cast loop. Reference: `for column, dtype in dict:
+    * withColumn(cast)` (historical_data_transformation.py:66-69,
+    * propnex_transformation.py:96-99, srx_transformation.py:108-111).
+    * One wide `select` (a single Project node) instead of N
+    * `withColumn`s — N chained withColumns make Catalyst re-analyze N
+    * plans, which hurts at wide schemas. */
+  def castColumns(df: DataFrame, casts: Map[String, DataType]): DataFrame =
+    df.select(df.columns.map { c =>
+      casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }.toIndexedSeq: _*)
+
+  /** P2 — batch rename (HIST:34-37, PN:61-63, SRX:62-66). */
+  def renameColumns(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(renames)
+
+  /** HIST:41-42 — flat-type label fixes: `'Room'→'Rooms'`,
+    * `'Multi G'→'Multi-g'`. */
+  def fixFlatTypeLabels(c: Column): Column =
+    regexp_replace(regexp_replace(c, "Room", "Rooms"), "Multi G", "Multi-g")
+
+  /** HIST:44-46, SRX:52-54 — sqm → sqft, rounded to int.
+    * The 3.28084² factor is constant-folded by Catalyst. */
+  def sqmToSqft(c: Column): Column =
+    round(c * lit(3.28084 * 3.28084), 0).cast(IntegerType)
+
+  /** HIST:48-49 — assemble a DATE from a `"YYYY-MM"` month string. */
+  def monthToDate(c: Column): Column =
+    to_date(concat_ws("-", c, lit("01")), "yyyy-MM-dd")
+
+  /** HIST:53-54, PN:72, SRX:86 — remaining lease = 99 − (saleYear − top).
+    * The reference calls driver-side `datetime.today()`; we take the
+    * sale year as a Column so tests are deterministic (SURVEY §7.4). */
+  def remainingLease(saleYear: Column, topYear: Column): Column =
+    (lit(99) - (saleYear - topYear)).cast(IntegerType)
+
+  /** PN:30-33, SRX:42-45 — furnishing label normalization (3 branches +
+    * passthrough-to-null). */
+  def normalizeFurnishing(c: Column): Column = {
+    val l = lower(c)
+    when(l.contains("partial"), lit("partial"))
+      .when(l.contains("fully") || l === "furnished", lit("full"))
+      .when(l.contains("unfurnished") || l.contains("not furnished"), lit("none"))
+      .otherwise(lit(null).cast(StringType))
+  }
+
+  /** SRX:58-60 — floor level `'Mid'` → `'middle'`, lower-cased. */
+  def normalizeFloorLevel(c: Column): Column = {
+    val l = lower(c)
+    when(l === "mid", lit("middle")).otherwise(l)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Broadcast dimension-enrichment joins — §2.4 of SURVEY.md. Every join
+  * in the reference is a broadcast-hinted left equi-join of a fact
+  * table against a ≤81-row dimension
+  * (shared helper at jobs/spark/historical_data_transformation.py:56-57,
+  * propnex_transformation.py:77-78, srx_transformation.py:91-92).
+  *
+  * Scale notes: the explicit `broadcast()` hint keeps these shuffle-free
+  * at any fact size — the dim ships once per executor. At 100 TB the
+  * fact side streams through `BroadcastHashJoinExec` inside the same
+  * codegen stage as the surrounding projections. */
+object Joins {
+
+  /** The reference's `broadcast_join(df, small_df, column, method)`. */
+  def broadcastEnrich(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                      how: String = "left"): DataFrame =
+    fact.join(broadcast(dim), keys, how)
+
+  /** J1 (historical_data_transformation.py:59-63) — case-insensitive
+    * equi-join by normalization: lower both sides, join, restore with
+    * `restore` (reference: initcap + a `/w`→`/W` regex fix-up). */
+  def normalizedEnrich(fact: DataFrame, dim: DataFrame, key: String,
+                       restore: Column => Column): DataFrame = {
+    val f = fact.withColumn(key, lower(col(key)))
+    val d = dim.withColumn(key, lower(col(key)))
+    f.join(broadcast(d), Seq(key), "left")
+      .withColumn(key, restore(col(key)))
+  }
+
+  /** J2 (historical_data_transformation.py:103) — dedup the dim before
+    * joining: `dim.select(cols).distinct()` then broadcast-left-join.
+    * The distinct is a tiny HashAggregate inside the broadcast subtree,
+    * never a fact-side shuffle. */
+  def distinctDimEnrich(fact: DataFrame, dim: DataFrame,
+                        dimCols: Seq[String], key: String): DataFrame =
+    fact.join(broadcast(dim.select(dimCols.map(col): _*).distinct()),
+      Seq(key), "left")
+
+  /** J4 (propnex_transformation.py:130-131) — alias-overwrite enrich:
+    * dim columns that collide with existing fact columns overwrite them
+    * after the join. The reference renames dim's `district` to
+    * `district_new` then copies it back; we generalize with
+    * conflict-free internal aliases. */
+  def enrichOverwrite(fact: DataFrame, dim: DataFrame, key: String,
+                      overwrite: Seq[String]): DataFrame = {
+    val renamed = overwrite.foldLeft(dim) { (d, c) =>
+      d.withColumnRenamed(c, c + "__new")
+    }
+    val joined = fact.join(broadcast(renamed), Seq(key), "left")
+    val restored = overwrite.foldLeft(joined) { (j, c) =>
+      j.withColumn(c, col(c + "__new"))
+    }
+    restored.drop(overwrite.map(_ + "__new"): _*)
+  }
+}
