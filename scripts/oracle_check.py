@@ -35,8 +35,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     def sort_repr(v):
         if v is None or (isinstance(v, float) and np.isnan(v)):
             return "\x00"
+        # integral floats sort like ints: duckdb returns HUGEINT sums as
+        # float64 while spark parquet gives int64 — reprs must coincide
+        # or the two frames sort rows differently
         if isinstance(v, float):
-            return f"{v:+.12e}"
+            return str(int(v)) if v.is_integer() else f"{v:+.12e}"
         return str(v)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True,

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality signals, n-gram shingling, language ID, fingerprinting.
+  * Pure built-in expressions — per-row, codegen'd, shuffle-free; ratios
+  * are emitted as floor-rounded milli-units so results are exact
+  * integers (engine-portable, hash-comparable). */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenizer count: word runs + single non-word-non-space
+    * marks (the shape of a GPT-style regex pre-tokenizer, ASCII \w). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Mean token length in milli-chars (exact integer). */
+  def avgTokenLenMilli(c: Column): Column =
+    floor(lit(1000.0) * length(regexp_replace(c, "\\s+", ""))
+      / tokenCount(c) + 0.5).cast(LongType)
+
+  // English stopword list used by quality scoring and language ID.
+  // Kept tiny + hardcoded so the DuckDB oracle can embed the same list.
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  val stopwordsDe: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit")
+  val stopwordsFr: Seq[String] =
+    Seq("le", "la", "les", "et", "est", "un", "une", "de", "du", "dans")
+  val stopwordsEs: Seq[String] =
+    Seq("el", "los", "las", "y", "es", "un", "una", "de", "del", "en")
+
+  def stopwordsSql: String = stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  private def countIn(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(c)), w => w.isin(words.map(x => x: Any): _*)))
+
+  /** Stopword occurrences (English list). */
+  def stopwordCount(c: Column): Column = countIn(c, stopwordsEn)
+
+  /** Punctuation / digit character counts. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?'\"]", ""))
+  def digitCount(c: Column): Column =
+    length(regexp_replace(c, "[^0-9]", ""))
+
+  /** CJK character count (BMP unified ideographs). */
+  def cjkCount(c: Column): Column =
+    length(regexp_replace(c, "[^\\x{4E00}-\\x{9FFF}]", ""))
+
+  /** N-gram stopword-vote language ID: CJK chars ⇒ zh, otherwise the
+    * language whose stopword list scores highest (ties resolved in the
+    * fixed order en > de > fr > es — deterministic, oracle-matchable). */
+  def detectLanguage(c: Column): Column = {
+    val en = countIn(c, stopwordsEn)
+    val de = countIn(c, stopwordsDe)
+    val fr = countIn(c, stopwordsFr)
+    val es = countIn(c, stopwordsEs)
+    when(cjkCount(c) >= 3, lit("zh"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** DuckDB twin of [[detectLanguage]] + correctness flag, over
+    * `documents`. */
+  val langIdOracleSql: String = {
+    def cnt(words: Seq[String]) =
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+        s"w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    s"""
+    |WITH v AS (SELECT doc_id, lang,
+    |    length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))
+    |      AS n_cjk,
+    |    ${cnt(stopwordsEn)} AS s_en, ${cnt(stopwordsDe)} AS s_de,
+    |    ${cnt(stopwordsFr)} AS s_fr, ${cnt(stopwordsEs)} AS s_es
+    |  FROM documents)
+    |SELECT doc_id, lang,
+    |  CASE WHEN n_cjk >= 3 THEN 'zh'
+    |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred,
+    |  CAST(lang = (CASE WHEN n_cjk >= 3 THEN 'zh'
+    |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) AS INTEGER)
+    |    AS correct
+    |FROM v ORDER BY doc_id
+    |""".stripMargin.trim
+  }
+
+  /** md5 over lowercased alphanumerics — whitespace/punct-insensitive
+    * content fingerprint (rolling-hash stand-in that both engines can
+    * compute identically). */
+  def normalizedFingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  /** Distinct word n-gram shingles (order preserved, first occurrence).
+    * Short docs (< n tokens) yield an empty array. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ", (0 until n).map(j =>
+            element_at(toks, i + j + 1)): _*))))
+  }
+}

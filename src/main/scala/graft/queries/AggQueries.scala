@@ -1,4 +1,265 @@
 package graft.queries
 
-/** Aggregation-layer queries (SURVEY.md §7.3 step 6) — filled in next. */
-object AggQueries { def all: Seq[Q] = Seq.empty }
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Aggregation-layer queries (SURVEY.md §7.3 step 6): the analytical
+  * capability the reference delegates to BigQuery/Looker (README.md:3,
+  * 62-65) — group-bys, windows, rollups, top-k, sessionization — built
+  * Spark-first over the driver testdata.
+  *
+  * Determinism across engines: money/quantity sums are computed as
+  * integer cents (`floor(x*100+0.5)` then BIGINT sum) because double
+  * summation is order-dependent and Spark's partial-aggregate order
+  * differs from DuckDB's. Integer aggregation is exact, associative,
+  * and — at 100 TB — still partial-aggregable map-side. */
+object AggQueries {
+
+  /** Double → exact integer cents, deterministically. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast(LongType)
+
+  private val centsSql = (e: String) =>
+    s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
+
+  def all: Seq[Q] = Seq(
+
+    // ---- TPC-H Q1-style pricing summary (groupBy agg, partial-aggregable)
+    Q("q_agg_pricing",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price_c"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""
+        |SELECT l_returnflag, l_linestatus,
+        |  sum(${centsSql("l_quantity")}) AS sum_qty_c,
+        |  sum(${centsSql("l_extendedprice")}) AS sum_price_c,
+        |  sum(${centsSql("l_extendedprice * (1 - l_discount)")})
+        |    AS sum_disc_price_c,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus
+        |""".stripMargin.trim)),
+
+    // ---- monthly revenue + month-over-month delta via lag window ------
+    // (the reference's BI layer use case: price trend by month)
+    Q("q_agg_monthly_lag",
+      (s, d) => {
+        val monthly = orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(cents(col("o_totalprice"))).as("revenue_c"),
+            count(lit(1)).as("cnt"))
+        val w = Window.orderBy("month")
+        monthly
+          .withColumn("prev_revenue_c", lag("revenue_c", 1).over(w))
+          .withColumn("mom_delta_c",
+            col("revenue_c") - coalesce(col("prev_revenue_c"), lit(0L)))
+          .orderBy("month")
+      },
+      Some(s"""
+        |WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    sum(${centsSql("o_totalprice")}) AS revenue_c,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue_c, cnt,
+        |  lag(revenue_c, 1) OVER (ORDER BY month) AS prev_revenue_c,
+        |  revenue_c - coalesce(lag(revenue_c, 1) OVER (ORDER BY month), 0)
+        |    AS mom_delta_c
+        |FROM m ORDER BY month
+        |""".stripMargin.trim)),
+
+    // ---- top-k per group (rank window, deterministic tiebreak) --------
+    Q("q_agg_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        customer(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("c_mktsegment", "rk", "c_custkey", "c_acctbal")
+          .orderBy("c_mktsegment", "rk")
+      },
+      Some("""
+        |SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        |  FROM customer) WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk
+        |""".stripMargin.trim)),
+
+    // ---- rollup with grouping indicators ------------------------------
+    Q("q_agg_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some(s"""
+        |SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(${centsSql("l_quantity")}) AS sum_qty_c,
+        |  GROUPING(l_returnflag) AS g_flag,
+        |  GROUPING(l_linestatus) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST
+        |""".stripMargin.trim)),
+
+    // ---- exact distinct counts per group ------------------------------
+    Q("q_agg_distinct_counts",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""
+        |SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
+    // ---- approximate distinct (HLL) — the 100 TB path; no SQL oracle
+    // (approx values are engine-specific), driver rows-only check ------
+    Q("q_agg_approx_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_part_approx"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // ---- running total per entity (cumulative window) -----------------
+    Q("q_window_running_total",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            cents(col("o_totalprice")).as("price_c"))
+          .withColumn("running_c", sum("price_c").over(w))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some(s"""
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  ${centsSql("o_totalprice")} AS price_c,
+        |  sum(${centsSql("o_totalprice")}) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+        |""".stripMargin.trim)),
+
+    // ---- pivot (segment × nation-parity counts) -----------------------
+    Q("q_agg_pivot",
+      (s, d) => customer(s, d)
+        .withColumn("parity",
+          when(col("c_nationkey") % 2 === 0, lit("even")).otherwise(lit("odd")))
+        .groupBy("c_mktsegment")
+        .pivot("parity", Seq("even", "odd"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("even", "odd"))
+        .orderBy("c_mktsegment"),
+      Some("""
+        |SELECT c_mktsegment,
+        |  count(*) FILTER (c_nationkey % 2 = 0) AS even,
+        |  count(*) FILTER (c_nationkey % 2 <> 0) AS odd
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        |""".stripMargin.trim)),
+
+    // ---- fact-to-fact join + agg: revenue by nation (shuffle join of
+    // two big tables at scale; dims broadcast) --------------------------
+    Q("q_agg_join_revenue",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"),
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("rev_c"))
+        val ord = orders(s, d).select("o_orderkey", "o_custkey")
+        val cust = customer(s, d).select("c_custkey", "c_nationkey")
+        val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some(s"""
+        |SELECT n_name,
+        |  sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS revenue_c,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name
+        |""".stripMargin.trim)),
+
+    // ---- sessionization over the events stream table ------------------
+    // (gap > 30 min ⇒ new session; lag + running conditional sum;
+    // ts handled as exact epoch-nanos longs — see Tables.events)
+    Q("q_events_sessionize",
+      (s, d) => {
+        // micros throughout: duckdb timestamps are micro-precision, so
+        // both the gap test and the output use exact epoch-micros longs
+        val byUser = Window.partitionBy("user_id")
+          .orderBy("ts_us", "event_id")
+        val gapped = events(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts_us") - col("prev_ts") > lit(1800L * 1000000L),
+              lit(1)).otherwise(lit(0)))
+        gapped
+          .withColumn("session_seq",
+            sum("new_session").over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("session_seq"))
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""
+        |WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |            > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, ts_us,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |FROM g ORDER BY user_id, ts_us, event_id
+        |""".stripMargin.trim)),
+
+    // ---- per-event-type value stats (min/max as exact cents) ----------
+    Q("q_events_stats",
+      (s, d) => events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(cents(col("value"))).as("min_value_c"),
+          max(cents(col("value"))).as("max_value_c"),
+          sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy("event_type"),
+      Some(s"""
+        |SELECT event_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(${centsSql("value")}) AS min_value_c,
+        |  max(${centsSql("value")}) AS max_value_c,
+        |  sum(${centsSql("value")}) AS sum_value_c
+        |FROM events GROUP BY event_type ORDER BY event_type
+        |""".stripMargin.trim))
+  )
+}

@@ -1,4 +1,246 @@
 package graft.queries
 
-/** Similarity / dedup-at-scale queries — filled in next. */
-object SimQueries { def all: Seq[Q] = Seq.empty }
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.{Similarity, TextOps}
+
+/** Similarity-search and dedup-at-scale queries: exact dedup, MinHash
+  * LSH near-dup with exact-Jaccard verification, SimHash, and
+  * cosine ANN over the embeddings table.
+  *
+  * Hash-based intermediates (xxhash64) are not expressible in DuckDB,
+  * but every final answer here is hash-independent (verified Jaccard /
+  * exact cosine), so the oracles recompute the same ground truth from
+  * first principles — proving the LSH path finds exactly the true
+  * pairs. */
+object SimQueries {
+
+  /** documents ∪ near-duplicate mutated copies (id+1e6, last 2 tokens
+    * dropped) — the corpus the near-dup queries dedup. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id").as("id"), col("text"))
+    val toks = TextOps.tokens(col("text"))
+    val mut = documents(s, d)
+      .filter(size(TextOps.tokens(col("text"))) >= 10)
+      .select((col("doc_id") + 1000000L).as("id"),
+        array_join(slice(toks, lit(1), size(toks) - 2), " ").as("text"))
+    docs.unionByName(mut)
+  }
+
+  private val corpusSql = """
+    |docs AS (SELECT doc_id AS id, text FROM documents),
+    |mut AS (SELECT doc_id + 1000000 AS id,
+    |    array_to_string(toks[1:len(toks)-2], ' ') AS text
+    |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    |        FROM documents) WHERE len(toks) >= 10),
+    |corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM mut),
+    |sh AS (SELECT id, list_distinct(list_transform(range(1, len(toks)-1),
+    |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+    |  FROM (SELECT id, string_split_regex(trim(text), '\s+') AS toks
+    |        FROM corpus) WHERE len(toks) >= 3)""".stripMargin
+
+  /** Shared cosine-milli SQL: MUST mirror Similarity.cosineMilli
+    * operation-for-operation (cast to double, sequential sum) so IEEE
+    * results are bit-identical. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"CAST(floor(1000.0 * (${dot(a, b)} / " +
+      s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))) + 0.5) AS BIGINT)"
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ---- exact dedup on content fingerprint ---------------------------
+    Q("q_docs_exact_dedup",
+      (s, d) => {
+        val dup = corpus(s, d) // mutated copies are NOT exact dups;
+        // add exact dups instead: same text, shifted id
+        val docs = documents(s, d).select(col("doc_id").as("id"), col("text"))
+        val exact = docs.withColumn("id", col("id") + 2000000L)
+        graft.ops.Dedup.exactDedup(
+            docs.unionByName(exact), Seq("text"), Seq("id"))
+          .select(col("id"), md5(col("text")).as("fp"))
+          .orderBy("id")
+      },
+      Some("""
+        |SELECT min(doc_id) AS id, md5(text) AS fp
+        |FROM documents GROUP BY text ORDER BY id
+        |""".stripMargin.trim)),
+
+    // ---- n-gram Jaccard between adjacent doc pairs --------------------
+    Q("q_jaccard_adjacent",
+      (s, d) => {
+        val sh = documents(s, d).select(col("doc_id"),
+          TextOps.wordShingles(col("text"), 3).as("shingles"))
+        val a = sh.select(col("doc_id").as("id_a"),
+          col("shingles").as("sh_a"))
+        val b = sh.select(col("doc_id").as("id_b"),
+          col("shingles").as("sh_b"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+            Similarity.jaccardMilli(col("sh_a"), col("sh_b"))
+              .as("jaccard_milli"))
+          .orderBy("id_a")
+      },
+      Some("""
+        |WITH sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+        |  CAST(floor(1000.0 * len(list_intersect(a.shingles, b.shingles)) /
+        |    (len(a.shingles) + len(b.shingles)
+        |      - len(list_intersect(a.shingles, b.shingles))) + 0.5)
+        |    AS BIGINT) AS jaccard_milli
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a
+        |""".stripMargin.trim)),
+
+    // ---- MinHash + LSH near-dup, exact-Jaccard verified ---------------
+    // k=32 hashes, 16 bands × 2 rows: P(miss | J=0.9) ≈ (1-0.81)^16 ≈ 1e-12,
+    // so the LSH output equals the brute-force ground truth the oracle
+    // computes via the shingle-share join.
+    Q("q_neardup_minhash_lsh",
+      (s, d) => {
+        val docs = corpus(s, d)
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        Similarity.nearDupPairs(docs, k = 32, bands = 16,
+            thresholdMilli = 800)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        |WITH $corpusSql,
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM (SELECT id, unnest(shingles) AS s FROM sh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
+        |    ON a.s = b.s AND a.id < b.id),
+        |j AS (SELECT id_a, id_b,
+        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
+        |      AS BIGINT) AS jaccard_milli
+        |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a
+        |             JOIN sh sb ON sb.id = pairs.id_b)
+        |SELECT id_a, id_b, jaccard_milli FROM j
+        |WHERE jaccard_milli >= 800 ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
+    // ---- SimHash near-dup (hash-defined: driver rows-only check) ------
+    Q("q_simhash_neardup",
+      (s, d) => {
+        val sig = corpus(s, d)
+          .select(col("id"), Similarity.simhash64(col("text")).as("sh"))
+        val a = sig.filter(col("id") < 1000000L)
+          .select(col("id").as("id_a"), col("sh").as("sh_a"))
+        val b = sig.filter(col("id") >= 1000000L)
+          .select((col("id") - 1000000L).as("id_a"), col("sh").as("sh_b"))
+        a.join(b, "id_a")
+          .select(col("id_a"),
+            Similarity.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+          .filter(col("hamming") <= 16)
+          .orderBy("id_a")
+      },
+      None),
+
+    // ---- brute-force cosine top-k (ANN baseline) ----------------------
+    Q("q_ann_cosine_topk",
+      (s, d) => {
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val scored = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_milli",
+            Similarity.cosineMilli(col("qv"), col("embedding")))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_milli").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("q_id", "rank", "vec_id", "cos_milli")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        |WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT q_id, vec_id, ${cosSql("qv", "embedding")} AS cos_milli
+        |  FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_milli DESC, vec_id ASC) AS rank FROM c)
+        |SELECT q_id, rank, vec_id, cos_milli FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
+    // ---- IVF-style ANN: assign to nearest centroid, probe top-2 -------
+    // The 100 TB path: codebook broadcast, one pass to assign, search
+    // restricted to probed clusters instead of the full corpus.
+    Q("q_ann_ivf_topk",
+      (s, d) => {
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("c_cos").desc, col("c_id").asc)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("c_cos",
+            Similarity.cosineMilli(col("embedding"), col("cv")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"))
+        val q = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val wProbe = Window.partitionBy("q_id")
+          .orderBy(col("c_cos").desc, col("c_id").asc)
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("c_cos", Similarity.cosineMilli(col("qv"), col("cv")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("qv"), col("c_id").as("cluster"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("cos_milli").desc, col("vec_id").asc)
+        probes.join(assigned, "cluster")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_milli",
+            Similarity.cosineMilli(col("qv"), col("embedding")))
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "vec_id", "cos_milli")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        |WITH cents AS (SELECT vec_id AS c_id, embedding AS cv
+        |    FROM embeddings WHERE vec_id < 8),
+        |assigned AS (SELECT vec_id, cluster, embedding FROM (
+        |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+        |                 c.c_id ASC) AS rn
+        |    FROM embeddings e, cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |    WHERE vec_id >= 8 AND vec_id < 13),
+        |probes AS (SELECT q_id, qv, cluster FROM (
+        |    SELECT q.q_id, q.qv, c.c_id AS cluster,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id ASC) AS rn
+        |    FROM q, cents c) WHERE rn <= 2),
+        |ranked AS (SELECT q_id, vec_id, cos_milli,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
+        |  FROM (SELECT p.q_id, a.vec_id,
+        |      ${cosSql("p.qv", "a.embedding")} AS cos_milli
+        |    FROM probes p JOIN assigned a ON p.cluster = a.cluster
+        |    WHERE a.vec_id <> p.q_id))
+        |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank
+        |""".stripMargin.trim))
+  )
+}

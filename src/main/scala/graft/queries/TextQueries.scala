@@ -1,4 +1,113 @@
 package graft.queries
 
-/** Text-analysis / training-data queries — filled in next. */
-object TextQueries { def all: Seq[Q] = Seq.empty }
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ops.TextOps
+
+/** Text-analysis queries over the `documents` table — the operations a
+  * large-scale training-data pipeline needs (language ID, quality
+  * scoring, token counting, fingerprinting). All pure built-in
+  * expressions: per-row, shuffle-free, whole-stage-codegen'd — at
+  * 100 TB these run at scan speed. */
+object TextQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- token / char statistics --------------------------------------
+    Q("q_text_token_stats",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_obs"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+          TextOps.avgTokenLenMilli(col("text")).as("avg_tok_len_milli"))
+        .orderBy("doc_id"),
+      Some("""
+        |SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars_obs,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish,
+        |  CAST(floor(1000.0 * length(regexp_replace(text, '\s+', '', 'g'))
+        |    / len(string_split_regex(trim(text), '\s+')) + 0.5) AS BIGINT)
+        |    AS avg_tok_len_milli
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- quality scoring ----------------------------------------------
+    Q("q_text_quality",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          TextOps.stopwordCount(col("text")).as("n_stop"),
+          TextOps.punctCount(col("text")).as("n_punct"),
+          TextOps.digitCount(col("text")).as("n_digit"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("stop_ratio_milli",
+          floor(lit(1000.0) * col("n_stop") / col("n_tokens") + 0.5)
+            .cast(LongType))
+        .withColumn("quality_ok",
+          (col("n_tokens") >= 10 && col("stop_ratio_milli") >= 10 &&
+            col("n_punct") * 3 <= col("n_tokens")).cast(IntegerType))
+        .orderBy("doc_id"),
+      Some(s"""
+        |WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      w -> w IN (${TextOps.stopwordsSql}))) AS n_stop,
+        |    length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_stop, n_punct, n_digit, n_tokens,
+        |  CAST(floor(1000.0 * n_stop / n_tokens + 0.5) AS BIGINT)
+        |    AS stop_ratio_milli,
+        |  CAST(n_tokens >= 10
+        |    AND floor(1000.0 * n_stop / n_tokens + 0.5) >= 10
+        |    AND n_punct * 3 <= n_tokens AS INTEGER) AS quality_ok
+        |FROM t ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- language identification (stopword votes + CJK detection) -----
+    Q("q_text_langid",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.detectLanguage(col("text")).as("lang_pred"))
+        .withColumn("correct",
+          (col("lang") === col("lang_pred")).cast(IntegerType))
+        .orderBy("doc_id"),
+      Some(TextOps.langIdOracleSql)),
+
+    // ---- document fingerprinting (md5 exact + normalized) -------------
+    Q("q_text_fingerprint",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("fp_exact"),
+          TextOps.normalizedFingerprint(col("text")).as("fp_norm"),
+          substring(md5(col("text")), 1, 4).as("fp_bucket"))
+        .orderBy("doc_id"),
+      Some("""
+        |SELECT doc_id, md5(text) AS fp_exact,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp_norm,
+        |  substr(md5(text), 1, 4) AS fp_bucket
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- distinct word-3-gram (shingle) count per doc -----------------
+    Q("q_text_shingles",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.wordShingles(col("text"), 3)).as("n_shingles"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN 0 ELSE
+        |    len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |  END AS n_shingles,
+        |  len(toks) AS n_tokens
+        |FROM t ORDER BY doc_id
+        |""".stripMargin.trim))
+  )
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaccardMilli exact on distinct arrays") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Similarity.jaccardMilli(col("x"), col("y")))
+      .collect().head.getLong(0)
+    assert(j == 500) // 2 / 4
+  }
+
+  test("cosineMilli: identical vectors → 1000, orthogonal → 0") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 1f), Seq(1f, 0f))
+    ).toDF("x", "y")
+    val v = df.select(Similarity.cosineMilli(col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(v == Seq(1000L, 0L, 707L))
+  }
+
+  test("minHashSignature: identical inputs → identical signatures") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq("a b c", "b c d")),
+      (3L, Seq("x y z", "q r s"))
+    ).toDF("id", "shingles")
+    val sigs = df.select(col("id"),
+        Similarity.minHashSignature(col("shingles"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 16)
+  }
+
+  test("nearDupPairs finds the planted near-duplicate and only it") {
+    // 20 base docs of disjoint shingle sets + one near-dup of doc 0
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 30).map(j => s"shingle_${i}_$j"))
+    }
+    val nearDup = (100L, (0 until 27).map(j => s"shingle_0_$j"))
+    val df = (base :+ nearDup).toDF("id", "shingles")
+    val pairs = Similarity.nearDupPairs(df, k = 32, bands = 16,
+        thresholdMilli = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((0L, 100L, 900L))) // 27/30 = 0.9
+  }
+
+  test("simhash64: near-identical docs have small hamming distance") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and once"),
+      ("c", "completely different words appear within this unrelated text")
+    ).toDF("id", "text")
+    val sh = df.select(col("id"), Similarity.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh("a"), sh("b")) < ham(sh("a"), sh("c")))
+    assert(ham(sh("a"), sh("b")) <= 16)
+  }
+
+  test("hamming64 matches bitCount of xor") {
+    val df = Seq((5L, 6L)).toDF("a", "b") // 101 xor 110 = 011 → 2
+    val h = df.select(Similarity.hamming64(col("a"), col("b")))
+      .collect().head
+    assert(h.get(0).toString.toInt == 2)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any = {
+    val r = Seq(Option(input)).toDF("v").select(c.as("out")).collect().head
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  test("tokenCount splits on whitespace runs") {
+    assert(one(TextOps.tokenCount(col("v")), "a  b\tc\nd") == 4)
+    assert(one(TextOps.tokenCount(col("v")), " one ") == 1)
+  }
+
+  test("bpeishTokenCount counts word runs + punctuation marks") {
+    assert(one(TextOps.bpeishTokenCount(col("v")), "hi, there!") == 4)
+  }
+
+  test("stopword / punct / digit counts") {
+    assert(one(TextOps.stopwordCount(col("v")), "the cat and the hat") == 3)
+    assert(one(TextOps.punctCount(col("v")), "a, b. c!") == 3)
+    assert(one(TextOps.digitCount(col("v")), "a1b22") == 3)
+  }
+
+  test("detectLanguage: stopword votes with fixed tie order") {
+    val c = TextOps.detectLanguage(col("v"))
+    assert(one(c, "the cat is in a box") == "en")
+    assert(one(c, "der hund ist ein tier und") == "de")
+    assert(one(c, "le chat est dans la maison et") == "fr")
+    assert(one(c, "el perro es un animal y los gatos") == "es")
+    assert(one(c, "你好世界这是中文") == "zh")
+    assert(one(c, "xyzzy blorp") == "en") // all-zero tie → en
+  }
+
+  test("wordShingles: distinct n-grams, short docs empty") {
+    val sh = TextOps.wordShingles(col("v"), 3)
+    assert(one(size(sh), "a b c d") == 2) // "a b c", "b c d"
+    assert(one(size(sh), "a b") == 0)
+    assert(one(size(sh), "x y x y x y") == 2) // dedup: "x y x", "y x y"
+  }
+
+  test("normalizedFingerprint ignores case/punct/whitespace") {
+    val fp = TextOps.normalizedFingerprint(col("v"))
+    assert(one(fp, "Hello, World!") == one(fp, "hello world"))
+    assert(one(fp, "hello world") != one(fp, "hello worlds"))
+  }
+}
