@@ -1,0 +1,68 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.schemas.Schemas
+import java.time.LocalDate
+
+/** End-to-end pipeline orchestration — the Spark-native stand-in for
+  * the reference's 17-task Airflow DAG (dags/pipeline.py:282-288):
+  * plain function composition in dependency order; Spark's scheduler
+  * supplies intra-job parallelism. Ingestion (Selenium/REST) is
+  * out-of-engine — the contract starts at "files exist"
+  * (SURVEY.md §1.4). */
+object Pipeline {
+
+  final case class Dims(districtCode: DataFrame, districtRegion: DataFrame,
+                        townDistrict: DataFrame, agencyId: DataFrame)
+
+  def readDims(spark: SparkSession, dir: String): Dims = Dims(
+    spark.read.schema(Schemas.districtCode).parquet(s"$dir/district_code"),
+    spark.read.schema(Schemas.districtRegion)
+      .parquet(s"$dir/district_region"),
+    spark.read.schema(Schemas.townDistrict).parquet(s"$dir/town_district"),
+    spark.read.schema(Schemas.agencyId).parquet(s"$dir/agency_id"))
+
+  /** The three transformation jobs + merge, composed. Returns the
+    * conformed 28-column merged listings and the 17-column historical
+    * table. */
+  def run(spark: SparkSession, propnexJson: String, srxJson: String,
+          historicalCsvDir: String, dims: Dims, runDate: LocalDate)
+      : (DataFrame, DataFrame) = {
+    val pn = PropnexJob.transform(PropnexJob.readRaw(spark, propnexJson),
+      dims.districtCode, dims.districtRegion, runDate)
+    val srx = SrxJob.transform(SrxJob.readRaw(spark, srxJson),
+      dims.districtCode, dims.districtRegion, dims.agencyId, runDate)
+    val merged = MergeDedupJob.transform(pn, srx, runDate)
+    val hist = HistoricalJob.transform(
+      HistoricalJob.readRaw(spark, historicalCsvDir),
+      dims.districtCode, dims.districtRegion, dims.townDistrict)
+    (merged, hist)
+  }
+
+  /** S5 — day-partitioned append sink: the Spark-native equivalent of
+    * the reference's BigQuery DAY time-partitioned WRITE_APPEND tables
+    * (dags/pipeline.py:225-272). Partition pruning on `partitionCol`
+    * gives downstream readers partition elimination; at 100 TB this is
+    * what makes "read yesterday" not "scan everything". */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+
+  /** CLI: <propnexJson> <srxJson> <historicalCsvDir> <dimsDir> <outDir>
+    * [runDate]. */
+  def main(args: Array[String]): Unit = {
+    val Array(pn, srx, hist, dimsDir, outDir) = args.take(5)
+    val runDate = args.lift(5).map(LocalDate.parse)
+      .getOrElse(LocalDate.now())
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    val (merged, histOut) = run(spark, pn, srx, hist,
+      readDims(spark, dimsDir), runDate)
+    writePartitioned(merged, s"$outDir/scraped", "transformed_date")
+    writePartitioned(histOut, s"$outDir/historical", "date_of_sale")
+    spark.stop()
+  }
+}

@@ -70,6 +70,15 @@ object Cleaning {
       casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
     }.toIndexedSeq: _*)
 
+  /** Like [[castColumns]] but malformed values become NULL instead of
+    * throwing — matches the reference's pre-ANSI PySpark `cast`
+    * behavior (Spark 4 runs ANSI mode where plain cast throws). */
+  def castColumnsLenient(df: DataFrame,
+                         casts: Map[String, DataType]): DataFrame =
+    df.select(df.columns.map { c =>
+      casts.get(c).map(t => col(c).try_cast(t).as(c)).getOrElse(col(c))
+    }.toIndexedSeq: _*)
+
   /** P2 — batch rename (HIST:34-37, PN:61-63, SRX:62-66). */
   def renameColumns(df: DataFrame, renames: Map[String, String]): DataFrame =
     df.withColumnsRenamed(renames)
@@ -94,14 +103,18 @@ object Cleaning {
   def remainingLease(saleYear: Column, topYear: Column): Column =
     (lit(99) - (saleYear - topYear)).cast(IntegerType)
 
-  /** PN:30-33, SRX:42-45 — furnishing label normalization (3 branches +
-    * passthrough-to-null). */
-  def normalizeFurnishing(c: Column): Column = {
+  /** PN:30-33, SRX:42-45 — furnishing label normalization. Exact
+    * reference semantics: equality tests on the lower-cased value,
+    * anything unrecognized passes through unchanged. The "unfurnished"
+    * spelling differs per source (`unfurnishedSpelling`). */
+  def normalizeFurnishing(c: Column,
+                          unfurnishedSpelling: String = "unfurnished")
+      : Column = {
     val l = lower(c)
-    when(l.contains("partial"), lit("partial"))
-      .when(l.contains("fully") || l === "furnished", lit("full"))
-      .when(l.contains("unfurnished") || l.contains("not furnished"), lit("none"))
-      .otherwise(lit(null).cast(StringType))
+    when(l === "partially furnished", lit("partial"))
+      .when(l === "fully furnished", lit("full"))
+      .when(l === unfurnishedSpelling, lit("unfurnished"))
+      .otherwise(c)
   }
 
   /** SRX:58-60 — floor level `'Mid'` → `'middle'`, lower-cased. */

@@ -64,20 +64,23 @@ object Parsers {
   def districtFromD(c: Column): Column =
     substring_index(c, "D", -1).try_cast(IntegerType)
 
-  /** PN:42, SRX:39 — facilities count = size of comma-split list,
-    * null-guarded like the reference (null → 0 items). */
+  /** PN:42, SRX:39 — facilities count = size of comma-split list;
+    * null stays null (reference: `when(isNull, None)`). */
   def facilitiesCount(c: Column): Column =
-    when(c.isNull, lit(0)).otherwise(size(split(c, ",")))
+    when(c.isNull, lit(null).cast(IntegerType))
+      .otherwise(size(split(c, ",")))
 
-  /** PN:47-53, SRX:26-31 — location rebuild: first token upper-cased
-    * when it looks like a block number, rest initcap'd, rejoined.
-    * (`"123A upper serangoon rd"` → `"123A Upper Serangoon Rd"`.) */
+  /** PN:45-53, SRX:24-31 — location rebuild, exact reference semantics:
+    * initcap the whole string, strip a leading `Blk `/`Block ` token,
+    * then upper-case the first token iff it starts with a digit and
+    * rejoin with the rest. (`"blk 123a upper serangoon rd"` →
+    * `"123A Upper Serangoon Rd"`.) */
   def rebuildLocation(c: Column): Column = {
-    val toks = split(c, " ")
+    val base = regexp_replace(initcap(c), "^(Blk\\s+|Block\\s+)", "")
+    val toks = split(base, " ")
     val head = toks.getItem(0)
-    val tail = array_join(slice(toks, lit(2), size(toks)), " ")
-    when(head.rlike("^\\d"),
-      concat_ws(" ", upper(head), initcap(tail)))
-      .otherwise(initcap(c))
+    val tail = concat_ws(" ", slice(toks, lit(2), size(toks)))
+    concat_ws(" ",
+      when(head.rlike("^\\d"), upper(head)).otherwise(head), tail)
   }
 }

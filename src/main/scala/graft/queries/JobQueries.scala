@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.jobs.{MergeDedupJob, PropnexJob, SrxJob}
+import graft.schemas.Schemas
+import java.time.LocalDate
+
+/** End-to-end job pipeline smoke query: inline reference-shaped fixture
+  * rows through propnex + srx transforms and the merge-dedup flagship.
+  * Exercises the full composed pipeline (schemas → cleaning → joins →
+  * dedup → conformed 28-col output) under the driver's rows-only check;
+  * exact golden values are locked by PipelineSpec. */
+object JobQueries {
+
+  private val runDate = LocalDate.of(2024, 11, 1)
+
+  private def rawFromStrings(s: SparkSession,
+                             schema: org.apache.spark.sql.types.StructType,
+                             rows: Seq[Map[String, String]]): DataFrame = {
+    val data = rows.map(m =>
+      Row.fromSeq(schema.fieldNames.toSeq.map(f => m.get(f).orNull)))
+    s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(data).asJava), schema)
+  }
+
+  private def pnFixture(s: SparkSession): DataFrame = rawFromStrings(s,
+    Schemas.propnexRaw, Seq(
+      Map("url" -> "u1", "location" -> "Blk 123A upper serangoon rd",
+        "price" -> "$550,000",
+        "street_town_district" -> "Upper Serangoon Rd\nHougang (D19)",
+        "num_bedroom" -> "3", "num_bathroom" -> "2",
+        "floor_area_sqft" -> "1,184 sqft (110 sqm)",
+        "agent_name" -> "Jane Tan", "agent_id" -> "agent#R123456A",
+        "agent_email" -> "jane@propnex.com",
+        "agent_phone_num" -> "+65 91234567", "district" -> "D19",
+        "total_floor_area" -> "1184", "top" -> "1995",
+        "furnishing" -> "Partially Furnished", "floor" -> "high floor",
+        "post_code" -> "534011", "street_name" -> "upper serangoon rd",
+        "description" -> "nice flat", "facilities" -> "pool,gym")))
+
+  private def srxFixture(s: SparkSession): DataFrame = rawFromStrings(s,
+    Schemas.srxRaw, Seq(
+      Map("url" -> "u9", "price" -> "$560,000",
+        "agent_id" -> "CEA: R111222C / L1234567A",
+        "agent_phone_num" -> "tel:91112222",
+        "address" -> "123A Upper Serangoon Rd (534011)",
+        "property_name" -> "upper serangoon rd",
+        "property_type" -> "HDB 4 Rooms", "model" -> "Model A",
+        "bedrooms" -> "3+1", "bathrooms" -> "2",
+        "furnish" -> "Not Furnished", "floor_level" -> "Mid",
+        "built_year" -> "1995", "hdb_town" -> "Hougang",
+        "size" -> "110 sqm", "psf" -> "$473 psf",
+        "facilities" -> "pool,gym", "description" -> "great view")))
+
+  private def dims(s: SparkSession) = {
+    import s.implicits._
+    (Seq((19, "53", "Hougang"), (20, "56", "Bishan"))
+       .toDF("district", "postal_sector", "zone"),
+     Seq((19, "North-East Region"), (20, "Central Region"))
+       .toDF("district", "region"),
+     Seq(("ERA REALTY NETWORK PTE LTD", "L1234567A"))
+       .toDF("agency", "agency_id"))
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("q_job_pipeline_merged",
+      (s, _) => {
+        val (dc, dr, ag) = dims(s)
+        val pn = PropnexJob.transform(pnFixture(s), dc, dr, runDate)
+        val srx = SrxJob.transform(srxFixture(s), dc, dr, ag, runDate)
+        MergeDedupJob.transform(pn, srx, runDate).orderBy("url")
+      },
+      None)
+  )
+}

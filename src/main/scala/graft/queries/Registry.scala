@@ -12,7 +12,8 @@ final case class Q(name: String,
 
 object Registry {
   def all: Seq[Q] =
-    RefQueries.all ++ AggQueries.all ++ TextQueries.all ++ SimQueries.all
+    RefQueries.all ++ AggQueries.all ++ TextQueries.all ++
+      SimQueries.all ++ JobQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

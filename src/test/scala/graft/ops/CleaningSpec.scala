@@ -58,12 +58,16 @@ class CleaningSpec extends SparkSpec {
     assert(out == 1076)
   }
 
-  test("normalizeFurnishing three branches + null passthrough") {
+  test("normalizeFurnishing: exact branches, unknown passes through") {
     val c = Cleaning.normalizeFurnishing(col("v"))
     val vals = Seq("Partially Furnished", "Fully Furnished", "Unfurnished",
       "whatever").toDF("v").select(c).collect()
       .map(r => if (r.isNullAt(0)) null else r.getString(0))
-    assert(vals.toSeq == Seq("partial", "full", "none", null))
+    assert(vals.toSeq == Seq("partial", "full", "unfurnished", "whatever"))
+    val srx = Cleaning.normalizeFurnishing(col("v"), "not furnished")
+    val v2 = Seq("Not Furnished").toDF("v").select(srx).collect()
+      .head.getString(0)
+    assert(v2 == "unfurnished")
   }
 
   test("fixFlatTypeLabels") {

@@ -56,16 +56,17 @@ class ParsersSpec extends SparkSpec {
     assert(one(Parsers.districtFromD(col("v")), "D19") == 19)
   }
 
-  test("facilities count, null-guarded") {
+  test("facilities count: null stays null (reference semantics)") {
     val c = Parsers.facilitiesCount(col("v"))
     assert(one(c, "pool,gym,bbq") == 3)
     assert(one(c, "pool") == 1)
-    assert(one(c, null) == 0)
+    assert(one(c, null) == null)
   }
 
-  test("rebuildLocation uppercases block token, initcaps the rest") {
+  test("rebuildLocation strips Blk prefix, uppercases numeric head") {
     val c = Parsers.rebuildLocation(col("v"))
     assert(one(c, "123a upper serangoon rd") == "123A Upper Serangoon Rd")
+    assert(one(c, "blk 123a upper serangoon rd") == "123A Upper Serangoon Rd")
     assert(one(c, "upper serangoon rd") == "Upper Serangoon Rd")
   }
 }
