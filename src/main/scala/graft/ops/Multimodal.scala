@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted via typed `mapPartitions` (the
+  * Scala analogue of `mapInPandas` batch UDFs).
+  *
+  * The DECODE STEP IS A DETERMINISTIC STUB — this container has no
+  * image/audio codecs, so `decodeStub` derives "features" from raw
+  * bytes. The Spark-side plumbing is real and is what's under test:
+  * binary column schema, per-partition batched decode (one
+  * iterator pass per partition — exactly how a JNI/codec call would be
+  * amortized), typed output schema, and frame-sampling explode.
+  * Swapping `decodeStub` for a real codec changes no plan shape. */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+                                 first_byte: Int, last_byte: Int,
+                                 checksum: Long, width: Int, height: Int)
+
+  /** Attach a binary payload column (UTF-8 bytes of the text — the
+    * stand-in for image/audio blobs) plus typed metadata. */
+  def binaryCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(length(col("text")).as("n_chars"),
+        lit("fake/utf8").as("media_type")).as("media_meta"))
+
+  /** STUB decoder: deterministic features from raw bytes. A real
+    * implementation would decode an image here; the signature — bytes
+    * in, fixed-width feature struct out — is the contract. */
+  def decodeStub(doc_id: Long, bytes: Array[Byte]): MediaFeatures = {
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum += bytes(i) & 0xff; i += 1 }
+    val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val last = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+    MediaFeatures(doc_id, bytes.length, first, last, checksum,
+      width = (checksum % 640).toInt, height = (checksum % 480).toInt)
+  }
+
+  /** Batched per-partition decode: one decoder instantiation per
+    * partition, streamed over the iterator (no per-row setup cost —
+    * the property that matters when the decoder is an expensive
+    * codec/model handle). */
+  def extractFeatures(binary: DataFrame): Dataset[MediaFeatures] = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (codec handle, model)
+        rows.map(r => decodeStub(r.doc_id, r.payload))
+      }
+  }
+
+  /** Frame sampling: split the payload into fixed-size "frames" and
+    * keep every k-th — the video-frame-sample access pattern, done with
+    * built-ins so it stays codegen'd and explode-parallel. */
+  def sampleFrames(binary: DataFrame, frameBytes: Int,
+                   everyK: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")) / lit(frameBytes.toDouble))
+      .cast(IntegerType)
+    binary.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nFrames - 1), i =>
+          substring(col("payload"), (i * frameBytes) + lit(1),
+            lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .filter(col("frame_idx") % everyK === 0)
+      .withColumn("frame_bytes", length(col("frame")))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Multimodal
+
+/** Multimodal binary-column queries. The decode is a deterministic
+  * byte-level stub (no codecs in this container — see
+  * graft.ops.Multimodal); because the payload is the UTF-8 bytes of
+  * ASCII text, the DuckDB oracle can recompute the same features from
+  * the text column, verifying the whole binary pipeline end to end. */
+object MultimodalQueries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("q_multimodal_features",
+      (s, d) => Multimodal.extractFeatures(
+          Multimodal.binaryCorpus(documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""
+        |WITH f AS (SELECT doc_id, length(text) AS n_bytes,
+        |    ord(substr(text, 1, 1)) AS first_byte,
+        |    ord(substr(text, length(text), 1)) AS last_byte,
+        |    list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, i, 1)))) AS checksum
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, first_byte, last_byte, checksum,
+        |  CAST(checksum % 640 AS INTEGER) AS width,
+        |  CAST(checksum % 480 AS INTEGER) AS height
+        |FROM f ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    Q("q_multimodal_frames",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.binaryCorpus(documents(s, d)),
+          frameBytes = 32, everyK = 2)
+        .select("doc_id", "frame_idx", "frame_bytes")
+        .orderBy("doc_id", "frame_idx"),
+      Some("""
+        |WITH n AS (SELECT doc_id, length(text) AS len,
+        |    CAST(ceil(length(text) / 32.0) AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, i AS frame_idx,
+        |  least(32, len - i * 32) AS frame_bytes
+        |FROM n, LATERAL (SELECT unnest(range(0, n_frames)) AS i)
+        |WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
+        |""".stripMargin.trim))
+  )
+}

@@ -13,7 +13,8 @@ final case class Q(name: String,
 object Registry {
   def all: Seq[Q] =
     RefQueries.all ++ AggQueries.all ++ TextQueries.all ++
-      SimQueries.all ++ JobQueries.all
+      SimQueries.all ++ JobQueries.all ++ StreamQueries.all ++
+      MultimodalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+
+/** Structured Streaming queries, run to completion with AvailableNow
+  * over the bounded events source — each result equals the batch
+  * answer, which is what the DuckDB oracle verifies. */
+object StreamQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // Complete mode for the bounded verification run: Append would
+    // hold back the final windows still inside the watermark horizon.
+    // An unbounded deployment uses Append and those windows emit as
+    // the watermark passes them.
+    Q("q_stream_windowed_counts",
+      (s, d) => StreamingOps.runToTable(
+          StreamingOps.windowedCounts(StreamingOps.eventsStream(s, d)),
+          OutputMode.Complete())
+        .orderBy("window_start_us", "event_type"),
+      Some("""
+        |SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        |  event_type, count(*) AS cnt,
+        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    Q("q_stream_dedup_counts",
+      (s, d) => StreamingOps.runToTable(
+          StreamingOps.dedupUserCounts(StreamingOps.eventsStream(s, d)),
+          OutputMode.Complete())
+        .orderBy("event_type"),
+      Some("""
+        |SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    Q("q_stream_user_stats",
+      (s, d) => StreamingOps.runToTable(
+          StreamingOps.userStats(StreamingOps.eventsStream(s, d)).toDF(),
+          OutputMode.Update())
+        .orderBy("user_id"),
+      Some("""
+        |SELECT user_id, count(*) AS n_events,
+        |  max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_value_c
+        |FROM events GROUP BY user_id ORDER BY user_id
+        |""".stripMargin.trim))
+  )
+}

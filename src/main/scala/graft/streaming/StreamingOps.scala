@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Structured Streaming operators. The reference has no streaming
+  * (SURVEY.md §2.11) — its "incrementality" is daily WRITE_APPEND into
+  * day-partitioned tables — but the declared capability (continuous
+  * ingest → conformed tables) maps to `readStream → transforms →
+  * writeStream` with watermarked event-time state.
+  *
+  * Test harness runs with `Trigger.AvailableNow` over the static events
+  * parquet so each streaming query terminates and its result equals the
+  * batch answer — which is exactly what the DuckDB oracle checks.
+  * At scale the same code runs unbounded: watermarks bound state,
+  * `dropDuplicates` state is pruned past the watermark, and the
+  * stateful map keeps one struct per key. */
+object StreamingOps {
+
+  private val runId = new AtomicLong(0)
+
+  /** Events source as a bounded stream: schema'd (never inferred),
+    * ts as exact epoch-nano longs (see graft.Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources monitor a DIRECTORY; select just the events
+    // table out of the sf dir with a glob filter
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
+  /** Run a streaming transform to completion (AvailableNow) into a
+    * memory sink and return the materialized result. */
+  def runToTable(out: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    out.sparkSession.table(name)
+  }
+
+  /** Watermarked hourly tumbling-window aggregation by event type:
+    * the canonical streaming group-by. Output keyed by exact
+    * epoch-micros window start. */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val withTime = events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    withTime
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + 0.5).cast(LongType))
+          .as("sum_value_c"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("cnt"), col("sum_value_c"))
+  }
+
+  /** Watermarked streaming dedup (state pruned past the watermark) +
+    * distinct-user counts — the streaming form of exact dedup. */
+  def dedupUserCounts(events: DataFrame): DataFrame = {
+    val withTime = events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    withTime
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  final case class UserEvent(user_id: Long, value_c: Long)
+  final case class UserState(n: Long, maxC: Long)
+  final case class UserStats(user_id: Long, n_events: Long,
+                             max_value_c: Long)
+
+  /** Custom per-key streaming state via flatMapGroupsWithState: running
+    * event count + max value per user, emitted on completion of each
+    * batch. The explicit-state form of `groupBy(user).agg(...)` — the
+    * extension point for session state no built-in aggregate covers. */
+  def userStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("value_c"))
+      .as[UserEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          val next = rows.foldLeft(prev) { (s, e) =>
+            UserState(s.n + 1, math.max(s.maxC, e.value_c))
+          }
+          state.update(next)
+          Iterator(UserStats(uid, next.n, next.maxC))
+      }
+  }
+}
