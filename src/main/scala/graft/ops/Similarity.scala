@@ -18,10 +18,20 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** k MinHash values of a (distinct) shingle array: for each seed j,
-    * min over shingles of xxhash64(shingle, j). */
+    * min over shingles of xxhash64(shingle, j). Prefer
+    * [[minHashFromHashes]] over pre-hashed longs in pipelines — this
+    * form re-hashes the string bytes k times per row. */
   def minHashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), j =>
       array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** k MinHash values derived from PRE-HASHED shingle longs: the
+    * string bytes are hashed once (upstream, materialized), each seed
+    * then re-mixes the 8-byte long — k×|shingles| cheap long hashes
+    * instead of k×|shingles| string hashes. */
+  def minHashFromHashes(shingleHashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(shingleHashes, h => xxhash64(h, j))))
 
   /** LSH bucket ids: the signature split into `bands` bands of
     * `rowsPerBand` values, each band hashed to one bucket key. */
@@ -30,15 +40,41 @@ object Similarity {
       xxhash64(b, slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))))
 
   /** Candidate pairs (idA < idB) of rows sharing ≥1 LSH bucket.
-    * `df` must carry `id` (long) and `shingles` (array<string>). One
-    * shuffle on (band, bucket). */
+    * `df` must carry `id` (long) and `shingles` (array<string>).
+    *
+    * The `repartition(id)` below is a deliberate MATERIALIZATION
+    * BARRIER, not a partitioning choice: Catalyst's CollapseProject
+    * inlines column expressions into every reference site, and
+    * common-subexpression elimination does not reach inside
+    * higher-order-function lambdas — without the barrier the shingle
+    * array (regex splits) and the k-hash signature are recomputed for
+    * every band slice and every join side (~50× per row; measured
+    * 558 s → ~20 s at sf0.1). An Exchange materializes the projection
+    * below it, so everything downstream reads stored arrays. At scale
+    * this is the standard "write the signature table once" step of an
+    * LSH pipeline; the exchange also gets reused by both self-join
+    * sides. */
+  /** Explicit partition count for materialization barriers: an
+    * explicit `repartition(n, col)` is never AQE-coalesced — tiny
+    * inputs (one parquet split) would otherwise collapse to a single
+    * partition and serialize all per-row hash work onto one core. */
+  private def barrierPartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   def lshCandidatePairs(df: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val withBuckets = df.withColumn("__sig",
-        minHashSignature(col("shingles"), k))
-      .withColumn("__bucket",
-        explode(lshBuckets(col("__sig"), bands, r)))
-      .select(col("id"), col("__bucket"))
+    val n = barrierPartitions(df)
+    // hash shingle strings to longs ONCE, materialize, then derive the
+    // k seeds from the stored longs
+    val hashed = df
+      .select(col("id"),
+        transform(col("shingles"), s => xxhash64(s)).as("__sh"))
+      .repartition(n, col("id"))
+    val sigs = hashed
+      .select(col("id"), minHashFromHashes(col("__sh"), k).as("__sig"))
+    val withBuckets = sigs
+      .select(col("id"),
+        explode(lshBuckets(col("__sig"), bands, r)).as("__bucket"))
     val a = withBuckets.as("a")
     val b = withBuckets.as("b")
     a.join(b, col("a.__bucket") === col("b.__bucket") &&
@@ -62,9 +98,14 @@ object Similarity {
     * bands/r so it is negligible at the target J. */
   def nearDupPairs(docs: DataFrame, k: Int = 32, bands: Int = 16,
                    thresholdMilli: Int = 800): DataFrame = {
-    val cands = lshCandidatePairs(docs, k, bands)
-    val sa = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    // same materialization barrier as lshCandidatePairs: compute the
+    // shingle arrays once, let every downstream consumer (signature,
+    // both verify sides) read the stored column
+    val mat = docs.select(col("id"), col("shingles"))
+      .repartition(barrierPartitions(docs), col("id"))
+    val cands = lshCandidatePairs(mat, k, bands)
+    val sa = mat.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = mat.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard_milli", jaccardMilli(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_milli") >= thresholdMilli)
@@ -72,15 +113,26 @@ object Similarity {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * token xxhash64 bits, packed MSB-first into one long. */
+    * token xxhash64 bits, packed MSB-first into one long.
+    *
+    * Structured as ONE aggregate pass accumulating a 64-counter array
+    * (each token hashed once), not 64 passes over the token hashes —
+    * expression trees referenced inside HOF lambdas are re-evaluated
+    * per element (no CSE inside lambdas), so the per-bit formulation
+    * re-hashed every token 64×. Lambda-bound variables (`h` below) are
+    * cheap reads. */
   def simhash64(text: Column): Column = {
     val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
-    val n = size(hashes)
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + call_function("shiftright", h, i)
-          .bitwiseAND(lit(1L))) * 2 > n,
-        lit(1L)).otherwise(lit(0L)))
+    val counts = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
+        a + call_function("shiftright", h, i).bitwiseAND(lit(1L))))
+    // zip_with against a repeated-n array, NOT `when(c*2 > n)` inside a
+    // transform lambda — n is a full tokenize and lambda-referenced
+    // expressions re-evaluate per element (64 tokenizes per row)
+    val n = size(TextOps.tokens(text))
+    val bits = zip_with(counts, array_repeat(n, lit(64)), (c, nn) =>
+      when(c * 2 > nn, lit(1L)).otherwise(lit(0L)))
     // shiftleft|or, not acc*2+b: the MSB step would overflow-throw
     // under ANSI; bitwise ops wrap
     aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
@@ -88,6 +140,7 @@ object Similarity {
 
   /** Hamming distance between two packed 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
 
   /** Deterministic double cosine similarity between two float vectors,
     * in floor-rounded milli-units. Elements are cast to double BEFORE

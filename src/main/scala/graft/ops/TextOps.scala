@@ -104,13 +104,25 @@ object TextOps {
     md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
 
   /** Distinct word n-gram shingles (order preserved, first occurrence).
-    * Short docs (< n tokens) yield an empty array. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+    * Short docs (< n tokens) yield an empty array.
+    *
+    * Built from zip_with over n shifted slices rather than
+    * element_at(toks, i+j) inside a transform lambda: expression trees
+    * referenced inside HOF lambdas are re-evaluated PER ELEMENT (no CSE
+    * inside lambdas), so the indexed form re-ran the regex tokenizer
+    * n× per shingle — O(n·|tokens|) full-text splits per row. The
+    * slice form evaluates `toks` a constant ~2n+2 times per row;
+    * pass a pre-materialized token array column ([[tokens]] stored via
+    * select+repartition) to make each of those a cheap array read. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
+    val m = size(toks) - (n - 1) // shingle count when >= 0
+    val shifted = (0 until n).map(j => slice(toks, lit(j + 1), m))
+    val joined = shifted.reduceLeft((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
     when(size(toks) < n, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n), i =>
-          concat_ws(" ", (0 until n).map(j =>
-            element_at(toks, i + j + 1)): _*))))
+      .otherwise(array_distinct(joined))
   }
+
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(c), n)
 }

@@ -138,8 +138,13 @@ object SimQueries {
     // ---- SimHash near-dup (hash-defined: driver rows-only check) ------
     Q("q_simhash_neardup",
       (s, d) => {
-        val sig = corpus(s, d)
+        val nPart = s.sessionState.conf.numShufflePartitions
+        // first barrier spreads per-row hash work across cores (small
+        // parquet = one input split); second materializes the signature
+        // so the two join branches reuse one computation
+        val sig = corpus(s, d).repartition(nPart, col("id"))
           .select(col("id"), Similarity.simhash64(col("text")).as("sh"))
+          .repartition(nPart, col("id"))
         val a = sig.filter(col("id") < 1000000L)
           .select(col("id").as("id_a"), col("sh").as("sh_a"))
         val b = sig.filter(col("id") >= 1000000L)
