@@ -28,6 +28,25 @@ object Parsers {
       .otherwise(lit(null).cast(IntegerType))
   }
 
+  /** The documented Scala-UDF alternative to [[bedroomCount]]
+    * (SURVEY.md §2.10 option b) — same semantics as the reference's
+    * Python UDF, demonstrated for the extension-point surface. NOT used
+    * in pipelines: the built-in form codegens and needs no
+    * serialization boundary; prefer it unless logic truly can't be
+    * expressed with built-ins. */
+  val bedroomCountUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((value: String) => {
+      if (value == null) None
+      else {
+        val t = value.trim
+        if (t.equalsIgnoreCase("studio")) Some(1)
+        else if (t.matches("^\\d+\\+\\d+$"))
+          Some(t.split("\\+").map(_.toInt).sum)
+        else if (t.matches("^\\d+$")) Some(t.toInt)
+        else None
+      }
+    })
+
   /** PN:23 — floor area sqm out of `"1,184 sqft (110 sqm)"`.
     * `regexp_extract` yields '' on no-match; under Spark 4 ANSI mode a
     * plain cast of '' throws, so parsers use `try_cast` (→ NULL). */

@@ -146,11 +146,14 @@ object Similarity {
     * in floor-rounded milli-units. Elements are cast to double BEFORE
     * multiply/accumulate and summed sequentially (aggregate), so any
     * engine computing the same formula gets bit-identical IEEE results. */
+  /** Sequential-order double dot product of two float vectors (cast to
+    * double BEFORE multiply/accumulate — engine-portable IEEE result). */
+  def dotDouble(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+    lit(0.0), (acc, v) => acc + v)
+
   def cosineMilli(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-    val cos = dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val cos = dotDouble(a, b) / (sqrt(dotDouble(a, a)) * sqrt(dotDouble(b, b)))
     floor(lit(1000.0) * cos + 0.5).cast(LongType)
   }
 }

@@ -188,8 +188,11 @@ object AggQueries {
         val ord = orders(s, d).select("o_orderkey", "o_custkey")
         val cust = customer(s, d).select("c_custkey", "c_nationkey")
         val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        // only the 25-row nation dim gets an explicit broadcast hint;
+        // lineitem⋈orders⋈customer are all fact-sized at scale — let
+        // AQE pick broadcast locally and shuffle joins on a cluster
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
           .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))

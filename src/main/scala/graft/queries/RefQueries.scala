@@ -292,6 +292,16 @@ object RefQueries {
         |ORDER BY c_custkey, src
         |""".stripMargin.trim)),
 
+    // ---- S8/A3: single-column dropDuplicates (url-list dedup shape) ---
+    Q("q_dropdup_keys",
+      (s, d) => customer(s, d)
+        .select("c_mktsegment")
+        .dropDuplicates("c_mktsegment")
+        .orderBy("c_mktsegment"),
+      Some("""
+        |SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        |""".stripMargin.trim)),
+
     // ---- §2.9 strings: initcap/lower/upper/trim -----------------------
     Q("q_string_clean",
       (s, d) => part(s, d)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 import graft.Tables._
 import graft.ops.{Similarity, TextOps}
 
@@ -183,6 +184,70 @@ object SimQueries {
         |    ORDER BY cos_milli DESC, vec_id ASC) AS rank FROM c)
         |SELECT q_id, rank, vec_id, cos_milli FROM r WHERE rank <= 10
         |ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
+    // ---- embedding near-dup via random-hyperplane sign-LSH ------------
+    // Near-identical vectors (planted: first component +0.5) share the
+    // 8-bit sign signature w.r.t. 8 data-derived hyperplanes; the
+    // bucket join prunes O(n²) to within-bucket pairs, exact cosine
+    // verifies. The hyperplanes are data rows, so the oracle replicates
+    // the whole algorithm bit-for-bit.
+    Q("q_embed_neardup",
+      (s, d) => {
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        // 0.03125 = 2^-5: binary-exact, so the float round-trip is
+        // engine-identical; small enough to keep cos ≈ 1
+        val pert = emb.select((col("vec_id") + 100000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1).cast(DoubleType)
+              + 0.03125).cast(FloatType)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+        val corp = emb.unionByName(pert)
+        val hyper = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
+        val buckets = corp.crossJoin(broadcast(hyper))
+          .select(col("vec_id"),
+            when(Similarity.dotDouble(col("embedding"), col("hv")) > 0,
+              call_function("shiftleft", lit(1), col("h_id")))
+              .otherwise(lit(0)).as("bit"))
+          .groupBy("vec_id")
+          .agg(sum(col("bit")).cast("long").as("bucket"))
+        val sc = buckets.join(corp, "vec_id")
+        val a = sc.select(col("vec_id").as("id_a"), col("bucket"),
+          col("embedding").as("ea"))
+        val b = sc.select(col("vec_id").as("id_b"), col("bucket"),
+          col("embedding").as("eb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos_milli",
+            Similarity.cosineMilli(col("ea"), col("eb")))
+          .filter(col("cos_milli") >= 950)
+          .select("id_a", "id_b", "cos_milli")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pert AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(CAST(CAST(embedding[1] AS DOUBLE)
+        |        + CAST(0.03125 AS DOUBLE) AS REAL),
+        |      embedding[2:64]) AS embedding FROM e),
+        |corp AS (SELECT * FROM e UNION ALL SELECT * FROM pert),
+        |hyper AS (SELECT vec_id AS h_id, embedding AS hv FROM e
+        |    WHERE vec_id < 8),
+        |sgn AS (SELECT c.vec_id,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE)
+        |           * CAST(h.hv[i] AS DOUBLE))) > 0
+        |      THEN (1 << h_id) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM corp c, hyper h GROUP BY c.vec_id),
+        |sc AS (SELECT s.vec_id, s.bucket, c.embedding
+        |  FROM sgn s JOIN corp c USING (vec_id)),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ${cosSql("a.embedding", "b.embedding")} AS cos_milli
+        |  FROM sc a JOIN sc b ON a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_milli FROM pairs WHERE cos_milli >= 950
+        |ORDER BY id_a, id_b
         |""".stripMargin.trim)),
 
     // ---- IVF-style ANN: assign to nearest centroid, probe top-2 -------

@@ -24,6 +24,18 @@ class ParsersSpec extends SparkSpec {
     assert(one(c, "3+") == null)
   }
 
+  test("bedroomCountUdf (documented alternative) agrees with built-ins") {
+    val inputs = Seq("Studio", "3+1", "4", " 4 ", "junk", "3+", null)
+    val df = inputs.map(Option(_)).toDF("v")
+    val both = df.select(
+      Parsers.bedroomCount(col("v")).as("a"),
+      Parsers.bedroomCountUdf(col("v")).as("b")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1))
+    }
+  }
+
   test("areaSqm extracts sqm out of mixed area strings") {
     val c = Parsers.areaSqm(col("v"))
     assert(one(c, "1,184 sqft (110 sqm)") == 110)
