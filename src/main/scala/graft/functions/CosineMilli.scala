@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native codegen'd cosine similarity in floor-rounded milli-units over
+  * two float vectors — the custom-Expression form of
+  * [[graft.ops.Similarity.cosineMilli]] (SURVEY.md §7.5: built-ins
+  * first, custom Expression only where the bench demands). The HOF
+  * form (`aggregate(zip_with(...))`) is interpreted per element and
+  * allocates a product array per pair; this expression is one fused
+  * primitive loop inside whole-stage codegen.
+  *
+  * IEEE-identical to the HOF form and the DuckDB oracle: elements cast
+  * to double BEFORE multiply, sequential accumulation in index order,
+  * `floor(1000*dot/(sqrt(na)*sqrt(nb)) + 0.5)`.
+  *
+  * Null vector → null. Null ELEMENTS are not supported (embeddings are
+  * dense); behavior then follows getFloat on a null slot (0.0f). */
+case class CosineMilli(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // no ExpectsInputTypes: AbstractDataType is private[sql]; inputs are
+  // internal (array<float> columns from this library's own pipelines)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cosine_milli"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble
+      val q = y.getFloat(i).toDouble
+      dot += p * q; na += p * p; nb += q * q; i += 1
+    }
+    math.floor(1000.0 * (dot / (math.sqrt(na) * math.sqrt(nb))) + 0.5)
+      .toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double p = (double) $a.getFloat($i);
+         |  double q = (double) $b.getFloat($i);
+         |  $dot += p * q; $na += p * p; $nb += q * q;
+         |}
+         |${ev.value} = (long) java.lang.Math.floor(
+         |  1000.0 * ($dot / (java.lang.Math.sqrt($na)
+         |                    * java.lang.Math.sqrt($nb))) + 0.5);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineMilli =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native expressions — the runtime
+  * equivalent of wiring them through SparkSessionExtensions'
+  * injectFunction. */
+object GraftFunctions {
+  private val cosineIdent = FunctionIdentifier("cosine_milli")
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(cosineIdent)) {
+      reg.registerFunction(
+        cosineIdent,
+        new ExpressionInfo(classOf[CosineMilli].getName, "cosine_milli"),
+        (exprs: Seq[Expression]) => CosineMilli(exprs.head, exprs(1)))
+    }
+  }
+
+  /** Column form; requires [[ensureRegistered]] on the active session. */
+  def cosineMilli(a: Column, b: Column): Column =
+    call_function("cosine_milli", a, b)
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 import graft.Tables._
+import graft.functions.GraftFunctions
 import graft.ops.{Similarity, TextOps}
 
 /** Similarity-search and dedup-at-scale queries: exact dedup, MinHash
@@ -161,13 +162,14 @@ object SimQueries {
     // ---- brute-force cosine top-k (ANN baseline) ----------------------
     Q("q_ann_cosine_topk",
       (s, d) => {
+        GraftFunctions.ensureRegistered(s)
         val emb = embeddings(s, d).select("vec_id", "embedding")
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val scored = emb.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cos_milli",
-            Similarity.cosineMilli(col("qv"), col("embedding")))
+            GraftFunctions.cosineMilli(col("qv"), col("embedding")))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos_milli").desc, col("vec_id").asc)
         scored.withColumn("rank", row_number().over(w))
@@ -194,6 +196,7 @@ object SimQueries {
     // the whole algorithm bit-for-bit.
     Q("q_embed_neardup",
       (s, d) => {
+        GraftFunctions.ensureRegistered(s)
         val emb = embeddings(s, d).select("vec_id", "embedding")
         // 0.03125 = 2^-5: binary-exact, so the float round-trip is
         // engine-identical; small enough to keep cos ≈ 1
@@ -220,7 +223,7 @@ object SimQueries {
         a.join(b, Seq("bucket"))
           .filter(col("id_a") < col("id_b"))
           .withColumn("cos_milli",
-            Similarity.cosineMilli(col("ea"), col("eb")))
+            GraftFunctions.cosineMilli(col("ea"), col("eb")))
           .filter(col("cos_milli") >= 950)
           .select("id_a", "id_b", "cos_milli")
           .orderBy("id_a", "id_b")
@@ -255,6 +258,7 @@ object SimQueries {
     // restricted to probed clusters instead of the full corpus.
     Q("q_ann_ivf_topk",
       (s, d) => {
+        GraftFunctions.ensureRegistered(s)
         val emb = embeddings(s, d).select("vec_id", "embedding")
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
@@ -262,7 +266,7 @@ object SimQueries {
           .orderBy(col("c_cos").desc, col("c_id").asc)
         val assigned = emb.crossJoin(broadcast(cents))
           .withColumn("c_cos",
-            Similarity.cosineMilli(col("embedding"), col("cv")))
+            GraftFunctions.cosineMilli(col("embedding"), col("cv")))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"))
@@ -271,7 +275,7 @@ object SimQueries {
         val wProbe = Window.partitionBy("q_id")
           .orderBy(col("c_cos").desc, col("c_id").asc)
         val probes = q.crossJoin(broadcast(cents))
-          .withColumn("c_cos", Similarity.cosineMilli(col("qv"), col("cv")))
+          .withColumn("c_cos", GraftFunctions.cosineMilli(col("qv"), col("cv")))
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= 2)
           .select(col("q_id"), col("qv"), col("c_id").as("cluster"))
@@ -280,7 +284,7 @@ object SimQueries {
         probes.join(assigned, "cluster")
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cos_milli",
-            Similarity.cosineMilli(col("qv"), col("embedding")))
+            GraftFunctions.cosineMilli(col("qv"), col("embedding")))
           .withColumn("rank", row_number().over(wRank))
           .filter(col("rank") <= 5)
           .select("q_id", "rank", "vec_id", "cos_milli")
