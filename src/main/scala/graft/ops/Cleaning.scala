@@ -35,14 +35,16 @@ object Cleaning {
   def nullIfPrefix(c: Column, prefix: String): Column =
     when(c.startsWith(prefix), lit(null).cast(StringType)).otherwise(c)
 
-  /** Strip supplementary-plane emoji and fold newlines to spaces.
-    * Reference builds a 13-range emoji literal
-    * (jobs/spark/propnex_transformation.py:19-20,
-    * jobs/spark/srx_transformation.py:34-35); Java regex needs the
-    * surrogate-aware `\x{...}` syntax for planes above BMP. */
+  /** Strip emoji runs and fold newlines to spaces — the EXACT range set
+    * of the reference's pattern (jobs/spark/propnex_transformation.py:19,
+    * jobs/spark/srx_transformation.py:34: ten \\U ranges + '+'
+    * quantifier), re-spelled with Java regex's surrogate-aware `\x{...}`
+    * syntax for supplementary-plane code points. */
   def stripEmoji(c: Column): Column = {
-    val emoji = "[\\x{1F300}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{2190}-\\x{21FF}" +
-      "\\x{2B00}-\\x{2BFF}\\x{FE0F}\\x{200D}]"
+    val emoji = "[\\x{1F1E0}-\\x{1F1FF}\\x{1F300}-\\x{1F5FF}" +
+      "\\x{1F600}-\\x{1F64F}\\x{1F680}-\\x{1F6FF}\\x{1F700}-\\x{1F77F}" +
+      "\\x{1F780}-\\x{1F7FF}\\x{1F800}-\\x{1F8FF}\\x{1F900}-\\x{1F9FF}" +
+      "\\x{1FA70}-\\x{1FAFF}\\x{2700}-\\x{27BF}]+"
     regexp_replace(regexp_replace(c, emoji, ""), "\n", " ")
   }
 

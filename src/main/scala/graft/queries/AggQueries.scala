@@ -246,6 +246,53 @@ object AggQueries {
         |FROM g ORDER BY user_id, ts_us, event_id
         |""".stripMargin.trim)),
 
+    // ---- JSON property extraction (read side of the reference's
+    // to_json packing: get_json_object over the events props column) ----
+    Q("q_events_json_props",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .withColumn("k_bucket", col("k") % 10)
+        .orderBy("event_id"),
+      Some("""
+        |SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        |    AS k_bucket
+        |FROM events ORDER BY event_id
+        |""".stripMargin.trim)),
+
+    // ---- exact interpolated median (percentile over exact cents) ------
+    Q("q_agg_median",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile(cents(col("l_quantity")), lit(0.5))
+          .as("median_qty_c"))
+        .orderBy("l_returnflag"),
+      Some(s"""
+        |SELECT l_returnflag,
+        |  quantile_cont(${centsSql("l_quantity")}, 0.5) AS median_qty_c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
+    // ---- skew-safe two-stage (salted) aggregation ---------------------
+    // Identical result to the plain groupBy (same oracle as the
+    // q_agg_pricing sums): stage 1 aggregates on (key, salt) spreading
+    // a hot key over N reducers, stage 2 combines the partials. The
+    // pattern for power-law keys at 100 TB where one group would
+    // otherwise pin a single reducer.
+    Q("q_agg_salted",
+      (s, d) => graft.ops.Skew.saltedSum(
+          lineitem(s, d).withColumn("qty_c", cents(col("l_quantity"))),
+          keys = Seq("l_returnflag"), valueCol = "qty_c", salts = 16)
+        .withColumnRenamed("qty_c_sum", "sum_qty_c")
+        .orderBy("l_returnflag"),
+      Some(s"""
+        |SELECT l_returnflag, sum(${centsSql("l_quantity")}) AS sum_qty_c,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
     // ---- per-event-type value stats (min/max as exact cents) ----------
     Q("q_events_stats",
       (s, d) => events(s, d)
