@@ -95,6 +95,29 @@ object AggQueries {
         |ORDER BY c_mktsegment, rk
         |""".stripMargin.trim)),
 
+    // ---- top-k via bounded Aggregator (same oracle as the window
+    // form — proving the partial-aggregable path computes identical
+    // results; see functions/TopKAggregator for the scale rationale) --
+    Q("q_agg_topk_agg",
+      (s, d) => {
+        val top3 = graft.functions.TopKAggregator.topK(3)
+        customer(s, d)
+          .groupBy("c_mktsegment")
+          .agg(top3(col("c_acctbal"), col("c_custkey")).as("top"))
+          .select(col("c_mktsegment"), posexplode(col("top")))
+          .select(col("c_mktsegment"), (col("pos") + 1).as("rk"),
+            col("col._2").as("c_custkey"), col("col._1").as("c_acctbal"))
+          .orderBy("c_mktsegment", "rk")
+      },
+      Some("""
+        |SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        |  FROM customer) WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk
+        |""".stripMargin.trim)),
+
     // ---- rollup with grouping indicators ------------------------------
     Q("q_agg_rollup",
       (s, d) => lineitem(s, d)
