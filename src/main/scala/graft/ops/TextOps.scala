@@ -103,6 +103,18 @@ object TextOps {
   def normalizedFingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
 
+  /** Polynomial rolling hash (Rabin–Karp): fold h → (h·B + byte) mod M
+    * over the ASCII codes, B=257, M=1e9+7. Engine-portable exact
+    * integer arithmetic (h·257+255 < 2^63); the incremental fold is
+    * the basis of shift-resistant chunking (content-defined chunk
+    * boundaries at h mod 2^k == 0). */
+  def rollingHash(c: Column): Column = {
+    val codes = transform(sequence(lit(1), length(c)), i =>
+      ascii(substring(c, i, lit(1))))
+    aggregate(codes, lit(0L), (h, ch) =>
+      pmod(h * 257 + ch.cast(LongType), lit(1000000007L)))
+  }
+
   /** Distinct word n-gram shingles (order preserved, first occurrence).
     * Short docs (< n tokens) yield an empty array.
     *

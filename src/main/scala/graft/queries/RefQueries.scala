@@ -92,6 +92,25 @@ object RefQueries {
         .orderBy("l_orderkey", "l_linenumber"),
       Some(flagshipOracle)),
 
+    // The same WINDOW formulation as the flagship, but with the
+    // DedupWindowToAggregate optimizer rule injected (a fresh session:
+    // extraOptimizations is session-scoped): Catalyst rewrites the
+    // Filter(rn=1, Window(row_number)) idiom into the min_by aggregate
+    // automatically. Shares the flagship oracle — the rewritten plan
+    // must produce identical rows.
+    Q("q_dedup_rule_rewrite",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.experimental.extraOptimizations =
+          s2.experimental.extraOptimizations :+
+            graft.plans.DedupWindowToAggregate
+        Dedup.keepMostComplete(
+            twoSourceUnion(s2, d),
+            keys = Seq("l_orderkey", "l_linenumber"), tiebreak = fullTiebreak)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(flagshipOracle)),
+
     // ---- A1 standalone: horizontal null count -------------------------
     Q("q_null_count",
       (s, d) => {

@@ -82,12 +82,18 @@ object TextQueries {
         .select(col("doc_id"),
           md5(col("text")).as("fp_exact"),
           TextOps.normalizedFingerprint(col("text")).as("fp_norm"),
-          substring(md5(col("text")), 1, 4).as("fp_bucket"))
+          substring(md5(col("text")), 1, 4).as("fp_bucket"),
+          TextOps.rollingHash(col("text")).as("fp_roll"))
         .orderBy("doc_id"),
       Some("""
         |SELECT doc_id, md5(text) AS fp_exact,
         |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp_norm,
-        |  substr(md5(text), 1, 4) AS fp_bucket
+        |  substr(md5(text), 1, 4) AS fp_bucket,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 257 + c) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id
         |""".stripMargin.trim)),
 
