@@ -316,6 +316,74 @@ object AggQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         |""".stripMargin.trim)),
 
+    // ---- window-function breadth: rank/dense_rank/ntile/lead ----------
+    Q("q_window_rank_funcs",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            rank().over(w).as("rk"),
+            dense_rank().over(w).as("drk"),
+            ntile(4).over(w).as("quartile"),
+            lead("o_orderkey", 1).over(w).as("next_order"))
+          .orderBy("o_custkey", "rk", "o_orderkey")
+      },
+      Some("""
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  rank() OVER w AS rk, dense_rank() OVER w AS drk,
+        |  ntile(4) OVER w AS quartile,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, rk, o_orderkey
+        |""".stripMargin.trim)),
+
+    // ---- set operations: intersect / except (beyond the reference) ----
+    Q("q_set_ops",
+      (s, d) => {
+        val a = orders(s, d).filter(col("o_totalprice") > 150000)
+          .select("o_custkey")
+        val b = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey")
+        a.intersect(b).withColumn("op", lit("both"))
+          .unionByName(a.except(b).withColumn("op", lit("only_big")))
+          .orderBy("op", "o_custkey")
+      },
+      Some("""
+        |SELECT o_custkey, 'both' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT o_custkey, 'only_big' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY op, o_custkey
+        |""".stripMargin.trim)),
+
+    // ---- semi / anti joins (EXISTS / NOT EXISTS) ----------------------
+    Q("q_semi_anti_join",
+      (s, d) => {
+        val cust = customer(s, d).select("c_custkey", "c_mktsegment")
+        val ord = orders(s, d).select("o_custkey")
+        val withO = cust.join(ord, col("c_custkey") === col("o_custkey"),
+            "left_semi").withColumn("has_orders", lit(1))
+        val noO = cust.join(ord, col("c_custkey") === col("o_custkey"),
+            "left_anti").withColumn("has_orders", lit(0))
+        withO.unionByName(noO).orderBy("c_custkey")
+      },
+      Some("""
+        |SELECT c_custkey, c_mktsegment, 1 AS has_orders FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, 0 AS has_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey
+        |""".stripMargin.trim)),
+
     // ---- per-event-type value stats (min/max as exact cents) ----------
     Q("q_events_stats",
       (s, d) => events(s, d)

@@ -9,6 +9,16 @@ import graft.streaming.StreamingOps
   * answer, which is what the DuckDB oracle verifies. */
 object StreamQueries {
 
+  /** Fresh session with fewer shuffle/state partitions: each stateful
+    * operator keeps one state store per shuffle partition, and at this
+    * volume 32 stores are pure overhead. Session-scoped so batch
+    * queries keep the global setting. */
+  private def streamSession(s: org.apache.spark.sql.SparkSession) = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2
+  }
+
   def all: Seq[Q] = Seq(
 
     // Complete mode for the bounded verification run: Append would
@@ -17,7 +27,7 @@ object StreamQueries {
     // the watermark passes them.
     Q("q_stream_windowed_counts",
       (s, d) => StreamingOps.runToTable(
-          StreamingOps.windowedCounts(StreamingOps.eventsStream(s, d)),
+          StreamingOps.windowedCounts(StreamingOps.eventsStream(streamSession(s), d)),
           OutputMode.Complete())
         .orderBy("window_start_us", "event_type"),
       Some("""
@@ -29,7 +39,7 @@ object StreamQueries {
 
     Q("q_stream_dedup_counts",
       (s, d) => StreamingOps.runToTable(
-          StreamingOps.dedupUserCounts(StreamingOps.eventsStream(s, d)),
+          StreamingOps.dedupUserCounts(StreamingOps.eventsStream(streamSession(s), d)),
           OutputMode.Complete())
         .orderBy("event_type"),
       Some("""
@@ -39,7 +49,7 @@ object StreamQueries {
 
     Q("q_stream_user_stats",
       (s, d) => StreamingOps.runToTable(
-          StreamingOps.userStats(StreamingOps.eventsStream(s, d)).toDF(),
+          StreamingOps.userStats(StreamingOps.eventsStream(streamSession(s), d)).toDF(),
           OutputMode.Update())
         .orderBy("user_id"),
       Some("""
