@@ -115,6 +115,67 @@ object TextOps {
       pmod(h * 257 + ch.cast(LongType), lit(1000000007L)))
   }
 
+  /** Per-position ASCII codes (materialize this column before the CDC
+    * steps — each `substring(text, i, 1)` seek is O(i), so the array is
+    * built once per row, not once per reference). */
+  def charCodes(c: Column): Column =
+    transform(sequence(lit(1), length(c)), i =>
+      ascii(substring(c, i, lit(1))))
+
+  /** Content-defined chunk boundaries over a pre-materialized code
+    * array: a boundary falls after position i (1-based, i ≥ window)
+    * when the windowed polynomial hash Σ_{j=0..7} code(i-j)·31^j of the
+    * last 8 chars is ≡ 0 mod `mask`. A local edit only moves the
+    * boundaries whose 8-char windows it touches — chunks elsewhere keep
+    * their identity (the property chunk-level dedup needs). Returns the
+    * sorted bounds array [0, cut..., n]. */
+  def cdcBounds(codes: Column, mask: Int = 64): Column = {
+    val w = 8
+    val n = size(codes)
+    val cuts = when(n < w, array().cast(ArrayType(IntegerType)))
+      .otherwise(filter(sequence(lit(w), n), i => {
+        val h = (0 until w).map { j =>
+          element_at(codes, i - j).cast(LongType) *
+            lit(math.pow(31, j).toLong)
+        }.reduce(_ + _)
+        pmod(h, lit(mask.toLong)) === 0
+      }))
+    concat(array(lit(0)), cuts, array(n))
+  }
+
+  /** (start, end) pairs from a bounds array — each bound referenced a
+    * constant number of times (slice args evaluate once per row). */
+  def cdcSpans(bounds: Column): Column =
+    zip_with(
+      slice(bounds, lit(1), size(bounds) - 1),
+      slice(bounds, lit(2), size(bounds) - 1),
+      (a, b) => struct(a.as("start"), b.as("end")))
+
+  /** DuckDB twin of the CDC chunk pipeline over a relation exposing
+    * (id-col, text). Yields rows (doc_id|id, chunk_idx, chunk_len, fp)
+    * — append an ORDER BY / aggregation. */
+  def cdcOracleSql(rel: String, idCol: String = "doc_id"): String = {
+    val w = 8
+    val winHash = (0 until w).map { j =>
+      s"CAST(ord(substr(text, i - $j, 1)) AS BIGINT)" +
+        s" * ${math.pow(31, j).toLong}"
+    }.mkString(" + ")
+    s"""
+    |WITH cdc_t AS (SELECT $idCol, text, length(text) AS n FROM $rel),
+    |cdc_c AS (SELECT $idCol, text, n,
+    |    list_filter(range($w, n + 1), i -> ($winHash) % 64 = 0) AS cuts
+    |  FROM cdc_t),
+    |cdc_b AS (SELECT $idCol, text,
+    |    list_concat(list_concat([0], cuts), [n]) AS bounds FROM cdc_c),
+    |cdc_s AS (SELECT $idCol, text, bounds,
+    |    unnest(range(0, len(bounds) - 1)) AS k FROM cdc_b)
+    |SELECT $idCol, k AS chunk_idx,
+    |  bounds[k + 2] - bounds[k + 1] AS chunk_len,
+    |  md5(substr(text, bounds[k + 1] + 1, bounds[k + 2] - bounds[k + 1]))
+    |    AS fp
+    |FROM cdc_s""".stripMargin.trim
+  }
+
   /** Distinct word n-gram shingles (order preserved, first occurrence).
     * Short docs (< n tokens) yield an empty array.
     *

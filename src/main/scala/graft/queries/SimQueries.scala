@@ -137,6 +137,47 @@ object SimQueries {
         |WHERE jaccard_milli >= 800 ORDER BY id_a, id_b
         |""".stripMargin.trim)),
 
+    // ---- chunk-level dedup: CDC chunks shared across documents --------
+    // Over the corpus (originals ∪ tail-mutated copies): a mutated doc
+    // shares every chunk except the one its edit touched — grouping
+    // chunk fingerprints finds partial overlap that whole-doc
+    // fingerprints cannot. One shuffle on fp.
+    Q("q_cdc_chunk_dedup",
+      (s, d) => {
+        val nPart = s.sessionState.conf.numShufflePartitions
+        val coded = corpus(s, d)
+          .select(col("id"), col("text"),
+            TextOps.charCodes(col("text")).as("codes"))
+          .repartition(nPart, col("id"))
+        val withBounds = coded
+          .select(col("id"), col("text"),
+            TextOps.cdcBounds(col("codes")).as("bounds"))
+          .repartition(nPart, col("id"))
+        withBounds
+          .select(col("id"), col("text"),
+            posexplode(TextOps.cdcSpans(col("bounds"))))
+          .select(col("id"),
+            md5(expr("substring(text, col.start + 1, col.end - col.start)"))
+              .as("fp"))
+          .groupBy("fp")
+          .agg(countDistinct(col("id")).as("n_docs"),
+            min(col("id")).as("min_id"))
+          .filter(col("n_docs") > 1)
+          .orderBy("fp")
+      },
+      Some(s"""
+        |WITH docs AS (SELECT doc_id AS id, text FROM documents),
+        |mut AS (SELECT doc_id + 1000000 AS id,
+        |    array_to_string(toks[1:len(toks)-2], ' ') AS text
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 10),
+        |corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM mut),
+        |chunks AS (${TextOps.cdcOracleSql("corpus", "id")})
+        |SELECT fp, count(DISTINCT id) AS n_docs, min(id) AS min_id
+        |FROM chunks GROUP BY fp HAVING count(DISTINCT id) > 1
+        |ORDER BY fp
+        |""".stripMargin.trim)),
+
     // ---- SimHash near-dup (hash-defined: driver rows-only check) ------
     Q("q_simhash_neardup",
       (s, d) => {

@@ -97,6 +97,31 @@ object TextQueries {
         |FROM documents ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- content-defined chunking (windowed Rabin hash boundaries) ----
+    Q("q_text_cdc_chunks",
+      (s, d) => {
+        val nPart = s.sessionState.conf.numShufflePartitions
+        // two barriers: codes built once (O(n²) substring seeks),
+        // bounds built once (HOF lambdas have no CSE)
+        val coded = documents(s, d)
+          .select(col("doc_id"), col("text"),
+            TextOps.charCodes(col("text")).as("codes"))
+          .repartition(nPart, col("doc_id"))
+        val withBounds = coded
+          .select(col("doc_id"), col("text"),
+            TextOps.cdcBounds(col("codes")).as("bounds"))
+          .repartition(nPart, col("doc_id"))
+        withBounds
+          .select(col("doc_id"), col("text"),
+            posexplode(TextOps.cdcSpans(col("bounds"))))
+          .select(col("doc_id"), col("pos").as("chunk_idx"),
+            (col("col.end") - col("col.start")).as("chunk_len"),
+            md5(expr("substring(text, col.start + 1, col.end - col.start)"))
+              .as("fp"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(TextOps.cdcOracleSql("documents") + "\nORDER BY doc_id, chunk_idx")),
+
     // ---- distinct word-3-gram (shingle) count per doc -----------------
     Q("q_text_shingles",
       (s, d) => documents(s, d)
