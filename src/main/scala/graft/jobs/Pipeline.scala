@@ -48,6 +48,19 @@ object Pipeline {
                        partitionCol: String): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
 
+  /** Bucketed managed-table sink: pre-shuffles rows into `buckets`
+    * files by `bucketCol` so later equi-joins/aggregations on that key
+    * read co-located data and plan with ZERO exchanges. The Spark
+    * analogue of the clustered layout a warehouse would keep for its
+    * hottest join key — at 100 TB, bucketing both fact tables on the
+    * join key turns every subsequent join into a local zip of
+    * pre-sorted buckets. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** CLI: <propnexJson> <srxJson> <historicalCsvDir> <dimsDir> <outDir>
     * [runDate]. */
   def main(args: Array[String]): Unit = {
