@@ -316,6 +316,35 @@ object AggQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         |""".stripMargin.trim)),
 
+    // ---- one-pass column profiling (data-quality gate) ----------------
+    Q("q_profile_columns",
+      (s, d) => {
+        val withNulls = customer(s, d).withColumn("c_mktsegment",
+          when(col("c_custkey") % 10 === 0, lit(null))
+            .otherwise(col("c_mktsegment")))
+        graft.ops.Profile.profileColumns(withNulls,
+            Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+          .orderBy("column_name")
+      },
+      Some("""
+        |WITH t AS (SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+        |  count(*) FILTER (c_custkey IS NULL) AS n_nulls,
+        |  count(DISTINCT c_custkey) AS n_distinct FROM t
+        |UNION ALL SELECT 'c_name', count(*),
+        |  count(*) FILTER (c_name IS NULL), count(DISTINCT c_name) FROM t
+        |UNION ALL SELECT 'c_nationkey', count(*),
+        |  count(*) FILTER (c_nationkey IS NULL),
+        |  count(DISTINCT c_nationkey) FROM t
+        |UNION ALL SELECT 'c_mktsegment', count(*),
+        |  count(*) FILTER (c_mktsegment IS NULL),
+        |  count(DISTINCT c_mktsegment) FROM t
+        |ORDER BY column_name
+        |""".stripMargin.trim)),
+
     // ---- window-function breadth: rank/dense_rank/ntile/lead ----------
     Q("q_window_rank_funcs",
       (s, d) => {
