@@ -153,12 +153,15 @@ object AggQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         |""".stripMargin.trim)),
 
-    // ---- approximate distinct (HLL) — the 100 TB path; no SQL oracle
-    // (approx values are engine-specific), driver rows-only check ------
+    // ---- approximate sketches (HLL + quantile digest) — the 100 TB
+    // path; no SQL oracle (sketch values are engine-specific), driver
+    // rows-only check ---------------------------------------------------
     Q("q_agg_approx_distinct",
       (s, d) => lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_part_approx"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_part_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("median_price_approx"))
         .orderBy("l_returnflag"),
       None),
 

@@ -59,8 +59,7 @@ object SimQueries {
     // ---- exact dedup on content fingerprint ---------------------------
     Q("q_docs_exact_dedup",
       (s, d) => {
-        val dup = corpus(s, d) // mutated copies are NOT exact dups;
-        // add exact dups instead: same text, shifted id
+        // exact dups planted: same text, shifted id
         val docs = documents(s, d).select(col("doc_id").as("id"), col("text"))
         val exact = docs.withColumn("id", col("id") + 2000000L)
         graft.ops.Dedup.exactDedup(
