@@ -139,6 +139,54 @@ object AggQueries {
         |  l_linestatus ASC NULLS FIRST
         |""".stripMargin.trim)),
 
+    // ---- cube: all grouping-set combinations --------------------------
+    Q("q_agg_cube",
+      (s, d) => lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""
+        |SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  GROUPING(l_returnflag) AS g_flag,
+        |  GROUPING(l_linestatus) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST
+        |""".stripMargin.trim)),
+
+    // ---- null-safe equality join (<=> / IS NOT DISTINCT FROM) ---------
+    Q("q_join_null_safe",
+      (s, d) => {
+        val nullableKey = when(col("c_custkey") % 7 === 0,
+          lit(null).cast("long")).otherwise(col("c_custkey") % 5)
+        val fact = customer(s, d)
+          .select(col("c_custkey"), nullableKey.as("grp"))
+        val dim = (-1 to 4).map(i =>
+            (if (i < 0) None else Some(i.toLong), s"label_$i"))
+          .foldLeft(Seq.empty[(Option[Long], String)])(_ :+ _)
+        import s.implicits._
+        val dimDf = dim.toDF("grp", "label")
+        fact.join(broadcast(dimDf),
+            fact("grp") <=> dimDf("grp"), "left")
+          .select(col("c_custkey"), fact("grp").as("grp"), col("label"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        |WITH fact AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |         ELSE c_custkey % 5 END AS grp FROM customer),
+        |dim(grp, label) AS (VALUES
+        |  (NULL, 'label_-1'), (0, 'label_0'), (1, 'label_1'),
+        |  (2, 'label_2'), (3, 'label_3'), (4, 'label_4'))
+        |SELECT c_custkey, fact.grp AS grp, label
+        |FROM fact LEFT JOIN dim ON fact.grp IS NOT DISTINCT FROM dim.grp
+        |ORDER BY c_custkey
+        |""".stripMargin.trim)),
+
     // ---- exact distinct counts per group ------------------------------
     Q("q_agg_distinct_counts",
       (s, d) => lineitem(s, d)
