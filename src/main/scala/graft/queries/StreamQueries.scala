@@ -47,6 +47,24 @@ object StreamQueries {
         |FROM events GROUP BY event_type ORDER BY event_type
         |""".stripMargin.trim)),
 
+    Q("q_stream_stream_join",
+      (s, d) => StreamingOps.runToTable(
+          StreamingOps.viewClickJoin(
+            StreamingOps.eventsStream(streamSession(s), d),
+            withinUs = 1800L * 1000000L),
+          OutputMode.Append())
+        .orderBy("user_id", "view_id", "click_id"),
+      Some("""
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+        |ORDER BY v.user_id, view_id, click_id
+        |""".stripMargin.trim)),
+
     Q("q_stream_user_stats",
       (s, d) => StreamingOps.runToTable(
           StreamingOps.userStats(StreamingOps.eventsStream(streamSession(s), d)).toDF(),

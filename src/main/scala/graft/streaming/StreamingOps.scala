@@ -76,6 +76,37 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Stream-stream inner join: views joined to the clicks that follow
+    * them (same user, click within `withinUs` micros after the view).
+    * Both sides carry watermarks and the join condition bounds event
+    * time, so state on each side is pruned — the canonical funnel
+    * (view → click) join shape. Bounded run ≡ the batch time-range
+    * join the oracle computes. */
+  def viewClickJoin(events: DataFrame, withinUs: Long): DataFrame = {
+    val withTime = events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val views = withTime.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_us").as("view_ts_us"),
+        col("event_time").as("view_time"))
+      .withWatermark("view_time", "1 hour")
+    val clicks = withTime.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts_us").as("click_ts_us"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts_us") >= col("view_ts_us") &&
+        col("click_ts_us") <= col("view_ts_us") + withinUs &&
+        col("click_time") >= col("view_time") &&
+        col("click_time") <= col("view_time") + expr(
+          s"INTERVAL ${withinUs / 1000000} SECONDS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (col("click_ts_us") - col("view_ts_us")).as("lag_us"))
+  }
+
   final case class UserEvent(user_id: Long, value_c: Long)
   final case class UserState(n: Long, maxC: Long)
   final case class UserStats(user_id: Long, n_events: Long,
