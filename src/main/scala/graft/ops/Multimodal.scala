@@ -57,6 +57,29 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(doc_id: Long, n_bytes: Int,
+                                n_bytes_resized: Int, fp_resized: String)
+
+  /** STUB resize: deterministic downsample keeping every k-th byte —
+    * the signature (bytes → smaller bytes + fingerprint) is the
+    * contract; a real implementation would rescale pixels. Runs as the
+    * same batched per-partition pattern as [[extractFeatures]]. */
+  def resizeStub(binary: DataFrame, everyK: Int): Dataset[ResizedMedia] = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val out = r.payload.indices.collect {
+            case i if i % everyK == 0 => r.payload(i)
+          }.toArray
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val fp = md.digest(out).map("%02x".format(_)).mkString
+          ResizedMedia(r.doc_id, r.payload.length, out.length, fp)
+        }
+      }
+  }
+
   /** Frame sampling: split the payload into fixed-size "frames" and
     * keep every k-th — the video-frame-sample access pattern, done with
     * built-ins so it stays codegen'd and explode-parallel. */

