@@ -35,11 +35,6 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     def sort_repr(v):
         if v is None or (isinstance(v, float) and np.isnan(v)):
             return "\x00"
-        # integral floats sort like ints: duckdb returns HUGEINT sums as
-        # float64 while spark parquet gives int64 — reprs must coincide
-        # or the two frames sort rows differently
-        if isinstance(v, float):
-            return str(int(v)) if v.is_integer() else f"{v:+.12e}"
         return str(v)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True,
@@ -48,6 +43,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cmp_frames(name, spark_df, oracle_df):
+    # The driver hashes value REPRS, so a float64 1234.0 on one side
+    # never matches an int64 1234 on the other (the round-1 HUGEINT
+    # lesson: duckdb sum(BIGINT) widens to int128 → pandas float64).
+    # Check RAW dtypes before canon() (which objectifies int columns)
+    # and surface a hard dtype FAIL instead of normalizing it away.
+    for c in set(spark_df.columns) & set(oracle_df.columns):
+        kinds = {spark_df[c].dtype.kind, oracle_df[c].dtype.kind}
+        if "f" in kinds and kinds & set("iu"):
+            return (f"DTYPE col={c} spark={spark_df[c].dtype} "
+                    f"oracle={oracle_df[c].dtype} "
+                    f"(int/float mismatch — CAST the oracle aggregate)")
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         return f"COLS spark={list(a.columns)} oracle={list(b.columns)}"

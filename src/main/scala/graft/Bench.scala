@@ -22,7 +22,11 @@ object Bench {
       case (name, fn) =>
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop sink materializes EVERY column and keeps sorts/projections
+        // in the plan — .count() let Catalyst prune exactly the per-row
+        // expression work most of these queries exist to measure
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -65,7 +65,10 @@ object Dedup {
     * pipeline; one shuffle, partial-aggregable. */
   def exactDedup(df: DataFrame, contentCols: Seq[String],
                  tiebreak: Seq[String]): DataFrame = {
-    val fp = sha2(concat_ws("", contentCols.map(col): _*), 256)
+    // hash an UNAMBIGUOUS encoding: concat_ws skips NULLs (NULL vs ''
+    // collide) - to_json(struct) preserves column boundaries, quoting,
+    // and null-vs-empty distinctions
+    val fp = sha2(to_json(struct(contentCols.map(col): _*)), 256)
     val counted = df.columns.toIndexedSeq
     val packed = struct(counted.map(col): _*)
     df.withColumn("__fp", fp)

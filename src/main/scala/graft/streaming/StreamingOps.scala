@@ -16,8 +16,8 @@ import java.util.concurrent.atomic.AtomicLong
   * parquet so each streaming query terminates and its result equals the
   * batch answer — which is exactly what the DuckDB oracle checks.
   * At scale the same code runs unbounded: watermarks bound state,
-  * `dropDuplicates` state is pruned past the watermark, and the
-  * stateful map keeps one struct per key. */
+  * `dropDuplicatesWithinWatermark` state is evicted past the
+  * watermark, and the stateful map keeps one struct per key. */
 object StreamingOps {
 
   private val runId = new AtomicLong(0)
@@ -64,14 +64,18 @@ object StreamingOps {
         col("event_type"), col("cnt"), col("sum_value_c"))
   }
 
-  /** Watermarked streaming dedup (state pruned past the watermark) +
-    * distinct-user counts — the streaming form of exact dedup. */
+  /** Watermarked streaming dedup + distinct-user counts — the streaming
+    * form of exact dedup. Uses `dropDuplicatesWithinWatermark` so state
+    * IS evicted past the watermark even though the event-time column is
+    * not part of the dedup key (plain `dropDuplicates` only prunes when
+    * the event-time column is in the key set — with just (user_id,
+    * event_type) its state would grow without bound unboundedly). */
   def dedupUserCounts(events: DataFrame): DataFrame = {
     val withTime = events
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
     withTime
       .withWatermark("event_time", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
   }
@@ -101,8 +105,11 @@ object StreamingOps {
         col("click_ts_us") >= col("view_ts_us") &&
         col("click_ts_us") <= col("view_ts_us") + withinUs &&
         col("click_time") >= col("view_time") &&
+        // exact micros interval: a seconds-truncated bound would be
+        // strictly tighter than the ts_us predicate and silently drop
+        // pairs for any withinUs not a whole-second multiple
         col("click_time") <= col("view_time") + expr(
-          s"INTERVAL ${withinUs / 1000000} SECONDS"))
+          s"INTERVAL $withinUs MICROSECOND"))
       .select(col("user_id"), col("view_id"), col("click_id"),
         (col("click_ts_us") - col("view_ts_us")).as("lag_us"))
   }
