@@ -71,6 +71,44 @@ object JobQueries {
         val srx = SrxJob.transform(srxFixture(s), dc, dr, ag, runDate)
         MergeDedupJob.transform(pn, srx, runDate).orderBy("url")
       },
-      None)
+      // Golden VALUES oracle: the fixtures and the injected runDate make
+      // the 28-col output fully deterministic, so the whole composed
+      // pipeline (schemas → cleaning → joins → dedup → conformed output)
+      // is hash-checked — not just rows-counted. Values locked by
+      // PipelineSpec-style golden assertions.
+      Some("""
+        |SELECT * FROM (VALUES
+        |  ('123A Upper Serangoon Rd', CAST(550000 AS INTEGER),
+        |   CAST(465 AS INTEGER), CAST(1995 AS INTEGER),
+        |   CAST(70 AS INTEGER), CAST(2 AS INTEGER), CAST(3 AS INTEGER),
+        |   CAST(1184 AS INTEGER), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), 'high', 'Hougang',
+        |   CAST(19 AS INTEGER), 'Hougang', 'North-East Region',
+        |   'Upper Serangoon Rd', '534011', 'partial',
+        |   CAST(110 AS INTEGER), CAST(2 AS INTEGER), 'R123456A',
+        |   'Jane Tan', CAST(91234567 AS INTEGER),
+        |   'PROPNEX REALTY PTE. LTD.', 'L3008022J', 'u1',
+        |   '{"agent_email":"jane@propnex.com","facilities":"pool,gym","description":"nice flat"}',
+        |   DATE '2024-11-01'),
+        |  ('123A Upper Serangoon Rd', CAST(560000 AS INTEGER),
+        |   CAST(473 AS INTEGER), CAST(1995 AS INTEGER),
+        |   CAST(70 AS INTEGER), CAST(2 AS INTEGER), CAST(4 AS INTEGER),
+        |   CAST(1184 AS INTEGER), '4 Rooms', 'Model A', 'middle',
+        |   'Hougang', CAST(19 AS INTEGER), 'Hougang',
+        |   'North-East Region', 'Upper Serangoon Rd', '534011',
+        |   'unfurnished', CAST(110 AS INTEGER), CAST(2 AS INTEGER),
+        |   'R111222C', CAST(NULL AS VARCHAR), CAST(91112222 AS INTEGER),
+        |   'ERA REALTY NETWORK PTE LTD', 'L1234567A', 'u9',
+        |   '{"facilities":"pool,gym","schools":"N/A","shopping_malls/markets":"N/A","train_stations":"N/A","description":"great view"}',
+        |   DATE '2024-11-01')
+        |) AS t(location, price, price_psf, "top", remaining_lease,
+        |  bathrooms, bedrooms, total_floor_area, property_type, model,
+        |  "floor", general_location, district, "zone", region,
+        |  street_name, post_code, furnish, floor_area_sqm,
+        |  facilities_num, agent_id, agent_name, agent_phone_num,
+        |  agency, agency_id, url, additional_information,
+        |  transformed_date)
+        |ORDER BY url
+        |""".stripMargin.trim))
   )
 }

@@ -54,6 +54,26 @@ object SimQueries {
       s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))) + 0.5) AS BIGINT)"
   }
 
+  /** Shared simhash detection pipeline: signature per corpus doc, then
+    * original⋈mutated pairs with hamming ≤ 16. */
+  private def simhashDetected(s: SparkSession, d: String): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    // first barrier spreads per-row hash work across cores (small
+    // parquet = one input split); second materializes the signature
+    // so the two join branches reuse one computation
+    val sig = corpus(s, d).repartition(nPart, col("id"))
+      .select(col("id"), Similarity.simhash64(col("text")).as("sh"))
+      .repartition(nPart, col("id"))
+    val a = sig.filter(col("id") < 1000000L)
+      .select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sig.filter(col("id") >= 1000000L)
+      .select((col("id") - 1000000L).as("id_a"), col("sh").as("sh_b"))
+    a.join(b, "id_a")
+      .select(col("id_a"),
+        Similarity.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= 16)
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- exact dedup on content fingerprint ---------------------------
@@ -179,25 +199,24 @@ object SimQueries {
 
     // ---- SimHash near-dup (hash-defined: driver rows-only check) ------
     Q("q_simhash_neardup",
-      (s, d) => {
-        val nPart = s.sessionState.conf.numShufflePartitions
-        // first barrier spreads per-row hash work across cores (small
-        // parquet = one input split); second materializes the signature
-        // so the two join branches reuse one computation
-        val sig = corpus(s, d).repartition(nPart, col("id"))
-          .select(col("id"), Similarity.simhash64(col("text")).as("sh"))
-          .repartition(nPart, col("id"))
-        val a = sig.filter(col("id") < 1000000L)
-          .select(col("id").as("id_a"), col("sh").as("sh_a"))
-        val b = sig.filter(col("id") >= 1000000L)
-          .select((col("id") - 1000000L).as("id_a"), col("sh").as("sh_b"))
-        a.join(b, "id_a")
-          .select(col("id_a"),
-            Similarity.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
-          .filter(col("hamming") <= 16)
-          .orderBy("id_a")
-      },
+      (s, d) => simhashDetected(s, d).orderBy("id_a"),
       None),
+
+    // ---- SimHash companion: hash-checked detected-id set --------------
+    // The hamming values are engine-specific (xxhash64-defined), but
+    // WHICH documents the detector flags is not: candidate pairs are
+    // exactly the planted (id, id+1e6) mutations, so the detected id_a
+    // set must equal the planted-mutation ground truth (docs with ≥10
+    // whitespace tokens — see `corpus`). This upgrades the simhash path
+    // from rows-only to a hash-matched recall check; the hamming column
+    // stays rows-only in q_simhash_neardup.
+    Q("q_simhash_detected",
+      (s, d) => simhashDetected(s, d).select("id_a").orderBy("id_a"),
+      Some("""
+        |SELECT doc_id AS id_a FROM documents
+        |WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+        |ORDER BY id_a
+        |""".stripMargin.trim)),
 
     // ---- brute-force cosine top-k (ANN baseline) ----------------------
     Q("q_ann_cosine_topk",
