@@ -74,19 +74,36 @@ case class CosineMilli(left: Expression, right: Expression)
   * equivalent of wiring them through SparkSessionExtensions'
   * injectFunction. */
 object GraftFunctions {
-  private val cosineIdent = FunctionIdentifier("cosine_milli")
+  private val natives: Seq[(String, Class[_], Seq[Expression] => Expression)] =
+    Seq(
+      ("cosine_milli", classOf[CosineMilli],
+        es => CosineMilli(es.head, es(1))),
+      ("minhash_sig", classOf[MinHashSig],
+        es => MinHashSig(es.head, es(1))),
+      ("simhash_pack", classOf[SimHashPack],
+        es => SimHashPack(es.head)),
+      ("dot_double", classOf[DotDouble],
+        es => DotDouble(es.head, es(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(cosineIdent)) {
-      reg.registerFunction(
-        cosineIdent,
-        new ExpressionInfo(classOf[CosineMilli].getName, "cosine_milli"),
-        (exprs: Seq[Expression]) => CosineMilli(exprs.head, exprs(1)))
+    natives.foreach { case (name, cls, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!reg.functionExists(ident)) {
+        reg.registerFunction(ident,
+          new ExpressionInfo(cls.getName, name), builder)
+      }
     }
   }
 
-  /** Column form; requires [[ensureRegistered]] on the active session. */
+  /** Column forms; require [[ensureRegistered]] on the active session. */
   def cosineMilli(a: Column, b: Column): Column =
     call_function("cosine_milli", a, b)
+  def minHashSig(hashes: Column, k: Int): Column =
+    call_function("minhash_sig", hashes,
+      org.apache.spark.sql.functions.lit(k))
+  def simhashPack(hashes: Column): Column =
+    call_function("simhash_pack", hashes)
+  def dotDouble(a: Column, b: Column): Column =
+    call_function("dot_double", a, b)
 }

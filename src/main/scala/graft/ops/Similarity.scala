@@ -62,6 +62,7 @@ object Similarity {
     df.sparkSession.sessionState.conf.numShufflePartitions
 
   def lshCandidatePairs(df: DataFrame, k: Int, bands: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val r = k / bands
     val n = barrierPartitions(df)
     // hash shingle strings to longs ONCE, materialize, then derive the
@@ -70,8 +71,13 @@ object Similarity {
       .select(col("id"),
         transform(col("shingles"), s => xxhash64(s)).as("__sh"))
       .repartition(n, col("id"))
+    // native fused kernel (functions.MinHashSig): one pass over the
+    // hash array with a k-wide running min, vs k interpreted
+    // array_min(transform(...)) traversals — bit-identical signature
     val sigs = hashed
-      .select(col("id"), minHashFromHashes(col("__sh"), k).as("__sig"))
+      .select(col("id"),
+        graft.functions.GraftFunctions.minHashSig(col("__sh"), k)
+          .as("__sig"))
     val withBuckets = sigs
       .select(col("id"),
         explode(lshBuckets(col("__sig"), bands, r)).as("__bucket"))
@@ -138,6 +144,16 @@ object Similarity {
     aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
   }
 
+  /** [[simhash64]] via the native fused kernel: tokens hashed once
+    * (one xxhash64 per token), then `simhash_pack`
+    * (functions.SimHashPack) does the 64-counter vote and MSB-first
+    * packing in a single codegen loop — bit-identical signatures,
+    * without 64 interpreted array traversals per row. Requires
+    * GraftFunctions.ensureRegistered on the active session. */
+  def simhash64Fast(text: Column): Column =
+    graft.functions.GraftFunctions.simhashPack(
+      transform(TextOps.tokens(text), t => xxhash64(t)))
+
   /** Hamming distance between two packed 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -157,16 +173,21 @@ object Similarity {
     * [[lshCandidatePairs]]' structure. Cost: one crossJoin against the
     * broadcast hyperplane set + one partial-aggregable groupBy. */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                     hyper: DataFrame, rowsPerBand: Int): DataFrame =
+                     hyper: DataFrame, rowsPerBand: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.crossJoin(broadcast(hyper))
       .select(col(idCol),
         expr(s"h_id div $rowsPerBand").as("band"),
-        when(dotDouble(col(vecCol), col("hv")) > 0,
+        // native dot kernel: same sequential IEEE sum as [[dotDouble]]
+        // without the per-pair product-array allocation
+        when(graft.functions.GraftFunctions
+            .dotDouble(col(vecCol), col("hv")) > 0,
           call_function("shiftleft", lit(1L),
             pmod(col("h_id"), lit(rowsPerBand)).cast(IntegerType)))
           .otherwise(lit(0L)).as("bit"))
       .groupBy(col(idCol), col("band"))
       .agg(sum(col("bit")).cast(LongType).as("bucket"))
+  }
 
 
   /** Deterministic double cosine similarity between two float vectors,

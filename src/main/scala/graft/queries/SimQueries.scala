@@ -57,12 +57,13 @@ object SimQueries {
   /** Shared simhash detection pipeline: signature per corpus doc, then
     * original⋈mutated pairs with hamming ≤ 16. */
   private def simhashDetected(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
     val nPart = s.sessionState.conf.numShufflePartitions
     // first barrier spreads per-row hash work across cores (small
     // parquet = one input split); second materializes the signature
     // so the two join branches reuse one computation
     val sig = corpus(s, d).repartition(nPart, col("id"))
-      .select(col("id"), Similarity.simhash64(col("text")).as("sh"))
+      .select(col("id"), Similarity.simhash64Fast(col("text")).as("sh"))
       .repartition(nPart, col("id"))
     val a = sig.filter(col("id") < 1000000L)
       .select(col("id").as("id_a"), col("sh").as("sh_a"))

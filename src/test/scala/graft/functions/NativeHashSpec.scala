@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Bit-compatibility contract of the native hash kernels: each codegen
+  * expression must reproduce its interpreted HOF twin EXACTLY — the
+  * LSH/simhash correctness gates depend on signatures, buckets, and
+  * dot signs being identical between the two forms. */
+class NativeHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "a b", "singleword",
+    "the quick brown fox jumps over the lazy cat"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+  test("minhash_sig equals the HOF minHashFromHashes, all k seeds") {
+    GraftFunctions.ensureRegistered(spark)
+    val hashed = texts.select(col("id"),
+      transform(split(col("text"), " "), t => xxhash64(t)).as("h"))
+    val rows = hashed.select(col("id"),
+        Similarity.minHashFromHashes(col("h"), 32).as("hof"),
+        GraftFunctions.minHashSig(col("h"), 32).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"signature mismatch for id=${r.getLong(0)}")
+    }
+  }
+
+  test("simhash_pack equals the HOF simhash64") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = texts.select(col("id"),
+        Similarity.simhash64(col("text")).as("hof"),
+        Similarity.simhash64Fast(col("text")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"simhash mismatch for id=${r.getLong(0)}")
+    }
+  }
+
+  test("dot_double equals the HOF dotDouble bit-for-bit") {
+    GraftFunctions.ensureRegistered(spark)
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 3.75f, 0.001f),
+        Array(2.0f, 0.25f, -0.5f, 10.0f)),
+      (2L, Array(1e-8f, 1e8f, -1e-8f, -1e8f),
+        Array(1e8f, 1e-8f, 1e8f, 1e-8f))
+    ).toDF("id", "a", "b")
+    val rows = vecs.select(
+        Similarity.dotDouble(col("a"), col("b")).as("hof"),
+        GraftFunctions.dotDouble(col("a"), col("b")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("kernels agree between interpreted eval and codegen paths") {
+    // force the interpreted path by eval'ing the expressions directly
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val hs = ArrayData.toArrayData(Array(123L, -77L, Long.MaxValue, 0L))
+    val sig = MinHashSig(Literal(hs,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), Literal(8))
+      .eval(null).asInstanceOf[ArrayData]
+    assert(sig.numElements() == 8)
+    val packed = SimHashPack(Literal(hs,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      .eval(null)
+    assert(packed.isInstanceOf[Long])
+  }
+}
