@@ -83,7 +83,13 @@ object GraftFunctions {
       ("simhash_pack", classOf[SimHashPack],
         es => SimHashPack(es.head)),
       ("dot_double", classOf[DotDouble],
-        es => DotDouble(es.head, es(1))))
+        es => DotDouble(es.head, es(1))),
+      ("char_codes", classOf[CharCodes],
+        es => CharCodes(es.head)),
+      ("rolling_hash", classOf[RollingHash],
+        es => RollingHash(es.head)),
+      ("cdc_bounds", classOf[CdcBounds],
+        es => CdcBounds(es.head, es(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -106,4 +112,11 @@ object GraftFunctions {
     call_function("simhash_pack", hashes)
   def dotDouble(a: Column, b: Column): Column =
     call_function("dot_double", a, b)
+  def charCodes(c: Column): Column =
+    call_function("char_codes", c)
+  def rollingHash(codes: Column): Column =
+    call_function("rolling_hash", codes)
+  def cdcBounds(codes: Column, mask: Int = 64): Column =
+    call_function("cdc_bounds", codes,
+      org.apache.spark.sql.functions.lit(mask))
 }

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the text/CDC pipeline. The HOF forms in
+  * [[graft.ops.TextOps]] stay as the documented reference
+  * formulations; these expressions compute the same values in single
+  * fused loops (no per-character UTF8String allocation, no
+  * interpreted lambda dispatch per element).
+  *
+  * Each kernel body lives in [[TextKernels]] as a plain JVM method so
+  * eval and codegen share one implementation — generated code is a
+  * single static-forwarder call, which keeps the surrounding
+  * projection inside whole-stage codegen. */
+object TextKernels {
+
+  /** Per-position Unicode code points of a UTF-8 string — exactly
+    * `transform(split(c, ""), ch => ascii(ch))`: Java-regex empty-split
+    * yields code-point units (surrogate pairs stay joined), and
+    * `ascii` of a single-char string is its code point. */
+  def charCodes(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[Int](s.numChars())
+    val n = bytes.length
+    var i = 0; var k = 0
+    while (i < n) {
+      val b0 = bytes(i) & 0xFF
+      var cp = 0; var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < n) {
+        cp = (cp << 6) | (bytes(i + j) & 0x3F); j += 1
+      }
+      out(k) = cp; k += 1; i += len
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rabin–Karp polynomial rolling hash over a code array:
+    * fold h → (h·257 + code) mod 1e9+7 in index order — exactly
+    * [[graft.ops.TextOps.rollingHash]]'s aggregate (all values
+    * non-negative, so pmod ≡ %). */
+  def rollingHash(codes: ArrayData): Long = {
+    val n = codes.numElements()
+    var h = 0L; var i = 0
+    while (i < n) {
+      h = (h * 257L + codes.getInt(i)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  /** Content-defined chunk bounds [0, cuts..., n] over a code array —
+    * exactly [[graft.ops.TextOps.cdcBounds]]: a cut falls after
+    * 1-based position i ≥ 8 when Σ_{j=0..7} code(i-j)·31^j ≡ 0
+    * (mod mask). Incremental window evaluation: each step multiplies
+    * the window sum by 31, adds the entering code, and drops the
+    * leaving code's 31^8 term — O(n) instead of O(8n) element reads,
+    * same exact integer arithmetic. */
+  def cdcBounds(codes: ArrayData, mask: Int): ArrayData = {
+    val n = codes.numElements()
+    if (n < 8) return new GenericArrayData(Array(0, n))
+    val m = mask.toLong
+    val p8 = 31L * 31 * 31 * 31 * 31 * 31 * 31 * 31 // 31^8
+    // window sum for i: sum_{j=0..7} code(i-j) * 31^j  (i 1-based);
+    // step i→i+1: w' = w*31 + code(i+1) - code(i-7)*31^8
+    var w = 0L
+    var j = 0
+    while (j < 8) { // initialize for i = 8: codes idx 0..7
+      w = w * 31 + codes.getInt(j)
+      j += 1
+    }
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int]()
+    cuts += 0
+    var i = 8
+    while (i <= n) {
+      if (w % m == 0) cuts += i
+      if (i < n) w = w * 31 + codes.getInt(i) - codes.getInt(i - 8) * p8
+      i += 1
+    }
+    // the HOF form appends n UNCONDITIONALLY (concat(..., array(n))),
+    // so a cut at exactly n yields a duplicate terminal bound and a
+    // zero-length final span — preserved for bit-identical output
+    cuts += n
+    new GenericArrayData(cuts.toArray)
+  }
+}
+
+/** `char_codes(str)` — see [[TextKernels.charCodes]]. */
+case class CharCodes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "char_codes"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.charCodes(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.charCodes($s);")
+  override protected def withNewChildInternal(
+      newChild: Expression): CharCodes = copy(child = newChild)
+}
+
+/** `rolling_hash(codes)` — see [[TextKernels.rollingHash]]. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def nullSafeEval(codes: Any): Any =
+    TextKernels.rollingHash(codes.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.rollingHash($c);")
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingHash = copy(child = newChild)
+}
+
+/** `cdc_bounds(codes, mask)` — see [[TextKernels.cdcBounds]]; `mask`
+  * must be a foldable int literal. */
+case class CdcBounds(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private lazy val mask: Int = right.eval(null) match {
+    case i: java.lang.Integer => i.intValue
+    case l: java.lang.Long    => l.intValue
+    case other => throw new IllegalArgumentException(
+      s"cdc_bounds mask must be a foldable int literal, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_bounds"
+  override def nullSafeEval(codes: Any, m: Any): Any =
+    TextKernels.cdcBounds(codes.asInstanceOf[ArrayData], mask)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, _) =>
+      s"${ev.value} = graft.functions.TextKernels.cdcBounds($c, $mask);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CdcBounds =
+    copy(left = newLeft, right = newRight)
+}

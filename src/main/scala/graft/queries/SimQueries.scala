@@ -96,8 +96,13 @@ object SimQueries {
     // ---- n-gram Jaccard between adjacent doc pairs --------------------
     Q("q_jaccard_adjacent",
       (s, d) => {
+        // materialization barrier: both join sides read the STORED
+        // shingle arrays from one exchange (ReuseExchange) instead of
+        // re-tokenizing the corpus per side
         val sh = documents(s, d).select(col("doc_id"),
-          TextOps.wordShingles(col("text"), 3).as("shingles"))
+            TextOps.wordShingles(col("text"), 3).as("shingles"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("doc_id"))
         val a = sh.select(col("doc_id").as("id_a"),
           col("shingles").as("sh_a"))
         val b = sh.select(col("doc_id").as("id_b"),
@@ -164,14 +169,17 @@ object SimQueries {
     // fingerprints cannot. One shuffle on fp.
     Q("q_cdc_chunk_dedup",
       (s, d) => {
+        GraftFunctions.ensureRegistered(s)
         val nPart = s.sessionState.conf.numShufflePartitions
+        // native kernels (functions.CharCodes/CdcBounds): fused loops,
+        // bit-identical bounds — see NativeHashSpec/TextKernels
         val coded = corpus(s, d)
           .select(col("id"), col("text"),
-            TextOps.charCodes(col("text")).as("codes"))
+            GraftFunctions.charCodes(col("text")).as("codes"))
           .repartition(nPart, col("id"))
         val withBounds = coded
           .select(col("id"), col("text"),
-            TextOps.cdcBounds(col("codes")).as("bounds"))
+            GraftFunctions.cdcBounds(col("codes")).as("bounds"))
           .repartition(nPart, col("id"))
         withBounds
           .select(col("id"), col("text"),

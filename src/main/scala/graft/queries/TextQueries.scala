@@ -78,13 +78,20 @@ object TextQueries {
 
     // ---- document fingerprinting (md5 exact + normalized) -------------
     Q("q_text_fingerprint",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"),
-          md5(col("text")).as("fp_exact"),
-          TextOps.normalizedFingerprint(col("text")).as("fp_norm"),
-          substring(md5(col("text")), 1, 4).as("fp_bucket"),
-          TextOps.rollingHash(col("text")).as("fp_roll"))
-        .orderBy("doc_id"),
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        documents(s, d)
+          .select(col("doc_id"),
+            md5(col("text")).as("fp_exact"),
+            TextOps.normalizedFingerprint(col("text")).as("fp_norm"),
+            substring(md5(col("text")), 1, 4).as("fp_bucket"),
+            // native fused kernel (functions.RollingHash over
+            // char_codes) — same mod-1e9+7 fold as TextOps.rollingHash
+            graft.functions.GraftFunctions.rollingHash(
+              graft.functions.GraftFunctions.charCodes(col("text")))
+              .as("fp_roll"))
+          .orderBy("doc_id")
+      },
       Some("""
         |SELECT doc_id, md5(text) AS fp_exact,
         |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp_norm,
@@ -100,16 +107,20 @@ object TextQueries {
     // ---- content-defined chunking (windowed Rabin hash boundaries) ----
     Q("q_text_cdc_chunks",
       (s, d) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
         val nPart = s.sessionState.conf.numShufflePartitions
-        // two barriers: codes built once (O(n²) substring seeks),
-        // bounds built once (HOF lambdas have no CSE)
+        // native kernels (functions.CharCodes/CdcBounds) — single fused
+        // loops per row; barriers still materialize each array once so
+        // downstream references are stored-column reads
         val coded = documents(s, d)
           .select(col("doc_id"), col("text"),
-            TextOps.charCodes(col("text")).as("codes"))
+            graft.functions.GraftFunctions.charCodes(col("text"))
+              .as("codes"))
           .repartition(nPart, col("doc_id"))
         val withBounds = coded
           .select(col("doc_id"), col("text"),
-            TextOps.cdcBounds(col("codes")).as("bounds"))
+            graft.functions.GraftFunctions.cdcBounds(col("codes"))
+              .as("bounds"))
           .repartition(nPart, col("doc_id"))
         withBounds
           .select(col("doc_id"), col("text"),

@@ -62,6 +62,52 @@ class NativeHashSpec extends SparkSpec {
     }
   }
 
+  test("char_codes equals split+ascii HOF incl. CJK and emoji") {
+    GraftFunctions.ensureRegistered(spark)
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "tabs\tand\nnewlines"),
+      (3L, "中文字符 mixed with ascii"),
+      (4L, "emoji 😀 beyond the BMP"),
+      (5L, "")
+    ).toDF("id", "text")
+    val rows = docs.select(col("id"),
+        graft.ops.TextOps.charCodes(col("text")).as("hof"),
+        GraftFunctions.charCodes(col("text")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"char codes mismatch for id=${r.getLong(0)}")
+    }
+  }
+
+  test("rolling_hash and cdc_bounds equal their HOF twins") {
+    GraftFunctions.ensureRegistered(spark)
+    // include a doc engineered long enough to have several cuts, and a
+    // short one below the 8-char window
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 20),
+      (2L, "short"),
+      (3L, "exactly8"),
+      (4L, "a slightly longer line with punctuation, numbers 123 and CASE.")
+    ).toDF("id", "text")
+    val rows = docs.select(col("id"),
+        graft.ops.TextOps.rollingHash(col("text")).as("rh_hof"),
+        GraftFunctions.rollingHash(
+          GraftFunctions.charCodes(col("text"))).as("rh_native"),
+        graft.ops.TextOps.cdcBounds(
+          graft.ops.TextOps.charCodes(col("text"))).as("cb_hof"),
+        GraftFunctions.cdcBounds(
+          GraftFunctions.charCodes(col("text"))).as("cb_native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"rolling hash mismatch for id=${r.getLong(0)}")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4),
+        s"cdc bounds mismatch for id=${r.getLong(0)}")
+    }
+  }
+
   test("kernels agree between interpreted eval and codegen paths") {
     // force the interpreted path by eval'ing the expressions directly
     import org.apache.spark.sql.catalyst.util.ArrayData
