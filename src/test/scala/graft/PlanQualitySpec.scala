@@ -36,4 +36,34 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_agg_salted")
     assert(p.split("HashAggregate").length >= 3)
   }
+
+  test("q_embed_neardup: banded sign-LSH joins on (band, bucket) with " +
+      "broadcast hyperplanes and partial-aggregable buckets") {
+    val p = plan("q_embed_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"hyperplane side must broadcast:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      "bucket aggregation must have partial + final stages")
+    // candidate join is an equi-join on the band/bucket pair, not a
+    // cartesian filter
+    assert(!p.contains("CartesianProduct"),
+      "banded candidate join must not degrade to a cartesian product")
+  }
+
+  test("native kernels are planned inside the scan-side projection") {
+    // (WholeStageCodegen spans only appear once AQE finalizes the plan;
+    // NativeHashSpec executes the kernels through the codegen path)
+    val p = plan("q_text_fingerprint")
+    assert(p.contains("rolling_hash") && p.contains("char_codes"),
+      s"native kernels missing from plan:\n$p")
+  }
+
+  test("q_neardup_minhash_lsh: native signature + exchange reuse " +
+      "across self-join sides") {
+    val p = plan("q_neardup_minhash_lsh")
+    assert(p.contains("minhash_sig"), s"native minhash missing:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("Exchange"),
+      "signature barrier exchange expected")
+  }
 }
