@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the stage a
+  * production near-dup pipeline needs AFTER pair detection: near-dup
+  * pairs form clusters (A~B, B~C ⇒ {A,B,C}), and dedup keeps one
+  * canonical representative per cluster, not one per pair.
+  *
+  * Algorithm: iterative min-label propagation ("hash-to-min"). Every
+  * node starts labeled with its own id; each round a node adopts the
+  * minimum label among itself and its neighbors. Converges in
+  * O(component diameter) rounds — near-dup clusters are dense and
+  * shallow (text variants of one source), so 2-4 rounds in practice.
+  *
+  * Scale design (100 TB): each round is ONE hash-partition equi-join
+  * (edges ⋈ labels on dst) + ONE partial-aggregable min groupBy — no
+  * sorts, no windows, no driver-side data. The driver only observes
+  * the converged/changed COUNT per round (a scalar), which is the
+  * standard iterative-algorithm control loop (GraphX Pregel does the
+  * same). Each round's labels are `localCheckpoint`ed: persist alone
+  * reuses DATA but leaves the logical plan growing (the round-N plan
+  * references round-N-1 twice — union and convergence join — so the
+  * tree doubles per round and the analyzer OOMs near round 12);
+  * checkpointing truncates lineage to the materialized blocks, which
+  * is how every iterative DataFrame algorithm must bound its plan.
+  * For graphs with billion-node components the alternating
+  * large-star/small-star variant halves round count; near-dup graphs
+  * don't need it. */
+object Components {
+
+  /** (id, component) for every node incident to ≥1 edge; `component`
+    * is the minimum node id in the node's connected component.
+    * `edges` must carry two long columns `id_a`, `id_b`. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges
+        .select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint() // eager: materialize + truncate lineage
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // candidate labels: own + every neighbor's current label
+      val nbr = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label"))
+      val next = labels.unionByName(nbr)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+}

@@ -162,6 +162,50 @@ object SimQueries {
         |WHERE jaccard_milli >= 800 ORDER BY id_a, id_b
         |""".stripMargin.trim)),
 
+    // ---- near-dup clusters: pairs → connected components --------------
+    // The stage after pair detection that an actual dedup needs: pairs
+    // form clusters (A~B, B~C ⇒ {A,B,C}); each doc maps to the min id
+    // of its component (the canonical representative to keep). The
+    // oracle recomputes ground-truth pairs brute-force and resolves
+    // components with a recursive CTE — verifying the distributed
+    // label-propagation loop end-to-end.
+    Q("q_neardup_components",
+      (s, d) => {
+        val docs = corpus(s, d)
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        val pairs = Similarity.nearDupPairs(docs, k = 32, bands = 16,
+          thresholdMilli = 800)
+        graft.ops.Components
+          .connectedComponents(pairs.select("id_a", "id_b"))
+          .orderBy("id")
+      },
+      Some(s"""
+        |WITH RECURSIVE $corpusSql,
+        |p0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM (SELECT id, unnest(shingles) AS s FROM sh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
+        |    ON a.s = b.s AND a.id < b.id),
+        |j AS (SELECT id_a, id_b,
+        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
+        |      AS BIGINT) AS jaccard_milli
+        |  FROM p0 JOIN sh sa ON sa.id = p0.id_a
+        |          JOIN sh sb ON sb.id = p0.id_b),
+        |e AS (SELECT id_a, id_b FROM j WHERE jaccard_milli >= 800),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+        |        UNION ALL SELECT id_b AS src, id_a AS dst FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+        |SELECT id, min(r) AS component FROM reach
+        |GROUP BY id ORDER BY id
+        |""".stripMargin.trim)),
+
     // ---- chunk-level dedup: CDC chunks shared across documents --------
     // Over the corpus (originals ∪ tail-mutated copies): a mutated doc
     // shares every chunk except the one its edit touched — grouping

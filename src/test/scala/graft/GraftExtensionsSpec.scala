@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must make every native function SQL-callable
+  * and auto-apply the dedup rewrite rule in a session built with
+  * `withExtensions` — the spark.sql.extensions deployment path. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate REUSES a live default session and silently drops
+  // withExtensions, so detach the shared test session first and build
+  // a genuinely new one (same SparkContext) with extensions applied;
+  // afterAll restores the shared default for the other suites.
+  private lazy val spark: SparkSession = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prior.foreach { p =>
+      SparkSession.setDefaultSession(p)
+      SparkSession.setActiveSession(p)
+    }
+    s
+  }
+
+  test("native functions resolve from SQL in an extended session") {
+    val r = spark.sql(
+      """SELECT
+        |  cosine_milli(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |  simhash_pack(array(CAST(5 AS BIGINT))) AS sh,
+        |  rolling_hash(char_codes('abc')) AS rh,
+        |  size(minhash_sig(array(CAST(7 AS BIGINT)), 4)) AS k,
+        |  dot_double(array(CAST(2.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT))) AS d,
+        |  size(cdc_bounds(char_codes('abcdefghij'), 64)) AS nb
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 1000L)       // cos(v, v) = 1.000
+    // single hash: its set bits (0 and 2) win the vote and pack
+    // MSB-first into positions 63 and 61
+    assert(r.getLong(1) == ((1L << 63) | (1L << 61)))
+    assert(r.getLong(2) ==
+      ((('a'.toInt * 257L + 'b') % 1000000007L) * 257 + 'c') % 1000000007L)
+    assert(r.getInt(3) == 4)
+    assert(r.getDouble(4) == 6.0)
+    assert(r.getInt(5) >= 2)            // at least [0, n]
+  }
+
+  test("dedup window idiom is auto-rewritten to min_by aggregate") {
+    import spark.implicits._
+    val df = Seq((1L, 2, "a"), (1L, 1, "b"), (2L, 5, "c"))
+      .toDF("k", "o", "v")
+    df.createOrReplaceTempView("ext_dedup_t")
+    val q = spark.sql(
+      """SELECT k, o, v FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY k ORDER BY o ASC NULLS FIRST) AS rn
+        |  FROM ext_dedup_t) WHERE rn = 1
+        |""".stripMargin)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("min_by"), s"rule did not fire:\n$plan")
+    assert(q.orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .toSeq == Seq((1L, 1), (2L, 5)))
+  }
+}
