@@ -48,17 +48,23 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // candidate labels: own + every neighbor's current label
+      // candidate labels: own + every neighbor's current label. The
+      // self rows carry the previous label in `old`, so ONE aggregation
+      // yields both the new label and the convergence signal — no extra
+      // old⋈new join per round (each id has exactly one self row, so
+      // max(old) recovers its previous label).
+      val self = labels.select(col("id"), col("label"),
+        col("label").as("old"))
       val nbr = sym.join(labels, sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("label"))
-      val next = labels.unionByName(nbr)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(sym("src").as("id"), col("label"),
+          lit(null).cast("long").as("old"))
+      val next = self.unionByName(nbr)
+        .groupBy("id")
+        .agg(min("label").as("label"), max("old").as("old"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
+      val changed = next.filter(col("label") =!= col("old"))
         .limit(1).count()
-      labels = next
+      labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }
