@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-curation operators for training-data pipelines: term
+  * weighting, deterministic sampling, and context-window packing.
+  * All outputs are exact integers or hash strings so the DuckDB
+  * oracles can replicate them bit-for-bit (no transcendental math —
+  * see [[tfRarityMilli]]). */
+object Corpus {
+
+  /** Exact-integer TF-IDF-style weight: floor(1000·tf/df + 0.5).
+    * Uses the plain rarity ratio rather than ln(N/df): IEEE division
+    * is exactly reproducible across engines, while libm `ln` differs
+    * in final ulps between implementations and flips floor boundaries.
+    * Ranking behavior matches log-idf for fixed tf (both monotone
+    * decreasing in df). */
+  def tfRarityMilli(tf: Column, df: Column): Column =
+    floor(lit(1000.0) * tf / df + 0.5).cast(LongType)
+
+  /** Top-k terms per document by tf-rarity (ties: term asc).
+    * Input: (idCol, textCol). Output: (id, rank, term, tf, df,
+    * score_milli).
+    *
+    * Scale shape (100 TB): tokenize+explode is a per-row projection;
+    * tf and df are partial-aggregable groupBys; the df join is a
+    * shuffle equi-join on term (vocab can be huge — deliberately NOT
+    * broadcast; AQE may still choose broadcast when the vocab fits);
+    * the final top-k window benefits from WindowGroupLimit pushdown
+    * (rank filter applied before full sort). */
+  def topTermsPerDoc(df0: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val terms = df0
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("term")
+      .agg(countDistinct(col("id")).as("df"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score_milli").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score_milli", tfRarityMilli(col("tf"), col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "term", "tf", "df", "score_milli")
+  }
+
+  /** Deterministic stratified sample: within each `strata` group keep
+    * the `k` rows ranked first by md5 of the row id — a seedless,
+    * engine-portable stand-in for uniform sampling (md5 is uniform in
+    * the id, reproducible everywhere, and independent of row order).
+    *
+    * Scale shape: one hash-partition shuffle on the strata key; the
+    * per-group top-k is a rank window with WindowGroupLimit pushdown,
+    * so each partition keeps k candidates before any full sort. The
+    * same hash-rank construction also yields consistent INCREMENTAL
+    * samples: re-running over a grown corpus keeps previously sampled
+    * ids stable (their md5 rank does not change). */
+  def stratifiedHashSample(df0: DataFrame, strata: Seq[String],
+                           idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df0.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Greedy token-budget packing: within each shard, walk rows in
+    * `orderCol` order and assign bin = (tokens-before-this-row) div
+    * budget — consecutive documents fill a context window until the
+    * budget spills into the next bin. Exact integer math end to end.
+    *
+    * Scale shape: packing is inherently sequential, so parallelism
+    * comes from the shard column (pick shards = O(cluster cores);
+    * documents are packed independently per shard — the standard
+    * pre-shuffle sharding of a packing job). One window per shard
+    * partition, no global sort. */
+  def packByTokenBudget(df0: DataFrame, shardCol: String,
+                        orderCol: String, tokenCol: String,
+                        budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df0.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      // integer `div`, not `/`: Column./ on longs is DOUBLE division,
+      // which loses exactness once cumulative counts pass 2^53
+      .withColumn("bin",
+        expr(s"(cum_tokens - $tokenCol) div ${budget}L"))
+  }
+}

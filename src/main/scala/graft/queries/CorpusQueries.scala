@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Corpus
+
+/** Corpus-curation queries over the documents table: term weighting,
+  * deterministic stratified sampling, and token-budget packing — the
+  * selection/formatting stages of a training-data pipeline that sit
+  * between dedup and the trainer. */
+object CorpusQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- top-3 terms per doc by exact-integer tf-rarity ---------------
+    // (ln-free TF-IDF stand-in: floor(1000·tf/df + .5) — IEEE division
+    // reproduces across engines, libm ln does not; see Corpus scaladoc)
+    Q("q_tfidf_topterms",
+      (s, d) => Corpus.topTermsPerDoc(
+          documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("id", "rank"),
+      Some("""
+        |WITH terms AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT * FROM terms WHERE term <> ''),
+        |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM t GROUP BY 1),
+        |scored AS (SELECT id, term, tf, df,
+        |    CAST(floor(1000.0 * tf / df + 0.5) AS BIGINT) AS score_milli
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY score_milli DESC, term ASC) AS rank FROM scored)
+        |SELECT id, rank, term, tf, df, score_milli FROM ranked
+        |WHERE rank <= 3 ORDER BY id, rank
+        |""".stripMargin.trim)),
+
+    // ---- deterministic stratified sample: 20 docs per language --------
+    // (md5-rank sampling: seedless, engine-portable, stable under
+    // corpus growth — previously sampled ids keep their rank)
+    Q("q_sample_stratified",
+      (s, d) => Corpus.stratifiedHashSample(
+          documents(s, d).select("doc_id", "lang"),
+          strata = Seq("lang"), idCol = "doc_id", k = 20)
+        .orderBy("lang", "sample_rank"),
+      Some("""
+        |SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |    AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank
+        |""".stripMargin.trim)),
+
+    // ---- token-budget packing into 1000-token bins, 8 shards ----------
+    // (greedy sequential fill per shard; bin = tokens-before div budget
+    // — exact integer math, shards give the parallelism)
+    Q("q_token_packing",
+      (s, d) => Corpus.packByTokenBudget(
+          documents(s, d).select(col("doc_id"),
+            pmod(col("doc_id"), lit(8L)).as("shard"),
+            graft.ops.TextOps.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          shardCol = "shard", orderCol = "doc_id",
+          tokenCol = "n_tokens", budget = 1000L)
+        .orderBy("shard", "doc_id"),
+      Some("""
+        |WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  (cum_tokens - n_tokens) // 1000 AS bin
+        |FROM c ORDER BY shard, doc_id
+        |""".stripMargin.trim))
+  )
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operator semantics on hand-checkable fixtures. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topTermsPerDoc ranks rare terms above common ones") {
+    val docs = Seq(
+      (1L, "apple banana banana"),   // banana tf=2 but df=2; apple df=1
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val out = Corpus.topTermsPerDoc(docs, "doc_id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(5)))
+    // doc 1: banana 2/2 → 1000, apple 1/1 → 1000; tie → term asc
+    assert(out(0) == (1L, 1, "apple", 1000L))
+    assert(out(1) == (1L, 2, "banana", 1000L))
+    // doc 2: cherry 1/1 → 1000 beats banana 1/2 → 500
+    assert(out(2) == (2L, 1, "cherry", 1000L))
+    assert(out(3) == (2L, 2, "banana", 500L))
+  }
+
+  test("stratifiedHashSample keeps k per group, stable under growth") {
+    val base = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val small = base.toDF("doc_id", "lang")
+    val grown = (base ++ (51L to 80L).map(i => (i, "a")))
+      .toDF("doc_id", "lang")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Corpus.stratifiedHashSample(df, Seq("lang"), "doc_id", k = 5)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val s1 = sample(small)
+    assert(s1.count(_._1 == "a") == 5 && s1.count(_._1 == "b") == 5)
+    // growth adds candidates but cannot evict an id whose md5 rank
+    // still clears the cut — group b unchanged entirely
+    val s2 = sample(grown)
+    assert(s2.filter(_._1 == "b") == s1.filter(_._1 == "b"))
+  }
+
+  test("packByTokenBudget fills bins greedily and exactly") {
+    val docs = Seq(
+      (1L, 0L, 400L), (2L, 0L, 500L), (3L, 0L, 300L), (4L, 0L, 900L),
+      (5L, 1L, 1200L), (6L, 1L, 10L)
+    ).toDF("doc_id", "shard", "n_tokens")
+    val out = Corpus.packByTokenBudget(docs, "shard", "doc_id",
+        "n_tokens", budget = 1000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    // shard 0 cum-before: 0, 400, 900, 1200 → bins 0,0,0,1
+    // shard 1 cum-before: 0, 1200          → bins 0,1
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L),
+      (5L, 0L), (6L, 1L)))
+  }
+}
