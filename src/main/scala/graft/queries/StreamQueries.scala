@@ -66,6 +66,32 @@ object StreamQueries {
         |ORDER BY v.user_id, view_id, click_id
         |""".stripMargin.trim)),
 
+    // Streaming day-partitioned parquet sink (the reference's S5 sink
+    // in streaming form): write the bounded stream exactly-once with a
+    // checkpoint, read the sink back, and aggregate per day — the
+    // oracle checks the round-trip equals the batch answer.
+    Q("q_stream_day_partitioned_sink",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_stream_sink").toString
+        StreamingOps.streamToPartitionedParquet(
+          StreamingOps.eventsStream(streamSession(s), d), out)
+        s.read.parquet(out)
+          .groupBy("day")
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("value") * 100 + 0.5)
+              .cast(org.apache.spark.sql.types.LongType))
+              .as("sum_value_c"))
+          .orderBy("day")
+      },
+      Some("""
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1 ORDER BY 1
+        |""".stripMargin.trim)),
+
     Q("q_stream_user_stats",
       (s, d) => StreamingOps.runToTable(
           StreamingOps.userStats(StreamingOps.eventsStream(streamSession(s), d)).toDF(),

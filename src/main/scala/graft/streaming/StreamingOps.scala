@@ -114,6 +114,27 @@ object StreamingOps {
         (col("click_ts_us") - col("view_ts_us")).as("lag_us"))
   }
 
+  /** Streaming twin of the reference's day-partitioned append sink
+    * (S5, the jobs/spark python jobs' WRITE_APPEND into
+    * day-partitioned tables): the
+    * event stream written exactly-once to parquet partitioned by event
+    * day, with a checkpoint directory making restarts idempotent —
+    * the unbounded-deployment form of daily batch appends. Returns the
+    * sink path for read-back verification. */
+  def streamToPartitionedParquet(events: DataFrame, outDir: String): String = {
+    val withDay = events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("day", to_date(col("event_time")))
+    val q = withDay.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .partitionBy("day")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    outDir
+  }
+
   final case class UserEvent(user_id: Long, value_c: Long)
   final case class UserState(n: Long, maxC: Long)
   final case class UserStats(user_id: Long, n_events: Long,
