@@ -11,11 +11,12 @@ object StreamQueries {
 
   /** Fresh session with fewer shuffle/state partitions: each stateful
     * operator keeps one state store per shuffle partition, and at this
-    * volume 32 stores are pure overhead. Session-scoped so batch
-    * queries keep the global setting. */
+    * volume even 8 stores are mostly setup overhead (an unbounded
+    * deployment sizes this to cluster cores × state volume). Session-
+    * scoped so batch queries keep the global setting. */
   private def streamSession(s: org.apache.spark.sql.SparkSession) = {
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
     s2
   }
 
