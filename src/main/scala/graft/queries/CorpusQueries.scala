@@ -52,6 +52,23 @@ object CorpusQueries {
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank
         |""".stripMargin.trim)),
 
+    // ---- per-source quota cap (crawl-balance curation) ----------------
+    // Cap every source at 40 docs via the same deterministic md5-rank —
+    // the standard guard against one domain dominating a training mix.
+    Q("q_source_quota",
+      (s, d) => Corpus.stratifiedHashSample(
+          documents(s, d).select("doc_id", "source"),
+          strata = Seq("source"), idCol = "doc_id", k = 40)
+        .orderBy("source", "sample_rank"),
+      Some("""
+        |SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |    AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 40 ORDER BY source, sample_rank
+        |""".stripMargin.trim)),
+
     // ---- token-budget packing into 1000-token bins, 8 shards ----------
     // (greedy sequential fill per shard; bin = tokens-before div budget
     // — exact integer math, shards give the parallelism)

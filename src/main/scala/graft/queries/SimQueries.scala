@@ -372,6 +372,57 @@ object SimQueries {
         |ORDER BY id_a, id_b
         |""".stripMargin.trim)),
 
+    // ---- k-NN majority-vote label propagation -------------------------
+    // Annotation transfer: each unlabeled query vector takes the
+    // majority label of its 5 nearest labeled neighbors (ties: fewer
+    // votes lose, then smaller label wins — fully deterministic).
+    // The broadcast-queries × streamed-scan shape is the same 100 TB
+    // pattern as the ANN baseline; the vote is two partial-aggregable
+    // steps on top.
+    Q("q_knn_classify",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d).select("vec_id", "embedding", "label")
+        val labeled = emb.filter(col("vec_id") >= 20)
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val wNn = Window.partitionBy("q_id")
+          .orderBy(col("cos_milli").desc, col("vec_id").asc)
+        val nn = labeled.crossJoin(broadcast(q))
+          .withColumn("cos_milli",
+            GraftFunctions.cosineMilli(col("qv"), col("embedding")))
+          .withColumn("rk", row_number().over(wNn))
+          .filter(col("rk") <= 5)
+        val wVote = Window.partitionBy("q_id")
+          .orderBy(col("votes").desc, col("label").asc)
+        nn.groupBy("q_id", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("q_id"), col("label").as("pred_label"),
+            col("votes"))
+          .orderBy("q_id")
+      },
+      Some(s"""
+        |WITH labeled AS (SELECT vec_id, embedding, label
+        |    FROM embeddings WHERE vec_id >= 20),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |    WHERE vec_id < 20),
+        |nn AS (SELECT * FROM (
+        |    SELECT q.q_id, l.vec_id, l.label,
+        |      ${cosSql("q.qv", "l.embedding")} AS cos_milli,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY ${cosSql("q.qv", "l.embedding")} DESC,
+        |                 l.vec_id ASC) AS rk
+        |    FROM q, labeled l) WHERE rk <= 5),
+        |votes AS (SELECT q_id, label, count(*) AS votes FROM nn
+        |  GROUP BY 1, 2)
+        |SELECT q_id, label AS pred_label, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, label ASC) AS vr FROM votes)
+        |WHERE vr = 1 ORDER BY q_id
+        |""".stripMargin.trim)),
+
     // ---- IVF-style ANN: assign to nearest centroid, probe top-2 -------
     // The 100 TB path: codebook broadcast, one pass to assign, search
     // restricted to probed clusters instead of the full corpus.
