@@ -41,8 +41,14 @@ object Components {
         .select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // round 0 fused into initialization: label = min(self, neighbors)
+    // via ONE aggregation — replaces the separate distinct() node list
+    // AND the first propagation round (star-shaped clusters, the common
+    // near-dup case, are already converged here)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("id"),
+        least(col("id"), col("min_nbr")).as("label"))
       .localCheckpoint() // eager: materialize + truncate lineage
 
     var iter = 0
