@@ -23,26 +23,14 @@ import graft.plans.DedupWindowToAggregate
   * driver harness); both paths register the same builders. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String, cls: Class[_],
-                 builder: Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
-      builder)
-
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("cosine_milli", classOf[CosineMilli],
-      es => CosineMilli(es.head, es(1))))
-    ext.injectFunction(fn("minhash_sig", classOf[MinHashSig],
-      es => MinHashSig(es.head, es(1))))
-    ext.injectFunction(fn("simhash_pack", classOf[SimHashPack],
-      es => SimHashPack(es.head)))
-    ext.injectFunction(fn("dot_double", classOf[DotDouble],
-      es => DotDouble(es.head, es(1))))
-    ext.injectFunction(fn("char_codes", classOf[CharCodes],
-      es => CharCodes(es.head)))
-    ext.injectFunction(fn("rolling_hash", classOf[RollingHash],
-      es => RollingHash(es.head)))
-    ext.injectFunction(fn("cdc_bounds", classOf[CdcBounds],
-      es => CdcBounds(es.head, es(1))))
+    // one registration table — GraftFunctions.natives — feeds both this
+    // path and the runtime ensureRegistered fallback, so a kernel added
+    // there can never resolve in tests but miss production
+    GraftFunctions.natives.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
     ext.injectOptimizerRule(_ => DedupWindowToAggregate)
   }
 }

@@ -26,10 +26,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class CosineMilli(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // no ExpectsInputTypes: AbstractDataType is private[sql]; inputs are
-  // internal (array<float> columns from this library's own pipelines)
+  // no ExpectsInputTypes (AbstractDataType is private[sql]) — inputs
+  // are validated via checkInputDataTypes instead
   override def dataType: DataType = LongType
   override def prettyName: String = "cosine_milli"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = KernelCheck.arrayOf(org.apache.spark.sql.types.FloatType,
+      left, "cosine_milli left")
+    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess) l
+    else KernelCheck.arrayOf(org.apache.spark.sql.types.FloatType,
+      right, "cosine_milli right")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -74,7 +84,11 @@ case class CosineMilli(left: Expression, right: Expression)
   * equivalent of wiring them through SparkSessionExtensions'
   * injectFunction. */
 object GraftFunctions {
-  private val natives: Seq[(String, Class[_], Seq[Expression] => Expression)] =
+  /** Single source of truth for every native expression — consumed by
+    * both [[ensureRegistered]] (runtime fallback) and
+    * [[graft.GraftExtensions]] (spark.sql.extensions deployment), so a
+    * kernel added here is registered on BOTH paths. */
+  val natives: Seq[(String, Class[_], Seq[Expression] => Expression)] =
     Seq(
       ("cosine_milli", classOf[CosineMilli],
         es => CosineMilli(es.head, es(1))),

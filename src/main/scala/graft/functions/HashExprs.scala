@@ -1,9 +1,38 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+
+/** Analysis-time input checks shared by the native kernels: the
+  * expressions are SQL-callable in extensions-deployed sessions, so
+  * misuse must fail at analysis with a readable message, not mid-job
+  * with a ClassCastException (or worse, read garbage off ArrayData). */
+private[functions] object KernelCheck {
+  def arrayOf(elem: DataType, e: Expression,
+              what: String): TypeCheckResult = e.dataType match {
+    case ArrayType(t, _) if t == elem => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$what must be array<${elem.simpleString}>, got ${other.simpleString}")
+  }
+
+  def isString(e: Expression, what: String): TypeCheckResult =
+    e.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$what must be string, got ${other.simpleString}")
+    }
+
+  def foldablePosInt(e: Expression, what: String): TypeCheckResult =
+    if (!e.foldable ||
+        !(e.dataType == IntegerType || e.dataType == LongType ||
+          e.dataType == ShortType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$what must be a foldable integer literal")
+    else TypeCheckResult.TypeCheckSuccess
+}
 
 /** Native codegen'd hash kernels for the similarity pipeline — the
   * §7.5 escalation applied to the round-2 bench tail. The HOF forms
@@ -42,6 +71,12 @@ case class MinHashSig(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = KernelCheck.arrayOf(LongType, left, "minhash_sig hashes")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else KernelCheck.foldablePosInt(right, "minhash_sig k")
+  }
 
   override def nullSafeEval(h: Any, kk: Any): Any = {
     val arr = h.asInstanceOf[ArrayData]
@@ -97,6 +132,9 @@ case class SimHashPack(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_pack"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelCheck.arrayOf(LongType, child, "simhash_pack hashes")
 
   override def nullSafeEval(h: Any): Any = {
     val arr = h.asInstanceOf[ArrayData]
@@ -159,6 +197,12 @@ case class DotDouble(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_double"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = KernelCheck.arrayOf(FloatType, left, "dot_double left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else KernelCheck.arrayOf(FloatType, right, "dot_double right")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -97,6 +97,9 @@ object TextKernels {
 case class CharCodes(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "char_codes"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelCheck.isString(child, "char_codes input")
   override def nullSafeEval(s: Any): Any =
     TextKernels.charCodes(s.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext,
@@ -111,6 +114,9 @@ case class CharCodes(child: Expression) extends UnaryExpression {
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelCheck.arrayOf(IntegerType, child, "rolling_hash codes")
   override def nullSafeEval(codes: Any): Any =
     TextKernels.rollingHash(codes.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext,
@@ -133,6 +139,13 @@ case class CdcBounds(left: Expression, right: Expression)
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "cdc_bounds"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = KernelCheck.arrayOf(IntegerType, left, "cdc_bounds codes")
+    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess) l
+    else KernelCheck.foldablePosInt(right, "cdc_bounds mask")
+  }
   override def nullSafeEval(codes: Any, m: Any): Any =
     TextKernels.cdcBounds(codes.asInstanceOf[ArrayData], mask)
   override protected def doGenCode(ctx: CodegenContext,

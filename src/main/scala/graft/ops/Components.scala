@@ -33,7 +33,15 @@ object Components {
 
   /** (id, component) for every node incident to ≥1 edge; `component`
     * is the minimum node id in the node's connected component.
-    * `edges` must carry two long columns `id_a`, `id_b`. */
+    * `edges` must carry two long columns `id_a`, `id_b`.
+    *
+    * Throws IllegalStateException if labels are still changing after
+    * `maxIter` rounds (a component of diameter > maxIter): returning
+    * the mid-propagation labels would silently split real clusters,
+    * which for a dedup caller means silently keeping duplicates. Pass
+    * a larger `maxIter` for deep graphs. Superseded per-round label
+    * tables are released by the ContextCleaner as their references
+    * drop; only the latest checkpoint stays pinned. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -75,6 +83,9 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id"), col("label").as("component"))
   }
 }

@@ -56,10 +56,12 @@ object Corpus {
     *
     * Scale shape: one hash-partition shuffle on the strata key; the
     * per-group top-k is a rank window with WindowGroupLimit pushdown,
-    * so each partition keeps k candidates before any full sort. The
-    * same hash-rank construction also yields consistent INCREMENTAL
-    * samples: re-running over a grown corpus keeps previously sampled
-    * ids stable (their md5 rank does not change). */
+    * so each partition keeps k candidates before any full sort.
+    * Churn under corpus growth is BOUNDED, not zero: an id's md5 key
+    * never changes, so it stays sampled until k newer docs hash below
+    * it — each insertion evicts at most one sampled id (consistent
+    * sampling), unlike seeded random sampling where any reshuffle
+    * replaces the whole sample. */
   def stratifiedHashSample(df0: DataFrame, strata: Seq[String],
                            idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(strata.map(col): _*)

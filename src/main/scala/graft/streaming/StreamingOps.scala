@@ -68,8 +68,17 @@ object StreamingOps {
     * form of exact dedup. Uses `dropDuplicatesWithinWatermark` so state
     * IS evicted past the watermark even though the event-time column is
     * not part of the dedup key (plain `dropDuplicates` only prunes when
-    * the event-time column is in the key set — with just (user_id,
-    * event_type) its state would grow without bound unboundedly). */
+    * the event-time column is in the key set).
+    *
+    * Semantics contract: on a bounded run (the verification path) every
+    * duplicate falls inside one watermark horizon, so the result equals
+    * the batch `count(DISTINCT user_id)` oracle exactly. Unbounded,
+    * this computes WITHIN-WATERMARK distinct counts: a user re-emitting
+    * the same event type more than the delay apart is counted again
+    * after its state was evicted. That over-count is the inherent price
+    * of bounded state — exact global distinct over an infinite stream
+    * requires unbounded memory; use the batch path (or a sketch) for
+    * exact/approximate global counts. */
   def dedupUserCounts(events: DataFrame): DataFrame = {
     val withTime = events
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))

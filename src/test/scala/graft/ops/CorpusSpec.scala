@@ -24,7 +24,8 @@ class CorpusSpec extends SparkSpec {
     assert(out(3) == (2L, 2, "banana", 500L))
   }
 
-  test("stratifiedHashSample keeps k per group, stable under growth") {
+  test("stratifiedHashSample keeps k per group; ungrown strata keep " +
+      "their exact sample (bounded churn)") {
     val base = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
     val small = base.toDF("doc_id", "lang")
     val grown = (base ++ (51L to 80L).map(i => (i, "a")))
