@@ -53,6 +53,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(5) >= 2)            // at least [0, n]
   }
 
+  test("kernel misuse fails at analysis, not mid-job") {
+    import org.apache.spark.sql.AnalysisException
+    // wrong element type
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a','b'), 4)").collect()
+    }
+    assert(e1.getMessage.contains("minhash_sig"))
+    // non-foldable k
+    val e2 = intercept[AnalysisException] {
+      spark.range(1).selectExpr(
+        "cdc_bounds(char_codes('abcdefgh'), CAST(id AS INT))").collect()
+    }
+    assert(e2.getMessage.contains("cdc_bounds"))
+    // non-string char_codes input
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT char_codes(array(1))").collect()
+    }
+    assert(e3.getMessage.contains("char_codes"))
+  }
+
   test("dedup window idiom is auto-rewritten to min_by aggregate") {
     import spark.implicits._
     val df = Seq((1L, 2, "a"), (1L, 1, "b"), (2L, 5, "c"))
