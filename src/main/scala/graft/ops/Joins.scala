@@ -40,6 +40,44 @@ object Joins {
     fact.join(broadcast(dim.select(dimCols.map(col): _*).distinct()),
       Seq(key), "left")
 
+  /** Backward as-of join: for every left row, attach the payload of
+    * the latest right row with the same key and right.time ≤
+    * left.time — the time-series join Spark has no built-in for
+    * (SURVEY §7.5 escalation path (a): COMPOSE built-ins before
+    * reaching for a custom SparkPlan).
+    *
+    * Construction: tag both sides, union, and take a running
+    * `last(payload, ignoreNulls)` over a per-key window ordered by
+    * (time, side, tiebreak) with right rows sorting BEFORE left rows
+    * at equal timestamps (≤ semantics, ties within the right side
+    * resolved by `rightTiebreak` — fully deterministic, so an oracle
+    * can replicate it bit-for-bit).
+    *
+    * Scale shape: ONE hash-partition shuffle on the key plus an
+    * intra-partition sort — same cost as any window — versus the
+    * range-join alternative (left ⋈ right on key AND time-bound, then
+    * max-per-left) which explodes to |matches| intermediate rows and
+    * needs a second aggregation. No broadcast requirement: both sides
+    * may be fact-sized. */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+                       time: String, payload: Seq[String],
+                       rightTiebreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("__side", lit(1))
+    val r = right.withColumn("__side", lit(0))
+    val all = l.unionByName(r, allowMissingColumns = true)
+    val ord = (col(time).asc +: col("__side").asc +:
+      rightTiebreak.map(col(_).asc))
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsof = payload.foldLeft(all) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    withAsof.filter(col("__side") === 1)
+      .drop("__side").drop(payload: _*)
+      .drop(rightTiebreak.filterNot(left.columns.contains): _*)
+  }
+
   /** J4 (propnex_transformation.py:130-131) — alias-overwrite enrich:
     * dim columns that collide with existing fact columns overwrite them
     * after the join. The reference renames dim's `district` to
