@@ -78,6 +78,34 @@ object Joins {
       .drop(rightTiebreak.filterNot(left.columns.contains): _*)
   }
 
+  /** Bucketized range (interval) join: pair every left row whose
+    * `valueCol` (exact long units) falls in a right interval
+    * [`loCol`, `hiCol`) — the second join Spark lacks a scalable
+    * built-in for. A plain theta-join plans as
+    * BroadcastNestedLoopJoin, O(|L|·|R|) compares, broadcast-bound;
+    * here each right interval is EXPLODED onto the fixed-width buckets
+    * it covers and each left value hashes to exactly one bucket, so
+    * the pairing is ONE equi-join on the bucket id plus an exact
+    * bound filter. A (value, interval) pair meets in exactly one
+    * bucket (the value's), so no dedup pass is needed.
+    *
+    * Pick `bucketWidth` near the typical interval width: wider →
+    * fewer explode copies per interval; narrower → fewer false
+    * candidates per bucket. Cost: |R| × (width/bucketWidth + 1)
+    * exploded rows, one shuffle each side. */
+  def rangeJoinBucketed(left: DataFrame, valueCol: String,
+                        right: DataFrame, loCol: String, hiCol: String,
+                        bucketWidth: Long): DataFrame = {
+    val lb = left.withColumn("__b",
+      expr(s"$valueCol div ${bucketWidth}L"))
+    val rb = right.withColumn("__b",
+      explode(sequence(expr(s"$loCol div ${bucketWidth}L"),
+        expr(s"($hiCol - 1) div ${bucketWidth}L"))))
+    lb.join(rb, "__b")
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__b")
+  }
+
   /** J4 (propnex_transformation.py:130-131) — alias-overwrite enrich:
     * dim columns that collide with existing fact columns overwrite them
     * after the join. The reference renames dim's `district` to

@@ -470,6 +470,36 @@ object AggQueries {
         |""".stripMargin.trim)),
 
     // ---- semi / anti joins (EXISTS / NOT EXISTS) ----------------------
+    // ---- bucketized range join: orders × overlapping price bands ------
+    // Interval join without BroadcastNestedLoopJoin: bands (stride $7k,
+    // width $20k → ~3-way overlap, derived from nation so the oracle
+    // regenerates them) exploded onto $10k buckets, one equi-join on
+    // bucket, exact bound filter. Oracle is the plain theta join.
+    Q("q_range_join_bucketed",
+      (s, d) => {
+        val ord = orders(s, d).select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_c"))
+        val bands = nation(s, d).select(
+          col("n_nationkey").as("band_id"),
+          (col("n_nationkey") * 700000L).as("lo_c"),
+          (col("n_nationkey") * 700000L + 2000000L).as("hi_c"))
+        graft.ops.Joins.rangeJoinBucketed(
+            ord, "price_c", bands, "lo_c", "hi_c",
+            bucketWidth = 1000000L)
+          .select("o_orderkey", "price_c", "band_id")
+          .orderBy("o_orderkey", "band_id")
+      },
+      Some(s"""
+        |WITH bands AS (SELECT n_nationkey AS band_id,
+        |    n_nationkey * 700000 AS lo_c,
+        |    n_nationkey * 700000 + 2000000 AS hi_c FROM nation)
+        |SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_c, band_id
+        |FROM orders JOIN bands
+        |  ON ${centsSql("o_totalprice")} >= lo_c
+        |  AND ${centsSql("o_totalprice")} < hi_c
+        |ORDER BY o_orderkey, band_id
+        |""".stripMargin.trim)),
+
     // ---- backward as-of join: click ← latest view at-or-before --------
     // The time-series join Spark lacks natively (Joins.asofJoinBackward:
     // union-tag + running last over one per-key window — one shuffle,

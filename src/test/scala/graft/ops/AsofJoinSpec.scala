@@ -3,9 +3,31 @@ package graft.ops
 import graft.SparkSpec
 
 /** Backward as-of join semantics: ≤ matching, equal-timestamp ties,
-  * right-side tie-break, and no-match nulls. */
+  * right-side tie-break, and no-match nulls. Plus the bucketized
+  * range join's boundary and multi-bucket behavior. */
 class AsofJoinSpec extends SparkSpec {
   import spark.implicits._
+
+  test("rangeJoinBucketed: [lo, hi) bounds, multi-bucket spans, " +
+      "no duplicate pairs, equi-join plan") {
+    val left = Seq((1L, 0L), (2L, 99L), (3L, 100L), (4L, 250L),
+      (5L, 999L)).toDF("lid", "v")
+    val right = Seq((10L, 0L, 100L),    // [0,100): lids 1,2
+      (11L, 50L, 450L),                 // spans buckets 0..4: lids 2,3,4
+      (12L, 999L, 1000L)                // [999,1000): lid 5
+    ).toDF("rid", "lo", "hi")
+    val joined = Joins.rangeJoinBucketed(left, "v", right, "lo", "hi",
+      bucketWidth = 100L)
+    val out = joined.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L),
+      (4L, 11L), (5L, 12L)))
+    // the whole point: an equi-join on the bucket id, never a
+    // nested-loop over all pairs
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"degraded plan:\n$plan")
+  }
 
   test("latest right row at-or-before each left time, per key") {
     val left = Seq(
