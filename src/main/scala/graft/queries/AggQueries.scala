@@ -470,6 +470,38 @@ object AggQueries {
         |""".stripMargin.trim)),
 
     // ---- semi / anti joins (EXISTS / NOT EXISTS) ----------------------
+    // ---- Count-Min Sketch frequency estimates -------------------------
+    // The bounded-memory frequency sketch as a partial-aggregable typed
+    // Aggregator (functions/CountMinSketchAgg): counter merges are
+    // commutative sums, so results are partitioning-independent. Over
+    // the low-cardinality event_type domain (5 keys in a 4×2048 sketch)
+    // estimates equal exact counts, so the sketch path is hash-checked
+    // against the exact-count oracle; the unbounded-domain guarantees
+    // (est ≥ true, bounded overshoot) are pinned by CountMinSpec.
+    // The single-row sketch collect is the canonical sketch pattern
+    // (one aggregate row to the driver, never per-row data).
+    Q("q_sketch_cms_counts",
+      (s, d) => {
+        import s.implicits._
+        val cms = new graft.functions.CountMinSketchAgg(
+          depth = 4, width = 2048)
+        val ev = events(s, d)
+        val sketch = ev
+          .select(xxhash64(col("event_type")).as("h")).as[Long]
+          .select(cms.toColumn.name("sketch")).head()
+        val keys = ev
+          .select(col("event_type"), xxhash64(col("event_type")).as("h"))
+          .distinct().collect()
+        keys.map(r => (r.getString(0),
+            cms.estimate(sketch, r.getLong(1)))).toSeq
+          .toDF("event_type", "cms_count")
+          .orderBy("event_type")
+      },
+      Some("""
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS cms_count
+        |FROM events GROUP BY event_type ORDER BY event_type
+        |""".stripMargin.trim)),
+
     // ---- bucketized range join: orders × overlapping price bands ------
     // Interval join without BroadcastNestedLoopJoin: bands (stride $7k,
     // width $20k → ~3-way overlap, derived from nation so the oracle
