@@ -43,9 +43,14 @@ object Components {
     * tables are released by the ContextCleaner as their references
     * drop; only the latest checkpoint stays pinned. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges
+    // checkpoint the edge list FIRST: the symmetric union references it
+    // twice, and an expensive upstream (e.g. the whole LSH candidate
+    // pipeline) would otherwise be computed once per branch before any
+    // cache of the union materializes
+    val e = edges.localCheckpoint()
+    val sym = e
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges
+      .unionByName(e
         .select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
