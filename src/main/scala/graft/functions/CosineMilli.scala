@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * to double BEFORE multiply, sequential accumulation in index order,
   * `floor(1000*dot/(sqrt(na)*sqrt(nb)) + 0.5)`.
   *
-  * Null vector → null. Null ELEMENTS are not supported (embeddings are
-  * dense); behavior then follows getFloat on a null slot (0.0f). */
+  * Null vector → null; a null ELEMENT in either input null-poisons the
+  * result too (embeddings are dense, but the function is SQL-exposed,
+  * so a sparse/nullable array must not silently read as 0.0f). */
 case class CosineMilli(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   // no ExpectsInputTypes (AbstractDataType is private[sql]) — inputs
   // are validated via checkInputDataTypes instead
@@ -47,6 +50,7 @@ case class CosineMilli(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val p = x.getFloat(i).toDouble
       val q = y.getFloat(i).toDouble
       dot += p * q; na += p * p; nb += q * q; i += 1
@@ -61,17 +65,24 @@ case class CosineMilli(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val poisoned = ctx.freshName("poisoned")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean $poisoned = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $poisoned = true; break; }
          |  double p = (double) $a.getFloat($i);
          |  double q = (double) $b.getFloat($i);
          |  $dot += p * q; $na += p * p; $nb += q * q;
          |}
-         |${ev.value} = (long) java.lang.Math.floor(
-         |  1000.0 * ($dot / (java.lang.Math.sqrt($na)
-         |                    * java.lang.Math.sqrt($nb))) + 0.5);
+         |if ($poisoned) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (long) java.lang.Math.floor(
+         |    1000.0 * ($dot / (java.lang.Math.sqrt($na)
+         |                      * java.lang.Math.sqrt($nb))) + 0.5);
+         |}
          |""".stripMargin
     })
 

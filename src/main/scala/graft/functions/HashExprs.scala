@@ -9,7 +9,13 @@ import org.apache.spark.sql.types._
 /** Analysis-time input checks shared by the native kernels: the
   * expressions are SQL-callable in extensions-deployed sessions, so
   * misuse must fail at analysis with a readable message, not mid-job
-  * with a ClassCastException (or worse, read garbage off ArrayData). */
+  * with a ClassCastException (or worse, read garbage off ArrayData).
+  *
+  * Null ELEMENTS can't be rejected at analysis (`transform(...)` always
+  * types as containsNull=true even when the lambda never yields null),
+  * so every array kernel null-poisons at runtime instead: any null
+  * element makes the whole result null — the same semantics as the HOF
+  * twins, whose `transform`/`aggregate` lambdas propagate null. */
 private[functions] object KernelCheck {
   def arrayOf(elem: DataType, e: Expression,
               what: String): TypeCheckResult = e.dataType match {
@@ -25,13 +31,24 @@ private[functions] object KernelCheck {
         s"$what must be string, got ${other.simpleString}")
     }
 
+  /** Foldable, integer-typed, NON-NULL, and > 0 — evaluated here so a
+    * zero/negative/null parameter fails ANALYSIS, not per-row mid-job
+    * (cdc_bounds(codes, 0) would otherwise divide by zero per row, and
+    * a NULL k would yield an empty minhash signature silently). */
   def foldablePosInt(e: Expression, what: String): TypeCheckResult =
     if (!e.foldable ||
         !(e.dataType == IntegerType || e.dataType == LongType ||
           e.dataType == ShortType))
       TypeCheckResult.TypeCheckFailure(
         s"$what must be a foldable integer literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else e.eval(null) match {
+      case null => TypeCheckResult.TypeCheckFailure(
+        s"$what must not be null")
+      case v: java.lang.Number if v.longValue > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case v => TypeCheckResult.TypeCheckFailure(
+        s"$what must be > 0, got $v")
+    }
 }
 
 /** Native codegen'd hash kernels for the similarity pipeline — the
@@ -58,9 +75,12 @@ object HashExprs // scaladoc anchor
   * xxhash64(h, j)))` for j in [0, k), fused into one pass over the
   * input with a k-wide running-min array. `k` must be a foldable int
   * literal. Empty input yields Long.MaxValue sentinels (callers filter
-  * empty shingle sets upstream — see Similarity.nearDupPairs). */
+  * empty shingle sets upstream — see Similarity.nearDupPairs). A null
+  * element null-poisons the result, matching the HOF twin. */
 case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   private lazy val k: Int = right.eval(null) match {
     case i: java.lang.Integer => i.intValue
@@ -84,6 +104,7 @@ case class MinHashSig(left: Expression, right: Expression)
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val h1 = XXH64.hashLong(arr.getLong(i), 42L)
       var j = 0
       while (j < k) {
@@ -104,18 +125,25 @@ case class MinHashSig(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
       val h1 = ctx.freshName("h1"); val v = ctx.freshName("v")
+      val poisoned = ctx.freshName("poisoned")
       s"""
          |int $n = $a.numElements();
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, java.lang.Long.MAX_VALUE);
+         |boolean $poisoned = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $poisoned = true; break; }
          |  long $h1 = $xxh.hashLong($a.getLong($i), 42L);
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $v = $xxh.hashInt($j, $h1);
          |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
-         |${ev.value} = new $gad($mins);
+         |if ($poisoned) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new $gad($mins);
+         |}
          |""".stripMargin
     })
 
@@ -127,9 +155,11 @@ case class MinHashSig(left: Expression, right: Expression)
 /** `simhash_pack(hashes)`: 64-bit SimHash from pre-hashed token longs —
   * per-bit majority vote packed MSB-first (bit 0's vote lands in the
   * MSB), exactly [[graft.ops.Similarity.simhash64]]'s fold. One pass,
-  * 64 local counters, no intermediate arrays. Empty input → 0L. */
+  * 64 local counters, no intermediate arrays. Empty input → 0L; a null
+  * element null-poisons the result, matching the HOF twin. */
 case class SimHashPack(child: Expression) extends UnaryExpression {
 
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_pack"
 
@@ -142,6 +172,7 @@ case class SimHashPack(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val v = arr.getLong(i)
       var b = 0
       while (b < 64) {
@@ -165,20 +196,27 @@ case class SimHashPack(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i"); val b = ctx.freshName("b")
       val n = ctx.freshName("n"); val counts = ctx.freshName("counts")
       val v = ctx.freshName("v"); val acc = ctx.freshName("acc")
+      val poisoned = ctx.freshName("poisoned")
       s"""
          |int $n = $a.numElements();
          |int[] $counts = new int[64];
+         |boolean $poisoned = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $poisoned = true; break; }
          |  long $v = $a.getLong($i);
          |  for (int $b = 0; $b < 64; $b++) {
          |    $counts[$b] += (int) (($v >>> $b) & 1L);
          |  }
          |}
-         |long $acc = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  $acc = ($acc << 1) | (($counts[$b] * 2 > $n) ? 1L : 0L);
+         |if ($poisoned) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $acc = ($acc << 1) | (($counts[$b] * 2 > $n) ? 1L : 0L);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 
@@ -191,10 +229,12 @@ case class SimHashPack(child: Expression) extends UnaryExpression {
   * per-pair product-array allocation. Truncates to the shorter length
   * (inputs here are fixed-width embeddings; the HOF twin null-poisons
   * on length mismatch instead, so equal-length inputs are the
-  * contract). */
+  * contract). A null element in either input null-poisons the result,
+  * matching the HOF twin. */
 case class DotDouble(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_double"
 
@@ -210,6 +250,7 @@ case class DotDouble(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -221,13 +262,20 @@ case class DotDouble(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val poisoned = ctx.freshName("poisoned")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
+         |boolean $poisoned = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $poisoned = true; break; }
          |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $dot;
+         |if ($poisoned) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot;
+         |}
          |""".stripMargin
     })
 

@@ -18,6 +18,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * projection inside whole-stage codegen. */
 object TextKernels {
 
+  /** Null-element scan shared by the array kernels' null-poison
+    * contract (see [[KernelCheck]]): `transform(...)` outputs always
+    * type as containsNull=true, so the check must happen at runtime. */
+  def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Per-position Unicode code points of a UTF-8 string — exactly
     * `transform(split(c, ""), ch => ascii(ch))`: Java-regex empty-split
     * yields code-point units (surrogate pairs stay joined), and
@@ -110,27 +123,41 @@ case class CharCodes(child: Expression) extends UnaryExpression {
       newChild: Expression): CharCodes = copy(child = newChild)
 }
 
-/** `rolling_hash(codes)` — see [[TextKernels.rollingHash]]. */
+/** `rolling_hash(codes)` — see [[TextKernels.rollingHash]]; a null
+  * element null-poisons the result (the HOF `aggregate` twin's lambda
+  * propagates null the same way). */
 case class RollingHash(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     KernelCheck.arrayOf(IntegerType, child, "rolling_hash codes")
-  override def nullSafeEval(codes: Any): Any =
-    TextKernels.rollingHash(codes.asInstanceOf[ArrayData])
+  override def nullSafeEval(codes: Any): Any = {
+    val arr = codes.asInstanceOf[ArrayData]
+    if (TextKernels.hasNullElement(arr)) null
+    else TextKernels.rollingHash(arr)
+  }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextKernels.rollingHash($c);")
+      s"""
+         |if (graft.functions.TextKernels.hasNullElement($c)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.TextKernels.rollingHash($c);
+         |}
+         |""".stripMargin)
   override protected def withNewChildInternal(
       newChild: Expression): RollingHash = copy(child = newChild)
 }
 
 /** `cdc_bounds(codes, mask)` — see [[TextKernels.cdcBounds]]; `mask`
-  * must be a foldable int literal. */
+  * must be a foldable positive int literal. A null element
+  * null-poisons the result (HOF-twin semantics). */
 case class CdcBounds(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullable: Boolean = true
   private lazy val mask: Int = right.eval(null) match {
     case i: java.lang.Integer => i.intValue
     case l: java.lang.Long    => l.intValue
@@ -146,12 +173,21 @@ case class CdcBounds(left: Expression, right: Expression)
         .TypeCheckSuccess) l
     else KernelCheck.foldablePosInt(right, "cdc_bounds mask")
   }
-  override def nullSafeEval(codes: Any, m: Any): Any =
-    TextKernels.cdcBounds(codes.asInstanceOf[ArrayData], mask)
+  override def nullSafeEval(codes: Any, m: Any): Any = {
+    val arr = codes.asInstanceOf[ArrayData]
+    if (TextKernels.hasNullElement(arr)) null
+    else TextKernels.cdcBounds(arr, mask)
+  }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, _) =>
-      s"${ev.value} = graft.functions.TextKernels.cdcBounds($c, $mask);")
+      s"""
+         |if (graft.functions.TextKernels.hasNullElement($c)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.TextKernels.cdcBounds($c, $mask);
+         |}
+         |""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CdcBounds =
     copy(left = newLeft, right = newRight)

@@ -63,6 +63,23 @@ object Joins {
                        time: String, payload: Seq[String],
                        rightTiebreak: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The union-tag construction is only sound when payload columns
+    // exist ONLY on the right side: a left column with a payload name
+    // would feed left-side values into last(..., ignoreNulls), letting
+    // left rows match themselves and silently corrupting the result.
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asofJoinBackward payload columns must not exist on the left " +
+        s"side (collisions: ${collisions.mkString(", ")}); rename them " +
+        s"on one side first")
+    val outCollisions =
+      payload.map("asof_" + _).toSet.intersect(left.columns.toSet)
+    require(outCollisions.isEmpty,
+      s"asofJoinBackward output columns would clobber existing left " +
+        s"columns: ${outCollisions.mkString(", ")}")
+    require(!left.columns.contains("__side") &&
+        !right.columns.contains("__side"),
+      "asofJoinBackward reserves the __side column name")
     val l = left.withColumn("__side", lit(1))
     val r = right.withColumn("__side", lit(0))
     val all = l.unionByName(r, allowMissingColumns = true)

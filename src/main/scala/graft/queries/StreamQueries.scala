@@ -79,12 +79,18 @@ object StreamQueries {
         // existing checkpoint, AvailableNow processes nothing new, and
         // the read-back still matches — precisely the exactly-once
         // restart semantics the sink claims. Regenerated source data
-        // changes the key, so a stale checkpoint is never reused.
+        // changes the key, so a stale checkpoint is never reused. Full
+        // md5 digest, not String.hashCode: a 32-bit key could collide
+        // across sf dirs (or same-length same-mtime regenerations) and
+        // silently verify against a stale sink.
         val src = new java.io.File(s"$d/events.parquet")
-        val key = s"$d|${src.length}|${src.lastModified}".hashCode
+        val keyStr = s"$d|${src.length}|${src.lastModified}"
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(keyStr.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
         val out = new java.io.File(
           sys.props("java.io.tmpdir"),
-          "graft_stream_sink_" + java.lang.Integer.toHexString(key)
+          "graft_stream_sink_" + key
         ).getAbsolutePath
         StreamingOps.streamToPartitionedParquet(
           StreamingOps.eventsStream(streamSession(s), d), out)

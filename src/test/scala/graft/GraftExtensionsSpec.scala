@@ -71,6 +71,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT char_codes(array(1))").collect()
     }
     assert(e3.getMessage.contains("char_codes"))
+    // zero mask: would divide by zero PER ROW mid-job if it passed
+    val e4 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT cdc_bounds(char_codes('abcdefgh'), 0)").collect()
+    }
+    assert(e4.getMessage.contains("cdc_bounds"))
+    // null k: would silently yield an empty signature if it passed
+    val e5 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT minhash_sig(array(CAST(7 AS BIGINT)), CAST(NULL AS INT))"
+      ).collect()
+    }
+    assert(e5.getMessage.contains("minhash_sig"))
+    // negative k
+    val e6 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT minhash_sig(array(CAST(7 AS BIGINT)), -3)").collect()
+    }
+    assert(e6.getMessage.contains("minhash_sig"))
   }
 
   test("dedup window idiom is auto-rewritten to min_by aggregate") {

@@ -29,6 +29,23 @@ class CountMinSpec extends SparkSpec {
     assert(cms.estimate(s, 99L) == 0L)
   }
 
+  test("invalid dimensions are rejected at construction") {
+    intercept[IllegalArgumentException](new CountMinSketchAgg(0, 1024))
+    intercept[IllegalArgumentException](new CountMinSketchAgg(4, 0))
+    intercept[IllegalArgumentException](new CountMinSketchAgg(7, 1024))
+  }
+
+  test("power-of-two width spreads keys that share low bits") {
+    // keys differing ONLY above bit 11 (width 2048 = 2^11): the old
+    // multiply-mod hash sent all of these to the same cell in every
+    // row; a full-avalanche per-row hash must separate most of them
+    val c = new CountMinSketchAgg(depth = 4, width = 2048)
+    val keys = (0 until 64).map(i => i.toLong << 20)
+    val cells = keys.map(k => (0 until 4).map(d => c.cell(d, k)))
+    assert(cells.distinct.size > 56,
+      s"only ${cells.distinct.size}/64 distinct cell vectors")
+  }
+
   test("estimate is never below the true count (one-sided error)") {
     // 2000 distinct keys in a 1024-wide sketch: collisions certain,
     // but min-across-depth must never undershoot

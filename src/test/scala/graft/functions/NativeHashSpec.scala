@@ -108,6 +108,45 @@ class NativeHashSpec extends SparkSpec {
     }
   }
 
+  test("null array elements null-poison every kernel (codegen path)") {
+    GraftFunctions.ensureRegistered(spark)
+    // arrays built from a column so nothing constant-folds — this
+    // exercises the GENERATED code's isNullAt branch
+    val r = spark.range(1).selectExpr(
+        "array(id, CAST(NULL AS BIGINT)) AS hs",
+        "array(CAST(id AS FLOAT), CAST(NULL AS FLOAT)) AS fa",
+        "array(CAST(id AS INT), CAST(NULL AS INT)) AS codes")
+      .selectExpr(
+        "minhash_sig(hs, 4) AS ms",
+        "simhash_pack(hs) AS sp",
+        "dot_double(fa, fa) AS dd",
+        "cosine_milli(fa, fa) AS cm",
+        "rolling_hash(codes) AS rh",
+        "cdc_bounds(codes, 64) AS cb")
+      .collect().head
+    (0 until 6).foreach { i =>
+      assert(r.isNullAt(i), s"column $i should null-poison")
+    }
+  }
+
+  test("null array elements null-poison every kernel (interpreted eval)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val longs = Literal.create(
+      new GenericArrayData(Array[Any](123L, null)), ArrayType(LongType))
+    val floats = Literal.create(
+      new GenericArrayData(Array[Any](1.0f, null)), ArrayType(FloatType))
+    val ints = Literal.create(
+      new GenericArrayData(Array[Any](97, null)), ArrayType(IntegerType))
+    assert(MinHashSig(longs, Literal(4)).eval(null) == null)
+    assert(SimHashPack(longs).eval(null) == null)
+    assert(DotDouble(floats, floats).eval(null) == null)
+    assert(CosineMilli(floats, floats).eval(null) == null)
+    assert(RollingHash(ints).eval(null) == null)
+    assert(CdcBounds(ints, Literal(64)).eval(null) == null)
+  }
+
   test("kernels agree between interpreted eval and codegen paths") {
     // force the interpreted path by eval'ing the expressions directly
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -52,4 +52,17 @@ class AsofJoinSpec extends SparkSpec {
       (12L, -1L),  // no right row at or before t=10
       (13L, 104L)))
   }
+
+  test("payload column on the left side is rejected, not corrupted") {
+    // if "rid" also existed on the left, unionByName would feed left
+    // values into last(..., ignoreNulls) and rows would match
+    // themselves — must fail fast instead
+    val left = Seq((1L, 100L, 999L)).toDF("k", "t", "rid")
+    val right = Seq((1L, 50L, 100L)).toDF("k", "t", "rid")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoinBackward(left, right, key = "k", time = "t",
+        payload = Seq("rid"), rightTiebreak = Seq("rid"))
+    }
+    assert(e.getMessage.contains("rid"))
+  }
 }
