@@ -9,6 +9,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (min_by_obj dedup) falls back to
+      // sort-based at 128 map entries by default — sized for
+      // percentile-class buffers, far too small for one-row-per-key
+      // dedup state (~200 B/entry; 256k entries ~= 50 MB/task)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: scheduler + codegen + parquet reader init, excluded

@@ -114,7 +114,11 @@ object GraftFunctions {
       ("rolling_hash", classOf[RollingHash],
         es => RollingHash(es.head)),
       ("cdc_bounds", classOf[CdcBounds],
-        es => CdcBounds(es.head, es(1))))
+        es => CdcBounds(es.head, es(1))),
+      // aggregate: the analyzer wraps a bare AggregateFunction returned
+      // by a registry builder into an AggregateExpression
+      ("min_by_obj", classOf[MinByObj],
+        es => MinByObj(es.head, es(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

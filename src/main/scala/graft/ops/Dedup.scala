@@ -41,20 +41,35 @@ object Dedup {
       .drop("__rn", "__null_count")
   }
 
-  /** Same semantics as [[keepMostComplete]] via `min_by` over a packed
-    * (null_count, tiebreak, row) ordering struct. One partial-aggregable
-    * shuffle, no sort, no row_number — the 100 TB path: map-side combine
-    * means each executor ships at most one candidate row per key per
-    * partition instead of every duplicate. */
+  /** Same semantics as [[keepMostComplete]] via a min-by aggregate over
+    * a packed (null_count, tiebreak) ordering struct. One
+    * partial-aggregable shuffle, no sort, no row_number — the 100 TB
+    * path: map-side combine means each executor ships at most one
+    * candidate row per key per partition instead of every duplicate.
+    *
+    * Uses [[graft.functions.MinByObj]], not the built-in `min_by`: the
+    * declarative min_by keeps its struct arguments in the aggregation
+    * buffer, struct buffers aren't HashAggregate-mutable, and the plan
+    * silently degrades to SortAggregateExec — a full sort on BOTH sides
+    * of the shuffle, precisely what this formulation exists to avoid.
+    * The typed-imperative twin runs in ObjectHashAggregateExec. */
   def keepMostCompleteAgg(df: DataFrame, keys: Seq[String],
                           tiebreak: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val counted = df.columns.toIndexedSeq
     val ord = struct(
       (nullCount(counted.map(col)).as("nc") +: tiebreak.map(col)): _*)
     val packed = struct(counted.map(col): _*)
+    // build the structs in a codegen'd Project BELOW the aggregate:
+    // a typed-imperative update() evaluates its argument expressions
+    // interpreted per row, so handing it CreateStruct trees would undo
+    // the sort-free win — handing it two ready attributes keeps the
+    // per-row work whole-stage-compiled
     val out = df
+      .withColumn("__ord", ord).withColumn("__packed", packed)
       .groupBy(keys.map(col): _*)
-      .agg(min_by(packed, ord).as("__row"))
+      .agg(call_function("min_by_obj", col("__packed"), col("__ord"))
+        .as("__row"))
       .select(counted.map(c => col(s"__row.$c").as(c)): _*)
     out
   }
@@ -65,6 +80,7 @@ object Dedup {
     * pipeline; one shuffle, partial-aggregable. */
   def exactDedup(df: DataFrame, contentCols: Seq[String],
                  tiebreak: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     // hash an UNAMBIGUOUS encoding: concat_ws skips NULLs (NULL vs ''
     // collide) - to_json(struct) preserves column boundaries, quoting,
     // and null-vs-empty distinctions
@@ -73,7 +89,10 @@ object Dedup {
     val packed = struct(counted.map(col): _*)
     df.withColumn("__fp", fp)
       .groupBy(col("__fp"))
-      .agg(min_by(packed, struct(tiebreak.map(col): _*)).as("__row"))
+      // min_by_obj, not min_by: ObjectHashAggregate vs SortAggregate
+      // (see keepMostCompleteAgg)
+      .agg(call_function("min_by_obj", packed,
+        struct(tiebreak.map(col): _*)).as("__row"))
       .select(counted.map(c => col(s"__row.$c").as(c)): _*)
   }
 }

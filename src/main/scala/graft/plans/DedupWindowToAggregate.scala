@@ -1,7 +1,7 @@
 package graft.plans
 
+import graft.functions.MinByObj
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -14,12 +14,17 @@ import org.apache.spark.sql.types.IntegerType
   * into the partial-aggregable form
   *
   *   Project(struct fields restored, Aggregate(p,
-  *     min_by(struct(child.*), struct(o)), child))
+  *     min_by_obj(struct(child.*), struct(o)), child))
   *
   * Both compute "one surviving row per p-group, minimal by o"; the
   * window form shuffles and SORTS every row of every group, the
   * aggregate form map-side combines — each task ships one candidate
-  * row per (group, partition), and nothing is sorted. Results are
+  * row per (group, partition), and nothing is sorted. The rewrite
+  * emits [[graft.functions.MinByObj]] rather than the built-in MinBy:
+  * the declarative MinBy's struct buffer forces SortAggregateExec
+  * (sorts on both sides of the shuffle — the thing this rule exists
+  * to remove), while the typed-imperative form runs in
+  * ObjectHashAggregateExec, sort-free. Results are
   * identical whenever the o-ordering is total per group (ties are
   * implementation-chosen in BOTH forms — same contract as the
   * reference's dedup, jobs/spark/merge_dedup.py:25-26).
@@ -88,11 +93,19 @@ object DedupWindowToAggregate extends Rule[LogicalPlan] {
 
   private def rewrite(partSpec: Seq[Expression], ordSpec: Seq[SortOrder],
                       alias: Alias, child: LogicalPlan): LogicalPlan = {
-      val rowStruct = CreateStruct(child.output.toList)
-      val ordStruct = CreateStruct(ordSpec.map(_.child).toList)
+      // Build the packed structs in a PROJECT below the aggregate, so
+      // they are computed by whole-stage codegen; min_by_obj's
+      // typed-imperative update() evaluates its children interpreted
+      // per row, which for raw CreateStruct trees would re-introduce
+      // the per-row expression cost the rewrite removes.
+      val rowAlias0 = Alias(CreateStruct(child.output.toList), "__dedup_in")()
+      val ordAlias0 = Alias(CreateStruct(ordSpec.map(_.child).toList),
+        "__dedup_ord")()
+      val packed = Project(child.output ++ Seq(rowAlias0, ordAlias0), child)
       val rowAlias = Alias(
-        MinBy(rowStruct, ordStruct).toAggregateExpression(), "__dedup_row")()
-      val agg = Aggregate(partSpec, Seq(rowAlias), child)
+        MinByObj(rowAlias0.toAttribute, ordAlias0.toAttribute)
+          .toAggregateExpression(), "__dedup_row")()
+      val agg = Aggregate(partSpec, Seq(rowAlias), packed)
       val structAttr = rowAlias.toAttribute
       val restored = child.output.zipWithIndex.map { case (a, i) =>
         Alias(GetStructField(structAttr, i, Some(a.name)), a.name)(
