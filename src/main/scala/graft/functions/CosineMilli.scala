@@ -115,10 +115,14 @@ object GraftFunctions {
         es => RollingHash(es.head)),
       ("cdc_bounds", classOf[CdcBounds],
         es => CdcBounds(es.head, es(1))),
-      // aggregate: the analyzer wraps a bare AggregateFunction returned
+      // aggregates: the analyzer wraps a bare AggregateFunction returned
       // by a registry builder into an AggregateExpression
       ("min_by_obj", classOf[MinByObj],
-        es => MinByObj(es.head, es(1))))
+        es => MinByObj(es.head, es(1))),
+      ("bloom_agg", classOf[BloomAgg],
+        es => BloomAgg(es.head, es(1), es(2))),
+      ("bloom_might_contain", classOf[BloomMightContain],
+        es => BloomMightContain(es.head, es(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

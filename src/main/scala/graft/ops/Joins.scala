@@ -123,6 +123,39 @@ object Joins {
       .drop("__b")
   }
 
+  /** Bloom-pruned equi-join: build a Bloom filter over the SMALL
+    * side's join keys (one partial-aggregable pass, bitwise-OR merge),
+    * collect the few-KB sketch to the driver, and filter the BIG side
+    * with a codegen'd membership test BEFORE its exchange — then run
+    * the ordinary join. Bloom false positives survive the filter but
+    * are dropped by the join's equality check, so the composition is
+    * row-for-row identical to the plain join while shipping only
+    * ~selectivity·|fact| rows through the shuffle.
+    *
+    * This is Catalyst's InjectRuntimeFilter technique surfaced as an
+    * explicit operator: the built-in rule only fires under its own
+    * thresholds (shuffle-join shapes, creation-side size caps); a
+    * pipeline author who KNOWS the dim side is selective can demand it.
+    * At 100 TB the win is the difference between shuffling the full
+    * fact table and shuffling the matching fraction.
+    *
+    * `numBits` defaults to 4M (512 KB sketch — broadcast-trivial);
+    * size at ~10 bits/key for ~1% false-positive rate. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      how: String = "inner",
+                      numBits: Int = 1 << 22,
+                      numHashes: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(fact.sparkSession)
+    val sketch = dim
+      .agg(call_function("bloom_agg", xxhash64(col(key)),
+        lit(numBits), lit(numHashes)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = fact.filter(
+      call_function("bloom_might_contain", lit(sketch),
+        xxhash64(col(key))))
+    pruned.join(dim, Seq(key), how)
+  }
+
   /** J4 (propnex_transformation.py:130-131) — alias-overwrite enrich:
     * dim columns that collide with existing fact columns overwrite them
     * after the join. The reference renames dim's `district` to

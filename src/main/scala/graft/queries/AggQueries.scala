@@ -594,6 +594,37 @@ object AggQueries {
         |ORDER BY c_custkey
         |""".stripMargin.trim)),
 
+    // ---- Bloom-pruned selective join -----------------------------------
+    // The runtime-filter technique as an explicit operator: the
+    // 'URGENT orders' dim side is selective (~1/5 of orders), so the
+    // lineitem side is pre-filtered by a 512 KB Bloom sketch before its
+    // shuffle. False positives are re-checked by the join — the oracle
+    // is the PLAIN join, asserting row-identical composition.
+    Q("q_join_bloom_pruned",
+      (s, d) => {
+        val urgent = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority"))
+        // 2^20 bits = 128 KB: ~10 bits/key up to 100k dim keys; the
+        // sketch ships in every task binary, so size to the dim, not
+        // to the default
+        graft.ops.Joins.bloomPrunedJoin(
+            lineitem(s, d).select("l_orderkey", "l_linenumber",
+              "l_quantity"),
+            urgent, key = "l_orderkey", numBits = 1 << 20)
+          .withColumn("qty_c", cents(col("l_quantity")))
+          .drop("l_quantity")
+          .orderBy("l_orderkey", "l_linenumber", "qty_c")
+      },
+      Some(s"""
+        |SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+        |  ${centsSql("l.l_quantity")} AS qty_c
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
+        |""".stripMargin.trim)),
+
     // ---- per-event-type value stats (min/max as exact cents) ----------
     Q("q_events_stats",
       (s, d) => events(s, d)
