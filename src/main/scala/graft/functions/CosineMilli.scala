@@ -119,6 +119,8 @@ object GraftFunctions {
       // by a registry builder into an AggregateExpression
       ("min_by_obj", classOf[MinByObj],
         es => MinByObj(es.head, es(1))),
+      ("max_by_obj", classOf[MinByObj],
+        es => MinByObj(es.head, es(1), asc = false)),
       ("bloom_agg", classOf[BloomAgg],
         es => BloomAgg(es.head, es(1), es(2))),
       ("bloom_might_contain", classOf[BloomMightContain],

@@ -39,6 +39,7 @@ import org.apache.spark.sql.types.DataType
 case class MinByObj(
     valueExpr: Expression,
     ordExpr: Expression,
+    asc: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MinByObj.Buffer] {
@@ -46,13 +47,18 @@ case class MinByObj(
   override def children: Seq[Expression] = Seq(valueExpr, ordExpr)
   override def nullable: Boolean = true
   override def dataType: DataType = valueExpr.dataType
-  override def prettyName: String = "min_by_obj"
+  override def prettyName: String = if (asc) "min_by_obj" else "max_by_obj"
 
   override def checkInputDataTypes(): TypeCheckResult =
     TypeUtils.checkForOrderingExpr(ordExpr.dataType, prettyName)
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(ordExpr.dataType)
+  // asc=false flips the comparison: the same class serves as
+  // max_by_obj (registered under that name) — one buffer/serde
+  // implementation for both extremes
+  @transient private lazy val ordering: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(ordExpr.dataType)
+    if (asc) base else base.reverse
+  }
 
   override def createAggregationBuffer(): MinByObj.Buffer =
     new MinByObj.Buffer(null, null)

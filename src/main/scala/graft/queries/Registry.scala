@@ -14,7 +14,7 @@ object Registry {
   def all: Seq[Q] =
     RefQueries.all ++ AggQueries.all ++ TextQueries.all ++
       SimQueries.all ++ JobQueries.all ++ StreamQueries.all ++
-      MultimodalQueries.all ++ CorpusQueries.all
+      MultimodalQueries.all ++ CorpusQueries.all ++ MergeQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-family semantics: upsert replace/append, CDC latest-wins with
+  * delete suppression, SCD2 interval chaining. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert replaces matched keys and appends new ones") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val delta = Seq((2L, "B"), (9L, "i")).toDF("k", "v")
+    val out = Merge.upsert(snap, delta, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i")))
+  }
+
+  test("applyCdc: latest change wins, deletes suppress, rest pass") {
+    val snap = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val changes = Seq(
+      (1L, 11L, 1L, "U"), (1L, 12L, 2L, "U"),   // k=1: latest U v=12
+      (2L, 99L, 1L, "U"), (2L, 0L, 2L, "D"),    // k=2: latest D → gone
+      (4L, 40L, 1L, "U"), (4L, 41L, 2L, "D"),
+      (4L, 42L, 3L, "U")                        // k=4: insert via U
+    ).toDF("k", "v", "seq", "op")
+    val out = Merge.applyCdc(snap, changes, Seq("k"), Seq("seq"), "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 12L), (3L, 30L), (4L, 42L)))
+  }
+
+  test("applyCdc rejects changes missing the snapshot schema") {
+    val snap = Seq((1L, 10L)).toDF("k", "v")
+    val bad = Seq((1L, 1L, "U")).toDF("k", "seq", "op") // no v
+    intercept[IllegalArgumentException] {
+      Merge.applyCdc(snap, bad, Seq("k"), Seq("seq"), "op")
+    }
+  }
+
+  test("scd2 chains validity intervals per key") {
+    val versions = Seq(
+      (1L, 100L, "x1"), (1L, 200L, "x2"), (1L, 300L, "x3"),
+      (2L, 150L, "y1")
+    ).toDF("k", "eff", "payload")
+    val out = Merge.scd2(versions, Seq("k"), "eff", Seq("payload"))
+      .orderBy("k", "valid_from")
+      .select("k", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 200L, 0), (1L, 200L, 300L, 0), (1L, 300L, -1L, 1),
+      (2L, 150L, -1L, 1)))
+  }
+}
