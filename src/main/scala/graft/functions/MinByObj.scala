@@ -35,7 +35,20 @@ import org.apache.spark.sql.types.DataType
   * ignored; ties keep the first-merged candidate (callers that need
   * determinism — the dedup oracle does — make `ord` total by including
   * every column, exactly as [[graft.ops.Dedup.keepMostCompleteAgg]]
-  * does). Empty/all-null input yields null. */
+  * does). Empty/all-null input yields null.
+  *
+  * Performance history (measured, [[graft.tools.DedupAB]] at sf0.1):
+  * the round-3 version used the INTERPRETED struct ordering and two
+  * copyValue calls per improving row, and lost to the declarative
+  * min_by it replaced (q_dedup_agg 4.6→6.7 s). Two fixes reversed
+  * that: (1) struct orderings are now codegen'd via GenerateOrdering;
+  * (2) the compact `min_by_obj(x, x)` form (`sameExpr`) evals and
+  * copies ONE struct and ships half the partial-aggregate bytes.
+  * Result: obj beats decl at both low (~2.6 rows/key, 3.09 vs
+  * 3.27 s) and high (~50 rows/key, 0.99 vs 1.55 s) duplication; the
+  * WINDOW row_number form still wins below ~10 rows/key because
+  * InferWindowGroupLimit gives it map-side group-limit with codegen'd
+  * sorts — see [[graft.ops.Dedup]] for the operator-level guidance. */
 case class MinByObj(
     valueExpr: Expression,
     ordExpr: Expression,
@@ -54,11 +67,28 @@ case class MinByObj(
 
   // asc=false flips the comparison: the same class serves as
   // max_by_obj (registered under that name) — one buffer/serde
-  // implementation for both extremes
+  // implementation for both extremes.
+  // Struct orderings are CODEGEN'd (GenerateOrdering): the interpreted
+  // struct ordering boxes every field of both sides per comparison,
+  // and with one comparison per input row that constant dominated the
+  // sort it replaced (measured: q_dedup_agg 4.6->6.7 s with the
+  // interpreted form).
   @transient private lazy val ordering: Ordering[Any] = {
-    val base = TypeUtils.getInterpretedOrdering(ordExpr.dataType)
+    val base = ordExpr.dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+          .create(st).asInstanceOf[Ordering[Any]]
+      case dt => TypeUtils.getInterpretedOrdering(dt)
+    }
     if (asc) base else base.reverse
   }
+
+  // `min_by_obj(x, x)` — "min_obj" — is the compact formulation used
+  // when the ordering struct already CONTAINS the output row (e.g.
+  // dedup with a full-row tiebreak): evaluate once, copy once, ship
+  // one struct through the shuffle instead of two. Halves the
+  // per-improvement copy bytes and the partial-aggregate width.
+  @transient private lazy val sameExpr = valueExpr.semanticEquals(ordExpr)
 
   override def createAggregationBuffer(): MinByObj.Buffer =
     new MinByObj.Buffer(null, null)
@@ -68,9 +98,11 @@ case class MinByObj(
     val ord = ordExpr.eval(input)
     if (ord != null &&
         (buf.ord == null || ordering.compare(ord, buf.ord) < 0)) {
-      // eval results alias reused backing rows — copy both
+      // eval results alias reused backing rows — copy
       buf.ord = InternalRow.copyValue(ord)
-      buf.value = InternalRow.copyValue(valueExpr.eval(input))
+      buf.value =
+        if (sameExpr) buf.ord
+        else InternalRow.copyValue(valueExpr.eval(input))
     }
     buf
   }
@@ -91,7 +123,8 @@ case class MinByObj(
     UnsafeProjection.create(Array(ordExpr.dataType, valueExpr.dataType))
 
   override def serialize(buf: MinByObj.Buffer): Array[Byte] =
-    serProj(InternalRow(buf.ord, buf.value)).getBytes
+    // compact form: value == ord, don't ship it twice
+    serProj(InternalRow(buf.ord, if (sameExpr) null else buf.value)).getBytes
 
   override def deserialize(bytes: Array[Byte]): MinByObj.Buffer = {
     val row = new UnsafeRow(2)
@@ -100,7 +133,8 @@ case class MinByObj(
       if (row.isNullAt(0)) null
       else InternalRow.copyValue(row.get(0, ordExpr.dataType))
     val value =
-      if (row.isNullAt(1)) null
+      if (sameExpr) ord
+      else if (row.isNullAt(1)) null
       else InternalRow.copyValue(row.get(1, valueExpr.dataType))
     new MinByObj.Buffer(ord, value)
   }

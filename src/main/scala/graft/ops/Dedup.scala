@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * are the same entity; keep the single most-complete row (fewest
   * NULLs).
   *
-  * Scale notes (100 TB): this is ONE hash-partition shuffle on the key
-  * + an intra-partition sort — the minimal plan for this semantics
-  * (`Exchange hashpartitioning → Sort → WindowExec → Filter`). Skewed
-  * keys (one location/price bucket with millions of rows) are handled
-  * by AQE skew mitigation only for joins, not windows — if a key is
-  * known-hot, pre-aggregate with `min_by` instead (see
-  * [[keepMostCompleteAgg]], which is shuffle-equal but avoids the full
-  * sort and is the preferred 100 TB path). */
+  * Scale notes (100 TB): the window form is ONE hash-partition shuffle
+  * on the key + intra-partition sorts, and since Spark 3.5
+  * `InferWindowGroupLimit` adds a PARTIAL `WindowGroupLimit` below the
+  * exchange — each map task ships one candidate per key, i.e. the
+  * map-side combine the aggregate form was assumed to monopolize.
+  * Measured A/B ([[graft.tools.DedupAB]], sf0.1, local[32], medians):
+  * at ~2.6 rows/key window 2.1 s vs min_by_obj 3.1 s; at ~50 rows/key
+  * min_by_obj 0.99 s vs window 1.6 s. Crossover ≈ 10 rows/key — use
+  * [[keepMostComplete]] for lightly-duplicated data and
+  * [[keepMostCompleteAgg]] when duplication is heavy or keys are
+  * skewed (the object-hash aggregate has no per-group sort to skew). */
 object Dedup {
 
   /** A1 (merge_dedup.py:21-22) — horizontal null count: an N-ary
@@ -43,35 +46,70 @@ object Dedup {
 
   /** Same semantics as [[keepMostComplete]] via a min-by aggregate over
     * a packed (null_count, tiebreak) ordering struct. One
-    * partial-aggregable shuffle, no sort, no row_number — the 100 TB
-    * path: map-side combine means each executor ships at most one
-    * candidate row per key per partition instead of every duplicate.
+    * partial-aggregable shuffle, no sort, no row_number — the
+    * heavy-duplication path (measured crossover vs the window form is
+    * ~10 rows/key; see the object scaladoc).
     *
     * Uses [[graft.functions.MinByObj]], not the built-in `min_by`: the
     * declarative min_by keeps its struct arguments in the aggregation
     * buffer, struct buffers aren't HashAggregate-mutable, and the plan
-    * silently degrades to SortAggregateExec — a full sort on BOTH sides
-    * of the shuffle, precisely what this formulation exists to avoid.
-    * The typed-imperative twin runs in ObjectHashAggregateExec. */
+    * silently degrades to SortAggregateExec. The typed-imperative twin
+    * runs in ObjectHashAggregateExec and measured faster than the
+    * declarative form at BOTH duplication regimes once its ordering
+    * was codegen'd and the compact single-struct form landed
+    * (obj 3.09/0.99 s vs decl 3.27/1.55 s — low/high dup). */
   def keepMostCompleteAgg(df: DataFrame, keys: Seq[String],
                           tiebreak: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val counted = df.columns.toIndexedSeq
     val ord = struct(
-      (nullCount(counted.map(col)).as("nc") +: tiebreak.map(col)): _*)
-    val packed = struct(counted.map(col): _*)
+      (nullCount(counted.map(col)).as("__nc") +: tiebreak.map(col)): _*)
     // build the structs in a codegen'd Project BELOW the aggregate:
     // a typed-imperative update() evaluates its argument expressions
     // interpreted per row, so handing it CreateStruct trees would undo
-    // the sort-free win — handing it two ready attributes keeps the
+    // the sort-free win — handing it ready attributes keeps the
     // per-row work whole-stage-compiled
-    val out = df
-      .withColumn("__ord", ord).withColumn("__packed", packed)
+    if (counted.forall(c => keys.contains(c) || tiebreak.contains(c)) &&
+        tiebreak.distinct == tiebreak) {
+      // COMPACT path: the ordering struct already carries every output
+      // column, so aggregate ONE struct — min_by_obj(ord, ord) evals
+      // once, copies once, and ships half the bytes of the two-struct
+      // form (see MinByObj.sameExpr). This is the common dedup shape:
+      // determinism demands a total tiebreak, which means full-row.
+      df.withColumn("__ord", ord)
+        .groupBy(keys.map(col): _*)
+        .agg(call_function("min_by_obj", col("__ord"), col("__ord"))
+          .as("__row"))
+        .select(counted.map { c =>
+          if (tiebreak.contains(c)) col(s"__row.$c").as(c) else col(c)
+        }: _*)
+    } else {
+      val packed = struct(counted.map(col): _*)
+      df.withColumn("__ord", ord).withColumn("__packed", packed)
+        .groupBy(keys.map(col): _*)
+        .agg(call_function("min_by_obj", col("__packed"), col("__ord"))
+          .as("__row"))
+        .select(counted.map(c => col(s"__row.$c").as(c)): _*)
+    }
+  }
+
+  /** The declarative-`min_by` twin of [[keepMostCompleteAgg]] — kept as
+    * a measured A/B alternative. Its struct aggregation buffer is not
+    * HashAggregate-mutable, so the plan runs as `SortAggregateExec`
+    * (radix sorts on both sides of the shuffle). Measured at sf0.1
+    * (~2.6 rows/key) this was FASTER than the round-3 interpreted
+    * min_by_obj and is the bar the typed-imperative form must beat;
+    * see [[graft.functions.MinByObj]] for the current numbers. */
+  def keepMostCompleteAggDecl(df: DataFrame, keys: Seq[String],
+                              tiebreak: Seq[String]): DataFrame = {
+    val counted = df.columns.toIndexedSeq
+    val ord = struct(
+      (nullCount(counted.map(col)).as("nc") +: tiebreak.map(col)): _*)
+    df.withColumn("__ord", ord)
+      .withColumn("__packed", struct(counted.map(col): _*))
       .groupBy(keys.map(col): _*)
-      .agg(call_function("min_by_obj", col("__packed"), col("__ord"))
-        .as("__row"))
+      .agg(min_by(col("__packed"), col("__ord")).as("__row"))
       .select(counted.map(c => col(s"__row.$c").as(c)): _*)
-    out
   }
 
   /** Exact duplicate removal at content granularity: group on a
@@ -86,13 +124,18 @@ object Dedup {
     // and null-vs-empty distinctions
     val fp = sha2(to_json(struct(contentCols.map(col): _*)), 256)
     val counted = df.columns.toIndexedSeq
-    val packed = struct(counted.map(col): _*)
+    // materialize the structs in a codegen'd Project BELOW the
+    // aggregate (same reasoning as keepMostCompleteAgg: a
+    // typed-imperative update() evaluates raw CreateStruct argument
+    // trees interpreted per row)
     df.withColumn("__fp", fp)
+      .withColumn("__packed", struct(counted.map(col): _*))
+      .withColumn("__ord", struct(tiebreak.map(col): _*))
       .groupBy(col("__fp"))
       // min_by_obj, not min_by: ObjectHashAggregate vs SortAggregate
       // (see keepMostCompleteAgg)
-      .agg(call_function("min_by_obj", packed,
-        struct(tiebreak.map(col): _*)).as("__row"))
+      .agg(call_function("min_by_obj", col("__packed"), col("__ord"))
+        .as("__row"))
       .select(counted.map(c => col(s"__row.$c").as(c)): _*)
   }
 }

@@ -37,7 +37,12 @@ import org.apache.spark.sql.types.IntegerType
   * literal 1), so parent plans are untouched.
   *
   * Registered via `spark.experimental.extraOptimizations` (the
-  * runtime form of SparkSessionExtensions#injectOptimizerRule). */
+  * runtime form of SparkSessionExtensions#injectOptimizerRule).
+  * Injection is deliberately OPT-IN per session: the aggregate form
+  * wins when groups hold many rows (measured crossover ~10 rows/key,
+  * see [[graft.ops.Dedup]]); below that Spark's own
+  * InferWindowGroupLimit already gives the window form map-side
+  * group-limit and the rewrite would not pay for itself. */
 object DedupWindowToAggregate extends Rule[LogicalPlan] {
 
   private def one(e: Expression): Boolean = e match {
@@ -98,21 +103,59 @@ object DedupWindowToAggregate extends Rule[LogicalPlan] {
       // typed-imperative update() evaluates its children interpreted
       // per row, which for raw CreateStruct trees would re-introduce
       // the per-row expression cost the rewrite removes.
-      val rowAlias0 = Alias(CreateStruct(child.output.toList), "__dedup_in")()
-      val ordAlias0 = Alias(CreateStruct(ordSpec.map(_.child).toList),
-        "__dedup_ord")()
-      val packed = Project(child.output ++ Seq(rowAlias0, ordAlias0), child)
-      val rowAlias = Alias(
-        MinByObj(rowAlias0.toAttribute, ordAlias0.toAttribute)
-          .toAggregateExpression(), "__dedup_row")()
-      val agg = Aggregate(partSpec, Seq(rowAlias), packed)
-      val structAttr = rowAlias.toAttribute
-      val restored = child.output.zipWithIndex.map { case (a, i) =>
-        Alias(GetStructField(structAttr, i, Some(a.name)), a.name)(
-          exprId = a.exprId, qualifier = a.qualifier)
-      }
+      val ordChildren = ordSpec.map(_.child)
+      val partAttrs = partSpec.collect { case a: AttributeReference => a }
+      // COMPACT form: when the sort keys + partition keys are plain
+      // attributes covering every output column (the deterministic
+      // full-row-tiebreak dedup shape), the ordering struct IS the row
+      // — aggregate one struct via min_by_obj(ord, ord) (eval once,
+      // copy once, half the shuffle width) and restore columns from
+      // grouping keys / struct fields.
+      val compact =
+        ordChildren.forall(_.isInstanceOf[AttributeReference]) &&
+        partSpec.forall(_.isInstanceOf[AttributeReference]) &&
+        child.output.forall(a =>
+          partAttrs.exists(_.exprId == a.exprId) ||
+          ordChildren.exists(
+            _.asInstanceOf[AttributeReference].exprId == a.exprId))
       val rnRestored =
         Alias(Literal(1), alias.name)(exprId = alias.exprId)
-      Project(restored :+ rnRestored, agg)
+      if (compact) {
+        val ordAlias0 = Alias(CreateStruct(ordChildren.toList),
+          "__dedup_ord")()
+        val packed = Project(child.output :+ ordAlias0, child)
+        val rowAlias = Alias(
+          MinByObj(ordAlias0.toAttribute, ordAlias0.toAttribute)
+            .toAggregateExpression(), "__dedup_row")()
+        val agg = Aggregate(partSpec,
+          (partAttrs: Seq[NamedExpression]) :+ rowAlias, packed)
+        val structAttr = rowAlias.toAttribute
+        val restored = child.output.map { a =>
+          if (partAttrs.exists(_.exprId == a.exprId)) a
+          else {
+            val idx = ordChildren.indexWhere(
+              _.asInstanceOf[AttributeReference].exprId == a.exprId)
+            Alias(GetStructField(structAttr, idx, Some(a.name)), a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+          }
+        }
+        Project(restored :+ rnRestored, agg)
+      } else {
+        val rowAlias0 = Alias(CreateStruct(child.output.toList),
+          "__dedup_in")()
+        val ordAlias0 = Alias(CreateStruct(ordChildren.toList),
+          "__dedup_ord")()
+        val packed = Project(child.output ++ Seq(rowAlias0, ordAlias0), child)
+        val rowAlias = Alias(
+          MinByObj(rowAlias0.toAttribute, ordAlias0.toAttribute)
+            .toAggregateExpression(), "__dedup_row")()
+        val agg = Aggregate(partSpec, Seq(rowAlias), packed)
+        val structAttr = rowAlias.toAttribute
+        val restored = child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(structAttr, i, Some(a.name)), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        }
+        Project(restored :+ rnRestored, agg)
+      }
   }
 }

@@ -33,7 +33,7 @@ object RefQueries {
   /** The two-source union the flagship dedups: lineitem as source "a"
     * plus a deterministically degraded copy as source "b" (stands in for
     * the reference's propnex ∪ srx merge, merge_dedup.py:56). */
-  private def twoSourceUnion(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def twoSourceUnion(s: org.apache.spark.sql.SparkSession, d: String) = {
     val li = lineitem(s, d)
     val a = li.withColumn("src", lit("a"))
     val b = li
