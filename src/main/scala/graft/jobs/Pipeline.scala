@@ -57,9 +57,8 @@ object Pipeline {
     * pre-sorted buckets. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .format("parquet").saveAsTable(table)
+    graft.ops.Bucketing.writeBucketed(df, table, bucketCol, buckets,
+      overwrite = true)
 
   /** CLI: <propnexJson> <srxJson> <historicalCsvDir> <dimsDir> <outDir>
     * [runDate]. */

@@ -25,14 +25,25 @@ object Bucketing {
     * sliver of every bucket (tasks×buckets files), and the downstream
     * scan must merge-sort many fragments per bucket.
     *
-    * Re-invocations in the same session reuse the existing table
-    * (bucket metadata lives in the session catalog; the driver
-    * harness builds a fresh session per run, which rewrites — the
-    * idempotent-overwrite contract of the reference's sinks). */
+    * With `overwrite = false` re-invocations in the same session reuse
+    * the existing table (bucket metadata lives in the session catalog;
+    * the driver harness builds a fresh session per run, which
+    * rewrites); `overwrite = true` is the idempotent-overwrite sink
+    * contract of the reference ([[graft.jobs.Pipeline.writeBucketed]]
+    * delegates here with it). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): DataFrame = {
+                    buckets: Int, overwrite: Boolean = false): DataFrame = {
     val s = df.sparkSession
-    if (!s.catalog.tableExists(table)) {
+    if (overwrite || !s.catalog.tableExists(table)) {
+      // the session catalog is in-memory: a previous SESSION may have
+      // left the managed location on disk with no catalog entry, which
+      // fails CTAS with LOCATION_ALREADY_EXISTS — clear both
+      s.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       df.repartition(buckets, col(key))
         .write
         .bucketBy(buckets, key)
@@ -47,7 +58,11 @@ object Bucketing {
   /** Equi-join two same-bucketed tables WITHOUT an exchange. The MERGE
     * hint stops the planner from "helpfully" broadcasting a small side
     * — the point of the layout is that NEITHER side moves, which is
-    * the shape that survives both sides growing 1000×. */
+    * the shape that survives both sides growing 1000×. A per-bucket
+    * Sort remains in the plan (linear, over single-file buckets that
+    * are already sorted): since Spark 3.0 bucketed scans only report
+    * sorted output ordering under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering`. */
   def bucketedJoin(s: SparkSession, leftTable: String, rightTable: String,
                    leftKey: String, rightKey: String): DataFrame = {
     val l = s.table(leftTable).hint("merge")

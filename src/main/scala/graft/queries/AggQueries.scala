@@ -625,6 +625,32 @@ object AggQueries {
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
+    // ---- Bucketed (exchange-free) join ---------------------------------
+    // The storage-layout answer to repeated fact joins: both sides
+    // written bucketed on the join key (one file per bucket, sorted),
+    // so the join plans with ZERO exchanges — the shuffle was paid once
+    // at write time. The oracle is the PLAIN join: the layout must not
+    // change a single row. The exchange-free plan property itself is
+    // pinned by BucketingSpec.
+    Q("q_bucketed_join",
+      (s, d) => {
+        val o = orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+        val c = customer(s, d).select("c_custkey", "c_mktsegment")
+        graft.ops.Bucketing.writeBucketed(o, "bkt_orders", "o_custkey", 8)
+        graft.ops.Bucketing.writeBucketed(c, "bkt_customer", "c_custkey", 8)
+        graft.ops.Bucketing.bucketedJoin(s, "bkt_orders", "bkt_customer",
+            "o_custkey", "c_custkey")
+          .select("o_orderkey", "o_custkey", "o_orderpriority",
+            "c_mktsegment")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey, o_custkey, o_orderpriority, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey
+        |""".stripMargin.trim)),
+
     // ---- per-event-type value stats (min/max as exact cents) ----------
     Q("q_events_stats",
       (s, d) => events(s, d)
