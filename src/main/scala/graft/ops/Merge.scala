@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   * world daily is not an option).
   *
   * Scale shapes:
-  *  - [[upsert]]: one anti-join on the key (broadcast when the update
-  *    batch is small — the common case: daily delta ≪ snapshot) + a
-  *    union. No sort, no window.
+  *  - [[upsert]]: one anti-join on the key + a union. No sort, no
+  *    window. The key-set side is NOT hint-forced to broadcast: a
+  *    daily delta ≪ snapshot gets broadcast anyway (statically when
+  *    stats are under spark.sql.autoBroadcastJoinThreshold, else by
+  *    AQE from the measured size of the distinct-keys aggregate),
+  *    while a fact-sized CDC batch degrades gracefully to a shuffled
+  *    anti-join instead of failing on the 8 GB broadcast limit /
+  *    driver OOM — a forced hint would suppress exactly that judgment.
   *  - [[applyCdc]]: ONE partial-aggregable max_by_obj shuffle over the
   *    change log (each task ships one candidate per key) + the upsert
   *    join. Change logs compact before touching the snapshot.
@@ -27,8 +32,8 @@ object Merge {
     * rest. Both sides must share the full schema. */
   def upsert(target: DataFrame, updates: DataFrame,
              keys: Seq[String]): DataFrame = {
-    val kept = target.join(broadcast(updates.select(keys.map(col): _*)
-        .distinct()), keys, "left_anti")
+    val kept = target.join(updates.select(keys.map(col): _*)
+        .distinct(), keys, "left_anti")
     kept.unionByName(updates)
   }
 
@@ -63,8 +68,11 @@ object Merge {
       .select(payloadCols.map(col): _*)
     // touched = every key with ANY change (deletes must suppress the
     // snapshot row even when the delete is the latest change)
+    // no broadcast hint: see the object scaladoc — the planner/AQE
+    // broadcasts a small touched-key set on its own, and a fact-sized
+    // change batch must be allowed to shuffle instead
     val touched = changes.select(keys.map(col): _*).distinct()
-    snapshot.join(broadcast(touched), keys, "left_anti")
+    snapshot.join(touched, keys, "left_anti")
       .unionByName(upserts)
   }
 

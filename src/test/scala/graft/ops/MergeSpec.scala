@@ -37,6 +37,46 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("upsert/applyCdc do not force a broadcast: a fact-sized delta " +
+      "plans as a shuffled anti-join") {
+    // simulate "delta too big to broadcast" by zeroing the threshold:
+    // with no forced hint the planner must fall back to a shuffled
+    // join instead of failing on broadcast limits at real scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val snap = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val delta = spark.range(900).select(col("id").as("k"),
+        (col("id") * 3).as("v"))
+      val up = Merge.upsert(snap, delta, Seq("k"))
+      val plan = up.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"expected shuffled anti-join for a large delta:\n$plan")
+      assert(up.count() == 1000)
+      val changes = delta.withColumn("seq", lit(1L))
+        .withColumn("op", lit("U"))
+      val cdc = Merge.applyCdc(snap, changes, Seq("k"), Seq("seq"), "op")
+      val cdcPlan = cdc.queryExecution.executedPlan.toString
+      assert(!cdcPlan.contains("BroadcastExchange"),
+        s"expected shuffled anti-join for a large change batch:\n$cdcPlan")
+      assert(cdc.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("upsert still broadcasts a small delta when the planner may") {
+    val snap = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("v"))
+    val delta = Seq((1L, 7L), (2000L, 8L)).toDF("k", "v")
+    val plan = Merge.upsert(snap, delta, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"small key set should be planner-broadcast:\n$plan")
+  }
+
   test("scd2 chains validity intervals per key") {
     val versions = Seq(
       (1L, 100L, "x1"), (1L, 200L, "x2"), (1L, 300L, "x3"),
