@@ -24,6 +24,7 @@ object Bench {
     catch { case _: Throwable => }
     // stable ordering + GC between queries: keeps one query's garbage
     // from being charged to the next and makes runs comparable
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         System.gc()
@@ -32,7 +33,12 @@ object Bench {
         // in the plan — .count() let Catalyst prune exactly the per-row
         // expression work most of these queries exist to measure
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a throwing query must not masquerade as a ~0 s speedup:
+          // record it and surface the list in the JSON line
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     // The driver captures only the TAIL of this process's output
@@ -46,14 +52,16 @@ object Bench {
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val failedJson = failed.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     val topQs = fullQs.take(25).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$topQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$topQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -218,6 +218,29 @@ object AggQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // Companion that turns the rows-only HLL check into a hash-matched
+    // BOUND check (same pattern as q_simhash_detected): Spark computes
+    // |approx - exact| <= 5% * exact per group; the oracle computes the
+    // exact distinct and asserts the bound HELD (within_bound = true).
+    // A drifting sketch flips the boolean and the hash mismatches. The
+    // 5% bound is 2.5x the requested 2% rsd — comfortably outside
+    // noise, honestly inside failure.
+    Q("q_agg_approx_distinct_bound",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("n_part_exact"))
+        .select(col("l_returnflag"), col("n_part_exact"),
+          (abs(col("approx") - col("n_part_exact")) <=
+            lit(0.05) * col("n_part_exact")).as("within_bound"))
+        .orderBy("l_returnflag"),
+      Some("""
+        |SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_part_exact,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
     // ---- running total per entity (cumulative window) -----------------
     Q("q_window_running_total",
       (s, d) => {
@@ -613,6 +636,59 @@ object AggQueries {
             lineitem(s, d).select("l_orderkey", "l_linenumber",
               "l_quantity"),
             urgent, key = "l_orderkey", numBits = 1 << 20)
+          .withColumn("qty_c", cents(col("l_quantity")))
+          .drop("l_quantity")
+          .orderBy("l_orderkey", "l_linenumber", "qty_c")
+      },
+      Some(s"""
+        |SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+        |  ${centsSql("l.l_quantity")} AS qty_c
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
+        |""".stripMargin.trim)),
+
+    // Multi-column-key Bloom pruning: the composite key is hashed
+    // through ONE xxhash64 (same as the shuffle's own composite hash).
+    // Oracle = the plain two-key join.
+    Q("q_join_bloom_multikey",
+      (s, d) => {
+        val dim = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey", "o_orderdate").distinct()
+        graft.ops.Joins.bloomPrunedJoin(
+            orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate",
+              "o_totalprice"),
+            dim, keys = Seq("o_custkey", "o_orderdate"), how = "inner",
+            numBits = 1 << 20, numHashes = 7)
+          .withColumn("price_c", cents(col("o_totalprice")))
+          .drop("o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |  ${centsSql("o.o_totalprice")} AS price_c
+        |FROM orders o JOIN (
+        |  SELECT DISTINCT o_custkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT') u
+        |ON o.o_custkey = u.o_custkey AND o.o_orderdate = u.o_orderdate
+        |ORDER BY o_orderkey
+        |""".stripMargin.trim)),
+
+    // IN-pruned join — the EXACT runtime-filter twin of the Bloom gate:
+    // the urgent key set is collected (bounded) and pushed into the
+    // lineitem scan as PushedFilters: In(...), pruning row-groups at
+    // the I/O layer. Oracle = the same plain join as q_join_bloom_pruned.
+    Q("q_join_in_pruned",
+      (s, d) => {
+        val urgent = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority"))
+        graft.ops.Joins.inPrunedJoin(
+            lineitem(s, d).select("l_orderkey", "l_linenumber",
+              "l_quantity"),
+            urgent, keys = Seq("l_orderkey"))
           .withColumn("qty_c", cents(col("l_quantity")))
           .drop("l_quantity")
           .orderBy("l_orderkey", "l_linenumber", "qty_c")
