@@ -140,20 +140,81 @@ object Joins {
     * fact table and shuffling the matching fraction.
     *
     * `numBits` defaults to 4M (512 KB sketch — broadcast-trivial);
-    * size at ~10 bits/key for ~1% false-positive rate. */
-  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                      how: String = "inner",
-                      numBits: Int = 1 << 22,
-                      numHashes: Int = 7): DataFrame = {
+    * size at ~10 bits/key for ~1% false-positive rate.
+    *
+    * `how` is restricted to SUPERSET-SAFE join types (inner, semi,
+    * right/right-outer): pre-filtering the fact side drops only rows
+    * the join's equality check would drop anyway. Left/full-outer and
+    * left-anti need NON-matching fact rows to survive, so pruning
+    * would silently corrupt them — rejected at construction.
+    *
+    * Multi-column keys hash all key columns through one xxhash64 (the
+    * same composite hashing the shuffle itself uses). */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                      how: String,
+                      numBits: Int,
+                      numHashes: Int): DataFrame = {
+    requireSupersetSafe(how, "bloomPrunedJoin")
     graft.functions.GraftFunctions.ensureRegistered(fact.sparkSession)
     val sketch = dim
-      .agg(call_function("bloom_agg", xxhash64(col(key)),
+      .agg(call_function("bloom_agg", xxhash64(keys.map(col): _*),
         lit(numBits), lit(numHashes)).as("b"))
       .head().getAs[Array[Byte]](0)
     val pruned = fact.filter(
       call_function("bloom_might_contain", lit(sketch),
-        xxhash64(col(key))))
-    pruned.join(dim, Seq(key), how)
+        xxhash64(keys.map(col): _*)))
+    pruned.join(dim, keys, how)
+  }
+
+  /** Single-key convenience overload. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      how: String = "inner",
+                      numBits: Int = 1 << 22,
+                      numHashes: Int = 7): DataFrame =
+    bloomPrunedJoin(fact, dim, Seq(key), how, numBits, numHashes)
+
+  /** IN-pruned equi-join — the EXACT runtime-filter shape (the
+    * IN-subquery variant of [[bloomPrunedJoin]]): collect the dim
+    * side's distinct join keys to the driver (bounded by `maxKeys` —
+    * this operator is for genuinely small key sets) and push per-column
+    * `IN (...)` predicates into the fact scan. Unlike the Bloom form,
+    * the predicate reaches the parquet reader as `PushedFilters:
+    * In(...)`, so row-groups whose min/max or dictionary exclude the
+    * key set are skipped WITHOUT being read — pruning at the I/O
+    * layer, before any CPU is spent.
+    *
+    * With composite keys the per-column INs are a cartesian RELAXATION
+    * of the true key set; relaxation only weakens pruning, never
+    * correctness, because the join's equality check re-verifies exact
+    * membership. Same superset-safe `how` restriction as
+    * [[bloomPrunedJoin]]. Fails loudly when the dim key set exceeds
+    * `maxKeys` — falling back silently would hide a driver-memory
+    * hazard; use the Bloom form there. */
+  def inPrunedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                   how: String = "inner",
+                   maxKeys: Int = 100000): DataFrame = {
+    requireSupersetSafe(how, "inPrunedJoin")
+    val rows = dim.select(keys.map(col): _*).distinct()
+      .limit(maxKeys + 1).collect()
+    require(rows.length <= maxKeys,
+      s"inPrunedJoin: dim key set exceeds maxKeys=$maxKeys — " +
+        "use bloomPrunedJoin for large key sets")
+    val pruned = keys.zipWithIndex.foldLeft(fact) { case (df, (k, i)) =>
+      val values = rows.map(_.get(i)).distinct.toSeq
+      df.filter(col(k).isin(values: _*))
+    }
+    pruned.join(dim, keys, how)
+  }
+
+  /** Join types for which pre-filtering the FACT (left) side by dim
+    * key membership cannot change the result. */
+  private def requireSupersetSafe(how: String, op: String): Unit = {
+    val safe = Set("inner", "semi", "leftsemi", "left_semi",
+      "right", "rightouter", "right_outer")
+    require(safe.contains(how.toLowerCase.replace(" ", "")),
+      s"$op only supports superset-safe join types " +
+        s"(${safe.mkString(", ")}): pre-filtering the fact side drops " +
+        s"non-matching rows that '$how' requires to survive")
   }
 
   /** J4 (propnex_transformation.py:130-131) — alias-overwrite enrich:

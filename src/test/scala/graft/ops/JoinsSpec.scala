@@ -45,6 +45,55 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("bloomPrunedJoin / inPrunedJoin reject non-superset-safe join " +
+      "types") {
+    val f = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    val d = spark.range(10).selectExpr("id AS k", "id AS w")
+    for (how <- Seq("left", "left_outer", "full", "full_outer",
+        "left_anti", "anti")) {
+      intercept[IllegalArgumentException] {
+        Joins.bloomPrunedJoin(f, d, "k", how = how)
+      }
+      intercept[IllegalArgumentException] {
+        Joins.inPrunedJoin(f, d, Seq("k"), how = how)
+      }
+    }
+    // superset-safe types construct fine
+    assert(Joins.bloomPrunedJoin(f, d, "k", how = "left_semi").count() == 10)
+    assert(Joins.inPrunedJoin(f, d, Seq("k"), how = "right").count() == 10)
+  }
+
+  test("bloomPrunedJoin on a composite key matches the plain join") {
+    val f = spark.range(500).selectExpr("id % 20 AS k1", "id % 7 AS k2",
+      "id AS v")
+    val d = spark.range(6).selectExpr("id AS k1", "id % 7 AS k2",
+      "id * 10 AS w")
+    val got = Joins.bloomPrunedJoin(f, d, Seq("k1", "k2"), "inner",
+        1 << 16, 7)
+      .sort("k1", "k2", "v").collect().toSeq
+    val expected = f.join(d, Seq("k1", "k2"))
+      .sort("k1", "k2", "v").collect().toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("inPrunedJoin pushes the key set into the fact scan and bounds " +
+      "the collect") {
+    val dir = java.nio.file.Files.createTempDirectory("inpruned").toString
+    spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val d = spark.range(5).selectExpr("id * 100 AS k", "id AS w")
+    val joined = Joins.inPrunedJoin(fact, d, Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(k"),
+      s"expected In filter pushed to the parquet scan:\n$plan")
+    assert(joined.count() == 5)
+    intercept[IllegalArgumentException] {
+      Joins.inPrunedJoin(fact, spark.range(50).selectExpr("id AS k"),
+        Seq("k"), maxKeys = 10)
+    }
+  }
+
   test("enrichOverwrite overwrites colliding fact columns from dim") {
     val f = fact.withColumn("district", lit(-1))
     val d = dim.withColumn("town", lower(col("town")))
