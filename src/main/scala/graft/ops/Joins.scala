@@ -194,14 +194,24 @@ object Joins {
                    how: String = "inner",
                    maxKeys: Int = 100000): DataFrame = {
     requireSupersetSafe(how, "inPrunedJoin")
-    val rows = dim.select(keys.map(col): _*).distinct()
-      .limit(maxKeys + 1).collect()
+    // collect INTERNAL rows: the values feed an InSet directly, and a
+    // single InSet over a hash set is what `isin(30k literals)` only
+    // becomes after the analyzer/optimizer have walked a 30k-node
+    // expression tree — at that size the tree walk alone costs seconds
+    // of driver time per query
+    val keyPlan = dim.select(keys.map(col): _*).distinct()
+      .limit(maxKeys + 1)
+    val rows = keyPlan.queryExecution.executedPlan.executeCollect()
     require(rows.length <= maxKeys,
       s"inPrunedJoin: dim key set exceeds maxKeys=$maxKeys — " +
         "use bloomPrunedJoin for large key sets")
+    val keyTypes = keyPlan.schema.fields.map(_.dataType)
+    import org.apache.spark.sql.graft.Internals
     val pruned = keys.zipWithIndex.foldLeft(fact) { case (df, (k, i)) =>
-      val values = rows.map(_.get(i)).distinct.toSeq
-      df.filter(col(k).isin(values: _*))
+      val values = rows.map(_.get(i, keyTypes(i))).toSet
+      df.filter(Internals.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          Internals.expression(col(k)), values)))
     }
     pruned.join(dim, keys, how)
   }

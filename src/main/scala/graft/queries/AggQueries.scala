@@ -679,10 +679,14 @@ object AggQueries {
     // the urgent key set is collected (bounded) and pushed into the
     // lineitem scan as PushedFilters: In(...), pruning row-groups at
     // the I/O layer. Oracle = the same plain join as q_join_bloom_pruned.
+    // The dim is deliberately SMALL (~1.5k keys at sf0.1): the exact
+    // IN form is for genuinely small key sets — beyond that regime the
+    // Bloom form is the right tool (and inPrunedJoin enforces maxKeys).
     Q("q_join_in_pruned",
       (s, d) => {
         val urgent = orders(s, d)
-          .filter(col("o_orderpriority") === "1-URGENT")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderkey") % 20 === 0)
           .select(col("o_orderkey").as("l_orderkey"),
             col("o_orderpriority"))
         graft.ops.Joins.inPrunedJoin(
@@ -697,7 +701,7 @@ object AggQueries {
         |SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
         |  ${centsSql("l.l_quantity")} AS qty_c
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_orderpriority = '1-URGENT'
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 20 = 0
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
