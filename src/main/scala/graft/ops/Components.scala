@@ -93,4 +93,25 @@ object Components {
         "(component diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Pick ONE representative per component — the keep-best stage that
+    * turns near-dup clusters back into a deduplicated corpus: join the
+    * component labels to a scored view of the members and take
+    * `min_by(id, score)` per component. Make `scoreCol` TOTAL over
+    * members (fold the id into the low digits) or ties are
+    * implementation-chosen.
+    *
+    * Scale shape: one equi-join on the id (both sides already
+    * hash-partitioned by id from the components run) + one
+    * partial-aggregable min_by shuffle on the component — no window,
+    * no sort. min_by over two LONGs has a flat HashAggregate-mutable
+    * buffer, so this stays in codegen'd HashAggregateExec (the struct
+    * degradation [[graft.functions.MinByObj]] exists for does not
+    * apply). */
+  def representatives(components: DataFrame, scored: DataFrame,
+                      idCol: String, scoreCol: String): DataFrame =
+    components.join(scored, idCol)
+      .groupBy("component")
+      .agg(min_by(col(idCol), col(scoreCol)).as("rep_id"),
+        count(lit(1)).as("members"))
 }

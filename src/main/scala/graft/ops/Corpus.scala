@@ -91,4 +91,58 @@ object Corpus {
       .withColumn("bin",
         expr(s"(cum_tokens - $tokenCol) div ${budget}L"))
   }
+
+  /** 4-hex-digit md5-prefix upper bounds for the first n-1 splits
+    * (the last split is the CASE/otherwise fallthrough). Shared by
+    * the Column and SQL forms so both engines draw identical
+    * boundaries. */
+  private def splitBoundsHex(splits: Seq[(String, Double)])
+      : Seq[(String, String)] = {
+    require(splits.size >= 2, "deterministicSplit needs >= 2 splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6,
+      "split fractions must sum to 1")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.map(_._1).zip(
+      cum.init.map(f => f"${math.round(f * 65536).toInt}%04x"))
+  }
+
+  /** Deterministic train/val/test assignment: each row lands in a
+    * split according to where the first 4 hex digits of
+    * `md5(concat_ws('|', keys))` fall among cumulative-fraction
+    * boundaries in the 16^4 space. Seedless and engine-portable
+    * (md5 hex compares identically everywhere), stable under corpus
+    * growth and reordering (a document's split never changes when
+    * other documents arrive — the property `randomSplit` lacks), and
+    * a pure per-row projection: shuffle-free, codegen'd, scan-speed
+    * at 100 TB. Proportions are exact to 1/65536 (±0.002%).
+    *
+    * Split by a STABLE identity key (doc id, url); splitting by
+    * content hash would also be valid but then near-duplicate leakage
+    * across splits must already have been removed (see
+    * [[graft.ops.Similarity]]). */
+  def deterministicSplit(df0: DataFrame, keyCols: Seq[String],
+                         splits: Seq[(String, Double)],
+                         outCol: String = "split"): DataFrame = {
+    val bounds = splitBoundsHex(splits)
+    val h = substring(md5(concat_ws("|",
+      keyCols.map(c => col(c).cast("string")): _*)), 1, 4)
+    val first = when(h < lit(bounds.head._2), lit(bounds.head._1))
+    val chain = bounds.tail.foldLeft(first) { case (acc, (name, hex)) =>
+      acc.when(h < lit(hex), lit(name))
+    }
+    df0.withColumn(outCol, chain.otherwise(lit(splits.last._1)))
+  }
+
+  /** The DuckDB-SQL twin of [[deterministicSplit]] for oracle
+    * authoring: `keyExpr` must render the same string the Column form
+    * hashes (for one key: `CAST(doc_id AS VARCHAR)`). */
+  def deterministicSplitSql(keyExpr: String,
+                            splits: Seq[(String, Double)]): String = {
+    val bounds = splitBoundsHex(splits)
+    val whens = bounds.map { case (name, hex) =>
+      s"WHEN substr(md5($keyExpr), 1, 4) < '$hex' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${splits.last._1}' END"
+  }
 }

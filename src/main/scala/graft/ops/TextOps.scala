@@ -200,4 +200,49 @@ object TextOps {
 
   def wordShingles(c: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(c), n)
+
+  // ---- PII redaction -------------------------------------------------
+  // Patterns are deliberately RE2-compatible (no lookaround): they must
+  // run identically under Java regex (Spark) and RE2 (DuckDB oracle,
+  // and the re2 engines common in scale-out scrubbing). This is the
+  // structural-PII pass of a training-data pipeline; entity-level PII
+  // (names, addresses) needs an NER stage, out of scope here.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ssnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** Replace structural PII with typed placeholder tokens. Fixed
+    * order (email, SSN, phone) so overlapping digit runs resolve the
+    * same way everywhere; pure per-row regexp_replace — codegen'd,
+    * shuffle-free, scan-speed. */
+  def redactPii(c: Column): Column = {
+    val e = regexp_replace(c, emailRe, "<EMAIL>")
+    val s = regexp_replace(e, ssnRe, "<SSN>")
+    regexp_replace(s, phoneRe, "<PHONE>")
+  }
+
+  /** DuckDB twin of [[redactPii]] (same patterns, same order; 'g' —
+    * DuckDB replaces only the first match by default, Spark all).
+    * DuckDB string literals keep backslashes verbatim, so the Java
+    * pattern strings embed unchanged. */
+  def redactPiiSql(expr: String): String = {
+    def rep(in: String, re: String, tok: String) =
+      s"regexp_replace($in, '$re', '$tok', 'g')"
+    rep(rep(rep(expr, emailRe, "<EMAIL>"), ssnRe, "<SSN>"),
+      phoneRe, "<PHONE>")
+  }
+
+  // ---- overlapping token-window chunking -----------------------------
+
+  /** Chunk start offsets (1-based), one every `stride` tokens — the
+    * context-window chunking of an embedding/pretraining pipeline.
+    * Every token is covered; with stride < window consecutive chunks
+    * overlap by window - stride tokens; trailing chunks may be
+    * shorter than `window`. */
+  def chunkStarts(toks: Column, stride: Int): Column =
+    sequence(lit(1), greatest(size(toks), lit(1)), lit(stride))
+
+  /** The chunk text at a start offset: `window` tokens re-joined. */
+  def chunkAt(toks: Column, start: Column, window: Int): Column =
+    array_join(slice(toks, start, lit(window)), " ")
 }

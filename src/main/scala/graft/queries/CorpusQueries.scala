@@ -94,6 +94,23 @@ object CorpusQueries {
         |SELECT doc_id, shard, n_tokens, cum_tokens,
         |  (cum_tokens - n_tokens) // 1000 AS bin
         |FROM c ORDER BY shard, doc_id
+        |""".stripMargin.trim)),
+
+    // ---- deterministic 80/10/10 train/val/test split ------------------
+    // (md5-prefix range assignment: seedless, engine-portable, stable
+    // under corpus growth — a doc's split never changes when other
+    // docs arrive. Pure projection: scan-speed at 100 TB.)
+    Q("q_corpus_split",
+      (s, d) => Corpus.deterministicSplit(
+          documents(s, d).select("doc_id", "lang"),
+          keyCols = Seq("doc_id"),
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id"),
+      Some(s"""
+        |SELECT doc_id, lang,
+        |  ${Corpus.deterministicSplitSql("CAST(doc_id AS VARCHAR)",
+               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+        |FROM documents ORDER BY doc_id
         |""".stripMargin.trim))
   )
 }

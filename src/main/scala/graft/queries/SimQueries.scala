@@ -206,6 +206,59 @@ object SimQueries {
         |GROUP BY id ORDER BY id
         |""".stripMargin.trim)),
 
+    // ---- near-dup keep-best: one representative per cluster -----------
+    // The stage that turns detected clusters back into a deduplicated
+    // corpus: keep the member with the MOST tokens, ties to the
+    // smallest id (score = -tokens·1e7 + id is total, so min_by is
+    // deterministic and the oracle's arg_min agrees bit-for-bit).
+    Q("q_neardup_keep_best",
+      (s, d) => {
+        val docs = corpus(s, d)
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        val pairs = Similarity.nearDupPairs(docs, k = 32, bands = 16,
+          thresholdMilli = 800)
+        val comp = graft.ops.Components
+          .connectedComponents(pairs.select("id_a", "id_b"))
+        val scored = corpus(s, d).select(col("id"),
+          (size(TextOps.tokens(col("text"))).cast("long") * -10000000L
+            + col("id")).as("score"))
+        graft.ops.Components.representatives(comp, scored, "id", "score")
+          .orderBy("component")
+      },
+      Some(s"""
+        |WITH RECURSIVE $corpusSql,
+        |p0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM (SELECT id, unnest(shingles) AS s FROM sh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
+        |    ON a.s = b.s AND a.id < b.id),
+        |j AS (SELECT id_a, id_b,
+        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
+        |      AS BIGINT) AS jaccard_milli
+        |  FROM p0 JOIN sh sa ON sa.id = p0.id_a
+        |          JOIN sh sb ON sb.id = p0.id_b),
+        |e AS (SELECT id_a, id_b FROM j WHERE jaccard_milli >= 800),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+        |        UNION ALL SELECT id_b AS src, id_a AS dst FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |scored AS (SELECT id,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+        |      * -10000000 + id AS score
+        |  FROM corpus)
+        |SELECT component, arg_min(c.id, s.score) AS rep_id,
+        |  count(*) AS members
+        |FROM comp c JOIN scored s ON s.id = c.id
+        |GROUP BY component ORDER BY component
+        |""".stripMargin.trim)),
+
     // ---- chunk-level dedup: CDC chunks shared across documents --------
     // Over the corpus (originals ∪ tail-mutated copies): a mutated doc
     // shares every chunk except the one its edit touched — grouping

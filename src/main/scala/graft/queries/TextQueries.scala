@@ -150,6 +150,56 @@ object TextQueries {
         |  END AS n_shingles,
         |  len(toks) AS n_tokens
         |FROM t ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- structural PII redaction -------------------------------------
+    // Deterministic PII is injected per doc (the synthetic corpus has
+    // none), then scrubbed; both engines build and scrub the same
+    // string, so the redaction must be byte-identical.
+    Q("q_text_redact_pii",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          TextOps.redactPii(concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com call 555-867-5309 ssn 123-45-6789")))
+            .as("redacted"))
+        .orderBy("doc_id"),
+      Some(s"""
+        |SELECT doc_id,
+        |  ${TextOps.redactPiiSql(
+             "text || ' contact u' || CAST(doc_id AS VARCHAR) || " +
+               "'@example.com call 555-867-5309 ssn 123-45-6789'")}
+        |    AS redacted
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- overlapping token-window chunking ----------------------------
+    // 32-token windows every 24 tokens (8-token overlap) — the
+    // context-window chunking of an embedding/pretraining pipeline.
+    // explode is a per-row expansion; no shuffle until a consumer
+    // aggregates.
+    Q("q_text_chunks",
+      (s, d) => {
+        val withToks = documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        withToks
+          .select(col("doc_id"), col("toks"),
+            explode(TextOps.chunkStarts(col("toks"), 24)).as("start"))
+          .select(col("doc_id"), col("start"),
+            TextOps.chunkAt(col("toks"), col("start"), 32).as("chunk"))
+          .orderBy("doc_id", "start")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |    unnest(generate_series(1, greatest(len(toks), 1), 24))
+        |      AS start
+        |  FROM t)
+        |SELECT doc_id, start,
+        |  array_to_string(toks[start:start+31], ' ') AS chunk
+        |FROM st ORDER BY doc_id, start
         |""".stripMargin.trim))
   )
 }

@@ -34,4 +34,17 @@ class ComponentsSpec extends SparkSpec {
     val out = run(Seq((5L, 1L), (1L, 9L)))
     assert(out == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
+
+  test("representatives picks the min-score member per component") {
+    import spark.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
+      .toDF("id", "component")
+    // lower score = better; id 2 wins comp 1, id 9 wins comp 8
+    val scored = Seq((1L, 30L), (2L, 10L), (3L, 20L), (8L, 5L), (9L, 1L))
+      .toDF("id", "score")
+    val out = Components.representatives(comp, scored, "id", "score")
+      .orderBy("component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L), (8L, 9L, 2L)))
+  }
 }

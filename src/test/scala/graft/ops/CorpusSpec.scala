@@ -55,4 +55,29 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L),
       (5L, 0L), (6L, 1L)))
   }
+
+  test("deterministicSplit: stable per-key, ~proportional, validated") {
+    val ids = spark.range(2000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Corpus.deterministicSplit(ids, Seq("id"), splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700,
+      s"train fraction off: $counts")
+    // growth stability: the same id keeps its split in a larger corpus
+    val grown = Corpus.deterministicSplit(
+      spark.range(4000).toDF("id"), Seq("id"), splits)
+    val before = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    grown.filter(col("id") < 2000).collect().foreach { r =>
+      assert(before(r.getLong(0)) == r.getString(1))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.deterministicSplit(ids, Seq("id"), Seq("all" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.deterministicSplit(ids, Seq("id"),
+        Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }

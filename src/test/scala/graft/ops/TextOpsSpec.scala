@@ -48,4 +48,25 @@ class TextOpsSpec extends SparkSpec {
     assert(one(fp, "Hello, World!") == one(fp, "hello world"))
     assert(one(fp, "hello world") != one(fp, "hello worlds"))
   }
+
+  test("redactPii scrubs emails, SSNs and phones, keeps the rest") {
+    val r = TextOps.redactPii(col("v"))
+    assert(one(r, "mail a.b+c@ex-1.co.uk now") == "mail <EMAIL> now")
+    assert(one(r, "ssn 123-45-6789.") == "ssn <SSN>.")
+    assert(one(r, "call 555-867-5309 or 555.867.5309") ==
+      "call <PHONE> or <PHONE>")
+    assert(one(r, "v1.2.3 and 12-34 stay") == "v1.2.3 and 12-34 stay")
+    // every occurrence, not just the first
+    assert(one(r, "a@b.com c@d.org") == "<EMAIL> <EMAIL>")
+  }
+
+  test("chunkStarts/chunkAt: full coverage, overlap, short tail") {
+    val toks = TextOps.tokens(col("v"))
+    val starts = TextOps.chunkStarts(toks, 3)
+    val text = "t1 t2 t3 t4 t5 t6 t7" // 7 tokens, window 4, stride 3
+    assert(one(starts, text) == Seq(1, 4, 7))
+    assert(one(TextOps.chunkAt(toks, lit(4), 4), text) == "t4 t5 t6 t7")
+    assert(one(TextOps.chunkAt(toks, lit(7), 4), text) == "t7") // short tail
+    assert(one(starts, "solo") == Seq(1))
+  }
 }
