@@ -26,4 +26,30 @@ object Skew {
       .agg(sum(col("__psum")).as(s"${valueCol}_sum"),
         sum(col("__pcnt")).as("cnt"))
   }
+
+  /** Salted equi-join for a skewed FACT side, for when AQE's skew
+    * splitting is unavailable (disabled, or the skew hides inside a
+    * single in-flight partition AQE won't re-split): each fact row
+    * takes a pseudo-random salt in [0, salts), the dim side is
+    * replicated once per salt value, and the join key becomes
+    * (keys..., salt) — a hot key's rows now land on `salts` reducers
+    * instead of one. The dim-side cost is deliberate: `salts`× a
+    * (small) dim beats one straggler reducer holding the hot key's
+    * entire fact volume.
+    *
+    * Only inner/left joins: every fact row carries exactly one salt so
+    * fact-side multiplicity is preserved; right/full-outer would emit
+    * each UNMATCHED dim row once per salt replica — rejected. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salts: Int, how: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer")
+        .contains(how.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left joins only, not '$how' " +
+        "(dim replication would duplicate unmatched dim rows)")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, keys :+ "__salt", how).drop("__salt")
+  }
 }

@@ -705,6 +705,27 @@ object AggQueries {
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
+    // ---- Salted join (manual skew mitigation) --------------------------
+    // A hot l_suppkey's rows spread across 8 reducers instead of one;
+    // the salt is internal, so the oracle is the PLAIN join — salting
+    // must be row-invisible.
+    Q("q_join_salted",
+      (s, d) => graft.ops.Skew.saltedJoin(
+          lineitem(s, d).select("l_orderkey", "l_linenumber",
+            "l_suppkey", "l_quantity"),
+          supplier(s, d).select(col("s_suppkey").as("l_suppkey"),
+            col("s_name")),
+          keys = Seq("l_suppkey"), salts = 8)
+        .withColumn("qty_c", cents(col("l_quantity")))
+        .drop("l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "qty_c"),
+      Some(s"""
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
+        |  ${centsSql("l.l_quantity")} AS qty_c
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, qty_c
+        |""".stripMargin.trim)),
+
     // ---- Bucketed (exchange-free) join ---------------------------------
     // The storage-layout answer to repeated fact joins: both sides
     // written bucketed on the join key (one file per bucket, sorted),
