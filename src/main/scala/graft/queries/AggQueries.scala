@@ -241,6 +241,32 @@ object AggQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         |""".stripMargin.trim)),
 
+    // Rank-bound companion for the OTHER sketch in q_agg_approx_distinct
+    // (percentile_approx): a t-digest style approx median with accuracy
+    // 1000 guarantees rank error <= n/1000; Spark counts how many
+    // values fall strictly below its approx median and asserts that
+    // rank is within n/2 +- n/50. The oracle asserts the bound held —
+    // exact arithmetic, no sketch values cross engines.
+    Q("q_agg_approx_median_bound",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_returnflag", "l_extendedprice")
+        val med = li.groupBy("l_returnflag")
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5),
+            lit(1000)).as("am"), count(lit(1)).as("n"))
+        li.join(broadcast(med), "l_returnflag")
+          .groupBy(col("l_returnflag"), col("n"))
+          .agg(sum(when(col("l_extendedprice") < col("am"), 1L)
+            .otherwise(0L)).as("below"))
+          .select(col("l_returnflag"), col("n"),
+            (abs(col("below") - expr("n div 2")) <= expr("n div 50"))
+              .as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        |SELECT l_returnflag, count(*) AS n, TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
     // ---- running total per entity (cumulative window) -----------------
     Q("q_window_running_total",
       (s, d) => {

@@ -110,6 +110,25 @@ object StreamQueries {
         |FROM events GROUP BY 1 ORDER BY 1
         |""".stripMargin.trim)),
 
+    // foreachBatch CDC-to-snapshot: every micro-batch folds into a
+    // latest-per-(user, event_type) snapshot via an order-independent
+    // max_by_obj compaction — the streaming materialized-upsert-view
+    // pattern. The oracle is the batch "latest row per key" answer.
+    Q("q_stream_cdc_snapshot",
+      (s, d) => StreamingOps.streamingLatestSnapshot(
+          StreamingOps.eventsStream(streamSession(s), d))
+        .orderBy("user_id", "event_type"),
+      Some("""
+        |WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us, event_id, value_c
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type
+        |""".stripMargin.trim)),
+
     Q("q_stream_user_stats",
       (s, d) => StreamingOps.runToTable(
           StreamingOps.userStats(StreamingOps.eventsStream(streamSession(s), d)).toDF(),

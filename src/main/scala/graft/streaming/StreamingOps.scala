@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -142,6 +142,55 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     outDir
+  }
+
+  /** Streaming CDC-to-snapshot materialization — the foreachBatch
+    * upsert pattern: every micro-batch folds into a keyed snapshot
+    * holding the LATEST row per (user_id, event_type), "latest" by
+    * (ts, event_id). The fold is `latest(snapshot ∪ batch)` — a
+    * max_by_obj compaction ([[graft.functions.MinByObj]]) — so it is
+    * ORDER-INDEPENDENT and idempotent: correct under any batching,
+    * replayed batches, or late data, unlike blind per-batch overwrite
+    * (which silently loses to an out-of-order batch). localCheckpoint
+    * per batch bounds lineage growth — without it the plan deepens by
+    * one aggregate per batch and planning cost compounds.
+    *
+    * At scale the snapshot would live in a keyed store (bucketed
+    * table) and the fold becomes [[graft.ops.Merge.applyCdc]] against
+    * it; the in-session DataFrame fold is the bounded-verification
+    * form of the same dataflow. */
+  def streamingLatestSnapshot(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    var snapshot: Option[DataFrame] = None
+    val fold = (batch: Dataset[Row], _: Long) => {
+      // micro-precision ordering (ts div 1000): the raw nanos exceed
+      // what timestamp-typed consumers (and the DuckDB oracle) can
+      // represent — "latest" must mean the same thing everywhere
+      val b = batch.select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("value_c"))
+      val unioned = snapshot.map(_.unionByName(b)).getOrElse(b)
+      val compacted = unioned
+        .withColumn("__packed",
+          struct(col("ts_us"), col("event_id"), col("value_c")))
+        .withColumn("__ord", struct(col("ts_us"), col("event_id")))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(call_function("max_by_obj", col("__packed"), col("__ord"))
+          .as("__row"))
+        .select(col("user_id"), col("event_type"),
+          col("__row.ts_us").as("ts_us"),
+          col("__row.event_id").as("event_id"),
+          col("__row.value_c").as("value_c"))
+        .localCheckpoint()
+      snapshot = Some(compacted)
+      ()
+    }
+    val q = events.writeStream.foreachBatch(fold)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    snapshot.getOrElse(
+      throw new IllegalStateException("stream produced no batches"))
   }
 
   final case class UserEvent(user_id: Long, value_c: Long)
