@@ -731,6 +731,35 @@ object AggQueries {
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
+    // ---- Z-order scan ---------------------------------------------------
+    // Orders rewritten z-ordered on (o_custkey, o_orderkey), then a
+    // 2-D range filter reads it back. The layout must be row-invisible
+    // — the oracle filters the PLAIN table; the row-group-pruning
+    // property itself is footer-verified in ZOrderSpec. Path is
+    // content-keyed and the write idempotent (same contract as the
+    // streaming sink).
+    Q("q_zorder_scan",
+      (s, d) => {
+        val src = new java.io.File(s"$d/orders.parquet")
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        val zo = graft.ops.ZOrder.writeZOrdered(
+          orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate",
+            "o_orderpriority"),
+          s"/tmp/graft_zorder_$key", "o_custkey", "o_orderkey")
+        zo.filter(col("o_custkey").between(100, 500) &&
+            col("o_orderkey").between(1000, 50000))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND o_orderkey BETWEEN 1000 AND 50000
+        |ORDER BY o_orderkey
+        |""".stripMargin.trim)),
+
     // ---- Salted join (manual skew mitigation) --------------------------
     // A hot l_suppkey's rows spread across 8 reducers instead of one;
     // the salt is internal, so the oracle is the PLAIN join — salting
