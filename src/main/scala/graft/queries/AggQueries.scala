@@ -731,6 +731,37 @@ object AggQueries {
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
+    // ---- Small-file compaction round-trip ------------------------------
+    // lineitem deliberately fragmented into 64 files, compacted back to
+    // ~4 MB targets, then aggregated — the oracle is the plain table:
+    // compaction must be row-invisible. File-count behavior is pinned
+    // in CompactionSpec; paths are content-keyed + idempotent.
+    Q("q_compact_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/lineitem.parquet")
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        val frag = s"/tmp/graft_frag_$key"
+        val fs = new org.apache.hadoop.fs.Path(frag)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(frag, "_SUCCESS"))) {
+          lineitem(s, d).repartition(64)
+            .write.mode("overwrite").parquet(frag)
+        }
+        graft.ops.Compaction.compact(s, frag, s"/tmp/graft_compact_$key",
+            targetBytes = 4L << 20)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("l_quantity"))).as("sum_qty_c"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        |SELECT l_returnflag, count(*) AS cnt,
+        |  ${sumB(centsSql("l_quantity"))} AS sum_qty_c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
     // ---- Z-order scan ---------------------------------------------------
     // Orders rewritten z-ordered on (o_custkey, o_orderkey), then a
     // 2-D range filter reads it back. The layout must be row-invisible

@@ -66,4 +66,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("Exchange"),
       "signature barrier exchange expected")
   }
+
+  test("q_dedup_agg: ObjectHashAggregate, never SortAggregate") {
+    val p = plan("q_dedup_agg")
+    assert(p.contains("ObjectHashAggregate"),
+      s"min_by_obj should plan as ObjectHashAggregate:\n$p")
+    assert(!p.contains("SortAggregate"),
+      "the typed-imperative form exists to avoid SortAggregate")
+  }
+
+  test("q_corpus_split is a pure projection: only the output sort " +
+      "shuffles") {
+    val p = plan("q_corpus_split")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"split assignment must not aggregate or join:\n$p")
+    // exactly one exchange — the final ORDER BY's range partitioning
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected only the output-sort exchange:\n$p")
+  }
+
+  test("q_join_salted joins on (key, salt) without nested loops") {
+    val p = plan("q_join_salted")
+    assert(p.contains("__salt"), s"salt must reach the join keys:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "salted join must stay an equi-join")
+  }
 }
