@@ -324,6 +324,46 @@ object SimQueries {
         |ORDER BY id_a
         |""".stripMargin.trim)),
 
+    // ---- split-leakage audit ------------------------------------------
+    // The reason dedup must precede splitting: every detected near-dup
+    // pair here is (original, mutated copy), and a hash split by doc id
+    // scatters the two sides independently — so ~1 - (0.8² + 0.1² +
+    // 0.1²) = 34% of pairs are expected to STRADDLE splits, leaking
+    // training text into eval. The query counts detected pairs whose
+    // sides land in different splits; the oracle recomputes the same
+    // split assignment and detected set exactly.
+    Q("q_split_leakage",
+      (s, d) => {
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        val det = simhashDetected(s, d).select("id_a")
+          .withColumn("id_b", col("id_a") + 1000000L)
+        val withA = graft.ops.Corpus.deterministicSplit(
+          det, Seq("id_a"), splits, outCol = "split_a")
+        val withB = graft.ops.Corpus.deterministicSplit(
+          withA, Seq("id_b"), splits, outCol = "split_b")
+        withB.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .as("n_leaked"))
+      },
+      Some(s"""
+        |WITH det AS (SELECT doc_id AS id_a FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 10),
+        |sp AS (SELECT id_a,
+        |  ${graft.ops.Corpus.deterministicSplitSql(
+             "CAST(id_a AS VARCHAR)",
+             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))}
+        |    AS split_a,
+        |  ${graft.ops.Corpus.deterministicSplitSql(
+             "CAST(id_a + 1000000 AS VARCHAR)",
+             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))}
+        |    AS split_b
+        |  FROM det)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leaked
+        |FROM sp
+        |""".stripMargin.trim)),
+
     // ---- brute-force cosine top-k (ANN baseline) ----------------------
     Q("q_ann_cosine_topk",
       (s, d) => {
