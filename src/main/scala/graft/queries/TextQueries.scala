@@ -200,6 +200,94 @@ object TextQueries {
         |SELECT doc_id, start,
         |  array_to_string(toks[start:start+31], ' ') AS chunk
         |FROM st ORDER BY doc_id, start
+        |""".stripMargin.trim)),
+
+    // ---- repetition scoring (Gopher-style quality signal) -------------
+    // Per doc: the most frequent word BIGRAM's share of all bigrams,
+    // in exact milli units. Degenerate repeated text scores near 1000;
+    // normal prose near 1000/n_bigrams. NON-distinct n-grams, so this
+    // deliberately does not reuse wordShingles (which dedups for LSH).
+    Q("q_text_repetition",
+      (s, d) => {
+        val toks = TextOps.tokens(lower(col("text")))
+        val bigrams = zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        documents(s, d)
+          .select(col("doc_id"), explode(bigrams).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
+          .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+            floor(lit(1000.0) * col("top_count") / col("n_bigrams") + 0.5)
+              .cast(LongType).as("rep_milli"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    max(c) AS top_count
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, top_count,
+        |  CAST(floor(1000.0 * top_count / n_bigrams + 0.5) AS BIGINT)
+        |    AS rep_milli
+        |FROM agg ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- benchmark decontamination ------------------------------------
+    // Planted contamination: every 50th doc is an "eval benchmark"
+    // doc, and a copy of each (new id = doc_id + 2e6) is planted into
+    // the corpus. A doc is contaminated when it shares ANY 8-token
+    // shingle with the eval set — the planted copies must be flagged,
+    // clean docs must not (8-gram collisions in unrelated text are
+    // effectively impossible). The eval shingle set is dim-sized →
+    // broadcast semi-join; the corpus side explodes and probes,
+    // shuffle-free.
+    Q("q_text_decontaminate",
+      (s, d) => {
+        val docs = documents(s, d)
+        val eval_ = docs.filter(col("doc_id") % 50 === 0)
+        val planted = eval_.select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text"))
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+          .select("doc_id", "text").unionByName(planted)
+        val evalShingles = eval_
+          .select(explode(TextOps.wordShingles(col("text"), 8)).as("s"))
+          .distinct()
+        corpus
+          .select(col("doc_id"),
+            explode(TextOps.wordShingles(col("text"), 8)).as("s"))
+          .join(broadcast(evalShingles), Seq("s"), "left_semi")
+          .select("doc_id").distinct()
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH ev AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM ev),
+        |evs AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM ev) WHERE len(toks) >= 8),
+        |cs AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS toks
+        |        FROM corpus) WHERE len(toks) >= 8)
+        |SELECT DISTINCT doc_id FROM cs
+        |WHERE s IN (SELECT s FROM evs) ORDER BY doc_id
         |""".stripMargin.trim))
   )
 }
