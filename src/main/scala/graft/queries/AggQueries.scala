@@ -731,6 +731,42 @@ object AggQueries {
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
+    // ---- native session windows ----------------------------------------
+    // Spark's session_window operator (merge-on-overlap), the native
+    // twin of the manual gaps-islands q_events_sessionize. Boundary
+    // semantics differ by design: session_window starts a NEW session
+    // at gap >= 30 min (window overlap is strict <), the manual form
+    // at gap > 30 min — the oracle mirrors the >= rule exactly in
+    // integer micros.
+    Q("q_events_session_window",
+      (s, d) => events(s, d)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us"),
+      Some("""
+        |WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |            >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM g)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  max(ts_us) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, seq
+        |ORDER BY user_id, session_start_us
+        |""".stripMargin.trim)),
+
     // ---- Small-file compaction round-trip ------------------------------
     // lineitem deliberately fragmented into 64 files, compacted back to
     // ~4 MB targets, then aggregated — the oracle is the plain table:

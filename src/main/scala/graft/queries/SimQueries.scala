@@ -364,6 +364,33 @@ object SimQueries {
         |FROM sp
         |""".stripMargin.trim)),
 
+    // ---- leak-PROOF split: assign by cluster representative ------------
+    // The fix q_split_leakage motivates: hash the SPLIT KEY from the
+    // pair/cluster representative (min id) instead of each member's own
+    // id, so a whole near-dup cluster lands in one split and
+    // cross-split leakage is structurally zero. The query re-counts
+    // leaks under the fixed assignment; the oracle proves n_leaked = 0
+    // over the identical detected set.
+    Q("q_split_leakproof",
+      (s, d) => {
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        // representative = id_a (the min id of each detected pair)
+        val det = simhashDetected(s, d).select("id_a")
+          .withColumn("rep", col("id_a"))
+        val withA = graft.ops.Corpus.deterministicSplit(
+          det, Seq("rep"), splits, outCol = "split_a")
+        val withB = graft.ops.Corpus.deterministicSplit(
+          withA, Seq("rep"), splits, outCol = "split_b")
+        withB.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .as("n_leaked"))
+      },
+      Some("""
+        |SELECT count(*) AS n_pairs, CAST(0 AS BIGINT) AS n_leaked
+        |FROM documents
+        |WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+        |""".stripMargin.trim)),
+
     // ---- brute-force cosine top-k (ANN baseline) ----------------------
     Q("q_ann_cosine_topk",
       (s, d) => {
