@@ -25,21 +25,25 @@ object Bench {
     // stable ordering + GC between queries: keeps one query's garbage
     // from being charged to the next and makes runs comparable
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         System.gc()
         val t0 = System.nanoTime()
         // noop sink materializes EVERY column and keeps sorts/projections
         // in the plan — .count() let Catalyst prune exactly the per-row
         // expression work most of these queries exist to measure
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          // a throwing query must not masquerade as a ~0 s speedup:
-          // record it and surface the list in the JSON line
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          // a throwing query must not masquerade as a speedup: it is
+          // EXCLUDED from the timing map entirely (its time-to-fail
+          // would still read as "faster" in bench_compare.py) and
+          // surfaced in failed[] / n_failed instead
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
         }
-        name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     // The driver captures only the TAIL of this process's output
     // (~2 KB): a queries map with all 80+ entries at full double

@@ -103,8 +103,13 @@ object Corpus {
       "split fractions must sum to 1")
     require(splits.forall(_._2 > 0), "split fractions must be positive")
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    // clamp to 65535: a bound that rounds to 65536 would render as the
+    // 5-char "10000" and break the 4-char lexicographic comparison
+    // (costing that split ~15/16 of its rows); the clamp costs at most
+    // the documented 1/65536 precision instead
     splits.init.map(_._1).zip(
-      cum.init.map(f => f"${math.round(f * 65536).toInt}%04x"))
+      cum.init.map(f =>
+        f"${math.min(65535L, math.round(f * 65536)).toInt}%04x"))
   }
 
   /** Deterministic train/val/test assignment: each row lands in a
@@ -125,8 +130,13 @@ object Corpus {
                          splits: Seq[(String, Double)],
                          outCol: String = "split"): DataFrame = {
     val bounds = splitBoundsHex(splits)
-    val h = substring(md5(concat_ws("|",
-      keyCols.map(c => col(c).cast("string")): _*)), 1, 4)
+    // concat (null-propagating), NOT concat_ws (null-skipping): a NULL
+    // key must fall through to the LAST split — exactly what the SQL
+    // twin's md5(NULL) CASE does — not be silently hashed as if the
+    // key were absent. Non-null inputs produce the identical string.
+    val keyed = keyCols.map(c => col(c).cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("|"), b))
+    val h = substring(md5(keyed), 1, 4)
     val first = when(h < lit(bounds.head._2), lit(bounds.head._1))
     val chain = bounds.tail.foldLeft(first) { case (acc, (name, hex)) =>
       acc.when(h < lit(hex), lit(name))
@@ -136,7 +146,9 @@ object Corpus {
 
   /** The DuckDB-SQL twin of [[deterministicSplit]] for oracle
     * authoring: `keyExpr` must render the same string the Column form
-    * hashes (for one key: `CAST(doc_id AS VARCHAR)`). */
+    * hashes (for one key: `CAST(doc_id AS VARCHAR)`; for several,
+    * join with `|| '|' ||` — SQL `||` null-propagates exactly like the
+    * Column form's concat, sending NULL keys to the last split). */
   def deterministicSplitSql(keyExpr: String,
                             splits: Seq[(String, Double)]): String = {
     val bounds = splitBoundsHex(splits)

@@ -155,6 +155,7 @@ object Joins {
                       numBits: Int,
                       numHashes: Int): DataFrame = {
     requireSupersetSafe(how, "bloomPrunedJoin")
+    requireSameKeyTypes(fact, dim, keys, "bloomPrunedJoin")
     graft.functions.GraftFunctions.ensureRegistered(fact.sparkSession)
     val sketch = dim
       .agg(call_function("bloom_agg", xxhash64(keys.map(col): _*),
@@ -194,6 +195,7 @@ object Joins {
                    how: String = "inner",
                    maxKeys: Int = 100000): DataFrame = {
     requireSupersetSafe(how, "inPrunedJoin")
+    requireSameKeyTypes(fact, dim, keys, "inPrunedJoin")
     // collect INTERNAL rows: the values feed an InSet directly, and a
     // single InSet over a hash set is what `isin(30k literals)` only
     // becomes after the analyzer/optimizer have walked a 30k-node
@@ -215,6 +217,24 @@ object Joins {
     }
     pruned.join(dim, keys, how)
   }
+
+  /** Both pruned-join forms compare keys OUTSIDE the analyzer — the
+    * Bloom form through xxhash64 (whose per-type hash functions differ:
+    * the same numeric value hashes differently as Int vs Long) and the
+    * IN form through an InSet over internal-format values (no implicit
+    * coercion). A fact/dim key dataType mismatch would therefore prune
+    * every genuinely matching row SILENTLY, while the plain join would
+    * coerce and match — so mismatches are rejected at construction;
+    * cast one side explicitly. */
+  private def requireSameKeyTypes(fact: DataFrame, dim: DataFrame,
+                                  keys: Seq[String], op: String): Unit =
+    keys.foreach { k =>
+      val (ft, dt) = (fact.schema(k).dataType, dim.schema(k).dataType)
+      require(ft == dt,
+        s"$op: key '$k' has dataType $ft on the fact side but $dt on " +
+          "the dim side — hash/set membership would silently never " +
+          "match; cast one side explicitly")
+    }
 
   /** Join types for which pre-filtering the FACT (left) side by dim
     * key membership cannot change the result. */

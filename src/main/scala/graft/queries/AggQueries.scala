@@ -29,6 +29,20 @@ object AggQueries {
     * integers must come back down to BIGINT explicitly. */
   private val sumB = (e: String) => s"CAST(sum($e) AS BIGINT)"
 
+  /** Content key for idempotent side-channel sinks (tables written by
+    * queries, reused across runs): stable while the source file is
+    * unchanged, different after regeneration. Fold anything that
+    * changes the written CONTENT (operator parameters included) into
+    * `extra`, or a stale sink silently verifies. */
+  private def contentKey(d: String, file: String,
+                         extra: String = ""): String = {
+    val src = new java.io.File(s"$d/$file")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.length}|${src.lastModified}|$extra"
+        .getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- TPC-H Q1-style pricing summary (groupBy agg, partial-aggregable)
@@ -750,14 +764,14 @@ object AggQueries {
           col("n_events"))
         .orderBy("user_id", "session_start_us"),
       Some("""
-        |WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
         |            >= 1800000000 THEN 1 ELSE 0 END AS ns
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts_us,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
         |  FROM g)
         |SELECT user_id, min(ts_us) AS session_start_us,
@@ -774,10 +788,7 @@ object AggQueries {
     // in CompactionSpec; paths are content-keyed + idempotent.
     Q("q_compact_roundtrip",
       (s, d) => {
-        val src = new java.io.File(s"$d/lineitem.parquet")
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$d|${src.length}|${src.lastModified}".getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString
+        val key = contentKey(d, "lineitem.parquet", "frag64|target4m")
         val frag = s"/tmp/graft_frag_$key"
         val fs = new org.apache.hadoop.fs.Path(frag)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -807,10 +818,8 @@ object AggQueries {
     // streaming sink).
     Q("q_zorder_scan",
       (s, d) => {
-        val src = new java.io.File(s"$d/orders.parquet")
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$d|${src.length}|${src.lastModified}".getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString
+        val key = contentKey(d, "orders.parquet",
+          "zorder|o_custkey|o_orderkey|bits16|files8")
         val zo = graft.ops.ZOrder.writeZOrdered(
           orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate",
             "o_orderpriority"),
@@ -860,10 +869,16 @@ object AggQueries {
         val o = orders(s, d)
           .select("o_orderkey", "o_custkey", "o_orderpriority")
         val c = customer(s, d).select("c_custkey", "c_mktsegment")
-        graft.ops.Bucketing.writeBucketed(o, "bkt_orders", "o_custkey", 8)
-        graft.ops.Bucketing.writeBucketed(c, "bkt_customer", "c_custkey", 8)
-        graft.ops.Bucketing.bucketedJoin(s, "bkt_orders", "bkt_customer",
-            "o_custkey", "c_custkey")
+        // table names keyed on the source content: a session reused
+        // across data dirs (sf0.001 smoke then sf0.01 gate) must not
+        // join a stale bucketed copy from the earlier dir
+        val key = contentKey(d, "orders.parquet", "bkt8")
+        graft.ops.Bucketing.writeBucketed(o, s"bkt_orders_$key",
+          "o_custkey", 8)
+        graft.ops.Bucketing.writeBucketed(c, s"bkt_customer_$key",
+          "c_custkey", 8)
+        graft.ops.Bucketing.bucketedJoin(s, s"bkt_orders_$key",
+            s"bkt_customer_$key", "o_custkey", "c_custkey")
           .select("o_orderkey", "o_custkey", "o_orderpriority",
             "c_mktsegment")
           .orderBy("o_orderkey")

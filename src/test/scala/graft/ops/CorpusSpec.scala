@@ -80,4 +80,16 @@ class CorpusSpec extends SparkSpec {
         Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("deterministicSplit sends NULL keys to the last split, like " +
+      "the SQL twin's md5(NULL) fallthrough") {
+    import org.apache.spark.sql.functions.{col, when}
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = spark.range(100)
+      .select(when(col("id") < 10, null).otherwise(col("id")).as("id"))
+    val out = Corpus.deterministicSplit(df, Seq("id"), splits)
+    assert(out.filter(col("id").isNull)
+      .select("split").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("test"))
+  }
 }

@@ -63,6 +63,22 @@ class JoinsSpec extends SparkSpec {
     assert(Joins.inPrunedJoin(f, d, Seq("k"), how = "right").count() == 10)
   }
 
+  test("pruned joins reject fact/dim key dataType mismatches " +
+      "(hash/set membership would silently never match)") {
+    val f = spark.range(100).selectExpr("CAST(id AS INT) AS k", "id AS v")
+    val d = spark.range(10).selectExpr("id AS k", "id AS w") // LONG key
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrunedJoin(f, d, "k")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.inPrunedJoin(f, d, Seq("k"))
+    }
+    // cast one side and both work again
+    val f2 = f.withColumn("k", col("k").cast("long"))
+    assert(Joins.bloomPrunedJoin(f2, d, "k").count() == 10)
+    assert(Joins.inPrunedJoin(f2, d, Seq("k")).count() == 10)
+  }
+
   test("bloomPrunedJoin on a composite key matches the plain join") {
     val f = spark.range(500).selectExpr("id % 20 AS k1", "id % 7 AS k2",
       "id AS v")
