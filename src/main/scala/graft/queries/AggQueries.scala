@@ -241,9 +241,14 @@ object AggQueries {
     // noise, honestly inside failure.
     Q("q_agg_approx_distinct_bound",
       (s, d) => lineitem(s, d)
+        // HLL is duplicate-insensitive (register max), so sketching the
+        // DISTINCT pairs gives the bit-identical estimate while turning
+        // the mixed distinct+plain aggregate (Expand: 2x the input
+        // rows through the shuffle) into two plain aggregations
+        .select("l_returnflag", "l_partkey").distinct()
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
-          countDistinct(col("l_partkey")).as("n_part_exact"))
+          count(lit(1)).as("n_part_exact"))
         .select(col("l_returnflag"), col("n_part_exact"),
           (abs(col("approx") - col("n_part_exact")) <=
             lit(0.05) * col("n_part_exact")).as("within_bound"))
@@ -743,6 +748,34 @@ object AggQueries {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 20 = 0
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
+        |""".stripMargin.trim)),
+
+    // ---- explicit GROUPING SETS ----------------------------------------
+    // The general form rollup/cube specialize (both already gated):
+    // hand-picked aggregation levels in ONE pass over the data —
+    // Spark expands each input row once per grouping set before a
+    // single shuffle, instead of one job per level.
+    Q("q_agg_grouping_sets",
+      (s, d) => {
+        val df = orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_c"))
+        df.groupingSets(
+            Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+              Seq(col("o_orderpriority")), Seq()),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("sum_c"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first)
+      },
+      Some(s"""
+        |SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |  ${sumB(centsSql("o_totalprice"))} AS sum_c
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST
         |""".stripMargin.trim)),
 
     // ---- native session windows ----------------------------------------
