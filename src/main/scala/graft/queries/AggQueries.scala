@@ -750,6 +750,48 @@ object AggQueries {
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
+    // ---- 3-way analytical join pipeline (shipping-priority shape) ------
+    // customer ⋈ orders ⋈ lineitem with selective date filters — the
+    // classic multi-join the planner must get right: filters pushed to
+    // all three scans, the small filtered customer side broadcast, the
+    // orders-lineitem join shuffled on the key, aggregation partial on
+    // the map side.
+    Q("q_agg_shipping_priority",
+      (s, d) => {
+        val cust = customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = orders(s, d)
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .select(col("l_orderkey"),
+            cents(col("l_extendedprice")).as("price_c"),
+            cents(col("l_discount")).as("disc_c"))
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          // integer `div`, not `/` (double division loses exactness)
+          .agg(sum(expr("price_c - (price_c * disc_c) div 100"))
+            .as("revenue_c"))
+          .orderBy(col("revenue_c").desc, col("o_orderkey").asc)
+          .limit(20)
+      },
+      Some(s"""
+        |SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(${centsSql("l_extendedprice")}
+        |    - (${centsSql("l_extendedprice")} * ${centsSql("l_discount")})
+        |      // 100) AS BIGINT) AS revenue_c
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 20
+        |""".stripMargin.trim)),
+
     // ---- explicit GROUPING SETS ----------------------------------------
     // The general form rollup/cube specialize (both already gated):
     // hand-picked aggregation levels in ONE pass over the data —

@@ -93,6 +93,43 @@ object SimQueries {
         |FROM documents GROUP BY text ORDER BY id
         |""".stripMargin.trim)),
 
+    // ---- edit-distance fuzzy matching (adjacent pairs) ----------------
+    // Levenshtein over the first 64 chars of adjacent docs — the fuzzy
+    // string-matching primitive (record linkage, near-key matching).
+    // Like q_jaccard_adjacent the candidate set is the adjacent-id
+    // pairing: at scale candidates come from LSH/blocking, NEVER
+    // all-pairs; the distance kernel is what this gates. Codegen'd
+    // built-in, no UDF; similarity in exact milli units of the longer
+    // length.
+    Q("q_editdist_adjacent",
+      (s, d) => {
+        val t = documents(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 64).as("t64"))
+        val a = t.select(col("doc_id").as("id_a"), col("t64").as("ta"))
+        val b = t.select(col("doc_id").as("id_b"), col("t64").as("tb"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb")).as("edit_dist"),
+            floor(lit(1000.0)
+              * (greatest(length(col("ta")), length(col("tb")))
+                - levenshtein(col("ta"), col("tb")))
+              / greatest(length(col("ta")), length(col("tb"))) + 0.5)
+              .cast("long").as("sim_milli"))
+          .orderBy("id_a")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id, substr(text, 1, 64) AS t64
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    levenshtein(a.t64, b.t64) AS edit_dist,
+        |    greatest(length(a.t64), length(b.t64)) AS mx
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+        |SELECT id_a, id_b, edit_dist,
+        |  CAST(floor(1000.0 * (mx - edit_dist) / mx + 0.5) AS BIGINT)
+        |    AS sim_milli
+        |FROM p ORDER BY id_a
+        |""".stripMargin.trim)),
+
     // ---- n-gram Jaccard between adjacent doc pairs --------------------
     Q("q_jaccard_adjacent",
       (s, d) => {
