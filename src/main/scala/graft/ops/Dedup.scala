@@ -93,6 +93,25 @@ object Dedup {
     }
   }
 
+  /** Incremental exact dedup — the daily-ingest case: keep batch rows
+    * whose content fingerprint is NEW (not duplicated within the
+    * batch, not present in the corpus), without reprocessing the
+    * corpus. The corpus contributes only its fingerprint set — at
+    * 100 TB that set is a stored table (bucketed on the fingerprint,
+    * maintained by [[graft.ops.Merge.upsert]] as batches land), so
+    * each increment costs one within-batch aggregate + one anti-join
+    * against fingerprints, never a corpus scan of the payload. */
+  def incrementalExactDedup(corpus: DataFrame, batch: DataFrame,
+                            contentCols: Seq[String],
+                            tiebreak: Seq[String]): DataFrame = {
+    def fp = sha2(to_json(struct(contentCols.map(col): _*)), 256)
+    val corpusFp = corpus.select(fp.as("__fp")).distinct()
+    exactDedup(batch, contentCols, tiebreak)
+      .withColumn("__fp", fp)
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** The declarative-`min_by` twin of [[keepMostCompleteAgg]] — kept as
     * a measured A/B alternative. Its struct aggregation buffer is not
     * HashAggregate-mutable, so the plan runs as `SortAggregateExec`

@@ -118,6 +118,44 @@ object Similarity {
       .select("id_a", "id_b", "jaccard_milli")
   }
 
+  /** Incremental near-dup — pairs between a NEW batch and an existing
+    * corpus only (corpus self-pairs were resolved when the corpus was
+    * built): both sides are banded independently, candidates come from
+    * a batch-bucket ⋈ corpus-bucket equi-join (cost scales with the
+    * BATCH, not the corpus — at 100 TB the corpus bucket table is
+    * precomputed and stored), and every candidate is verified by exact
+    * Jaccard. Output: (id_new, id_corpus, jaccard_milli). */
+  def nearDupPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                          k: Int = 32, bands: Int = 16,
+                          thresholdMilli: Int = 800): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val r = k / bands
+    def mat(df: DataFrame) = df.select(col("id"), col("shingles"))
+      .repartition(barrierPartitions(df), col("id"))
+    def buckets(m: DataFrame) = m
+      .select(col("id"),
+        transform(col("shingles"), s => xxhash64(s)).as("__sh"))
+      .select(col("id"),
+        graft.functions.GraftFunctions.minHashSig(col("__sh"), k)
+          .as("__sig"))
+      .select(col("id"), explode(lshBuckets(col("__sig"), bands, r))
+        .as("__bucket"))
+    val bm = mat(batch)
+    val cm = mat(corpus)
+    val cands = buckets(bm).as("a")
+      .join(buckets(cm).as("b"), col("a.__bucket") === col("b.__bucket"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
+      .distinct()
+    cands
+      .join(bm.select(col("id").as("id_new"), col("shingles").as("sh_a")),
+        "id_new")
+      .join(cm.select(col("id").as("id_corpus"),
+        col("shingles").as("sh_b")), "id_corpus")
+      .withColumn("jaccard_milli", jaccardMilli(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_milli") >= thresholdMilli)
+      .select("id_new", "id_corpus", "jaccard_milli")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
     * token xxhash64 bits, packed MSB-first into one long.
     *

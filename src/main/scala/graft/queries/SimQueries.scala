@@ -361,6 +361,68 @@ object SimQueries {
         |ORDER BY id_a
         |""".stripMargin.trim)),
 
+    // ---- incremental exact dedup (daily-ingest shape) ------------------
+    // Corpus = docs < 400; batch = docs >= 400 plus PLANTED copies of
+    // corpus texts under new ids. The increment must keep the genuinely
+    // new docs and drop every planted copy — without scanning corpus
+    // payload (fingerprint anti-join only).
+    Q("q_incr_exact_dedup",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val corpus0 = docs.filter(col("doc_id") < 400)
+        val batch = docs.filter(col("doc_id") >= 400)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 5000L).as("doc_id"), col("text")))
+        graft.ops.Dedup.incrementalExactDedup(corpus0, batch,
+            contentCols = Seq("text"), tiebreak = Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL SELECT doc_id + 5000 AS doc_id, text
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, text FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- incremental near-dup (batch vs corpus, banded) ----------------
+    // The mutated copies arrive as a NEW batch against the original
+    // corpus: banded LSH on each side, batch-bucket x corpus-bucket
+    // equi-join, exact-Jaccard verify. Oracle = brute-force cross-side
+    // ground truth — the incremental path must find exactly the true
+    // pairs.
+    Q("q_incr_neardup",
+      (s, d) => {
+        val withSh = corpus(s, d)
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        val corpusSide = withSh.filter(col("id") < 1000000L)
+        val batchSide = withSh.filter(col("id") >= 1000000L)
+        Similarity.nearDupPairsAgainst(batchSide, corpusSide,
+            k = 32, bands = 16, thresholdMilli = 800)
+          .orderBy("id_new", "id_corpus")
+      },
+      Some(s"""
+        |WITH $corpusSql,
+        |p0 AS (SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+        |  FROM (SELECT id, unnest(shingles) AS s FROM sh
+        |        WHERE id >= 1000000) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh
+        |        WHERE id < 1000000) b ON a.s = b.s),
+        |j AS (SELECT id_new, id_corpus,
+        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
+        |      AS BIGINT) AS jaccard_milli
+        |  FROM p0 JOIN sh sa ON sa.id = p0.id_new
+        |          JOIN sh sb ON sb.id = p0.id_corpus)
+        |SELECT id_new, id_corpus, jaccard_milli FROM j
+        |WHERE jaccard_milli >= 800 ORDER BY id_new, id_corpus
+        |""".stripMargin.trim)),
+
     // ---- split-leakage audit ------------------------------------------
     // The reason dedup must precede splitting: every detected near-dup
     // pair here is (original, mutated copy), and a hash split by doc id

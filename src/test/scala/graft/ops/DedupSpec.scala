@@ -68,4 +68,16 @@ class DedupSpec extends SparkSpec {
       countedCols = Some(Seq("b")))
     assert(only_b.collect().head.getString(3) == "s1")
   }
+
+  test("incrementalExactDedup keeps new content, drops batch-internal " +
+      "and corpus duplicates") {
+    val corpus = Seq((1L, "aa"), (2L, "bb")).toDF("id", "t")
+    val batch = Seq((10L, "cc"), (11L, "cc"), // internal dup: keep min id
+      (12L, "aa"),                            // exists in corpus: drop
+      (13L, "dd")).toDF("id", "t")
+    val out = Dedup.incrementalExactDedup(corpus, batch,
+        contentCols = Seq("t"), tiebreak = Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((10L, "cc"), (13L, "dd")))
+  }
 }
