@@ -750,6 +750,31 @@ object AggQueries {
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
+    // ---- UNPIVOT (melt) -------------------------------------------------
+    // The inverse of q_agg_pivot: wide measure columns melted to
+    // (measure, value) rows — Dataset.unpivot is an Expand under the
+    // hood (rows x measures, one pass, no shuffle).
+    Q("q_agg_unpivot",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_tax")).as("tax_c"),
+          cents(col("l_discount")).as("disc_c"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("price_c"), col("tax_c"), col("disc_c")),
+          "measure", "value_c")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value_c"),
+      Some(s"""
+        |SELECT l_orderkey, l_linenumber, measure, value_c FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    ${centsSql("l_extendedprice")} AS price_c,
+        |    ${centsSql("l_tax")} AS tax_c,
+        |    ${centsSql("l_discount")} AS disc_c
+        |  FROM lineitem)
+        |UNPIVOT (value_c FOR measure IN (price_c, tax_c, disc_c))
+        |ORDER BY l_orderkey, l_linenumber, measure, value_c
+        |""".stripMargin.trim)),
+
     // ---- 3-way analytical join pipeline (shipping-priority shape) ------
     // customer ⋈ orders ⋈ lineitem with selective date filters — the
     // classic multi-join the planner must get right: filters pushed to
