@@ -93,24 +93,52 @@ object Dedup {
     }
   }
 
+  /** Content fingerprint table of a corpus: one distinct `__fp` row
+    * per distinct content. This is the artifact the incremental path
+    * anti-joins against — at 100 TB it is STORED (bucketed on `__fp`,
+    * maintained by [[graft.ops.Merge.upsert]] as batches land), not
+    * recomputed; this helper exists to build/refresh it. */
+  def contentFingerprints(corpus: DataFrame,
+                          contentCols: Seq[String]): DataFrame =
+    corpus.select(sha2(to_json(struct(contentCols.map(col): _*)), 256)
+      .as("__fp")).distinct()
+
   /** Incremental exact dedup — the daily-ingest case: keep batch rows
     * whose content fingerprint is NEW (not duplicated within the
-    * batch, not present in the corpus), without reprocessing the
-    * corpus. The corpus contributes only its fingerprint set — at
-    * 100 TB that set is a stored table (bucketed on the fingerprint,
-    * maintained by [[graft.ops.Merge.upsert]] as batches land), so
-    * each increment costs one within-batch aggregate + one anti-join
-    * against fingerprints, never a corpus scan of the payload. */
+    * batch, not present in `corpusFp`, a `__fp` table from
+    * [[contentFingerprints]] — pass the STORED one; each increment
+    * then costs one within-batch aggregate + one anti-join, never a
+    * corpus payload scan). NULL content participates like any other
+    * value (all-NULL rows share one fingerprint) — the SQL analogue
+    * is `IS NOT DISTINCT FROM`, not `=`. The fingerprint is computed
+    * ONCE per batch row, before the within-batch compaction, and
+    * carried through to the anti-join. */
+  def incrementalExactDedupByFp(corpusFp: DataFrame, batch: DataFrame,
+                                contentCols: Seq[String],
+                                tiebreak: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val counted = batch.columns.toIndexedSeq
+    batch
+      .withColumn("__fp",
+        sha2(to_json(struct(contentCols.map(col): _*)), 256))
+      .withColumn("__ord", struct(tiebreak.map(col): _*))
+      .withColumn("__packed", struct(counted.map(col): _*))
+      .groupBy(col("__fp"))
+      .agg(call_function("min_by_obj", col("__packed"), col("__ord"))
+        .as("__row"))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .select(counted.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** Convenience wrapper deriving the fingerprint set from the corpus
+    * PAYLOAD — one full corpus scan per call; fine for tests and
+    * one-offs, wrong for the daily path (use the stored-fingerprint
+    * form above). */
   def incrementalExactDedup(corpus: DataFrame, batch: DataFrame,
                             contentCols: Seq[String],
-                            tiebreak: Seq[String]): DataFrame = {
-    def fp = sha2(to_json(struct(contentCols.map(col): _*)), 256)
-    val corpusFp = corpus.select(fp.as("__fp")).distinct()
-    exactDedup(batch, contentCols, tiebreak)
-      .withColumn("__fp", fp)
-      .join(corpusFp, Seq("__fp"), "left_anti")
-      .drop("__fp")
-  }
+                            tiebreak: Seq[String]): DataFrame =
+    incrementalExactDedupByFp(contentFingerprints(corpus, contentCols),
+      batch, contentCols, tiebreak)
 
   /** The declarative-`min_by` twin of [[keepMostCompleteAgg]] — kept as
     * a measured A/B alternative. Its struct aggregation buffer is not

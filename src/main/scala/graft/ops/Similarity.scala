@@ -61,12 +61,18 @@ object Similarity {
   private def barrierPartitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  def lshCandidatePairs(df: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (id, __bucket) banding table of a shingled corpus — the SHARED
+    * bucketize pipeline behind both the self-join
+    * ([[lshCandidatePairs]]) and the incremental
+    * ([[nearDupPairsAgainst]]) paths: hash shingle strings to longs
+    * ONCE behind a materialization barrier, one fused native
+    * minhash-signature pass, explode to band buckets. At 100 TB this
+    * output is the artifact to STORE for the corpus side (refresh via
+    * [[graft.ops.Merge.upsert]] as batches land). */
+  def bucketize(df: DataFrame, k: Int, bands: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val r = k / bands
     val n = barrierPartitions(df)
-    // hash shingle strings to longs ONCE, materialize, then derive the
-    // k seeds from the stored longs
     val hashed = df
       .select(col("id"),
         transform(col("shingles"), s => xxhash64(s)).as("__sh"))
@@ -74,13 +80,16 @@ object Similarity {
     // native fused kernel (functions.MinHashSig): one pass over the
     // hash array with a k-wide running min, vs k interpreted
     // array_min(transform(...)) traversals — bit-identical signature
-    val sigs = hashed
+    hashed
       .select(col("id"),
         graft.functions.GraftFunctions.minHashSig(col("__sh"), k)
           .as("__sig"))
-    val withBuckets = sigs
       .select(col("id"),
         explode(lshBuckets(col("__sig"), bands, r)).as("__bucket"))
+  }
+
+  def lshCandidatePairs(df: DataFrame, k: Int, bands: Int): DataFrame = {
+    val withBuckets = bucketize(df, k, bands)
     val a = withBuckets.as("a")
     val b = withBuckets.as("b")
     a.join(b, col("a.__bucket") === col("b.__bucket") &&
@@ -118,42 +127,46 @@ object Similarity {
       .select("id_a", "id_b", "jaccard_milli")
   }
 
-  /** Incremental near-dup — pairs between a NEW batch and an existing
-    * corpus only (corpus self-pairs were resolved when the corpus was
-    * built): both sides are banded independently, candidates come from
-    * a batch-bucket ⋈ corpus-bucket equi-join (cost scales with the
-    * BATCH, not the corpus — at 100 TB the corpus bucket table is
-    * precomputed and stored), and every candidate is verified by exact
-    * Jaccard. Output: (id_new, id_corpus, jaccard_milli). */
-  def nearDupPairsAgainst(batch: DataFrame, corpus: DataFrame,
-                          k: Int = 32, bands: Int = 16,
-                          thresholdMilli: Int = 800): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
-    val r = k / bands
-    def mat(df: DataFrame) = df.select(col("id"), col("shingles"))
-      .repartition(barrierPartitions(df), col("id"))
-    def buckets(m: DataFrame) = m
-      .select(col("id"),
-        transform(col("shingles"), s => xxhash64(s)).as("__sh"))
-      .select(col("id"),
-        graft.functions.GraftFunctions.minHashSig(col("__sh"), k)
-          .as("__sig"))
-      .select(col("id"), explode(lshBuckets(col("__sig"), bands, r))
-        .as("__bucket"))
-    val bm = mat(batch)
-    val cm = mat(corpus)
-    val cands = buckets(bm).as("a")
-      .join(buckets(cm).as("b"), col("a.__bucket") === col("b.__bucket"))
+  /** Incremental near-dup against PRECOMPUTED corpus artifacts — the
+    * daily path: `corpusBuckets` is the stored [[bucketize]] output
+    * and `corpusShingles` the stored (id, shingles) table, so each
+    * increment pays banding over the BATCH only plus one bucket
+    * equi-join and the per-candidate verify. Corpus self-pairs were
+    * resolved when the corpus was built. Output:
+    * (id_new, id_corpus, jaccard_milli). */
+  def nearDupPairsAgainstBuckets(batch: DataFrame,
+                                 corpusBuckets: DataFrame,
+                                 corpusShingles: DataFrame,
+                                 k: Int, bands: Int,
+                                 thresholdMilli: Int): DataFrame = {
+    val bm = batch.select(col("id"), col("shingles"))
+      .repartition(barrierPartitions(batch), col("id"))
+    val cands = bucketize(bm, k, bands).as("a")
+      .join(corpusBuckets.as("b"),
+        col("a.__bucket") === col("b.__bucket"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
       .distinct()
     cands
       .join(bm.select(col("id").as("id_new"), col("shingles").as("sh_a")),
         "id_new")
-      .join(cm.select(col("id").as("id_corpus"),
+      .join(corpusShingles.select(col("id").as("id_corpus"),
         col("shingles").as("sh_b")), "id_corpus")
       .withColumn("jaccard_milli", jaccardMilli(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_milli") >= thresholdMilli)
       .select("id_new", "id_corpus", "jaccard_milli")
+  }
+
+  /** Convenience wrapper banding the corpus PAYLOAD inline — one full
+    * corpus banding pass per call; fine for tests and one-offs, wrong
+    * for the daily path (store [[bucketize]]'s output and use the
+    * overload above). */
+  def nearDupPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                          k: Int = 32, bands: Int = 16,
+                          thresholdMilli: Int = 800): DataFrame = {
+    val cm = corpus.select(col("id"), col("shingles"))
+      .repartition(barrierPartitions(corpus), col("id"))
+    nearDupPairsAgainstBuckets(batch, bucketize(cm, k, bands), cm,
+      k, bands, thresholdMilli)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of

@@ -753,7 +753,12 @@ object AggQueries {
     // ---- UNPIVOT (melt) -------------------------------------------------
     // The inverse of q_agg_pivot: wide measure columns melted to
     // (measure, value) rows — Dataset.unpivot is an Expand under the
-    // hood (rows x measures, one pass, no shuffle).
+    // hood (rows x measures, one pass, no shuffle). NULL caveat when
+    // reusing this shape: Spark's unpivot RETAINS null measure values,
+    // DuckDB's UNPIVOT drops them by default — these measures are
+    // non-null by construction (cents of non-null doubles), so the
+    // twins agree; melt a nullable column and the DuckDB side needs
+    // explicit null handling.
     Q("q_agg_unpivot",
       (s, d) => lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),

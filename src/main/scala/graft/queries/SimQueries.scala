@@ -364,8 +364,10 @@ object SimQueries {
     // ---- incremental exact dedup (daily-ingest shape) ------------------
     // Corpus = docs < 400; batch = docs >= 400 plus PLANTED copies of
     // corpus texts under new ids. The increment must keep the genuinely
-    // new docs and drop every planted copy — without scanning corpus
-    // payload (fingerprint anti-join only).
+    // new docs, collapse within-batch duplicates (oracle mirrors the
+    // min-id keep rule), and drop every planted copy. The gate uses the
+    // payload wrapper; the daily path passes the STORED fingerprint
+    // table (Dedup.incrementalExactDedupByFp).
     Q("q_incr_exact_dedup",
       (s, d) => {
         val docs = documents(s, d).select("doc_id", "text")
@@ -381,9 +383,14 @@ object SimQueries {
         |WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
         |  UNION ALL SELECT doc_id + 5000 AS doc_id, text
-        |  FROM documents WHERE doc_id < 50)
-        |SELECT doc_id, text FROM batch b
-        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |  FROM documents WHERE doc_id < 50),
+        |bd AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |      PARTITION BY text ORDER BY doc_id) AS rn FROM batch)
+        |  WHERE rn = 1)
+        |SELECT doc_id, text FROM bd b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+        |  WHERE c.text IS NOT DISTINCT FROM b.text)
         |ORDER BY doc_id
         |""".stripMargin.trim)),
 
