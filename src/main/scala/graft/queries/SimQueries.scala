@@ -199,6 +199,38 @@ object SimQueries {
         |WHERE jaccard_milli >= 800 ORDER BY id_a, id_b
         |""".stripMargin.trim)),
 
+    // ---- EXACT set-similarity join (prefix filtering) -----------------
+    // The deterministic complement of the LSH path: the prefix lemma
+    // makes the candidate set provably complete, so this must equal
+    // the brute-force ground truth EXACTLY (same oracle as the LSH
+    // gate — and therefore the two detection methods are pinned equal
+    // to each other).
+    Q("q_setsim_prefix_join",
+      (s, d) => {
+        val docs = corpus(s, d)
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        Similarity.setSimilarityPairsExact(docs, thresholdMilli = 800)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        |WITH $corpusSql,
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM (SELECT id, unnest(shingles) AS s FROM sh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
+        |    ON a.s = b.s AND a.id < b.id),
+        |j AS (SELECT id_a, id_b,
+        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
+        |      AS BIGINT) AS jaccard_milli
+        |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a
+        |             JOIN sh sb ON sb.id = pairs.id_b)
+        |SELECT id_a, id_b, jaccard_milli FROM j
+        |WHERE jaccard_milli >= 800 ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
     // ---- near-dup clusters: pairs → connected components --------------
     // The stage after pair detection that an actual dedup needs: pairs
     // form clusters (A~B, B~C ⇒ {A,B,C}); each doc maps to the min id
