@@ -76,6 +76,35 @@ object Merge {
       .unionByName(upserts)
   }
 
+  /** Snapshot diff — the dataset-regression primitive: classify every
+    * key of two same-schema snapshots as added / removed / changed /
+    * unchanged. One full-outer join on the key with the payloads
+    * packed into structs (null-safe struct comparison), so the diff
+    * is a single shuffle regardless of column count. Output:
+    * keys ++ (status, old payload struct, new payload struct).
+    *
+    * Payload comparison uses `<=>` on the packed structs: rows whose
+    * payload columns contain NULLs compare field-wise with
+    * null == null — the `IS NOT DISTINCT FROM` semantics a diff
+    * wants. */
+  def diffSnapshots(prev: DataFrame, next: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(prev.columns.toSeq == next.columns.toSeq,
+      "diffSnapshots requires identical schemas " +
+        s"(${prev.columns.mkString(",")} vs ${next.columns.mkString(",")})")
+    val payload = prev.columns.filterNot(keys.contains).toSeq
+    val p = prev.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__old"): _*)
+    val n = next.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__new"): _*)
+    p.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(!(col("__old") <=> col("__new")), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+
   /** SCD type-2 history from a version log: each (key, version) row
     * gains `valid_from` (its own `effCol`), `valid_to` (the next
     * version's, null for the current one) and `is_current`. Versions

@@ -126,6 +126,53 @@ object MergeQueries {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, valid_from, event_id
+        |""".stripMargin.trim)),
+
+    // ---- snapshot diff: added / removed / changed / unchanged ----------
+    // The dataset-regression primitive: one full-outer join classifies
+    // every key between two snapshot versions. Deterministic synthetic
+    // next-version from customer itself: every 97th key dropped, every
+    // 13th (surviving) key's segment rewritten, a re-keyed slice
+    // appended. Only the non-unchanged rows are output (the
+    // interesting diff), with the payloads unpacked for the oracle.
+    Q("q_snapshot_diff",
+      (s, d) => {
+        val prev = customer(s, d).select("c_custkey", "c_mktsegment")
+        val changed = prev.filter(col("c_custkey") % 97 =!= 0)
+          .withColumn("c_mktsegment",
+            when(col("c_custkey") % 13 === 0, lit("REWRITTEN"))
+              .otherwise(col("c_mktsegment")))
+        val next = changed.unionByName(
+          prev.filter(col("c_custkey") % 11 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              col("c_mktsegment")))
+        Merge.diffSnapshots(prev, next, Seq("c_custkey"))
+          .filter(col("status") =!= "unchanged")
+          .select(col("c_custkey"), col("status"),
+            col("__old.c_mktsegment").as("old_seg"),
+            col("__new.c_mktsegment").as("new_seg"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        |WITH prev AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |chg AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 13 = 0 THEN 'REWRITTEN'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM prev WHERE c_custkey % 97 <> 0),
+        |next AS (SELECT * FROM chg
+        |  UNION ALL SELECT c_custkey + 1000000, c_mktsegment
+        |  FROM prev WHERE c_custkey % 11 = 0),
+        |d AS (SELECT coalesce(p.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN p.c_custkey IS NULL THEN 'added'
+        |         WHEN n.c_custkey IS NULL THEN 'removed'
+        |         WHEN p.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    p.c_mktsegment AS old_seg, n.c_mktsegment AS new_seg
+        |  FROM prev p FULL OUTER JOIN next n
+        |    ON p.c_custkey = n.c_custkey)
+        |SELECT c_custkey, status, old_seg, new_seg FROM d
+        |WHERE status <> 'unchanged' ORDER BY c_custkey
         |""".stripMargin.trim))
   )
 }

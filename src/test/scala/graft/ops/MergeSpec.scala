@@ -77,6 +77,23 @@ class MergeSpec extends SparkSpec {
       s"small key set should be planner-broadcast:\n$plan")
   }
 
+  test("diffSnapshots classifies added/removed/changed with null-safe " +
+      "payload comparison") {
+    val prev = Seq((1L, Some("a")), (2L, None), (3L, Some("c")),
+      (4L, Some("d"))).toDF("k", "v")
+    val next = Seq((1L, Some("a")), (2L, None), (3L, Some("X")),
+      (5L, Some("e"))).toDF("k", "v")
+    val out = Merge.diffSnapshots(prev, next, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("status"))).toSeq
+    // k=2: NULL payload on both sides must compare EQUAL (unchanged)
+    assert(out == Seq((1L, "unchanged"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "removed"), (5L, "added")))
+    intercept[IllegalArgumentException] {
+      Merge.diffSnapshots(prev, next.withColumnRenamed("v", "w"), Seq("k"))
+    }
+  }
+
   test("scd2 chains validity intervals per key") {
     val versions = Seq(
       (1L, 100L, "x1"), (1L, 200L, "x2"), (1L, 300L, "x3"),
