@@ -202,6 +202,36 @@ object TextQueries {
         |FROM st ORDER BY doc_id, start
         |""".stripMargin.trim)),
 
+    // ---- percentile length trim (outlier filter) ----------------------
+    // The corpus-hygiene stage: drop docs outside the exact [p5, p95]
+    // token-count band. Exact interpolated percentiles over longs are
+    // bit-identical across engines (same recipe as q_agg_median); the
+    // scalar bounds broadcast and the trim is a scan-side filter — at
+    // 100 TB: one tiny global aggregate + one filtered pass.
+    Q("q_text_length_trim",
+      (s, d) => {
+        val t = documents(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        val bounds = t.agg(
+          percentile(col("n_tokens"), lit(0.05)).as("lo"),
+          percentile(col("n_tokens"), lit(0.95)).as("hi"))
+        t.crossJoin(broadcast(bounds))
+          .filter(col("n_tokens") >= col("lo") &&
+            col("n_tokens") <= col("hi"))
+          .select("doc_id", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+        |    quantile_cont(n_tokens, 0.95) AS hi FROM t)
+        |SELECT doc_id, n_tokens FROM t, b
+        |WHERE n_tokens >= lo AND n_tokens <= hi ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // ---- repetition scoring (Gopher-style quality signal) -------------
     // Per doc: the most frequent word BIGRAM's share of all bigrams,
     // in exact milli units. Degenerate repeated text scores near 1000;
