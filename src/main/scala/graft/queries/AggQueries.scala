@@ -750,6 +750,26 @@ object AggQueries {
         |ORDER BY l.l_orderkey, l.l_linenumber, qty_c
         |""".stripMargin.trim)),
 
+    // ---- equi-width histogram (width_bucket) ---------------------------
+    // Distribution profiling over exact cents: SQL-standard
+    // width_bucket semantics agree across engines (under/overflow
+    // land in buckets 0 and n+1). One partial-aggregable pass.
+    Q("q_agg_histogram",
+      (s, d) => orders(s, d)
+        .select(width_bucket(cents(col("o_totalprice")), lit(0L),
+          lit(60000000L), lit(20)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"),
+      Some(s"""
+        |WITH c AS (SELECT ${centsSql("o_totalprice")} AS v FROM orders)
+        |SELECT CASE WHEN v < 0 THEN 0
+        |            WHEN v >= 60000000 THEN 21
+        |            ELSE CAST((v * 20) // 60000000 + 1 AS BIGINT) END
+        |    AS bucket,
+        |  count(*) AS cnt
+        |FROM c GROUP BY bucket ORDER BY bucket
+        |""".stripMargin.trim)),
+
     // ---- UNPIVOT (melt) -------------------------------------------------
     // The inverse of q_agg_pivot: wide measure columns melted to
     // (measure, value) rows — Dataset.unpivot is an Expand under the
