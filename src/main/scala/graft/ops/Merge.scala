@@ -89,9 +89,11 @@ object Merge {
     * wants. */
   def diffSnapshots(prev: DataFrame, next: DataFrame,
                     keys: Seq[String]): DataFrame = {
-    require(prev.columns.toSeq == next.columns.toSeq,
-      "diffSnapshots requires identical schemas " +
-        s"(${prev.columns.mkString(",")} vs ${next.columns.mkString(",")})")
+    require(prev.schema == next.schema,
+      "diffSnapshots requires identical schemas (names AND types — a " +
+        "type drift is exactly the regression a diff must catch, not " +
+        s"coerce away): ${prev.schema.simpleString} vs " +
+        next.schema.simpleString)
     val payload = prev.columns.filterNot(keys.contains).toSeq
     val p = prev.select(keys.map(col) :+
       struct(payload.map(col): _*).as("__old"): _*)

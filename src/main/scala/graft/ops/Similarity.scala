@@ -144,16 +144,23 @@ object Similarity {
     * keeps prefix-token collision lists short, which is what bounds
     * the candidate blowup, and the PPJoin length filter kills
     * size-mismatched collisions before verification. Trade vs
-    * MinHash, measured at sf0.1 (same corpus, J >= 0.8): exact 8.7 s
-    * vs LSH 3.3 s — exactness costs ~2.6x here; use MinHash when the
-    * ~1e-7 banding miss probability is acceptable, prefix filtering
-    * when completeness must be provable. (Prefix extraction A/B:
-    * per-doc array sort inside one hash aggregate beat the
-    * two-window row_number/count formulation 9.6 vs 15.4 s.) */
+    * MinHash (same corpus, J >= 0.8, sf0.1): exact ~2.3-2.6x the LSH
+    * twin across runs (final BASELINE table: 5.99 vs 2.61 s; an
+    * earlier same-day run: 8.7 vs 3.3 s — the repo's documented
+    * +-30% host drift); use MinHash when the ~1e-7 banding miss
+    * probability is acceptable, prefix filtering when completeness
+    * must be provable. (Prefix extraction A/B, same run: per-doc
+    * array sort inside one hash aggregate beat the two-window
+    * row_number/count formulation 9.6 vs 15.4 s.)
+    *
+    * Sizes/prefixes/Jaccard are SET semantics: the input shingle
+    * arrays are defensively `array_distinct`ed (duplicate elements
+    * would inflate the length filter and silently drop true pairs). */
   def setSimilarityPairsExact(docs: DataFrame,
                               thresholdMilli: Int): DataFrame = {
     val n0 = barrierPartitions(docs)
-    val mat = docs.select(col("id"), col("shingles"))
+    val mat = docs.select(col("id"),
+        array_distinct(col("shingles")).as("shingles"))
       .repartition(n0, col("id"))
     val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))

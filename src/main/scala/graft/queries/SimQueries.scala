@@ -43,6 +43,28 @@ object SimQueries {
     |  FROM (SELECT id, string_split_regex(trim(text), '\s+') AS toks
     |        FROM corpus) WHERE len(toks) >= 3)""".stripMargin
 
+  /** Brute-force ground-truth Jaccard pairs over the corpus — the ONE
+    * oracle both q_neardup_minhash_lsh and q_setsim_prefix_join
+    * compare against, which is what pins the probabilistic and exact
+    * methods equal to each other: a change to this recipe changes
+    * both gates together. */
+  private val bruteForcePairsSql = s"""
+    |WITH $corpusSql,
+    |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    |  FROM (SELECT id, unnest(shingles) AS s FROM sh) a
+    |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
+    |    ON a.s = b.s AND a.id < b.id),
+    |j AS (SELECT id_a, id_b,
+    |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
+    |      / (len(sa.shingles) + len(sb.shingles)
+    |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
+    |      AS BIGINT) AS jaccard_milli
+    |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a
+    |             JOIN sh sb ON sb.id = pairs.id_b)
+    |SELECT id_a, id_b, jaccard_milli FROM j
+    |WHERE jaccard_milli >= 800 ORDER BY id_a, id_b
+    |""".stripMargin.trim
+
   /** Shared cosine-milli SQL: MUST mirror Similarity.cosineMilli
     * operation-for-operation (cast to double, sequential sum) so IEEE
     * results are bit-identical. */
@@ -182,22 +204,7 @@ object SimQueries {
             thresholdMilli = 800)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""
-        |WITH $corpusSql,
-        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM (SELECT id, unnest(shingles) AS s FROM sh) a
-        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
-        |    ON a.s = b.s AND a.id < b.id),
-        |j AS (SELECT id_a, id_b,
-        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
-        |      / (len(sa.shingles) + len(sb.shingles)
-        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
-        |      AS BIGINT) AS jaccard_milli
-        |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a
-        |             JOIN sh sb ON sb.id = pairs.id_b)
-        |SELECT id_a, id_b, jaccard_milli FROM j
-        |WHERE jaccard_milli >= 800 ORDER BY id_a, id_b
-        |""".stripMargin.trim)),
+      Some(bruteForcePairsSql)),
 
     // ---- EXACT set-similarity join (prefix filtering) -----------------
     // The deterministic complement of the LSH path: the prefix lemma
@@ -214,22 +221,7 @@ object SimQueries {
         Similarity.setSimilarityPairsExact(docs, thresholdMilli = 800)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""
-        |WITH $corpusSql,
-        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM (SELECT id, unnest(shingles) AS s FROM sh) a
-        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
-        |    ON a.s = b.s AND a.id < b.id),
-        |j AS (SELECT id_a, id_b,
-        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
-        |      / (len(sa.shingles) + len(sb.shingles)
-        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
-        |      AS BIGINT) AS jaccard_milli
-        |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a
-        |             JOIN sh sb ON sb.id = pairs.id_b)
-        |SELECT id_a, id_b, jaccard_milli FROM j
-        |WHERE jaccard_milli >= 800 ORDER BY id_a, id_b
-        |""".stripMargin.trim)),
+      Some(bruteForcePairsSql)),
 
     // ---- near-dup clusters: pairs → connected components --------------
     // The stage after pair detection that an actual dedup needs: pairs
