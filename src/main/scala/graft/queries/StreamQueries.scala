@@ -110,6 +110,33 @@ object StreamQueries {
         |FROM events GROUP BY 1 ORDER BY 1
         |""".stripMargin.trim)),
 
+    // Stream-static join: the streaming fact enriched against a batch
+    // dimension — stateless (no watermark, no state store), the dim is
+    // re-resolved per micro-batch; with a broadcastable dim each batch
+    // plans a BroadcastHashJoin, the same shape as the batch enrich.
+    Q("q_stream_static_join",
+      (s, d) => {
+        val s2 = streamSession(s)
+        val dim = graft.Tables.events(s2, d)
+          .select(col("user_id")).distinct()
+          .withColumn("cohort", pmod(col("user_id"), lit(5L)))
+        val enriched = StreamingOps.eventsStream(s2, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+          .join(dim, "user_id")
+        StreamingOps.runToTable(enriched, OutputMode.Append())
+          .orderBy("event_id")
+      },
+      Some("""
+        |WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS cohort
+        |  FROM events)
+        |SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us, d.cohort
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id
+        |""".stripMargin.trim)),
+
     // foreachBatch CDC-to-snapshot: every micro-batch folds into a
     // latest-per-(user, event_type) snapshot via an order-independent
     // max_by_obj compaction — the streaming materialized-upsert-view
