@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(cls.getName, name), builder))
     }
     ext.injectOptimizerRule(_ => DedupWindowToAggregate)
+    // whole-operator plans: BroadcastAsOfJoin -> BroadcastAsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -95,6 +95,61 @@ object Joins {
       .drop(rightTiebreak.filterNot(left.columns.contains): _*)
   }
 
+  /** Backward as-of join via the NATIVE whole-operator path — SURVEY
+    * §7.5 escalation (c): [[graft.plans.BroadcastAsOfJoin]] (custom
+    * LogicalPlan) planned by [[graft.plans.AsOfJoinStrategy]] into a
+    * broadcast hash + binary-search exec. Same output shape as
+    * [[asofJoinBackward]] (left columns + `asof_<payload>`), ROW-level
+    * semantics (see the plan's scaladoc for the null-handling
+    * difference vs the union-window form — they agree when keys, times
+    * and payloads are non-null).
+    *
+    * When to prefer which: this form broadcasts the RIGHT side (must be
+    * dimension-sized) and streams the left with no shuffle and no sort;
+    * the union-window form shuffles + sorts both sides but handles
+    * fact-sized right inputs. The BroadcastHashJoin / SortMergeJoin
+    * trade, applied to as-of. */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
+                        time: String, payload: Seq[String],
+                        rightTiebreak: Seq[String]): DataFrame = {
+    val outCollisions =
+      payload.map("asof_" + _).toSet.intersect(left.columns.toSet)
+    require(outCollisions.isEmpty,
+      s"asofJoinBroadcast output columns would clobber existing left " +
+        s"columns: ${outCollisions.mkString(", ")}")
+    val spark = left.sparkSession
+    // runtime planner registration (idempotent) — build-time sessions
+    // get the same object via GraftExtensions.injectPlannerStrategy
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    // fresh exprIds on the build side (aliases), so a self-derived
+    // right never exprId-collides with the left subtree during the
+    // wrapping Dataset's re-analysis
+    val rCols = (Seq(key, time) ++ rightTiebreak ++ payload).distinct
+    val r = right.select(rCols.map(c => col(c).as("__r_" + c)): _*)
+    val lplan = left.queryExecution.analyzed
+    val rplan = r.queryExecution.analyzed
+    def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+               n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val payloadOut = payload.map { c =>
+      val a = attrOf(rplan, "__r_" + c)
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "asof_" + c, a.dataType, nullable = true)()
+    }
+    org.apache.spark.sql.graft.Internals.ofRows(spark,
+      graft.plans.BroadcastAsOfJoin(lplan, rplan,
+        attrOf(lplan, key), attrOf(rplan, "__r_" + key),
+        attrOf(lplan, time), attrOf(rplan, "__r_" + time),
+        payload.map(c => attrOf(rplan, "__r_" + c)),
+        rightTiebreak.map(c => attrOf(rplan, "__r_" + c)),
+        payloadOut))
+  }
+
   /** Bucketized range (interval) join: pair every left row whose
     * `valueCol` (exact long units) falls in a right interval
     * [`loCol`, `hiCol`) — the second join Spark lacks a scalable

@@ -643,6 +643,50 @@ object AggQueries {
         |FROM w WHERE side = 1 ORDER BY click_id
         |""".stripMargin.trim)),
 
+    // ---- native as-of exec: same semantics, broadcast physical plan --
+    // The whole-operator Catalyst path (plans.BroadcastAsOfJoin →
+    // AsOfJoinStrategy → BroadcastAsOfJoinExec): right side broadcast as
+    // per-key sorted arrays, left streamed with NO shuffle and NO sort.
+    // Same oracle as q_asof_view_click — pins the custom exec
+    // row-identical to the declarative union-window form at sf scale.
+    Q("q_asof_broadcast",
+      (s, d) => {
+        val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"),
+            col("event_id").as("click_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us"),
+            col("event_id").as("view_id"),
+            col("ts_us").as("view_ts_us"))
+        graft.ops.Joins.asofJoinBroadcast(clicks, views,
+            key = "user_id", time = "ts_us",
+            payload = Seq("view_id", "view_ts_us"),
+            rightTiebreak = Seq("view_id"))
+          .orderBy("click_id")
+      },
+      Some("""
+        |WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    event_id AS view_id FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    event_id AS click_id FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, ts_us, 0 AS side, view_id, ts_us AS view_ts_us,
+        |    CAST(NULL AS BIGINT) AS click_id FROM v
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 1 AS side, NULL, NULL, click_id FROM c),
+        |w AS (SELECT *,
+        |    last_value(view_id IGNORE NULLS) OVER win AS asof_view_id,
+        |    last_value(view_ts_us IGNORE NULLS) OVER win
+        |      AS asof_view_ts_us
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts_us, side, view_id NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, click_id, asof_view_id, asof_view_ts_us
+        |FROM w WHERE side = 1 ORDER BY click_id
+        |""".stripMargin.trim)),
+
     Q("q_semi_anti_join",
       (s, d) => {
         val cust = customer(s, d).select("c_custkey", "c_mktsegment")

@@ -16,4 +16,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Internals {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `Dataset.ofRows` (private[sql] in Spark 4's classic shell): wrap a
+    * hand-built logical plan — e.g. a [[graft.plans.BroadcastAsOfJoin]]
+    * node, which has no DSL spelling — as a DataFrame. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
