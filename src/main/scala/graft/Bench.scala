@@ -25,7 +25,12 @@ object Bench {
     // stable ordering + GC between queries: keeps one query's garbage
     // from being charged to the next and makes runs comparable
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // local-iteration filter (comma-separated names); the driver never
+    // sets it, so the per-round contract is unchanged
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap {
       case (name, fn) =>
         System.gc()
         val t0 = System.nanoTime()

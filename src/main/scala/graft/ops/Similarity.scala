@@ -180,16 +180,30 @@ object Similarity {
           - ceil(col("n") * thresholdMilli / 1000.0) + 1).cast("int")))
     val prefixes = packed
       .select(col("id"), col("n"),
-        explode(slice(col("st"), lit(1), col("plen"))).as("p"))
-      .select(col("id"), col("n"), col("p.t").as("t"))
+        posexplode(slice(col("st"), lit(1), col("plen"))))
+      .select(col("id"), col("n"), col("col.t").as("t"),
+        // 1-based position in the rare-first token order (slice starts
+        // at element 1, so posexplode's 0-based pos + 1 is global)
+        (col("pos") + 1).as("i"))
     // length filter (PPJoin): J(A,B) >= t forces t·|B| <= |A| (and
     // symmetrically), so size-mismatched collisions die before the
-    // distinct and the verify joins
+    // distinct and the verify joins. Positional filter (Xiao et al.
+    // PPJoin): a collision at positions (i, j) can contribute at most
+    // ubound = 1 + min(|A|-i, |B|-j) overlapping tokens (everything
+    // before the shared token in each prefix is disjoint by the total
+    // order), while J >= t needs overlap >= α = ceil(t(|A|+|B|)/(1+t));
+    // collisions with ubound < α are pruned BEFORE the distinct. All
+    // integer arithmetic (ubound·(1000+t_milli) >= t_milli·(|A|+|B|)
+    // ⟺ ubound >= α for integer ubound), so the filter is exact and
+    // the candidate set stays provably complete.
     val cands = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
           col("a.n") * 1000 >= col("b.n") * thresholdMilli &&
-          col("b.n") * 1000 >= col("a.n") * thresholdMilli)
+          col("b.n") * 1000 >= col("a.n") * thresholdMilli &&
+          (lit(1) + least(col("a.n") - col("a.i"),
+            col("b.n") - col("b.i"))) * (1000 + thresholdMilli) >=
+            (col("a.n") + col("b.n")) * thresholdMilli)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
