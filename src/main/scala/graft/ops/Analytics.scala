@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Warehouse-analytics operators over event/fact streams — the
+  * product-analytics layer the reference delegates to BigQuery/Looker
+  * (reference README.md:62-65): funnels, cohort retention, time-series
+  * gap filling, statistical anomaly flags. All declarative
+  * DataFrame/window formulations so Catalyst keeps them in whole-stage
+  * codegen, and all arithmetic integer-exact so results hash-match
+  * across engines at any parallelism. */
+object Analytics {
+
+  /** Ordered conversion funnel: for each entity, whether it performed
+    * stage 1, then stage 2 AT OR AFTER its first qualifying stage-1
+    * moment, then stage 3 at or after that, … for an arbitrary stage
+    * list. A stage-k event qualifies only if some stage-(k-1) event
+    * already qualified at an earlier-or-equal `(time, tiebreak)` — the
+    * standard "ordered funnel" semantics (a purchase before any click
+    * does not count).
+    *
+    * Implementation: running per-stage flags over ONE window spec
+    * (partition by entity, order by time+tiebreak, rows unbounded
+    * preceding..current): `reached_1 = max(is_stage1)`,
+    * `reached_k = max(is_stagek AND reached_{k-1})`. The chained
+    * flags need one Window node per stage but share the spec, so
+    * Catalyst plans ONE exchange + ONE sort for all of them, and the
+    * final per-entity aggregate reuses the same hash partitioning —
+    * a single shuffle end-to-end regardless of stage count. At 100 TB
+    * this is the minimum possible: any funnel needs events co-located
+    * and time-ordered per entity once.
+    *
+    * Returns one row per entity: (entityCol, reached_<stage>...) with
+    * 0/1 longs. Tiebreak must make (time, tiebreak) total per entity
+    * or same-instant stage pairs are engine-ambiguous. */
+  def funnel(events: DataFrame, entityCol: String, timeCol: Column,
+             tiebreakCol: Column, stageCol: Column,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("__t"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = stages.zipWithIndex.foldLeft(
+        events.select(col(entityCol), timeCol.as("__t"),
+          tiebreakCol.as("__tb"), stageCol.as("__stage"))) {
+      case (df, (stage, i)) =>
+        val hit =
+          if (i == 0) when(col("__stage") === stage, 1L).otherwise(0L)
+          else when(col("__stage") === stage &&
+            col(s"__r${i - 1}") === 1L, 1L).otherwise(0L)
+        df.withColumn(s"__r$i", max(hit).over(w))
+    }
+    flagged.groupBy(entityCol)
+      .agg(max(col("__r0")).as(s"reached_${stages.head}"),
+        stages.zipWithIndex.tail.map { case (s, i) =>
+          max(col(s"__r$i")).as(s"reached_$s")
+        }: _*)
+  }
+
+  /** Cohort retention: assign every entity to the cohort of its FIRST
+    * activity period (daily here), then count distinct entities active
+    * at each (cohort, period-offset). The classic retention triangle.
+    *
+    * Shape: one per-entity min aggregate (partial-aggregable), one
+    * distinct over (entity, period) (partial-aggregable), one equi-join
+    * on entity (both sides hash-partitioned by entity), one final
+    * count-distinct collapsed by (cohort, offset). No windows, no
+    * sorts; every stage map-side combines, so at 100 TB the shuffled
+    * bytes are bounded by distinct (entity, period) pairs, not raw
+    * events. */
+  def cohortRetention(events: DataFrame, entityCol: String,
+                      dayCol: Column): DataFrame = {
+    val activity = events.select(col(entityCol), dayCol.as("d")).distinct()
+    val cohorts = activity.groupBy(entityCol)
+      .agg(min(col("d")).as("cohort_d"))
+    activity.join(cohorts, entityCol)
+      .groupBy(col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).cast(LongType)
+          .as("offset_days"))
+      .agg(countDistinct(col(entityCol)).as("users"))
+  }
+
+  /** Daily time-series gap fill + forward fill: per key, build the
+    * dense day spine from the key's own [min, max] observed day
+    * (`sequence` + `explode` — generated distributed, never on the
+    * driver), left-join the observed daily values, and forward-fill
+    * missing days with the last observed value (`last(ignoreNulls)`
+    * over an unbounded-preceding row window). Days before a key's
+    * first observation stay null by construction. `is_gap` marks
+    * filled rows.
+    *
+    * Shape: one daily pre-aggregate, one per-key bounds aggregate
+    * (both partial-aggregable), one equi-join on (key, day), one
+    * window sorted per key. The spine join is skew-safe: spine rows
+    * per key are bounded by the date span, not the data volume. */
+  def gapFillDaily(daily: DataFrame, keyCol: String, dayCol: String,
+                   valueCol: String): DataFrame = {
+    val bounds = daily.groupBy(keyCol)
+      .agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"),
+        expr("interval 1 day"))).as(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, dayCol), "left")
+      .withColumn("is_gap", col(valueCol).isNull)
+      .withColumn(valueCol,
+        last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Per-group z-score anomaly flag, integer-exact: flags rows with
+    * |x − μ| > (zMilli/1000)·σ (sample stddev) without ever computing
+    * a float. With n, S=Σx, Q=Σx² per group,
+    * |z| > z₀ ⟺ (n·x − S)²·(n−1)·10⁶ > z₀milli²·n·(n·Q − S²),
+    * which is pure integer arithmetic in DECIMAL(38,0) — exact,
+    * associative, and identical on any engine at any parallelism
+    * (float stddev would hash-diverge on aggregation order alone).
+    * Groups of one row are never anomalous (sample variance
+    * undefined ⇒ flag false, both sides of the inequality zero —
+    * kept explicit so the behavior is pinned).
+    *
+    * Shape: the three moments come from ONE window over the group
+    * (single exchange, no sort — unbounded frame), the flag is a
+    * codegen'd per-row projection. At 100 TB: groupBy-moments + join
+    * back would also work; the window form shuffles the rows once
+    * either way and keeps the row payload out of the aggregate. */
+  def anomalyZScore(rows: DataFrame, groupCol: String, xCol: String,
+                    zMilli: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col(groupCol))
+    val x = col(xCol).cast(dec)
+    val n = count(lit(1)).over(w).cast(dec)
+    val s = sum(x).over(w)
+    val q = sum(x * x).over(w)
+    val dev = n * x - s           // n·(x − μ), scaled by n
+    val varN = n * q - s * s      // n²·σ²_pop·…  = n·(n−1)·σ²_samp
+    rows.withColumn("is_anomaly",
+      dev * dev * (n - lit(1).cast(dec)) * lit(1000000L).cast(dec) >
+        lit(zMilli.toLong * zMilli).cast(dec) * n * varN)
+  }
+}

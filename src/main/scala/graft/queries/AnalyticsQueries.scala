@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ops.Analytics
+
+/** Product-analytics queries (funnel, cohort retention, gap fill,
+  * anomaly flags) — the BigQuery/Looker layer of the reference
+  * (README.md:62-65) re-expressed in-engine. Every query is pinned to a
+  * DuckDB oracle; times go through epoch-microseconds and money/value
+  * through integer milli-units so the hashes are engine-exact (see
+  * AggQueries' determinism note). */
+object AnalyticsQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- ordered funnel: view -> click -> purchase ------------------
+    // Per-user ordered-stage flags: a click counts only at-or-after the
+    // first view, a purchase only at-or-after the first qualifying
+    // click. One exchange + one sort total (all windows share a spec).
+    Q("q_funnel_stages",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_id"),
+          col("event_type"))
+        Analytics.funnel(ev, "user_id", col("ts_us"), col("event_id"),
+            col("event_type"), Seq("view", "click", "purchase"))
+          .orderBy("user_id")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |f AS (SELECT user_id, ts_us, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER win AS r0 FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT user_id, ts_us, event_id, event_type, r0,
+        |    max(CASE WHEN event_type = 'click' AND r0 = 1
+        |        THEN 1 ELSE 0 END) OVER win AS r1 FROM f
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |h AS (SELECT user_id, r0, r1,
+        |    max(CASE WHEN event_type = 'purchase' AND r1 = 1
+        |        THEN 1 ELSE 0 END) OVER win AS r2 FROM g
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(max(r0) AS BIGINT) AS reached_view,
+        |  CAST(max(r1) AS BIGINT) AS reached_click,
+        |  CAST(max(r2) AS BIGINT) AS reached_purchase
+        |FROM h GROUP BY user_id ORDER BY user_id
+        |""".stripMargin.trim)),
+
+    // ---- cohort retention triangle ----------------------------------
+    // Cohort = day of first activity; users counted distinct at each
+    // (cohort, day-offset). All stages partial-aggregable.
+    Q("q_cohort_retention",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+        Analytics.cohortRetention(ev, "user_id", col("day"))
+          .orderBy("cohort_d", "offset_days")
+      },
+      Some("""
+        |WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |    FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_d FROM a GROUP BY user_id)
+        |SELECT c.cohort_d, CAST(date_diff('day', c.cohort_d, a.d)
+        |    AS BIGINT) AS offset_days,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    // ---- daily gap fill + forward fill ------------------------------
+    // Orders per priority are sparse at the daily grain (~1720 of 2405
+    // days present per priority at sf0.01): build each key's dense day
+    // spine distributed (sequence + explode) and forward-fill revenue.
+    Q("q_ts_gapfill",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderpriority").as("p"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(sum(floor(col("o_totalprice") * 100 + 0.5)
+            .cast(LongType)).as("rev_c"))
+        Analytics.gapFillDaily(daily, "p", "day", "rev_c")
+          .select("p", "day", "rev_c", "is_gap")
+          .orderBy("p", "day")
+      },
+      Some("""
+        |WITH daily AS (SELECT o_orderpriority AS p,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT p, min(day) AS lo, max(day) AS hi
+        |  FROM daily GROUP BY p),
+        |spine AS (SELECT p, CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |j AS (SELECT s.p, s.day, daily.rev_c,
+        |    daily.rev_c IS NULL AS is_gap
+        |  FROM spine s LEFT JOIN daily ON s.p = daily.p
+        |    AND s.day = daily.day)
+        |SELECT p, day,
+        |  last_value(rev_c IGNORE NULLS) OVER (PARTITION BY p
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS rev_c,
+        |  is_gap
+        |FROM j ORDER BY p, day
+        |""".stripMargin.trim)),
+
+    // ---- integer-exact z-score anomaly flags ------------------------
+    // |z| > 2.5 on events.value (milli-units) per event_type, via the
+    // cross-multiplied moment inequality — no float stddev anywhere,
+    // so the flag is exact under any aggregation order.
+    Q("q_anomaly_zscore",
+      (s, d) => {
+        val ev = events(s, d).filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1000 + 0.5).cast(LongType)
+              .as("v_milli"))
+        Analytics.anomalyZScore(ev, "event_type", "v_milli", 2500)
+          .orderBy("event_id")
+      },
+      Some("""
+        |WITH t AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_id, event_type, v_milli,
+        |    CAST(count(*) OVER w AS HUGEINT) AS n,
+        |    CAST(sum(v_milli) OVER w AS HUGEINT) AS s,
+        |    CAST(sum(CAST(v_milli AS HUGEINT) * v_milli) OVER w
+        |      AS HUGEINT) AS q
+        |  FROM t WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_id, event_type, v_milli,
+        |  (n * v_milli - s) * (n * v_milli - s) * (n - 1) * 1000000
+        |    > 6250000 * n * (n * q - s * s) AS is_anomaly
+        |FROM m ORDER BY event_id
+        |""".stripMargin.trim)))
+}

@@ -14,7 +14,8 @@ object Registry {
   def all: Seq[Q] =
     RefQueries.all ++ AggQueries.all ++ TextQueries.all ++
       SimQueries.all ++ JobQueries.all ++ StreamQueries.all ++
-      MultimodalQueries.all ++ CorpusQueries.all ++ MergeQueries.all
+      MultimodalQueries.all ++ CorpusQueries.all ++ MergeQueries.all ++
+      AnalyticsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel: stages must occur in order; same-instant ties resolved " +
+      "by tiebreak; later stages without predecessors don't count") {
+    val ev = Seq(
+      // user 1: view(10) -> click(20) -> purchase(30): full funnel
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "purchase"),
+      // user 2: purchase BEFORE any click: stops at view
+      (2L, 10L, 4L, "view"), (2L, 20L, 5L, "purchase"),
+      (2L, 30L, 6L, "click"),
+      // user 3: click with no view: reaches nothing
+      (3L, 10L, 7L, "click"), (3L, 20L, 8L, "purchase"),
+      // user 4: view and click at the SAME ts — tiebreak (event_id)
+      // orders view first, so the click qualifies
+      (4L, 10L, 9L, "view"), (4L, 10L, 10L, "click")
+    ).toDF("u", "t", "eid", "kind")
+    val out = Analytics.funnel(ev, "u", col("t"), col("eid"),
+        col("kind"), Seq("view", "click", "purchase"))
+      .orderBy("u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 1L),
+      (2L, 1L, 1L, 0L), // click@30 counts (after view), purchase@20 not
+      (3L, 0L, 0L, 0L),
+      (4L, 1L, 1L, 0L)))
+  }
+
+  test("cohortRetention: cohort = first activity day, distinct users " +
+      "per (cohort, offset)") {
+    def d(s: String) = Date.valueOf(s)
+    val ev = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-01")), // same day dedup
+      (1L, d("2024-01-03")),
+      (2L, d("2024-01-01")), (2L, d("2024-01-02")),
+      (3L, d("2024-01-02"))
+    ).toDF("u", "day")
+    val out = Analytics.cohortRetention(ev, "u", col("day"))
+      .orderBy("cohort_d", "offset_days")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 2L), // users 1,2 on day 0
+      ("2024-01-01", 1L, 1L), // user 2 back on day 1
+      ("2024-01-01", 2L, 1L), // user 1 back on day 2
+      ("2024-01-02", 0L, 1L))) // user 3's cohort
+  }
+
+  test("gapFillDaily: dense spine per key, forward fill, leading nulls " +
+      "stay null, is_gap marks synthesized days") {
+    def d(s: String) = Date.valueOf(s)
+    val daily = Seq(
+      ("a", d("2024-01-01"), Some(10L)),
+      ("a", d("2024-01-04"), Some(40L)),
+      ("b", d("2024-01-02"), None), // observed day with null value
+      ("b", d("2024-01-03"), Some(7L))
+    ).toDF("k", "day", "v")
+    val out = Analytics.gapFillDaily(daily, "k", "day", "v")
+      .orderBy("k", "day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 10L, false),
+      ("a", "2024-01-02", 10L, true),  // filled
+      ("a", "2024-01-03", 10L, true),  // filled
+      ("a", "2024-01-04", 40L, false),
+      ("b", "2024-01-02", -1L, true),  // leading null: nothing to fill
+      ("b", "2024-01-03", 7L, false)))
+  }
+
+  test("anomalyZScore: integer-exact flag matches float z-score; " +
+      "single-row groups never anomalous") {
+    // group g: nine 100s and one 1000 — the outlier's |z| is ~2.846
+    // (> 2.5), the 100s are ~0.32 (< 2.5)
+    val rows = (Seq.fill(9)(100L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) } :+ ((99L, "solo", 5L))
+    val out = Analytics.anomalyZScore(rows.toDF("id", "grp", "x"),
+        "grp", "x", 2500)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(out.count(_._2) == 1)
+    assert(out.find(_._1 == 9L).exists(_._2 == true)) // the 1000
+    assert(out.find(_._1 == 99L).exists(_._2 == false)) // solo group
+  }
+
+  test("funnel plan: one exchange, one sort for all three stages") {
+    val ev = Seq((1L, 10L, 1L, "view")).toDF("u", "t", "eid", "kind")
+    val plan = Analytics.funnel(ev, "u", col("t"), col("eid"),
+      col("kind"), Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding(8).count(_ == "Exchange") <= 2,
+      s"expected single data exchange (+1 for tiny agg):\n$plan")
+    assert("(?i)\\bSort\\b".r.findAllIn(plan).size <= 1,
+      s"windows should share one sort:\n$plan")
+  }
+}
