@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ops.{IncrementalAgg, Reconcile, TextOps}
+
+/** 100 TB operational queries: snapshot reconciliation by bucketed
+  * checksums, incremental aggregate-MV maintenance, and Bloom-staged
+  * decontamination. Each gate pins the SCALE formulation to the naive
+  * full-recompute oracle — the operator's contract is "identical
+  * answer, fraction of the work". */
+object ScaleQueries {
+
+  private val centsSql = (e: String) =>
+    s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
+
+  def all: Seq[Q] = Seq(
+
+    // ---- bucketed checksum reconciliation ---------------------------
+    // A drifted copy of orders (every 97th key's price bumped, every
+    // 101st key dropped) is reconciled against the original at the
+    // BUCKET level: 64 checksum triples per side instead of a row join.
+    // The oracle recomputes both checksum tables in SQL — md5 is
+    // bit-identical across engines, so the triples match exactly.
+    Q("q_table_checksum",
+      (s, d) => {
+        val a = orders(s, d).select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+            .as("price_c"))
+        val b = a.filter(col("o_orderkey") % 101 =!= 0)
+          .withColumn("price_c",
+            when(col("o_orderkey") % 97 === 0, col("price_c") + 1)
+              .otherwise(col("price_c")))
+        Reconcile.checksumDiff(a, b,
+            Seq("o_orderkey", "price_c"), buckets = 64)
+          .orderBy("bucket")
+      },
+      Some(s"""
+        |WITH a AS (SELECT o_orderkey,
+        |    ${centsSql("o_totalprice")} AS price_c FROM orders),
+        |b AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN price_c + 1
+        |         ELSE price_c END AS price_c
+        |  FROM a WHERE o_orderkey % 101 <> 0),
+        |ha AS (SELECT md5(concat_ws('|',
+        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)),
+        |    COALESCE(CAST(price_c AS VARCHAR), chr(1)))) AS dg FROM a),
+        |hb AS (SELECT md5(concat_ws('|',
+        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)),
+        |    COALESCE(CAST(price_c AS VARCHAR), chr(1)))) AS dg FROM b),
+        |ca AS (SELECT CAST(('0x' || substr(dg, 1, 4)) AS BIGINT) % 64
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CAST(('0x' || substr(dg, 5, 15)) AS BIGINT))
+        |      % 1152921504606846976 AS BIGINT) AS hsum_a,
+        |    bit_xor(CAST(('0x' || substr(dg, 5, 15)) AS BIGINT))
+        |      AS hxor_a
+        |  FROM ha GROUP BY 1),
+        |cb AS (SELECT CAST(('0x' || substr(dg, 1, 4)) AS BIGINT) % 64
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt_b,
+        |    CAST(sum(CAST(('0x' || substr(dg, 5, 15)) AS BIGINT))
+        |      % 1152921504606846976 AS BIGINT) AS hsum_b,
+        |    bit_xor(CAST(('0x' || substr(dg, 5, 15)) AS BIGINT))
+        |      AS hxor_b
+        |  FROM hb GROUP BY 1)
+        |SELECT bucket,
+        |  COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b,
+        |  COALESCE(hsum_a, 0) AS hsum_a, COALESCE(hsum_b, 0) AS hsum_b,
+        |  COALESCE(hxor_a, 0) AS hxor_a, COALESCE(hxor_b, 0) AS hxor_b
+        |FROM ca FULL OUTER JOIN cb USING (bucket)
+        |WHERE COALESCE(cnt_a, 0) <> COALESCE(cnt_b, 0)
+        |  OR COALESCE(hsum_a, 0) <> COALESCE(hsum_b, 0)
+        |  OR COALESCE(hxor_a, 0) <> COALESCE(hxor_b, 0)
+        |ORDER BY bucket
+        |""".stripMargin.trim)),
+
+    // ---- incremental aggregate-MV maintenance -----------------------
+    // History (shipped before 1997) is folded into a per-group state
+    // table ONCE; the new batch's state merges in at group cardinality.
+    // The gate pins merge(state(hist), state(batch)) == full recompute
+    // (the oracle aggregates all of lineitem directly). Averages are
+    // derived at read time as exact milli integer division — positive
+    // sums, so Spark's `div` (truncate) and DuckDB's `//` (floor)
+    // agree.
+    Q("q_incr_agg_maintain",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"),
+          floor(col("l_quantity") * 100 + 0.5).cast(LongType)
+            .as("qty_c"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
+            .as("price_c"))
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val vals = Seq("qty_c", "price_c")
+        val cutoff = "1997-01-01"
+        val hist = li.filter(col("l_shipdate") < lit(cutoff))
+        val batch = li.filter(col("l_shipdate") >= lit(cutoff))
+        val merged = IncrementalAgg.mergeStates(
+          Seq(IncrementalAgg.aggState(hist, keys, vals),
+            IncrementalAgg.aggState(batch, keys, vals)), keys)
+        IncrementalAgg.finalizeView(merged, keys)
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT)
+        |    AS sum_price_c,
+        |  CAST((sum(${centsSql("l_quantity")}) * 1000) // count(*)
+        |    AS BIGINT) AS avg_qty_c_milli,
+        |  CAST((sum(${centsSql("l_extendedprice")}) * 1000) // count(*)
+        |    AS BIGINT) AS avg_price_c_milli
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    // ---- Bloom-staged decontamination -------------------------------
+    // Same contract as q_text_decontaminate (flag corpus docs sharing
+    // an 8-gram with the eval set), staged for scale: the eval
+    // shingles fold into a KB-sized Bloom sketch (partial-aggregable
+    // OR-merge), the corpus side is pruned by a codegen'd membership
+    // test BEFORE any join, and only the ~selectivity fraction of
+    // shingle rows reaches the exact broadcast semi-join that removes
+    // Bloom false positives. Identical output, shuffle traffic cut to
+    // the matching fraction — the decontamination twin of
+    // Joins.bloomPrunedJoin. Oracle = the exact formulation.
+    Q("q_decontaminate_bloom",
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val docs = documents(s, d)
+        val eval_ = docs.filter(col("doc_id") % 50 === 0)
+        val planted = eval_.select(
+          (col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+          .select("doc_id", "text").unionByName(planted)
+        val evalShingles = eval_
+          .select(explode(TextOps.wordShingles(col("text"), 8)).as("s"))
+          .distinct()
+        val sketch = evalShingles
+          .agg(call_function("bloom_agg", xxhash64(col("s")),
+            lit(1 << 20), lit(7)).as("b"))
+          .head().getAs[Array[Byte]](0)
+        corpus
+          .select(col("doc_id"),
+            explode(TextOps.wordShingles(col("text"), 8)).as("s"))
+          .filter(call_function("bloom_might_contain", lit(sketch),
+            xxhash64(col("s"))))
+          .join(broadcast(evalShingles), Seq("s"), "left_semi")
+          .select("doc_id").distinct()
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH ev AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM ev),
+        |evs AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM ev) WHERE len(toks) >= 8),
+        |cs AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS toks
+        |        FROM corpus) WHERE len(toks) >= 8)
+        |SELECT DISTINCT doc_id FROM cs
+        |WHERE s IN (SELECT s FROM evs) ORDER BY doc_id
+        |""".stripMargin.trim)))
+}
