@@ -90,7 +90,9 @@ object Analytics {
     * missing days with the last observed value (`last(ignoreNulls)`
     * over an unbounded-preceding row window). Days before a key's
     * first observation stay null by construction. `is_gap` marks
-    * filled rows.
+    * SYNTHESIZED days (day absent from `daily`); an observed row whose
+    * value is NULL is `is_gap = false` yet still forward-filled — the
+    * standard last-observation-carried-forward convention.
     *
     * Shape: one daily pre-aggregate, one per-key bounds aggregate
     * (both partial-aggregable), one equi-join on (key, day), one
@@ -105,10 +107,14 @@ object Analytics {
         expr("interval 1 day"))).as(dayCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq(keyCol, dayCol), "left")
-      .withColumn("is_gap", col(valueCol).isNull)
+    // presence marker, NOT valueCol.isNull: an observed row with a
+    // NULL value is a real observation, not a synthesized gap day
+    spine.join(daily.withColumn("__obs", lit(true)),
+        Seq(keyCol, dayCol), "left")
+      .withColumn("is_gap", col("__obs").isNull)
       .withColumn(valueCol,
         last(col(valueCol), ignoreNulls = true).over(w))
+      .drop("__obs")
   }
 
   /** Per-group z-score anomaly flag, integer-exact: flags rows with
@@ -122,23 +128,43 @@ object Analytics {
     * undefined ⇒ flag false, both sides of the inequality zero —
     * kept explicit so the behavior is pinned).
     *
-    * Shape: the three moments come from ONE window over the group
-    * (single exchange, no sort — unbounded frame), the flag is a
-    * codegen'd per-row projection. At 100 TB: groupBy-moments + join
-    * back would also work; the window form shuffles the rows once
-    * either way and keeps the row payload out of the aggregate. */
+    * Capacity: z is translation-invariant, so values are CENTERED at
+    * the group minimum before the moments — every term is then bounded
+    * by the group's value RANGE R, not its absolute magnitude. The
+    * dominant products grow as n³·R²·max(10⁶, zMilli²); DECIMAL(38,0)
+    * holds them exactly while n³·R²·max(10⁶, zMilli²) < 10³⁸ — e.g.
+    * R = 10⁶ (a 1000-unit spread in milli units), zMilli = 2500 →
+    * n ≲ 2.5 M rows per group; R = 10⁴ → n ≲ 54 M. Past that envelope
+    * Spark's ANSI mode FAILS LOUDLY (decimal overflow throws, never a
+    * silently wrong flag) — for larger groups use a float z-score and
+    * give up bit-exactness.
+    *
+    * Shape: the moments come from ONE window over the group (single
+    * exchange, no sort — unbounded frame), the flag is a codegen'd
+    * per-row projection. At 100 TB: groupBy-moments + join back would
+    * also work; the window form shuffles the rows once either way and
+    * keeps the row payload out of the aggregate. */
   def anomalyZScore(rows: DataFrame, groupCol: String, xCol: String,
                     zMilli: Int): DataFrame = {
     val dec = DecimalType(38, 0)
     val w = Window.partitionBy(col(groupCol))
-    val x = col(xCol).cast(dec)
+    // center at the group min: moments of x' = x - min(x) give the
+    // same flag (translation invariance) with operands bounded by the
+    // group range instead of the raw magnitude. Two projections (a
+    // window function can't nest inside another), SAME window spec —
+    // one exchange serves both.
+    val x = col("__xc")
     val n = count(lit(1)).over(w).cast(dec)
     val s = sum(x).over(w)
     val q = sum(x * x).over(w)
     val dev = n * x - s           // n·(x − μ), scaled by n
     val varN = n * q - s * s      // n²·σ²_pop·…  = n·(n−1)·σ²_samp
-    rows.withColumn("is_anomaly",
-      dev * dev * (n - lit(1).cast(dec)) * lit(1000000L).cast(dec) >
-        lit(zMilli.toLong * zMilli).cast(dec) * n * varN)
+    rows
+      .withColumn("__xc",
+        (col(xCol) - min(col(xCol)).over(w)).cast(dec))
+      .withColumn("is_anomaly",
+        dev * dev * (n - lit(1).cast(dec)) * lit(1000000L).cast(dec) >
+          lit(zMilli.toLong * zMilli).cast(dec) * n * varN)
+      .drop("__xc")
   }
 }

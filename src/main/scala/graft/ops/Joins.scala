@@ -118,12 +118,18 @@ object Joins {
       s"asofJoinBroadcast output columns would clobber existing left " +
         s"columns: ${outCollisions.mkString(", ")}")
     val spark = left.sparkSession
-    // runtime planner registration (idempotent) — build-time sessions
-    // get the same object via GraftExtensions.injectPlannerStrategy
-    if (!spark.experimental.extraStrategies
-        .contains(graft.plans.AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // runtime planner registration — build-time sessions get the same
+    // object via GraftExtensions.injectPlannerStrategy, which surfaces
+    // in sessionState.planner.strategies (so checking only
+    // experimental.extraStrategies would double-register there).
+    // Synchronized: experimental.extraStrategies is session-global
+    // state and the read-modify-write would otherwise race.
+    Joins.synchronized {
+      if (!spark.sessionState.planner.strategies
+          .contains(graft.plans.AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      }
     }
     // fresh exprIds on the build side (aliases), so a self-derived
     // right never exprId-collides with the left subtree during the
@@ -136,6 +142,18 @@ object Joins {
                n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
+    // the exec's ordering/hash-lookup state is built from the BUILD
+    // side's types and probed with STREAM values: a type mismatch is a
+    // runtime ClassCastException (time) or silent all-null payloads
+    // (key, when the boxed types never compare equal) — reject here,
+    // where the fix (an explicit cast) is obvious
+    for ((l, r2, what) <- Seq((key, "__r_" + key, "key"),
+        (time, "__r_" + time, "time"))) {
+      val (lt, rt) = (attrOf(lplan, l).dataType, attrOf(rplan, r2).dataType)
+      require(lt == rt,
+        s"asofJoinBroadcast $what types differ: left $l is $lt, " +
+          s"right is $rt — cast one side explicitly")
+    }
     val payloadOut = payload.map { c =>
       val a = attrOf(rplan, "__r_" + c)
       org.apache.spark.sql.catalyst.expressions.AttributeReference(

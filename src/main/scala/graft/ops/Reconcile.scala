@@ -28,12 +28,17 @@ object Reconcile {
 
   private val Mod60 = "1152921504606846976" // 2^60
 
-  /** Canonical per-row digest: md5 hex of the `|`-joined, NULL-
-    * sentineled string forms of `cols`. Stable across engines and
-    * across row order by construction. */
+  /** Canonical per-row digest: md5 over the concatenation of PER-COLUMN
+    * md5s (NULL -> the literal `N`, which no 32-char hex digest can
+    * collide with). Hashing each column first makes the encoding
+    * injective for arbitrary string content - a separator-join form
+    * would confuse ("a|b", "c") with ("a", "b|c") and a NULL sentinel
+    * with its literal value. Stable across engines and across row
+    * order by construction; ("a", NULL) differs from ("a", "") because
+    * md5('') is a digest, not `N`. */
   def rowDigest(cols: Seq[Column]): Column =
-    md5(concat_ws("|",
-      cols.map(c => coalesce(c.cast("string"), lit("\u0001"))): _*))
+    md5(concat_ws("",
+      cols.map(c => coalesce(md5(c.cast("string")), lit("N"))): _*))
 
   /** Per-bucket checksum of `df` over `cols`: `buckets` rows of
     * (bucket, cnt, hsum, hxor). Bucket = first 4 digest hex chars mod

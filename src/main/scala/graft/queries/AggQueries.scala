@@ -21,13 +21,10 @@ object AggQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100 + 0.5).cast(LongType)
 
-  private val centsSql = (e: String) =>
-    s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
+  private val centsSql = OracleSql.cents
 
-  /** DuckDB widens sum(BIGINT) to HUGEINT (int128); the driver gate
-    * hashes that differently from Spark's int64. Every oracle sum over
-    * integers must come back down to BIGINT explicitly. */
-  private val sumB = (e: String) => s"CAST(sum($e) AS BIGINT)"
+  /** See [[OracleSql.sumB]]. */
+  private val sumB = OracleSql.sumB
 
   /** Content key for idempotent side-channel sinks (tables written by
     * queries, reused across runs): stable while the source file is

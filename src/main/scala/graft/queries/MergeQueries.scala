@@ -16,8 +16,7 @@ object MergeQueries {
 
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100 + 0.5).cast(LongType)
-  private val centsSql = (e: String) =>
-    s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
+  private val centsSql = OracleSql.cents
 
   def all: Seq[Q] = Seq(
 

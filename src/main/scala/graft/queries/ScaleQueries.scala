@@ -12,8 +12,7 @@ import graft.ops.{IncrementalAgg, Reconcile, TextOps}
   * answer, fraction of the work". */
 object ScaleQueries {
 
-  private val centsSql = (e: String) =>
-    s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
+  private val centsSql = OracleSql.cents
 
   def all: Seq[Q] = Seq(
 
@@ -43,12 +42,12 @@ object ScaleQueries {
         |    CASE WHEN o_orderkey % 97 = 0 THEN price_c + 1
         |         ELSE price_c END AS price_c
         |  FROM a WHERE o_orderkey % 101 <> 0),
-        |ha AS (SELECT md5(concat_ws('|',
-        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)),
-        |    COALESCE(CAST(price_c AS VARCHAR), chr(1)))) AS dg FROM a),
-        |hb AS (SELECT md5(concat_ws('|',
-        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)),
-        |    COALESCE(CAST(price_c AS VARCHAR), chr(1)))) AS dg FROM b),
+        |ha AS (SELECT md5(concat_ws('',
+        |    COALESCE(md5(CAST(o_orderkey AS VARCHAR)), 'N'),
+        |    COALESCE(md5(CAST(price_c AS VARCHAR)), 'N'))) AS dg FROM a),
+        |hb AS (SELECT md5(concat_ws('',
+        |    COALESCE(md5(CAST(o_orderkey AS VARCHAR)), 'N'),
+        |    COALESCE(md5(CAST(price_c AS VARCHAR)), 'N'))) AS dg FROM b),
         |ca AS (SELECT CAST(('0x' || substr(dg, 1, 4)) AS BIGINT) % 64
         |      AS bucket,
         |    CAST(count(*) AS BIGINT) AS cnt_a,
@@ -135,9 +134,13 @@ object ScaleQueries {
           (col("doc_id") + 2000000L).as("doc_id"), col("text"))
         val corpus = docs.filter(col("doc_id") % 50 =!= 0)
           .select("doc_id", "text").unionByName(planted)
+        // persisted: the sketch-building action below and the exact
+        // confirm join both consume this plan — without the cache the
+        // eval docs would be re-tokenized and re-shingled twice
         val evalShingles = eval_
           .select(explode(TextOps.wordShingles(col("text"), 8)).as("s"))
           .distinct()
+          .persist()
         val sketch = evalShingles
           .agg(call_function("bloom_agg", xxhash64(col("s")),
             lit(1 << 20), lit(7)).as("b"))

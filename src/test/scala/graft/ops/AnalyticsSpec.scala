@@ -56,7 +56,7 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("gapFillDaily: dense spine per key, forward fill, leading nulls " +
-      "stay null, is_gap marks synthesized days") {
+      "stay null, is_gap marks ONLY synthesized days") {
     def d(s: String) = Date.valueOf(s)
     val daily = Seq(
       ("a", d("2024-01-01"), Some(10L)),
@@ -73,7 +73,8 @@ class AnalyticsSpec extends SparkSpec {
       ("a", "2024-01-02", 10L, true),  // filled
       ("a", "2024-01-03", 10L, true),  // filled
       ("a", "2024-01-04", 40L, false),
-      ("b", "2024-01-02", -1L, true),  // leading null: nothing to fill
+      // observed-but-null day: NOT a gap; leading null stays unfilled
+      ("b", "2024-01-02", -1L, false),
       ("b", "2024-01-03", 7L, false)))
   }
 

@@ -113,6 +113,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(10L, -1L, -1L))
   }
 
+  test("asofJoinBroadcast: mismatched key/time types are rejected at " +
+      "construction (exec would CCE or silently miss matches)") {
+    val left = Seq((1, 100L, 1L)).toDF("k", "t", "lid") // k: INT
+    val right = Seq((1L, 50L, 10L)).toDF("k", "t", "rid") // k: BIGINT
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoinBroadcast(left, right, key = "k", time = "t",
+        payload = Seq("rid"), rightTiebreak = Seq("rid"))
+    }
+    assert(e.getMessage.contains("types differ"))
+    val left2 = Seq((1L, 100, 1L)).toDF("k", "t", "lid") // t: INT
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.asofJoinBroadcast(left2, right, key = "k", time = "t",
+        payload = Seq("rid"), rightTiebreak = Seq("rid"))
+    }
+    assert(e2.getMessage.contains("time types differ"))
+  }
+
   test("payload column on the left side is rejected, not corrupted") {
     // if "rid" also existed on the left, unionByName would feed left
     // values into last(..., ignoreNulls) and rows would match
