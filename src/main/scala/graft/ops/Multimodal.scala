@@ -80,6 +80,74 @@ object Multimodal {
       }
   }
 
+  final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Average-hash perceptual fingerprint over the binary payload — the
+    * aHash family (public literature: 60 evenly-sampled "pixels",
+    * bit k = sample k above the sample mean), computed in the decode
+    * stage ([[decodeStub]]'s per-partition batched pattern). A real
+    * image pipeline swaps the byte sampling for an 8×8 grayscale
+    * downscale; the hash algebra, banding, and verify are unchanged.
+    * 60 bits (not 64) so the hash stays a positive BIGINT in every
+    * engine — integer arithmetic only, so the DuckDB oracle matches
+    * bit-for-bit. Payloads shorter than 60 bytes are dropped (no
+    * stable sample grid). */
+  def pHashStub(binary: DataFrame): Dataset[MediaHash] = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = r.payload.length
+          if (n < 60) None
+          else {
+            val samples = Array.tabulate(60) { k =>
+              r.payload(((k.toLong * n) / 60).toInt) & 0xff
+            }
+            val sum = samples.sum
+            var h = 0L
+            var k = 0
+            while (k < 60) {
+              if (samples(k) * 60 > sum) h |= 1L << k
+              k += 1
+            }
+            Some(MediaHash(r.doc_id, h))
+          }
+        }
+      }
+  }
+
+  /** Perceptual-hash near-dup pairs with Hamming distance ≤
+    * `maxHamming` (≤ 3): band the 60-bit hash into 4×15-bit keys —
+    * with ≤ 3 differing bits at least one band is untouched
+    * (pigeonhole), so the band-bucket equi-join is a COMPLETE
+    * candidate set — then verify candidates with an exact
+    * `bit_count(xor)`. The simhash banding argument applied to media
+    * fingerprints: no all-pairs scan, one equi-join on (band, key),
+    * partial-aggregable distinct. Output (id_a, id_b, hamming). */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x15 banding is only complete for hamming <= 3")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> " +
+            "struct(b AS band, shiftright(phash, 15 * b) & 32767 AS key))"))
+          .as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("h_a"), col("b.phash").as("h_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(expr("h_a ^ h_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Frame sampling: split the payload into fixed-size "frames" and
     * keep every k-th — the video-frame-sample access pattern, done with
     * built-ins so it stays codegen'd and explode-parallel. */

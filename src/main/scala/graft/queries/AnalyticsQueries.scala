@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
-import graft.ops.Analytics
+import graft.ops.{Analytics, PageRank}
 
 /** Product-analytics queries (funnel, cohort retention, gap fill,
   * anomaly flags) — the BigQuery/Looker layer of the reference
@@ -137,5 +137,36 @@ object AnalyticsQueries {
         |  (n * v_milli - s) * (n * v_milli - s) * (n - 1) * 1000000
         |    > 6250000 * n * (n * q - s * s) AS is_anomaly
         |FROM m ORDER BY event_id
-        |""".stripMargin.trim)))
+        |""".stripMargin.trim)),
+
+    // ---- integer-exact PageRank (5 iterations) ----------------------
+    // Influence scores over the symmetric customer<->supplier purchase
+    // graph (supplier ids offset by 1e6 — disjoint from customer keys
+    // by construction). Milli-integer arithmetic with truncating
+    // division at fixed dataflow points makes the scores bit-exact at
+    // any parallelism; the oracle is generated by the SAME code that
+    // documents the iteration (PageRank.oracleSql), unrolled because
+    // recursive CTEs cannot aggregate over the recursive table.
+    Q("q_pagerank",
+      (s, d) => {
+        val pairs = orders(s, d).select("o_orderkey", "o_custkey")
+          .join(lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("s2"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("s2").as("dst"))
+          .unionByName(pairs.select(col("s2").as("src"),
+            col("c").as("dst")))
+        PageRank.pageRank(edges, iters = 5).orderBy("id")
+      },
+      Some(PageRank.oracleSql(
+        """SELECT c AS src, s2 AS dst FROM (SELECT DISTINCT o_custkey
+          |    AS c, 1000000 + l_suppkey AS s2 FROM orders
+          |  JOIN lineitem ON o_orderkey = l_orderkey)
+          |UNION ALL
+          |SELECT s2 AS src, c AS dst FROM (SELECT DISTINCT o_custkey
+          |    AS c, 1000000 + l_suppkey AS s2 FROM orders
+          |  JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin,
+        iters = 5))))
 }

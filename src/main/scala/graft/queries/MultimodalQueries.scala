@@ -59,6 +59,49 @@ object MultimodalQueries {
         |  least(32, len - i * 32) AS frame_bytes
         |FROM n, LATERAL (SELECT unnest(range(0, n_frames)) AS i)
         |WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
+        |""".stripMargin.trim)),
+
+    // ---- perceptual-hash near-dup over binary payloads --------------
+    // Planted twins (one byte spliced at a fixed offset, length
+    // preserved) against a 60-bit average-hash: banded candidate join
+    // (complete for hamming <= 3) + exact bit_count verify. The oracle
+    // recomputes the hash from the text (payload = ASCII bytes) and
+    // does the all-pairs compare the banded form avoids — pinning
+    // completeness, not just precision.
+    Q("q_multimodal_phash_neardup",
+      (s, d) => {
+        val base = documents(s, d).filter(length(col("text")) >= 60)
+          .select("doc_id", "text")
+        val corpus = base.unionByName(base.select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text")))
+        val hashes = Multimodal.pHashStub(
+          Multimodal.binaryCorpus(corpus)).toDF()
+        Multimodal.phashNearDup(hashes, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 60),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 3000000,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11))
+        |  FROM base),
+        |ph AS (SELECT doc_id,
+        |    list_transform(range(0, 60),
+        |      k -> ord(substr(text, 1 + (k * length(text)) // 60, 1)))
+        |      AS bs
+        |  FROM corpus),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+        |    k -> CASE WHEN bs[k + 1] * 60 > list_sum(bs)
+        |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS phash FROM ph)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b
         |""".stripMargin.trim))
   )
 }

@@ -165,6 +165,25 @@ object StreamQueries {
         |SELECT user_id, count(*) AS n_events,
         |  max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_value_c
         |FROM events GROUP BY user_id ORDER BY user_id
+        |""".stripMargin.trim)),
+
+    // foreachBatch incremental-MV maintenance: per-batch partial
+    // (cnt, sum) states merged into a running state table — the
+    // streaming face of ops/IncrementalAgg, order-independent because
+    // count/sum are a commutative monoid. Oracle = full recompute.
+    Q("q_stream_incr_agg",
+      (s, d) => StreamingOps.streamingAggMaintain(
+          StreamingOps.eventsStream(streamSession(s), d))
+        .orderBy("user_id"),
+      Some("""
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(v_c) AS BIGINT) AS sum_value_c,
+        |  CAST((sum(v_c) * 1000) // count(*) AS BIGINT)
+        |    AS avg_value_c_milli
+        |FROM (SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY user_id ORDER BY user_id
         |""".stripMargin.trim))
   )
 }

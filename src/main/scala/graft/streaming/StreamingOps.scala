@@ -220,4 +220,44 @@ object StreamingOps {
           Iterator(UserStats(uid, next.n, next.maxC))
       }
   }
+
+  /** Streaming incremental aggregate-MV maintenance — the streaming
+    * twin of [[graft.ops.IncrementalAgg]]: each micro-batch is reduced
+    * to its per-key (cnt, sum) partial state and MERGED into the
+    * running state table, so per-batch work is batch-size + state-
+    * cardinality, never history-size. Because count/sum form a
+    * commutative monoid the fold is order-independent and replay-
+    * tolerant — the same guarantee [[streamingLatestSnapshot]] gets
+    * from max_by_obj, here from the aggregation algebra itself.
+    * localCheckpoint per batch bounds lineage (plan would deepen by
+    * one merge per batch otherwise).
+    *
+    * Returns the READ-TIME view ([[graft.ops.IncrementalAgg
+    * .finalizeView]]): per-user cnt, sum_value_c, exact milli mean.
+    * At scale the state lives in a bucketed table keyed by user_id
+    * and each fold is one co-partitioned merge — no history rescan. */
+  def streamingAggMaintain(events: DataFrame): DataFrame = {
+    import graft.ops.IncrementalAgg
+    val keys = Seq("user_id")
+    var state: Option[DataFrame] = None
+    val fold = (batch: Dataset[Row], _: Long) => {
+      val b = batch.filter(col("value").isNotNull)
+        .select(col("user_id"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("value_c"))
+      val bs = IncrementalAgg.aggState(b, keys, Seq("value_c"))
+      val merged = state
+        .map(st => IncrementalAgg.mergeStates(Seq(st, bs), keys))
+        .getOrElse(bs)
+        .localCheckpoint()
+      state = Some(merged)
+      ()
+    }
+    val q = events.writeStream.foreachBatch(fold)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    IncrementalAgg.finalizeView(
+      state.getOrElse(
+        throw new IllegalStateException("stream produced no batches")),
+      keys)
+  }
 }

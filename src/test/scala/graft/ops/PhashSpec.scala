@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusOf(rows: Seq[(Long, String)]) =
+    Multimodal.binaryCorpus(rows.toDF("doc_id", "text"))
+
+  test("pHashStub: identical payloads hash identically; short payloads " +
+      "dropped; hash fits in 60 positive bits") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    val hs = Multimodal.pHashStub(corpusOf(Seq(
+        (1L, text), (2L, text), (3L, "short"))))
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(hs.keySet == Set(1L, 2L))
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) >= 0L && hs(1L) < (1L << 60))
+  }
+
+  test("phashNearDup: finds pairs within hamming 3 through every band " +
+      "position, rejects hamming 4, no duplicate pairs") {
+    val h0 = 0x0F0F0F0F0F0F0FL
+    val hashes = Seq(
+      (1L, h0),
+      (2L, h0),                 // hamming 0
+      (3L, h0 ^ 0x7L),          // 3 bits, all in band 0
+      (4L, h0 ^ (1L << 59)),    // 1 bit in the top band
+      (5L, h0 ^ 0x8001000100L), // 3 bits spread over 3 bands
+      (6L, h0 ^ 0xF000000000L)  // 4 bits -> excluded
+    ).toDF("doc_id", "phash")
+    val out = Multimodal.phashNearDup(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(out.length == pairs.size, "duplicate pairs emitted")
+    // doc 6 is 4 bits from h0-family and >=4 from the others
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((1L, 4L)) && pairs.contains((1L, 5L)))
+    assert(out.find(t => t._1 == 1L && t._2 == 2L).get._3 == 0L)
+    assert(out.find(t => t._1 == 1L && t._2 == 3L).get._3 == 3L)
+  }
+
+  test("banded candidate join emits no all-pairs explosion for " +
+      "far-apart hashes") {
+    // hashes differing in every band collide in no bucket at all
+    val hashes = Seq((1L, 0L), (2L, -1L & ((1L << 60) - 1)))
+      .toDF("doc_id", "phash")
+    assert(Multimodal.phashNearDup(hashes).count() == 0)
+  }
+}
