@@ -168,5 +168,147 @@ object AnalyticsQueries {
           |SELECT s2 AS src, c AS dst FROM (SELECT DISTINCT o_custkey
           |    AS c, 1000000 + l_suppkey AS s2 FROM orders
           |  JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin,
-        iters = 5))))
+        iters = 5))),
+
+    // ---- 7-day trailing window over sparse daily series -------------
+    // RANGE frame on the day ORDINAL (not ROWS — the series is sparse,
+    // so "last 7 rows" and "last 7 days" differ): trailing revenue sum
+    // + days-present count per priority. One exchange + one sort.
+    Q("q_rolling_7d",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderpriority").as("p"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(sum(floor(col("o_totalprice") * 100 + 0.5)
+            .cast(LongType)).as("rev_c"))
+          .withColumn("day_ord",
+            datediff(col("day"), lit("1990-01-01")).cast(LongType))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("p").orderBy("day_ord").rangeBetween(-6, 0)
+        daily.select(col("p"), col("day"), col("rev_c"),
+            sum(col("rev_c")).over(w).as("rev_7d_c"),
+            count(lit(1)).over(w).cast(LongType).as("days_present_7d"))
+          .orderBy("p", "day")
+      },
+      Some("""
+        |WITH daily AS (SELECT o_orderpriority AS p,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_c,
+        |    date_diff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day_ord
+        |  FROM orders GROUP BY 1, 2, 4)
+        |SELECT p, day, rev_c,
+        |  CAST(sum(rev_c) OVER w AS BIGINT) AS rev_7d_c,
+        |  CAST(count(*) OVER w AS BIGINT) AS days_present_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY p ORDER BY day_ord
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY p, day
+        |""".stripMargin.trim)),
+
+    // ---- market-basket co-purchase pairs ----------------------------
+    // Part pairs co-occurring in an order: self-equi-join on the order
+    // key (items/order is small and bounded, so the per-order pair
+    // blowup is quadratic in a CONSTANT), count per pair, top 100 with
+    // a total tiebreak. The candidate-pair shape of recommender
+    // co-occurrence at 100 TB: one shuffle on the order key, one
+    // partial-aggregable count, a 100-row driver result.
+    Q("q_copurchase_pairs",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"),
+            col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2"))
+          .limit(100)
+      },
+      Some("""
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 100
+        |""".stripMargin.trim)),
+
+    // ---- event-type transition matrix -------------------------------
+    // Next-event bigrams per user ((ts, event_id)-ordered lead), then
+    // global (from, to) counts — the Markov-chain view of user
+    // behavior. END marks a user's last event so rows are conserved.
+    Q("q_event_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("event_type"))
+          .withColumn("next_type",
+            coalesce(lead(col("event_type"), 1).over(w), lit("END")))
+          .groupBy(col("event_type").as("from_type"), col("next_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("from_type", "next_type")
+      },
+      Some("""
+        |WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |    COALESCE(lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id), 'END') AS next_type
+        |  FROM e)
+        |SELECT from_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    // ---- data-quality rule evaluation -------------------------------
+    // Declarative constraint checks in ONE scan (conditional partial
+    // aggregates), unpivoted to a rule ledger — the Deequ-style
+    // validation pass a pipeline runs before publishing a table.
+    Q("q_dq_rules",
+      (s, d) => {
+        val o = orders(s, d)
+        o.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") <= 0 ||
+              col("o_totalprice").isNull, 1L).otherwise(0L))
+              .as("v_price_positive"),
+            sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+              .otherwise(0L)).as("v_status_domain"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+              .as("v_custkey_not_null"),
+            sum(when(col("o_orderdate") < lit("1990-01-01") ||
+              col("o_orderdate") >= lit("2005-01-01"), 1L)
+              .otherwise(0L)).as("v_orderdate_range"))
+          .select(expr(
+            """stack(4,
+              |'price_positive', v_price_positive, n,
+              |'status_domain', v_status_domain, n,
+              |'custkey_not_null', v_custkey_not_null, n,
+              |'orderdate_range', v_orderdate_range, n)
+              |AS (rule, n_violations, n_checked)""".stripMargin))
+          .orderBy("rule")
+      },
+      Some("""
+        |WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v_cust,
+        |  CAST(sum(CASE WHEN o_orderdate < DATE '1990-01-01'
+        |    OR o_orderdate >= DATE '2005-01-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v_date
+        |  FROM orders)
+        |SELECT rule, n_violations, n_checked FROM (
+        |  SELECT 'price_positive' AS rule, v_price AS n_violations,
+        |    n AS n_checked FROM s
+        |  UNION ALL SELECT 'status_domain', v_status, n FROM s
+        |  UNION ALL SELECT 'custkey_not_null', v_cust, n FROM s
+        |  UNION ALL SELECT 'orderdate_range', v_date, n FROM s)
+        |ORDER BY rule
+        |""".stripMargin.trim)))
 }
