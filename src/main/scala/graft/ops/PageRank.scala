@@ -43,16 +43,21 @@ object PageRank {
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
     val outdeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
-    var pr = nodes.withColumn("p", lit(1000L))
+      .agg(count(lit(1)).as("deg"))
+    // the out-degree is static: carry it INSIDE the rank vector so
+    // each iteration joins once (rank ⋈ edges), not twice
+    var pr = nodes.join(outdeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        lit(1000L).as("p"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = pr.join(outdeg, "id")
+      val contrib = pr.filter(col("deg") > 0)
         .withColumn("share", expr("p div deg"))
         .join(e, col("id") === col("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share")).as("s"))
-      pr = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
+      pr = pr.select(col("id"), col("deg")).join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"),
           (lit(150L) + expr("850L * coalesce(s, 0L) div 1000L")).as("p"))
         .localCheckpoint()
     }
