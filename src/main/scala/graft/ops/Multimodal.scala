@@ -141,11 +141,15 @@ object Multimodal {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.phash").as("h_a"), col("b.phash").as("h_b"))
-      .distinct()
+      // verify BEFORE distinct: bit_count per candidate row is far
+      // cheaper than shuffling it — random single-band collisions and
+      // the up-to-4x duplicates of true pairs die here, so the
+      // distinct's exchange carries only near-dup rows
       .withColumn("hamming",
         bit_count(expr("h_a ^ h_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" and

@@ -86,7 +86,7 @@ object PageRank {
          |    JOIN edges e ON e.src = prev.id
          |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
     }
-    (base +: steps).mkString(",\n").stripSuffix(",") +
+    (base +: steps).mkString(",\n") +
       s"\nSELECT id, p AS pr_milli FROM it$iters ORDER BY id"
   }
 }

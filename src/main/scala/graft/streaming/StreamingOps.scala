@@ -226,11 +226,14 @@ object StreamingOps {
     * to its per-key (cnt, sum) partial state and MERGED into the
     * running state table, so per-batch work is batch-size + state-
     * cardinality, never history-size. Because count/sum form a
-    * commutative monoid the fold is order-independent and replay-
-    * tolerant — the same guarantee [[streamingLatestSnapshot]] gets
-    * from max_by_obj, here from the aggregation algebra itself.
-    * localCheckpoint per batch bounds lineage (plan would deepen by
-    * one merge per batch otherwise).
+    * commutative monoid the fold is ORDER-independent; it is NOT
+    * idempotent (a monoid re-adds), so REPLAY tolerance comes from
+    * keying the merge by foreachBatch's batchId — an already-applied
+    * id is skipped, which is the same idempotent-upsert discipline an
+    * at-scale deployment applies when committing (batchId, state) to
+    * its state table transactionally. localCheckpoint per batch
+    * bounds lineage (plan would deepen by one merge per batch
+    * otherwise).
     *
     * Returns the READ-TIME view ([[graft.ops.IncrementalAgg
     * .finalizeView]]): per-user cnt, sum_value_c, exact milli mean.
@@ -240,16 +243,20 @@ object StreamingOps {
     import graft.ops.IncrementalAgg
     val keys = Seq("user_id")
     var state: Option[DataFrame] = None
-    val fold = (batch: Dataset[Row], _: Long) => {
-      val b = batch.filter(col("value").isNotNull)
-        .select(col("user_id"),
-          floor(col("value") * 100 + 0.5).cast(LongType).as("value_c"))
-      val bs = IncrementalAgg.aggState(b, keys, Seq("value_c"))
-      val merged = state
-        .map(st => IncrementalAgg.mergeStates(Seq(st, bs), keys))
-        .getOrElse(bs)
-        .localCheckpoint()
-      state = Some(merged)
+    val applied = scala.collection.mutable.Set.empty[Long]
+    val fold = (batch: Dataset[Row], batchId: Long) => {
+      // at-least-once delivery: a replayed batchId must not re-add
+      if (applied.add(batchId)) {
+        val b = batch.filter(col("value").isNotNull)
+          .select(col("user_id"),
+            floor(col("value") * 100 + 0.5).cast(LongType).as("value_c"))
+        val bs = IncrementalAgg.aggState(b, keys, Seq("value_c"))
+        val merged = state
+          .map(st => IncrementalAgg.mergeStates(Seq(st, bs), keys))
+          .getOrElse(bs)
+          .localCheckpoint()
+        state = Some(merged)
+      }
       ()
     }
     val q = events.writeStream.foreachBatch(fold)
