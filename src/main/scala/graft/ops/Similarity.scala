@@ -344,4 +344,92 @@ object Similarity {
     val cos = dotDouble(a, b) / (sqrt(dotDouble(a, a)) * sqrt(dotDouble(b, b)))
     floor(lit(1000.0) * cos + 0.5).cast(LongType)
   }
+
+  /** Edit-distance self-join via segment pigeonhole (the PassJoin
+    * scheme, Li/Deng/Wang/Feng 2011 — public literature): all pairs
+    * with `levenshtein(a, b) <= maxDist`, without the all-pairs scan.
+    * The fuzzy join Spark has no built-in for.
+    *
+    * Candidate filter: split every string into `maxDist + 1` disjoint
+    * segments (even split, remainder on the first segments). An edit
+    * script of <= maxDist edits touches at most maxDist segments, so
+    * at least ONE segment of A survives INTACT inside B, shifted by at
+    * most maxDist positions (and A's length differs from B's by at
+    * most maxDist). Indexing each string's segments under key
+    * (srcLen, segIdx, segText) and each string's candidate WINDOWS —
+    * every substring that could be a surviving segment of a string of
+    * length srcLen ∈ [len − maxDist, len + maxDist] at shift
+    * |Δpos| <= maxDist — under the same key makes the candidate set a
+    * provably COMPLETE equi-join. Segment keys are ~|s|/(maxDist+1)
+    * chars long — selective even on low-entropy corpora where q-gram
+    * prefixes collide en masse (an Ed-Join prefix variant measured
+    * 5.6M candidates on the driver corpus at sf0.1; this form emits
+    * ~the true pairs).
+    *
+    * Scale shape: segments are (maxDist+1) rows/string, windows a
+    * constant (2·maxDist+1)²·(maxDist+1) rows/string (75 at d = 2) —
+    * both linear scans; ONE equi-join on long selective keys, one
+    * distinct, then the exact `levenshtein` verify on survivors only.
+    * Strings shorter than maxDist + 1 chars are excluded (a segment
+    * per edit needs at least one char each). Output (id_a, id_b,
+    * dist). */
+  def editDistanceJoin(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "need maxDist >= 1")
+    val d = maxDist
+    val nSeg = d + 1
+    val mat = docs.select(col("id"), col("text"))
+      .filter(length(col("text")) >= nSeg)
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // segment side: key = (own length, segment index, segment text)
+    val segIdx = (0 until nSeg).toDF("i")
+    val segs = mat.crossJoin(broadcast(segIdx))
+      .withColumn("l", length(col("text")))
+      .withColumn("base", expr(s"l div $nSeg"))
+      .withColumn("rem", expr(s"l % $nSeg"))
+      .withColumn("slen", col("base") + when(col("i") < col("rem"), 1)
+        .otherwise(0))
+      .withColumn("start",
+        col("i") * col("base") + least(col("i"), col("rem")) + 1)
+      .select(col("id"), col("text"), col("l").as("src_l"), col("i"),
+        substring(col("text"), col("start"), col("slen")).as("seg"))
+
+    // window side: for every plausible source length and shift, the
+    // substring a surviving segment would occupy here
+    val combos = (for (o <- -d to d; i <- 0 until nSeg; sh <- -d to d)
+      yield (o, i, sh)).toDF("o", "i", "sh")
+    val wins = mat.crossJoin(broadcast(combos))
+      .withColumn("lb", length(col("text")))
+      .withColumn("src_l", col("lb") + col("o"))
+      .filter(col("src_l") >= nSeg)
+      .withColumn("base", expr(s"src_l div $nSeg"))
+      .withColumn("rem", expr(s"src_l % $nSeg"))
+      .withColumn("slen", col("base") + when(col("i") < col("rem"), 1)
+        .otherwise(0))
+      .withColumn("wstart",
+        col("i") * col("base") + least(col("i"), col("rem")) + 1 +
+          col("sh"))
+      .filter(col("wstart") >= 1 &&
+        col("wstart") + col("slen") - 1 <= col("lb"))
+      .select(col("id"), col("text"), col("src_l"), col("i"),
+        substring(col("text"), col("wstart"), col("slen")).as("seg"))
+      .dropDuplicates("id", "src_l", "i", "seg")
+
+    val cands = segs.as("a")
+      .join(wins.as("b"),
+        col("a.src_l") === col("b.src_l") && col("a.i") === col("b.i") &&
+          col("a.seg") === col("b.seg") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.text"))
+          .otherwise(col("b.text")).as("t_a"),
+        when(col("a.id") < col("b.id"), col("b.text"))
+          .otherwise(col("a.text")).as("t_b"))
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -173,5 +173,87 @@ object ScaleQueries {
         |        FROM corpus) WHERE len(toks) >= 8)
         |SELECT DISTINCT doc_id FROM cs
         |WHERE s IN (SELECT s FROM evs) ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- rolling distinct users from MERGED daily sketches ----------
+    // Distinct counts don't sum, but their SKETCHES merge: one daily
+    // HLL sketch table (tiny — one row per day), rolling 7-day distinct
+    // by unioning 7 sketches per target day, never re-touching raw
+    // events — the incremental-MV story for COUNT(DISTINCT). Exact
+    // 7-day distinct computed alongside (explode to target days +
+    // countDistinct); the gate hash-checks the exact values and the
+    // sketch-vs-exact 5% bound (oracle asserts TRUE — the
+    // q_agg_approx_distinct_bound pattern, since sketch estimates are
+    // engine-specific).
+    Q("q_rolling_distinct_sketch",
+      (s, d) => {
+        val act = events(s, d)
+          .select(col("user_id"),
+            to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+          .distinct()
+          .withColumn("day_ord",
+            datediff(col("day"), lit("1990-01-01")).cast(LongType))
+        val days = act.select("day_ord", "day").distinct()
+        val daily = act.groupBy("day_ord")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val est = daily
+          .select(explode(sequence(col("day_ord"), col("day_ord") + 6))
+            .as("t_ord"), col("sk"))
+          .groupBy("t_ord")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = act
+          .select(explode(sequence(col("day_ord"), col("day_ord") + 6))
+            .as("t_ord"), col("user_id"))
+          .groupBy("t_ord")
+          .agg(countDistinct(col("user_id")).as("exact_7d"))
+        days.join(est, col("day_ord") === est("t_ord")).drop("t_ord")
+          .join(exact, col("day_ord") === exact("t_ord")).drop("t_ord")
+          .select(col("day"), col("exact_7d"),
+            (abs(col("est") - col("exact_7d")) <=
+              lit(0.05) * col("exact_7d")).as("within_bound"))
+          .orderBy("day")
+      },
+      Some("""
+        |WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events)
+        |SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT)
+        |    AS exact_7d,
+        |  TRUE AS within_bound
+        |FROM (SELECT DISTINCT day FROM act) d
+        |JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day
+        |""".stripMargin.trim)),
+
+    // ---- bounded edit-distance fuzzy join ---------------------------
+    // PassJoin segment pigeonhole (d+1 segments, one must survive
+    // intact within a ±d shift) + exact levenshtein verify, over a
+    // corpus with planted two-substitution twins. The oracle does the
+    // all-pairs scan the operator exists to avoid — pinning
+    // completeness of the segment candidate set.
+    Q("q_editdist_join",
+      (s, d) => {
+        val base = documents(s, d).filter(length(col("text")) >= 50)
+          .select(col("doc_id").as("id"),
+            substring(col("text"), 1, 50).as("text"))
+        val corpus = base.unionByName(base.select(
+          (col("id") + 4000000L).as("id"),
+          concat(substring(col("text"), 1, 6), lit("Q"),
+            expr("substring(text, 8, 11)"), lit("Q"),
+            expr("substring(text, 20)")).as("text")))
+        graft.ops.Similarity.editDistanceJoin(corpus, maxDist = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        |WITH base AS (SELECT doc_id AS id, substr(text, 1, 50) AS s
+        |  FROM documents WHERE length(text) >= 50),
+        |corpus AS (SELECT id, s FROM base
+        |  UNION ALL SELECT id + 4000000,
+        |    concat(substr(s, 1, 6), 'Q', substr(s, 8, 11), 'Q',
+        |      substr(s, 20)) FROM base)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM corpus a JOIN corpus b ON a.id < b.id
+        |  AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b
         |""".stripMargin.trim)))
 }
