@@ -368,11 +368,18 @@ object Similarity {
     *
     * Scale shape: segments are (maxDist+1) rows/string, windows a
     * constant (2·maxDist+1)²·(maxDist+1) rows/string (75 at d = 2) —
-    * both linear scans; ONE equi-join on long selective keys, one
-    * distinct, then the exact `levenshtein` verify on survivors only.
-    * Strings shorter than maxDist + 1 chars are excluded (a segment
-    * per edit needs at least one char each). Output (id_a, id_b,
-    * dist). */
+    * both linear scans carrying ONLY (id, key) through the shuffles;
+    * the equi-join and the candidate distinct are id-sized, and the
+    * text payloads rejoin by id once for the exact `levenshtein`
+    * verify on survivors (the same payload discipline as
+    * [[setSimilarityPairsExact]]).
+    *
+    * DOMAIN: strings shorter than maxDist + 1 chars are excluded from
+    * BOTH sides (a segment per edit needs at least one char), so a
+    * pair with one short member is absent even if its edit distance
+    * qualifies — callers with naturally short strings must handle
+    * them separately (their all-pairs cost is trivial). Output
+    * (id_a, id_b, dist). */
   def editDistanceJoin(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 1, "need maxDist >= 1")
     val d = maxDist
@@ -382,52 +389,56 @@ object Similarity {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // segment side: key = (own length, segment index, segment text)
-    val segIdx = (0 until nSeg).toDF("i")
-    val segs = mat.crossJoin(broadcast(segIdx))
-      .withColumn("l", length(col("text")))
-      .withColumn("base", expr(s"l div $nSeg"))
-      .withColumn("rem", expr(s"l % $nSeg"))
+    // even-split boundary arithmetic for a source string of length
+    // `srcL`: segment i covers [start, start + slen). ONE definition
+    // serves both sides — candidate completeness depends on the
+    // segment and window keys using identical arithmetic
+    def splitCols(df: DataFrame, srcL: Column): DataFrame = df
+      .withColumn("base", (srcL / nSeg).cast("int"))
+      .withColumn("rem", (srcL % nSeg).cast("int"))
       .withColumn("slen", col("base") + when(col("i") < col("rem"), 1)
         .otherwise(0))
       .withColumn("start",
         col("i") * col("base") + least(col("i"), col("rem")) + 1)
-      .select(col("id"), col("text"), col("l").as("src_l"), col("i"),
+
+    // segment side: key = (own length, segment index, segment text);
+    // only (id, key) flows on — never the text payload
+    val segIdx = (0 until nSeg).toDF("i")
+    val segs = splitCols(
+        mat.crossJoin(broadcast(segIdx))
+          .withColumn("src_l", length(col("text"))),
+        col("src_l"))
+      .select(col("id"), col("src_l"), col("i"),
         substring(col("text"), col("start"), col("slen")).as("seg"))
 
     // window side: for every plausible source length and shift, the
     // substring a surviving segment would occupy here
     val combos = (for (o <- -d to d; i <- 0 until nSeg; sh <- -d to d)
       yield (o, i, sh)).toDF("o", "i", "sh")
-    val wins = mat.crossJoin(broadcast(combos))
-      .withColumn("lb", length(col("text")))
-      .withColumn("src_l", col("lb") + col("o"))
-      .filter(col("src_l") >= nSeg)
-      .withColumn("base", expr(s"src_l div $nSeg"))
-      .withColumn("rem", expr(s"src_l % $nSeg"))
-      .withColumn("slen", col("base") + when(col("i") < col("rem"), 1)
-        .otherwise(0))
-      .withColumn("wstart",
-        col("i") * col("base") + least(col("i"), col("rem")) + 1 +
-          col("sh"))
+    val wins = splitCols(
+        mat.crossJoin(broadcast(combos))
+          .withColumn("lb", length(col("text")))
+          .withColumn("src_l", col("lb") + col("o"))
+          .filter(col("src_l") >= nSeg),
+        col("src_l"))
+      .withColumn("wstart", col("start") + col("sh"))
       .filter(col("wstart") >= 1 &&
         col("wstart") + col("slen") - 1 <= col("lb"))
-      .select(col("id"), col("text"), col("src_l"), col("i"),
+      .select(col("id"), col("src_l"), col("i"),
         substring(col("text"), col("wstart"), col("slen")).as("seg"))
       .dropDuplicates("id", "src_l", "i", "seg")
 
+    // id-only candidate pairs; texts rejoin by id for the verify
     val cands = segs.as("a")
       .join(wins.as("b"),
         col("a.src_l") === col("b.src_l") && col("a.i") === col("b.i") &&
           col("a.seg") === col("b.seg") && col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"),
-        when(col("a.id") < col("b.id"), col("a.text"))
-          .otherwise(col("b.text")).as("t_a"),
-        when(col("a.id") < col("b.id"), col("b.text"))
-          .otherwise(col("a.text")).as("t_b"))
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     cands
+      .join(mat.select(col("id").as("id_a"), col("text").as("t_a")), "id_a")
+      .join(mat.select(col("id").as("id_b"), col("text").as("t_b")), "id_b")
       .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast(LongType))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")

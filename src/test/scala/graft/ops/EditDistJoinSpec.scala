@@ -50,12 +50,17 @@ class EditDistJoinSpec extends SparkSpec {
       pairs.contains((1L, 4L)) && pairs.contains((1L, 5L)))
   }
 
-  test("no self-pairs, no duplicates, output canonically ordered") {
-    val out = run(Seq((1L, "aaaaaaaaaa"), (2L, "aaaaaaaaab"),
-      (3L, "aaaaaaaabb")), d = 2)
-    assert(out.forall(t => t._1 < t._2))
-    assert(out.size == out.map(t => (t._1, t._2)).size)
-    assert(out.map(t => (t._1, t._2)) ==
+  test("no self-pairs, no duplicate ROWS, output canonically ordered") {
+    // collect as Seq, not Set: a regression dropping the candidate
+    // distinct would emit duplicate rows a Set comparison cannot see
+    val rows = Similarity.editDistanceJoin(
+        Seq((1L, "aaaaaaaaaa"), (2L, "aaaaaaaaab"), (3L, "aaaaaaaabb"))
+          .toDF("id", "text"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows.size == rows.distinct.size, s"duplicate rows: $rows")
+    assert(rows.forall(t => t._1 < t._2))
+    assert(rows.map(t => (t._1, t._2)).toSet ==
       Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 }
