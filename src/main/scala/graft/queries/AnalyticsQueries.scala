@@ -208,20 +208,24 @@ object AnalyticsQueries {
         |""".stripMargin.trim)),
 
     // ---- market-basket co-purchase pairs ----------------------------
-    // Part pairs co-occurring in an order: self-equi-join on the order
-    // key (items/order is small and bounded, so the per-order pair
-    // blowup is quadratic in a CONSTANT), count per pair, top 100 with
-    // a total tiebreak. The candidate-pair shape of recommender
-    // co-occurrence at 100 TB: one shuffle on the order key, one
-    // partial-aggregable count, a 100-row driver result.
+    // Part pairs co-occurring in an order. NOT a self-join: baskets
+    // are collected per order (one partial-aggregable shuffle) and the
+    // i<j pairs expand LOCALLY inside the sorted basket array —
+    // items/order is a bounded constant, so the blowup is per-row
+    // work, not a join. Pair multiplicity matches the self-join
+    // semantics (sorted list, strict y > x pairs ⇒ m1·m2 per distinct
+    // pair, equal keys excluded). Top 100 with a total tiebreak.
     Q("q_copurchase_pairs",
       (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey")
-        li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("p1"),
-            col("b.l_partkey").as("p2"))
+        lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(filter(slice(ps, i + 2, size(ps)), " +
+              "y -> y > x), y -> struct(x AS p1, y AS p2))))"))
+            .as("pr"))
+          .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("p1"), col("p2"))
           .limit(100)
