@@ -172,6 +172,54 @@ object MergeQueries {
         |    ON p.c_custkey = n.c_custkey)
         |SELECT c_custkey, status, old_seg, new_seg FROM d
         |WHERE status <> 'unchanged' ORDER BY c_custkey
+        |""".stripMargin.trim)),
+
+    // ---- SCD2 point-in-time join (the native as-of exec's natural
+    // use): enrich each click with the purchase-value VERSION valid at
+    // the click instant. SCD2 intervals are contiguous per key, so
+    // "latest valid_from <= ts" (backward as-of, tiebreak event_id) IS
+    // interval containment — including the empty-[t,t) edge from
+    // same-microsecond version pairs, where the tiebreak picks the
+    // surviving later version exactly as the interval predicate does.
+    // History is dim-sized → BroadcastAsOfJoinExec: clicks stream with
+    // no exchange and no sort. Oracle spells the containment LEFT JOIN.
+    Q("q_scd2_pointintime",
+      (s, d) => {
+        val versions = Merge.scd2(
+            events(s, d).filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("event_id"),
+                cents(col("value")).as("value_c"),
+                expr("ts div 1000").as("ts_us")),
+            keys = Seq("user_id"), effCol = "ts_us",
+            tiebreak = Seq("event_id"))
+          .select(col("user_id"), col("valid_from").as("ts_us"),
+            col("event_id"), col("value_c"))
+        val clicks = events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id").as("click_id"))
+        graft.ops.Joins.asofJoinBroadcast(clicks, versions,
+            key = "user_id", time = "ts_us",
+            payload = Seq("event_id", "value_c"),
+            rightTiebreak = Seq("event_id"))
+          .orderBy("click_id")
+      },
+      Some(s"""
+        |WITH v AS (SELECT user_id, event_id,
+        |    ${centsSql("value")} AS value_c,
+        |    epoch_us(ts) AS valid_from,
+        |    lead(epoch_us(ts)) OVER w AS valid_to
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id)),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    event_id AS click_id FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.user_id, c.ts_us, c.click_id,
+        |  v.event_id AS asof_event_id, v.value_c AS asof_value_c
+        |FROM c LEFT JOIN v ON v.user_id = c.user_id
+        |  AND v.valid_from <= c.ts_us
+        |  AND (v.valid_to IS NULL OR c.ts_us < v.valid_to)
+        |ORDER BY click_id
         |""".stripMargin.trim))
   )
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Seeded randomized properties for the candidate-pruned operators:
+  * the pruned form must equal the brute-force definition on corpora it
+  * did not see during development. Fixed seeds — failures reproduce. */
+class FuzzPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomCorpus(seed: Long, n: Int, alphabet: String,
+                           minLen: Int, maxLen: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    // half fresh random strings, half mutated copies of earlier ones
+    // (sub/ins/del), so true near-pairs actually exist
+    val base = (0 until n / 2).map { i =>
+      val l = minLen + rnd.nextInt(maxLen - minLen + 1)
+      (i.toLong, Seq.fill(l)(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    }
+    val mutated = (0 until n - n / 2).map { j =>
+      val (_, src) = base(rnd.nextInt(base.size))
+      val edits = 1 + rnd.nextInt(3) // 1..3 edits (some beyond d=2)
+      var s = src
+      for (_ <- 1 to edits if s.length > 1) {
+        val p = rnd.nextInt(s.length)
+        rnd.nextInt(3) match {
+          case 0 => s = s.updated(p, alphabet(rnd.nextInt(alphabet.length)))
+          case 1 => s = s.substring(0, p) +
+            alphabet(rnd.nextInt(alphabet.length)) + s.substring(p)
+          case 2 => s = s.substring(0, p) + s.substring(p + 1)
+        }
+      }
+      ((1000 + j).toLong, s)
+    }
+    base ++ mutated
+  }
+
+  private def bruteEd(rows: Seq[(Long, String)], d: Int) = {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      dist = lev(sa, sb) if dist <= d
+    } yield (ia, ib, dist.toLong)).toSet
+  }
+
+  test("editDistanceJoin == brute force on seeded random corpora " +
+      "(low- and high-entropy alphabets, d = 1 and 2)") {
+    for ((seed, alphabet) <- Seq(
+        (42L, "ab"),                       // pathological low entropy
+        (7L, "abcdefghijklmnopqrstuvwxyz")); d <- Seq(1, 2)) {
+      val corpus = randomCorpus(seed, 60, alphabet, minLen = d + 1,
+        maxLen = 24)
+      val expected = bruteEd(corpus, d)
+        // domain: pairs where BOTH sides length >= d+1 (documented)
+        .filter { case (ia, ib, _) =>
+          val m = corpus.toMap
+          m(ia).length >= d + 1 && m(ib).length >= d + 1 }
+      val got = Similarity.editDistanceJoin(
+          corpus.toDF("id", "text"), maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == expected,
+        s"seed=$seed alphabet=${alphabet.length} d=$d: " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("checksumDiff finds every seeded random drift and nothing else") {
+    val rnd = new Random(123L)
+    val base = (1L to 500L).map(i => (i, rnd.nextLong())).toSeq
+    val mutatedKeys = rnd.shuffle(base.map(_._1)).take(5).toSet
+    val droppedKeys = rnd.shuffle(base.map(_._1)).take(3).toSet
+    val drifted = base.filterNot(r => droppedKeys.contains(r._1))
+      .map { case (k, v) =>
+        (k, if (mutatedKeys.contains(k)) v + 1 else v) }
+    val a = base.toDF("k", "v")
+    val b = drifted.toDF("k", "v")
+    val diff = Reconcile.checksumDiff(a, b, Seq("k", "v"), 64).collect()
+    assert(diff.nonEmpty && diff.length <= 16,
+      s"${diff.length} buckets flagged for <= 8 changed rows")
+    assert(Reconcile.checksumDiff(a, a, Seq("k", "v"), 64).count() == 0)
+    // restoring the drift heals the diff (symmetric check)
+    assert(Reconcile.checksumDiff(b, drifted.toDF("k", "v"),
+      Seq("k", "v"), 64).count() == 0)
+  }
+}
