@@ -314,5 +314,89 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'custkey_not_null', v_cust, n FROM s
         |  UNION ALL SELECT 'orderdate_range', v_date, n FROM s)
         |ORDER BY rule
+        |""".stripMargin.trim)),
+
+    // ---- referential-integrity audit --------------------------------
+    // Orphan counts across the FK graph via left-anti joins — the
+    // cross-table complement of q_dq_rules' single-scan constraints.
+    // Each anti-join broadcasts nothing it shouldn't: the key sides
+    // are projected to the key column before the join, so the shuffle
+    // carries keys only.
+    Q("q_dq_referential",
+      (s, d) => {
+        // NULL FKs are a different rule (q_dq_rules' not-null checks),
+        // not orphans — excluded on BOTH sides so the anti-join and
+        // the oracle's NOT IN (which silently drops null comparisons)
+        // count the same rows
+        def orphans(fact: org.apache.spark.sql.DataFrame, fk: String,
+                    dim: org.apache.spark.sql.DataFrame, pk: String,
+                    name: String) =
+          fact.select(col(fk)).filter(col(fk).isNotNull)
+            .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+            .agg(lit(name).as("relation"),
+              count(lit(1)).as("n_orphans"))
+        orphans(lineitem(s, d), "l_orderkey", orders(s, d),
+            "o_orderkey", "lineitem_orders")
+          .unionByName(orphans(orders(s, d), "o_custkey",
+            customer(s, d), "c_custkey", "orders_customer"))
+          .unionByName(orphans(customer(s, d), "c_nationkey",
+            nation(s, d), "n_nationkey", "customer_nation"))
+          .unionByName(orphans(lineitem(s, d), "l_partkey",
+            part(s, d), "p_partkey", "lineitem_part"))
+          .orderBy("relation")
+      },
+      Some("""
+        |SELECT relation, CAST(n_orphans AS BIGINT) AS n_orphans
+        |FROM (
+        |  SELECT 'lineitem_orders' AS relation, count(*) AS n_orphans
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'orders_customer', count(*) FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'customer_nation', count(*) FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem_part', count(*) FROM lineitem
+        |  WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+        |    (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL))
+        |ORDER BY relation
+        |""".stripMargin.trim)),
+
+    // ---- new vs returning users per day -----------------------------
+    // First-touch classification folded onto the daily activity table:
+    // the two partial-aggregable passes cohortRetention already uses,
+    // rejoined once.
+    Q("q_new_vs_returning",
+      (s, d) => {
+        val act = events(s, d)
+          .select(col("user_id"),
+            to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+          .distinct()
+        val first = act.groupBy("user_id")
+          .agg(min(col("day")).as("first_day"))
+        act.join(first, "user_id")
+          .groupBy("day")
+          .agg(sum(when(col("day") === col("first_day"), 1L)
+            .otherwise(0L)).as("new_users"),
+            sum(when(col("day") =!= col("first_day"), 1L)
+              .otherwise(0L)).as("returning_users"))
+          .orderBy("day")
+      },
+      Some("""
+        |WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM act
+        |  GROUP BY user_id)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS returning_users
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day
         |""".stripMargin.trim)))
 }
