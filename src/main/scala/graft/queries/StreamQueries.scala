@@ -184,6 +184,52 @@ object StreamQueries {
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
         |  FROM events WHERE value IS NOT NULL)
         |GROUP BY user_id ORDER BY user_id
+        |""".stripMargin.trim)),
+
+    // transformWithState (arbitrary-state v2) sessionization: per-user
+    // ListState of candidate sessions + event-time timers; a session
+    // emits only once the watermark proves it closed. Bounded run ⇒
+    // emitted set = sessions with end + gap ≤ final watermark
+    // (max event-time ms − 1 h), which the oracle recomputes from the
+    // batch gaps-islands sessionization. Requires the RocksDB state
+    // store provider (a TWS prerequisite) — session-scoped conf.
+    Q("q_stream_session_state",
+      (s, d) => {
+        val s2 = streamSession(s)
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        StreamingOps.runToTable(
+            StreamingOps.sessionState(
+              StreamingOps.eventsStream(s2, d),
+              gapUs = 1800L * 1000000L).toDF(),
+            OutputMode.Append())
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""
+        |WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |            > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM g),
+        |agg AS (SELECT user_id, session_seq,
+        |    min(ts_us) AS session_start_us,
+        |    max(ts_us) AS session_end_us,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY user_id, session_seq),
+        |wm AS (SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000
+        |    AS wm_us FROM events)
+        |SELECT user_id, session_start_us, session_end_us,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM agg, wm
+        |WHERE session_end_us + 1800000000 <= wm_us
+        |ORDER BY user_id, session_start_us
         |""".stripMargin.trim))
   )
 }

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout,
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  Trigger}
 import org.apache.spark.sql.types._
 import java.util.concurrent.atomic.AtomicLong
 
@@ -219,6 +221,93 @@ object StreamingOps {
           state.update(next)
           Iterator(UserStats(uid, next.n, next.maxC))
       }
+  }
+
+  final case class SessEvent(user_id: Long, ts_us: Long,
+                             event_time: java.sql.Timestamp)
+  final case class OpenSess(start_us: Long, end_us: Long, n: Long)
+  final case class SessionRow(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long)
+
+  /** Watermark-correct sessionization via transformWithState (the
+    * arbitrary-state v2 API): per-user ListState of disjoint candidate
+    * sessions plus an event-time timer per key. A session is emitted
+    * ONLY once the watermark proves it closed (`end + gap <= wm`) —
+    * in-batch gap evidence alone is NOT enough, because an in-horizon
+    * event can still arrive and bridge two candidates into one
+    * session, which the merge loop below handles (`last.end` keeps
+    * extending, so a bridging event coalesces its neighbors).
+    *
+    * Unbounded this is exact sessionization under the watermark
+    * contract; bounded (AvailableNow) the final no-data microbatch
+    * fires the remaining eligible timers, so the emitted set is
+    * exactly the sessions closed before the FINAL watermark
+    * (`max event-time ms − delay`) — which is what the oracle
+    * recomputes. State is one short list per active user, evicted on
+    * emit; timers are one per key (re-registered, stale ones
+    * deleted). */
+  class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionRow] {
+    @transient private var sessions: ListState[OpenSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[OpenSess]("sessions",
+        Encoders.product[OpenSess], TTLConfig.NONE)
+
+    // timer must fire strictly after the watermark can satisfy the
+    // close test; +1 ms absorbs the us→ms floor on both sides
+    private def timerMsFor(minCloseUs: Long): Long = minCloseUs / 1000 + 1
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        tv: TimerValues): Iterator[SessionRow] = {
+      val incoming = rows.map(e => OpenSess(e.ts_us, e.ts_us, 1L)).toArray
+      val all = (sessions.get().toArray ++ incoming)
+        .sortBy(s => (s.start_us, s.end_us))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSess]
+      all.foreach { s =>
+        if (merged.nonEmpty && s.start_us - merged.last.end_us <= gapUs) {
+          val last = merged.last
+          merged(merged.length - 1) = OpenSess(last.start_us,
+            math.max(last.end_us, s.end_us), last.n + s.n)
+        } else merged += s
+      }
+      sessions.put(merged.toArray)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        timerMsFor(merged.map(s => s.end_us + gapUs).min))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionRow] = {
+      val wmUs = tv.getCurrentWatermarkInMs * 1000L
+      val (closed, open) = sessions.get().toArray
+        .partition(s => s.end_us + gapUs <= wmUs)
+      if (open.isEmpty) sessions.clear() else sessions.put(open)
+      if (open.nonEmpty)
+        getHandle.registerTimer(
+          timerMsFor(open.map(s => s.end_us + gapUs).min))
+      closed.sortBy(_.start_us).iterator
+        .map(s => SessionRow(key, s.start_us, s.end_us, s.n))
+    }
+  }
+
+  /** Session bounds per user via [[SessionProcessor]]. Input must be
+    * the bounded events stream; caller's session should run the
+    * RocksDB state store provider (transformWithState requirement). */
+  def sessionState(events: DataFrame, gapUs: Long): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id"), col("ts_us"), col("event_time"))
+      .as[SessEvent]
+    typed.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming incremental aggregate-MV maintenance — the streaming
