@@ -735,6 +735,71 @@ object SimQueries {
         |    WHERE a.vec_id <> p.q_id))
         |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
+    // ---- LSH-bucketed ANN top-k (the training-free scale path) --------
+    // Sign-LSH complement to q_ann_ivf_topk: no codebook to train —
+    // each vector lands in 2 banded hyperplane-sign buckets (shared
+    // signLshBuckets kernel), queries probe exactly their buckets, and
+    // exact cosine ranks within the union of probed candidates. At
+    // 100 TB the bucket table is precomputed and partitioned by
+    // (band, bucket), so a probe is a partition-pruned scan instead of
+    // the full corpus; more bands = the multiprobe recall knob.
+    // Hyperplanes are data rows, so the oracle replays the whole
+    // algorithm bit-for-bit (same IEEE double dot order).
+    Q("q_ann_lsh_topk",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        // 4 bands x 4 hyperplanes: 16 buckets per band keeps real
+        // occupancy at corpus scale (16-bit bands collapse to
+        // singleton buckets here -> zero candidates)
+        val hyper = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
+        val buckets = Similarity.signLshBuckets(
+          emb, "vec_id", "embedding", hyper, rowsPerBand = 4)
+        val qb = buckets.filter(col("vec_id") >= 13 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
+        val cands = buckets.join(broadcast(qb), Seq("band", "bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select("q_id", "vec_id").distinct()
+        val qv = emb.filter(col("vec_id") >= 13 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("cos_milli").desc, col("vec_id").asc)
+        cands.join(emb, "vec_id").join(broadcast(qv), "q_id")
+          .withColumn("cos_milli",
+            GraftFunctions.cosineMilli(col("qv"), col("embedding")))
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 10)
+          .select("q_id", "rank", "vec_id", "cos_milli")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        |WITH hyper AS (SELECT vec_id AS h_id, embedding AS hv
+        |    FROM embeddings WHERE vec_id < 16),
+        |sgn AS (SELECT e.vec_id, h_id // 4 AS band,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |           * CAST(h.hv[i] AS DOUBLE))) > 0
+        |      THEN (1 << CAST(h_id % 4 AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM embeddings e, hyper h GROUP BY e.vec_id, band),
+        |qb AS (SELECT vec_id AS q_id, band, bucket FROM sgn
+        |    WHERE vec_id >= 13 AND vec_id < 18),
+        |cands AS (SELECT DISTINCT q.q_id, c.vec_id
+        |  FROM sgn c JOIN qb q ON c.band = q.band
+        |    AND c.bucket = q.bucket AND c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, cos_milli,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
+        |  FROM (SELECT cd.q_id, cd.vec_id,
+        |      ${cosSql("q.embedding", "e.embedding")} AS cos_milli
+        |    FROM cands cd
+        |      JOIN embeddings e ON e.vec_id = cd.vec_id
+        |      JOIN embeddings q ON q.vec_id = cd.q_id))
+        |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank
         |""".stripMargin.trim))
   )
 }
