@@ -739,7 +739,7 @@ object SimQueries {
 
     // ---- LSH-bucketed ANN top-k (the training-free scale path) --------
     // Sign-LSH complement to q_ann_ivf_topk: no codebook to train —
-    // each vector lands in 2 banded hyperplane-sign buckets (shared
+    // each vector lands in 4 banded hyperplane-sign buckets (shared
     // signLshBuckets kernel), queries probe exactly their buckets, and
     // exact cosine ranks within the union of probed candidates. At
     // 100 TB the bucket table is precomputed and partitioned by

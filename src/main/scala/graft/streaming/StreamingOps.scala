@@ -254,9 +254,11 @@ object StreamingOps {
       sessions = getHandle.getListState[OpenSess]("sessions",
         Encoders.product[OpenSess], TTLConfig.NONE)
 
-    // timer must fire strictly after the watermark can satisfy the
-    // close test; +1 ms absorbs the us→ms floor on both sides
-    private def timerMsFor(minCloseUs: Long): Long = minCloseUs / 1000 + 1
+    // timers fire when expiry <= watermark (ms); ceil-divide so an
+    // ms-aligned close time registers AT its watermark ms — a +1
+    // would overshoot and never fire when the final watermark lands
+    // exactly on the close time (the close test itself is <=)
+    private def timerMsFor(minCloseUs: Long): Long = (minCloseUs + 999) / 1000
 
     override def handleInputRows(key: Long, rows: Iterator[SessEvent],
         tv: TimerValues): Iterator[SessionRow] = {

@@ -92,4 +92,23 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "salted join must stay an equi-join")
   }
+
+  test("q_ann_lsh_topk: probe side broadcast, candidate join stays " +
+      "an equi-join on (band, bucket)") {
+    val p = plan("q_ann_lsh_topk")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query buckets/vectors must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "bucket probe must not degrade to a cartesian product")
+  }
+
+  test("q_dq_referential: anti-joins carry keys only to the shuffle") {
+    val p = plan("q_dq_referential")
+    assert(p.contains("LeftAnti"), s"orphan checks must be anti-joins:\n$p")
+    // fact payloads are projected away before the join: no lineitem
+    // value column may appear in the plan's shuffle output
+    assert(!p.contains("l_quantity") && !p.contains("l_extendedprice"),
+      s"anti-join must not carry fact payload columns:\n$p")
+  }
 }
