@@ -75,4 +75,72 @@ class SessionStateSpec extends SparkSpec {
       }
     }
   }
+
+  /** Reference model: batch gaps-islands sessionization, keeping the
+    * sessions closed before the final watermark — the same recipe the
+    * DuckDB oracle runs, in Scala, on data the processor never saw. */
+  private def expectedSessions(evts: Seq[(Long, Long)]) // (user, ts ns)
+      : Seq[(Long, Long, Long, Long)] = {
+    val maxUs = evts.map(_._2 / 1000).max
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000L
+    evts.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.map(_._2 / 1000).sorted
+      val sessions = ts.tail.foldLeft(
+        List((ts.head, ts.head, 1L))) { case (acc, t) =>
+        val (st, en, n) = acc.head
+        if (t - en <= GapUs) (st, math.max(en, t), n + 1) :: acc.tail
+        else (t, t, 1L) :: acc
+      }.reverse
+      sessions.filter { case (_, en, _) => en + GapUs <= wmUs }
+        .map { case (st, en, n) => (u, st, en, n) }
+    }.sorted
+  }
+
+  test("fuzz: processor equals batch sessions closed before final " +
+      "watermark (minute grid hits the ms-aligned close boundary)") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      for (seed <- Seq(1L, 12L, 23L)) {
+        val rnd = new scala.util.Random(seed)
+        // minute-granular times: exact 30-min gaps occur, and each of
+        // these seeds was CHECKED to contain >=1 session whose close
+        // time equals the final watermark exactly - pinning the
+        // <=-boundary and the ceil-division timer registration
+        val evts = Seq.fill(200)((1L + rnd.nextInt(8),
+          BaseNs + rnd.nextInt(12 * 60) * MinNs))
+        // two batches split at the time median: batch 2's rows all sit
+        // above batch 1's watermark, so none are late-dropped and the
+        // batch reference model stays exact
+        val sorted = evts.sortBy(_._2)
+        val (b1, b2) = sorted.splitAt(sorted.length / 2)
+        val in = MemoryStream[(Long, Long)]
+        val out = StreamingOps.sessionState(
+          in.toDF().toDF("user_id", "ts"), GapUs).toDF()
+        val q = out.writeStream.format("memory")
+          .queryName(s"sess_fuzz_$seed").outputMode("append")
+          .trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          in.addData(b1); q.processAllAvailable()
+          in.addData(b2); q.processAllAvailable()
+          val got = spark.table(s"sess_fuzz_$seed").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3))).toSeq.sorted
+          assert(got == expectedSessions(evts), s"seed=$seed")
+        } finally q.stop()
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
