@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Integer-exact Lloyd k-means over embedding vectors — the clustering
+  * stage a semantic-dedup (SemDeDup-style) or data-curation pipeline
+  * runs before within-cluster comparison: partition the corpus into k
+  * buckets of mutually-similar vectors so the expensive pairwise work
+  * is confined to each bucket.
+  *
+  * Arithmetic is INTEGER MILLI units throughout: vectors are quantized
+  * once to milli-scaled longs ([[quantizeMilli]]), distances are exact
+  * integer squared-L2, and centroid updates are per-dimension floor
+  * divisions at fixed dataflow points — so, like
+  * [[PageRank.pageRank]], the assignment is bit-identical on any
+  * engine at any parallelism and a SQL oracle can pin it. (Float
+  * k-means diverges across engines on reduction order alone.)
+  * Initialization is data-derived and deterministic: the rows with
+  * `idCol` in [0, k) seed the codebook, the same convention as the IVF
+  * ANN query's codebook.
+  *
+  * Scale shape (100 TB corpus): the codebook is k·dim longs — KB-sized
+  * — so ASSIGNMENT is one codegen'd projection against a LITERAL
+  * codebook: no join, no shuffle, no window; the argmin folds over the
+  * k candidates inside a single expression per row. The UPDATE step is
+  * posexplode → partial-aggregable sum by (cluster, dim) — ONE shuffle
+  * of k·dim·partitions pre-aggregated rows per iteration — followed by
+  * a k·dim-row driver collect (the standard k-means-on-Spark contract;
+  * MLlib's KMeans collects the same). The quantized input is persisted
+  * across iterations so the parquet scan happens once. */
+object Clustering {
+
+  /** Quantize a float/double array column to milli-scaled longs.
+    * float→double is exact; ·1000 and floor are deterministic IEEE on
+    * both engines. DuckDB twin:
+    * `list_transform(range(1, dim+1), i ->
+    *    CAST(floor(CAST(v[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))`. */
+  def quantizeMilli(v: Column): Column =
+    transform(v, x =>
+      floor(x.cast(DoubleType) * 1000d + 0.5d).cast(LongType))
+
+  /** Exact integer squared L2 between two equal-length long arrays.
+    * Values bounded by ±B milli stay exact while dim·(2B)² < 2⁶³. */
+  def l2sqLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (id, cluster, dist_sq) after exactly `iters` Lloyd iterations on
+    * `df(idCol: long, qvCol: array<long>)`. Requires ids 0..k-1 to be
+    * present (they seed the codebook). Ties go to the smaller centroid
+    * id; a cluster that loses all members keeps its previous centroid.
+    * `dist_sq` is the exact integer squared-L2 to the FINAL centroid. */
+  def kmeansAssign(df: DataFrame, idCol: String, qvCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansAssign needs k >= 1, iters >= 1")
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(qvCol).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed codebook: rows with id < k (KB-sized collect, k·dim longs)
+    var cents: Seq[(Long, Seq[Long])] = in.filter(col("id") < k)
+      .collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    require(cents.size == k,
+      s"kmeansAssign: expected ids 0..${k - 1} to seed the codebook, " +
+        s"found ${cents.size}")
+
+    // argmin over the literal codebook inside ONE projection:
+    // min of (dist, cid) structs = nearest centroid, ties to smaller id
+    def assignCol(cs: Seq[(Long, Seq[Long])]): Column = {
+      val cands = array(cs.map { case (cid, cv) =>
+        struct(
+          l2sqLong(array(cv.map(lit): _*), col("qv")).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      array_min(cands)
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = in.withColumn("cluster",
+        assignCol(cents).getField("cid"))
+      // per-dimension integer mean: sum by (cluster, pos) is
+      // partial-aggregable; (s - pmod(s, n)) is an exact multiple of n,
+      // so truncating `div` equals floor division on both engines
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("qv")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          expr("(s - pmod(s, n)) div n").as("m"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+      // empty cluster: keep its previous centroid (deterministic)
+      cents = cents.map { case (cid, prev) =>
+        cid -> byCluster.getOrElse(cid, prev)
+      }
+    }
+    val best = assignCol(cents)
+    val out = in.select(col("id"),
+      best.getField("cid").as("cluster"),
+      best.getField("d").as("dist_sq"))
+    in.unpersist()
+    out
+  }
+
+  private def distSql(dim: Int)(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+      s"($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** The CTE chain replaying [[kmeansAssign]] in DuckDB, UNROLLED like
+    * [[PageRank.oracleSql]] (recursive CTEs cannot aggregate over the
+    * recursive table): `vecsSql` must be a SELECT producing
+    * `(id BIGINT, qv BIGINT[dim])`. Ends with CTE `asg(id, cluster,
+    * dist_sq)` — the final assignment — so SemDeDup-style oracles can
+    * keep building. Generated by the same object that documents the
+    * iteration so the Spark loop and the SQL twin can never drift. */
+  def oracleCtes(vecsSql: String, k: Int, iters: Int, dim: Int): String = {
+    val d = distSql(dim) _
+    val base =
+      s"""v AS ($vecsSql),
+         |c0 AS (SELECT id AS cid, qv AS cv FROM v WHERE id < $k)""".stripMargin
+    val steps = (1 to iters).flatMap { i =>
+      val prev = s"c${i - 1}"
+      Seq(
+        // assignment under the previous codebook
+        s"""a$i AS (SELECT id, qv, cid AS cluster FROM (
+           |  SELECT v.id, v.qv, c.cid, row_number() OVER (
+           |      PARTITION BY v.id
+           |      ORDER BY ${d("v.qv", "c.cv")}, c.cid) AS rn
+           |  FROM v, $prev c) WHERE rn = 1)""".stripMargin,
+        // centroid update: exact integer floor-division mean; empty
+        // clusters carry the previous centroid forward
+        s"""c$i AS (
+           |  SELECT cluster AS cid, list(m ORDER BY i) AS cv FROM (
+           |    SELECT cluster, i,
+           |      CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS m
+           |    FROM (SELECT a.cluster, t.i,
+           |        CAST(sum(a.qv[t.i]) AS BIGINT) AS s,
+           |        CAST(count(*) AS BIGINT) AS n
+           |      FROM a$i a, unnest(range(1, ${dim + 1})) AS t(i)
+           |      GROUP BY a.cluster, t.i))
+           |  GROUP BY cluster
+           |  UNION ALL
+           |  SELECT cid, cv FROM $prev
+           |  WHERE cid NOT IN (SELECT DISTINCT cluster FROM a$i))""".stripMargin)
+    }
+    // final assignment under the FINAL codebook, mirroring the Spark
+    // side's post-loop projection
+    val fin =
+      s"""asg AS (SELECT id, cluster, dist_sq FROM (
+         |  SELECT v.id, c.cid AS cluster,
+         |    CAST(${d("v.qv", "c.cv")} AS BIGINT) AS dist_sq,
+         |    row_number() OVER (PARTITION BY v.id
+         |      ORDER BY ${d("v.qv", "c.cv")}, c.cid) AS rn
+         |  FROM v, c$iters c) WHERE rn = 1)""".stripMargin
+    (base +: steps :+ fin).mkString(",\n")
+  }
+
+  /** Complete standalone oracle for [[kmeansAssign]]. */
+  def oracleSql(vecsSql: String, k: Int, iters: Int, dim: Int): String =
+    s"WITH ${oracleCtes(vecsSql, k, iters, dim)}\n" +
+      "SELECT id, cluster, dist_sq FROM asg ORDER BY id"
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+import graft.Tables._
+import graft.functions.GraftFunctions
+import graft.ops.Clustering
+
+/** Embedding-clustering queries: integer-exact k-means and the
+  * SemDeDup-style semantic dedup built on top of it (cluster first,
+  * then compare pairs only WITHIN each cluster — the standard trick
+  * that turns O(n²) semantic dedup into per-bucket work; Abbas et al.
+  * 2023, "SemDeDup", arXiv:2303.09540).
+  *
+  * Both oracles replay the whole algorithm unrolled in DuckDB — the
+  * milli-integer arithmetic ([[Clustering]]) is what makes that
+  * possible: float k-means could not be pinned across engines. */
+object ClusterQueries {
+
+  /** embeddings ∪ near-duplicate perturbed copies (id+1e5, first
+    * component +2⁻⁵ — binary-exact, cos ≈ 1): the corpus q_semdedup
+    * dedups. Same planting recipe as q_embed_neardup. */
+  private def semCorpus(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val pert = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      concat(
+        array((element_at(col("embedding"), 1).cast(DoubleType)
+          + 0.03125).cast(FloatType)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    emb.unionByName(pert)
+  }
+
+  private val semCorpusSql =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+      |pert AS (SELECT vec_id + 100000 AS vec_id,
+      |    list_prepend(CAST(CAST(embedding[1] AS DOUBLE)
+      |        + CAST(0.03125 AS DOUBLE) AS REAL),
+      |      embedding[2:64]) AS embedding FROM e),
+      |corp AS (SELECT * FROM e UNION ALL SELECT * FROM pert)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ---- integer-exact k-means (k=8, 3 Lloyd iterations) -------------
+    // Assignment is a codegen'd projection against a KB-sized literal
+    // codebook (no join, no shuffle); each update is ONE
+    // partial-aggregable (cluster, dim) sum — see Clustering's scaladoc
+    // for the 100 TB contract. The oracle replays all three iterations
+    // unrolled, bit-exact.
+    Q("q_kmeans_clusters",
+      (s, d) => {
+        val qv = embeddings(s, d)
+          .select(col("vec_id").as("id"),
+            Clustering.quantizeMilli(col("embedding")).as("qv"))
+        Clustering.kmeansAssign(qv, "id", "qv", k = 8, iters = 3)
+          .orderBy("id")
+      },
+      Some(Clustering.oracleSql(
+        s"SELECT vec_id AS id, ${OracleSql.quantMilli("embedding", 64)} " +
+          "AS qv FROM embeddings",
+        k = 8, iters = 3, dim = 64))),
+
+    // ---- SemDeDup: within-cluster cosine dedup ------------------------
+    // Cluster the corpus (k-means on quantized vectors), then flag every
+    // vector that has a within-cluster partner with smaller id and
+    // cos_milli >= 950. Pairs are generated ONLY inside clusters — the
+    // SemDeDup move: at 100 TB, k grows with n so members-per-cluster
+    // stays bounded and the per-cluster pair expansion is local work,
+    // not an n² join (the cluster-id equi-join below is the bucketed
+    // shape; a giant cluster is the same skew as any hot key — salt or
+    // split it). Planted near-identical copies land in their source's
+    // cluster and are flagged; the oracle replays clustering + pairing
+    // end-to-end.
+    Q("q_semdedup",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val corp = semCorpus(s, d)
+        val qv = corp.select(col("vec_id").as("id"),
+          Clustering.quantizeMilli(col("embedding")).as("qv"))
+        val asg = Clustering.kmeansAssign(qv, "id", "qv", k = 8, iters = 2)
+          .select("id", "cluster")
+        val withV = asg.join(
+          corp.select(col("vec_id").as("id"), col("embedding").as("ev")),
+          "id")
+        val a = withV.select(col("id").as("id_a"), col("cluster"),
+          col("ev").as("ea"))
+        val b = withV.select(col("id").as("id_b"), col("cluster"),
+          col("ev").as("eb"))
+        val dupIds = a.join(b, Seq("cluster"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(GraftFunctions.cosineMilli(col("ea"), col("eb")) >= 950)
+          .select(col("id_b").as("id")).distinct()
+          .withColumn("dup", lit(true))
+        asg.join(dupIds, Seq("id"), "left")
+          .select(col("id"), col("cluster"),
+            coalesce(col("dup"), lit(false)).as("is_dup"))
+          .orderBy("id")
+      },
+      Some {
+        val kmeans = Clustering.oracleCtes(
+          s"SELECT vec_id AS id, ${OracleSql.quantMilli("embedding", 64)} " +
+            "AS qv FROM corp",
+          k = 8, iters = 2, dim = 64)
+        s"""WITH $semCorpusSql,
+           |$kmeans,
+           |wv AS (SELECT a.id, a.cluster, c.embedding AS ev
+           |  FROM asg a JOIN corp c ON c.vec_id = a.id),
+           |dups AS (SELECT DISTINCT b.id FROM wv a JOIN wv b
+           |  ON a.cluster = b.cluster AND a.id < b.id
+           |  WHERE ${OracleSql.cosMilli("a.ev", "b.ev")} >= 950)
+           |SELECT w.id, w.cluster, d.id IS NOT NULL AS is_dup
+           |FROM wv w LEFT JOIN dups d ON w.id = d.id
+           |ORDER BY w.id
+           |""".stripMargin.trim
+      })
+  )
+}
