@@ -398,5 +398,50 @@ object AnalyticsQueries {
         |    AS BIGINT) AS returning_users
         |FROM act JOIN f USING (user_id)
         |GROUP BY day ORDER BY day
+        |""".stripMargin.trim)),
+
+    // ---- per-node triangle counts over the co-purchase graph --------
+    // Degree-oriented exact triangle counting (Triangles scaladoc: hub
+    // wedge explosion bounded to m^1.5 with no salting). Edges come
+    // from the same basket-local pair expansion as q_copurchase_pairs —
+    // no self-join on the fact table. The oracle recomputes edges,
+    // orientation, and both joins from first principles.
+    Q("q_triangle_count",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), " +
+              "y -> struct(x AS id_a, y AS id_b))))"))
+            .as("pr"))
+          .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+        // no .distinct() here: perNode's canonical() dedups — a second
+        // distinct would just repeat the same 1.2M-row shuffle
+        graft.ops.Triangles.perNode(edges).orderBy("node")
+      },
+      Some("""
+        |WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |      THEN a ELSE b END AS src,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |      THEN b ELSE a END AS dst
+        |  FROM e0 JOIN deg da ON da.n = e0.a
+        |          JOIN deg db ON db.n = e0.b),
+        |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+        |    JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |corners AS (SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM corners GROUP BY node ORDER BY node
         |""".stripMargin.trim)))
 }
