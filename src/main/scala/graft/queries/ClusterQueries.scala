@@ -1,11 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 import graft.Tables._
 import graft.functions.GraftFunctions
-import graft.ops.Clustering
+import graft.ops.{Clustering, Quantization}
 
 /** Embedding-clustering queries: integer-exact k-means and the
   * SemDeDup-style semantic dedup built on top of it (cluster first,
@@ -111,6 +112,77 @@ object ClusterQueries {
            |SELECT w.id, w.cluster, d.id IS NOT NULL AS is_dup
            |FROM wv w LEFT JOIN dups d ON w.id = d.id
            |ORDER BY w.id
+           |""".stripMargin.trim
+      }),
+
+    // ---- product-quantization ANN top-k -------------------------------
+    // The COMPRESSION ANN family beside brute/IVF/LSH: encode every
+    // vector as 8 subspace codes from a 16-entry data-seeded codebook,
+    // scan the asymmetric distance (raw query vs reconstructed
+    // candidate) to shortlist 40, exact-cosine re-rank to 10. The ADC
+    // shortlist and the re-rank are both integer/milli-exact, so the
+    // oracle replays encode → scan → rerank bit-for-bit.
+    Q("q_ann_pq_topk",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .withColumn("qv", Clustering.quantizeMilli(col("embedding")))
+        // KB-sized codebook collect: first 16 vectors, sliced 8×8
+        val cbRows = base.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int"), col("qv"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList)
+          .toSeq.sortBy(_._1)
+        val codebooks = Quantization.sliceCodebooks(cbRows,
+          subspaces = 8, subDim = 8)
+        val rec = base.withColumn("recon",
+          Quantization.pqReconstruct(col("qv"), codebooks, subDim = 8))
+        val q = base.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("qv").as("q_qv"))
+        val wAdc = Window.partitionBy("q_id")
+          .orderBy(col("adc").asc, col("vec_id").asc)
+        val cands = rec.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("adc", Clustering.l2sqLong(col("recon"), col("q_qv")))
+          .withColumn("rn", row_number().over(wAdc))
+          .filter(col("rn") <= 40)
+        val wCos = Window.partitionBy("q_id")
+          .orderBy(col("cos_milli").desc, col("vec_id").asc)
+        cands.withColumn("cos_milli",
+            GraftFunctions.cosineMilli(col("q_emb"), col("embedding")))
+          .withColumn("rank", row_number().over(wCos))
+          .filter(col("rank") <= 10)
+          .select("q_id", "rank", "vec_id", "cos_milli")
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"list_sum(list_transform(range(1, 65), i -> " +
+            s"($a[i] - $b[i]) * ($a[i] - $b[i])))"
+        s"""WITH v AS (SELECT vec_id AS id,
+           |    ${OracleSql.quantMilli("embedding", 64)} AS qv
+           |  FROM embeddings),
+           |cb AS (SELECT CAST(id AS INTEGER) AS j, qv FROM v
+           |  WHERE id < 16),
+           |${Quantization.reconCtes(subspaces = 8, subDim = 8)},
+           |qq AS (SELECT vec_id AS q_id, embedding AS q_emb,
+           |    ${OracleSql.quantMilli("embedding", 64)} AS q_qv
+           |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 25),
+           |adc AS (SELECT q.q_id, r.id AS vec_id,
+           |    ${l2("r.recon", "q.q_qv")} AS adc
+           |  FROM rec r, qq q WHERE r.id <> q.q_id),
+           |cand AS (SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+           |    FROM adc) WHERE rn <= 40),
+           |scored AS (SELECT c.q_id, c.vec_id,
+           |    ${OracleSql.cosMilli("q.q_emb", "e.embedding")} AS cos_milli
+           |  FROM cand c JOIN qq q ON q.q_id = c.q_id
+           |    JOIN embeddings e ON e.vec_id = c.vec_id)
+           |SELECT q_id, rank, vec_id, cos_milli FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos_milli DESC, vec_id) AS rank FROM scored)
+           |WHERE rank <= 10 ORDER BY q_id, rank
            |""".stripMargin.trim
       })
   )
