@@ -67,6 +67,50 @@ object StreamQueries {
         |ORDER BY v.user_id, view_id, click_id
         |""".stripMargin.trim)),
 
+    // LEFT OUTER stream-stream join: matched pairs emit like the inner
+    // join; a view with NO qualifying click emits null click columns
+    // only once the global watermark proves no future click can match.
+    // The oracle replays both halves: the batch time-range join, plus
+    // unmatched views whose window (view_ts + 30 min) closed before
+    // the final watermark — min of the two sides' (ms-truncated max
+    // event time − 1 h), the same recipe as q_stream_session_state.
+    // Trailing unmatched views inside the horizon are withheld, which
+    // is exactly the unbounded semantics.
+    Q("q_stream_stream_outer",
+      (s, d) => StreamingOps.runToTable(
+          StreamingOps.viewClickLeftOuter(
+            StreamingOps.eventsStream(streamSession(s), d),
+            withinUs = 1800L * 1000000L),
+          OutputMode.Append())
+        .orderBy("user_id", "view_id", "click_id"),
+      Some("""
+        |WITH v AS (SELECT user_id, event_id AS view_id,
+        |    epoch_us(ts) AS view_ts_us FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) AS click_ts_us FROM events
+        |  WHERE event_type = 'click'),
+        |wm AS (SELECT least(
+        |    (SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000
+        |       FROM events WHERE event_type = 'view'),
+        |    (SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000
+        |       FROM events WHERE event_type = 'click')) AS wm_us),
+        |m AS (SELECT v.user_id, v.view_id, c.click_id,
+        |    c.click_ts_us - v.view_ts_us AS lag_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |    AND c.click_ts_us >= v.view_ts_us
+        |    AND c.click_ts_us <= v.view_ts_us + 1800000000),
+        |um AS (SELECT v.user_id, v.view_id,
+        |    CAST(NULL AS BIGINT) AS click_id,
+        |    CAST(NULL AS BIGINT) AS lag_us
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+        |    AND v.view_ts_us + 1800000000 < wm.wm_us)
+        |SELECT user_id, view_id, click_id, lag_us FROM m
+        |UNION ALL SELECT user_id, view_id, click_id, lag_us FROM um
+        |ORDER BY user_id, view_id, click_id
+        |""".stripMargin.trim)),
+
     // Streaming day-partitioned parquet sink (the reference's S5 sink
     // in streaming form): write the bounded stream exactly-once with a
     // checkpoint, read the sink back, and aggregate per day — the

@@ -91,13 +91,28 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Stream-stream LEFT OUTER join: [[viewClickJoin]]'s shape, but
+    * views with no qualifying click ALSO emit (null click columns) —
+    * the abandonment side of the funnel, which the inner join cannot
+    * see. Outer rows emit only when the watermark proves no future
+    * click can match (view_time + withinUs behind the global
+    * watermark), so a bounded run withholds trailing unmatched views
+    * still inside the horizon — exactly what an unbounded deployment
+    * does, and what the oracle's final-watermark predicate replays. */
+  def viewClickLeftOuter(events: DataFrame, withinUs: Long): DataFrame =
+    viewClickPairs(events, withinUs, "left_outer")
+
   /** Stream-stream inner join: views joined to the clicks that follow
     * them (same user, click within `withinUs` micros after the view).
     * Both sides carry watermarks and the join condition bounds event
     * time, so state on each side is pruned — the canonical funnel
     * (view → click) join shape. Bounded run ≡ the batch time-range
     * join the oracle computes. */
-  def viewClickJoin(events: DataFrame, withinUs: Long): DataFrame = {
+  def viewClickJoin(events: DataFrame, withinUs: Long): DataFrame =
+    viewClickPairs(events, withinUs, "inner")
+
+  private def viewClickPairs(events: DataFrame, withinUs: Long,
+                             how: String): DataFrame = {
     val withTime = events
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
@@ -120,7 +135,8 @@ object StreamingOps {
         // strictly tighter than the ts_us predicate and silently drop
         // pairs for any withinUs not a whole-second multiple
         col("click_time") <= col("view_time") + expr(
-          s"INTERVAL $withinUs MICROSECOND"))
+          s"INTERVAL $withinUs MICROSECOND"),
+      how)
       .select(col("user_id"), col("view_id"), col("click_id"),
         (col("click_ts_us") - col("view_ts_us")).as("lag_us"))
   }
