@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-retrieval primitives over a document corpus: inverted index
+  * and BM25 ranking — the search/decontamination stage of a data
+  * pipeline (find training docs matching an eval query, rank corpus
+  * hits for inspection).
+  *
+  * BM25 here is the LN-FREE RATIONAL form the engine uses everywhere
+  * a float transcendental would break engine portability (see
+  * q_tfidf_topterms): idf's log is dropped and its rational argument
+  * `(N - df + 0.5) / (df + 0.5)` used directly — monotone in the same
+  * direction, so rankings for same-length term sets are log-BM25
+  * consistent, and every double op (one division per factor, one
+  * product) is IEEE correctly-rounded in a FIXED order, so the one
+  * milli rounding point reproduces bit-exactly on any engine. Per-term
+  * milli scores are then INTEGER-summed per doc — associative, safe
+  * under any aggregation order.
+  *
+  * Scale shape: tokenize+explode is per-row local work; tf is one
+  * partial-aggregable (doc, term) shuffle; df and the corpus scalars
+  * (N, avgdl) are KB-sized aggregates broadcast back; the score join
+  * touches only docs containing >= 1 query term. */
+object Retrieval {
+
+  private def toks(textCol: Column): Column =
+    filter(split(trim(lower(textCol)), "\\s+"), t => t =!= "")
+
+  /** (term, df, postings): every distinct term with its document
+    * frequency and the sorted ids of containing docs, comma-joined —
+    * a STRING so the cross-engine gate compares a canonical value
+    * (array reprs differ between engines' parquet/pandas bridges). At
+    * 100 TB keep the (term, id) ROW form; a hot term's posting list is
+    * then just a big key group, not a giant value in one row. */
+  def invertedIndex(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("id")).as("df"),
+        array_join(sort_array(collect_set(col("id"))), ",")
+          .as("postings"))
+
+  /** Top-k docs for `queryTerms` by rational-BM25 (k1 = 1.2,
+    * b = 0.75), ties to the smaller id. Returns
+    * (rank, id, score_milli). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(toks(col(textCol))).as("term"))
+    val dl = tok.groupBy("id").agg(count(lit(1)).as("dl"))
+    // corpus scalars: N over ALL docs (tokenless docs count), total
+    // token mass; one row, broadcast into the scoring join
+    val scalars = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      tok.agg(count(lit(1)).as("total_tokens")))
+    val qt = tok.filter(col("term").isin(queryTerms: _*))
+    val tf = qt.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = qt.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    // ONE milli rounding point per (doc, term); fixed double-op order —
+    // the oracle must spell the identical expression (scoreSql)
+    val avgdl = col("total_tokens").cast("double") /
+      col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5d)) /
+      (col("df").cast("double") + lit(0.5d))
+    val tnorm = (col("tf").cast("double") * lit(2.2d)) /
+      (col("tf").cast("double") +
+        lit(1.2d) * (lit(0.25d) + lit(0.75d) *
+          (col("dl").cast("double") / avgdl)))
+    val termScore = floor(lit(1000.0d) * (idf * tnorm) + lit(0.5d))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_milli").desc, col("id").asc)
+    tf.join(broadcast(df), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("term_score", termScore)
+      .groupBy("id")
+      .agg(sum(col("term_score")).as("score_milli"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "id", "score_milli")
+  }
+
+  /** The DuckDB twin of [[bm25TopK]]'s per-term score expression —
+    * generated beside the Spark formula so the two can never drift.
+    * Operand names: integer columns/values `tf, df, dl, n_docs,
+    * total_tokens`. */
+  def scoreSql(tf: String, df: String, dl: String, nDocs: String,
+               totalTokens: String): String = {
+    val avgdl = s"(CAST($totalTokens AS DOUBLE) / CAST($nDocs AS DOUBLE))"
+    val idf = s"((CAST($nDocs - $df AS DOUBLE) + 0.5) / " +
+      s"(CAST($df AS DOUBLE) + 0.5))"
+    val tnorm = s"((CAST($tf AS DOUBLE) * 2.2) / " +
+      s"(CAST($tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * " +
+      s"(CAST($dl AS DOUBLE) / $avgdl))))"
+    s"CAST(floor(1000.0 * ($idf * $tnorm) + 0.5) AS BIGINT)"
+  }
+}

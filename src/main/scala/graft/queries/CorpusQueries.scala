@@ -111,6 +111,60 @@ object CorpusQueries {
         |  ${Corpus.deterministicSplitSql("CAST(doc_id AS VARCHAR)",
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
         |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- inverted index: term -> df + sorted postings ------------------
+    // The retrieval-side artifact of the corpus: one partial-aggregable
+    // (term) shuffle. The array postings form is the bounded-vocabulary
+    // verification shape; Retrieval's scaladoc documents the (term, id)
+    // row form for 100 TB posting lists.
+    Q("q_inverted_index",
+      (s, d) => graft.ops.Retrieval.invertedIndex(
+          documents(s, d), "doc_id", "text")
+        .orderBy("term"),
+      Some("""
+        |WITH t AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |p AS (SELECT DISTINCT term, id FROM t WHERE term <> '')
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list(id ORDER BY id), ',') AS postings
+        |FROM p GROUP BY term ORDER BY term
+        |""".stripMargin.trim)),
+
+    // ---- BM25 top-20 for a fixed term query ---------------------------
+    // Rational (ln-free) BM25, k1=1.2 b=0.75 — every double op is
+    // IEEE-exact in a pinned order and per-term milli scores are
+    // integer-summed, so the full ranking hash-matches the replay
+    // (see Retrieval scaladoc; scoreSql generates the oracle's
+    // expression from the same object as the Spark formula).
+    Q("q_bm25_topk",
+      (s, d) => graft.ops.Retrieval.bm25TopK(
+          documents(s, d), "doc_id", "text",
+          queryTerms = Seq("batch", "join", "filter"), k = 20)
+        .orderBy("rank"),
+      Some(s"""
+        |WITH tok AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+        |sc AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    (SELECT count(*) FROM t) AS total_tokens),
+        |qt AS (SELECT * FROM t
+        |  WHERE term IN ('batch', 'join', 'filter')),
+        |tf AS (SELECT id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT id) AS df FROM qt GROUP BY 1),
+        |ts AS (SELECT tf.id,
+        |    ${graft.ops.Retrieval.scoreSql("tf.tf", "dfq.df", "dl.dl",
+                 "sc.n_docs", "sc.total_tokens")} AS term_score
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.id = tf.id, sc),
+        |agg AS (SELECT id, CAST(sum(term_score) AS BIGINT)
+        |    AS score_milli FROM ts GROUP BY id)
+        |SELECT rank, id, score_milli FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY score_milli DESC, id ASC) AS rank FROM agg)
+        |WHERE rank <= 20 ORDER BY rank
         |""".stripMargin.trim))
   )
 }
