@@ -115,6 +115,39 @@ object ScaleQueries {
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
         |""".stripMargin.trim)),
 
+    // ---- incremental JOIN-MV maintenance -----------------------------
+    // The delta-join companion to q_incr_agg_maintain: a materialized
+    // orders ⋈ customer updates under one insert batch per side via the
+    // three-term expansion (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — every new term
+    // probes with a delta-sized side, never recomputing J. The oracle
+    // is the full recompute over (A∪ΔA) ⋈ (B∪ΔB): identical answer,
+    // delta-sized work.
+    Q("q_incr_join_maintain",
+      (s, d) => {
+        def aSide(pred: org.apache.spark.sql.Column) =
+          orders(s, d).filter(pred)
+            .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+              floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+                .as("price_c"))
+        val b = customer(s, d).select(col("c_custkey").as("custkey"),
+          col("c_name"))
+        val cutoff = "1997-01-01"
+        val aOld = aSide(col("o_orderdate") < lit(cutoff))
+        val dA = aSide(col("o_orderdate") >= lit(cutoff))
+        val bOld = b.filter(col("custkey") % 10 =!= 0)
+        val dB = b.filter(col("custkey") % 10 === 0)
+        val jOld = aOld.join(bOld, Seq("custkey"))
+        graft.ops.IncrementalJoin
+          .deltaJoinInserts(jOld, aOld, dA, bOld, dB, Seq("custkey"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        |SELECT o_custkey AS custkey, o_orderkey,
+        |  ${centsSql("o_totalprice")} AS price_c, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey
+        |""".stripMargin.trim)),
+
     // ---- Bloom-staged decontamination -------------------------------
     // Same contract as q_text_decontaminate (flag corpus docs sharing
     // an 8-gram with the eval set), staged for scale: the eval
