@@ -39,9 +39,12 @@ object Retrieval {
     docs.select(col(idCol).as("id"),
         explode(toks(col(textCol))).as("term"))
       .groupBy("term")
-      .agg(countDistinct(col("id")).as("df"),
-        array_join(sort_array(collect_set(col("id"))), ",")
-          .as("postings"))
+      // df DERIVED from the collected set: a countDistinct beside a
+      // collect_set would plan an Expand (one input row per aggregate)
+      // and double the shuffled rows for no information gain
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .select(col("term"), size(col("ids")).cast("long").as("df"),
+        array_join(col("ids"), ",").as("postings"))
 
   /** Top-k docs for `queryTerms` by rational-BM25 (k1 = 1.2,
     * b = 0.75), ties to the smaller id. Returns
@@ -57,7 +60,9 @@ object Retrieval {
       tok.agg(count(lit(1)).as("total_tokens")))
     val qt = tok.filter(col("term").isin(queryTerms: _*))
     val tf = qt.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val df = qt.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    // df from tf, not a second distinct pass over the token stream:
+    // tf already holds exactly one row per present (doc, term)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // ONE milli rounding point per (doc, term); fixed double-op order —
     // the oracle must spell the identical expression (scoreSql)
     val avgdl = col("total_tokens").cast("double") /

@@ -184,6 +184,39 @@ object ClusterQueries {
            |    ORDER BY cos_milli DESC, vec_id) AS rank FROM scored)
            |WHERE rank <= 10 ORDER BY q_id, rank
            |""".stripMargin.trim
+      }),
+
+    // ---- cluster-balanced diversity sample ----------------------------
+    // Curation subsample that preserves SEMANTIC coverage: k-means
+    // cluster the embeddings, then take 25 per cluster by the engine's
+    // deterministic md5-rank (seedless, stable under corpus growth) —
+    // uniform sampling oversamples dense regions; per-cluster quotas
+    // keep every region represented. Clustering + rank replayed
+    // end-to-end by the oracle.
+    Q("q_cluster_sample",
+      (s, d) => {
+        val qv = embeddings(s, d)
+          .select(col("vec_id").as("id"),
+            Clustering.quantizeMilli(col("embedding")).as("qv"))
+        val asg = Clustering.kmeansAssign(qv, "id", "qv", k = 8, iters = 2)
+          .select("id", "cluster")
+        graft.ops.Corpus.stratifiedHashSample(
+            asg, strata = Seq("cluster"), idCol = "id", k = 25)
+          .orderBy("cluster", "sample_rank")
+      },
+      Some {
+        val kmeans = Clustering.oracleCtes(
+          s"SELECT vec_id AS id, ${OracleSql.quantMilli("embedding", 64)} " +
+            "AS qv FROM embeddings",
+          k = 8, iters = 2, dim = 64)
+        s"""WITH $kmeans
+           |SELECT id, cluster, sample_rank FROM (
+           |  SELECT id, cluster, row_number() OVER (PARTITION BY cluster
+           |      ORDER BY md5(CAST(id AS VARCHAR)) ASC, id ASC)
+           |    AS sample_rank
+           |  FROM asg)
+           |WHERE sample_rank <= 25 ORDER BY cluster, sample_rank
+           |""".stripMargin.trim
       })
   )
 }
