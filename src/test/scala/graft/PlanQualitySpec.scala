@@ -111,4 +111,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("l_quantity") && !p.contains("l_extendedprice"),
       s"anti-join must not carry fact payload columns:\n$p")
   }
+
+  test("q_ann_pq_topk: literal-codebook encode, broadcast queries, " +
+      "no cartesian") {
+    val p = plan("q_ann_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query side must broadcast into the ADC scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "ADC scan must be broadcast-side, not a shuffled cartesian")
+    assert(!p.contains("SortMergeJoin"),
+      "PQ encode must not introduce a shuffle join — the codebook is " +
+        s"a literal:\n$p")
+  }
+
+  test("q_bm25_topk: df side broadcast; tf aggregation two-phase") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df (3 terms) must broadcast into the score join:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      "tf must partial-aggregate before the shuffle")
+  }
+
+  test("q_triangle_count: no cartesian, no nested-loop join anywhere") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle close must stay equi-join + local intersect:\n$p")
+  }
+
+  test("q_inverted_index: single partial-aggregable shuffle, no Expand") {
+    val p = plan("q_inverted_index")
+    assert(!p.contains("Expand"),
+      s"df must derive from the collected set, not a distinct agg:\n$p")
+    assert(p.split("ObjectHashAggregate").length >= 3 ||
+      p.split("SortAggregate").length >= 3,
+      s"collect_set must partial-aggregate:\n$p")
+  }
 }
