@@ -567,6 +567,52 @@ object AggQueries {
         |FROM events GROUP BY event_type ORDER BY event_type
         |""".stripMargin.trim)),
 
+    // ---- Misra-Gries heavy hitters -----------------------------------
+    // Deterministic counter-based sibling of the CMS gate: k=32 pairs
+    // of state instead of a full groupBy over ~45k distinct keys. The
+    // summary contents are merge-order-dependent, so the gate checks
+    // the GUARANTEE (every key with cnt*k > n detected, undercount
+    // <= n/(k+1)) against exact counts — the HLL-bound pattern. Skew is
+    // synthesized (3 hot keys at ~n/12 over a mostly-unique tail; same
+    // approach as q_join_salted) because the testdata is uniform.
+    Q("q_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val k = 32
+        val mg = new graft.functions.MisraGriesAgg(k)
+        val keyed = lineitem(s, d).select(
+          when(col("l_orderkey") % 4 === 0, col("l_orderkey") % 3)
+            .otherwise(lit(100L) + col("l_orderkey") * 10 +
+              col("l_linenumber"))
+            .as("k"))
+        // k-entry summary + scalar n to the driver — sketch-sized, the
+        // Bloom-gate pattern, never data
+        val summary = keyed.as[Long].select(mg.toColumn.name("mg")).head()
+        val n = keyed.count()
+        val bound = n / (k + 1)
+        val estOf = typedlit(summary)
+        keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * k > n)
+          .withColumn("est",
+            coalesce(element_at(estOf, col("k")), lit(0L)))
+          .select(col("k"), col("cnt"),
+            (col("est") > 0).as("detected"),
+            (col("cnt") - col("est") >= 0 &&
+              col("cnt") - col("est") <= bound).as("within_bound"))
+          .orderBy("k")
+      },
+      Some("""
+        |WITH kk AS (SELECT CASE WHEN l_orderkey % 4 = 0
+        |      THEN l_orderkey % 3
+        |      ELSE 100 + l_orderkey * 10 + l_linenumber END AS k
+        |  FROM lineitem),
+        |tot AS (SELECT count(*) AS n FROM kk),
+        |c AS (SELECT k, count(*) AS cnt FROM kk GROUP BY k)
+        |SELECT c.k, CAST(c.cnt AS BIGINT) AS cnt, TRUE AS detected,
+        |  TRUE AS within_bound
+        |FROM c, tot WHERE c.cnt * 32 > tot.n ORDER BY c.k
+        |""".stripMargin.trim)),
+
     // ---- bucketized range join: orders × overlapping price bands ------
     // Interval join without BroadcastNestedLoopJoin: bands (stride $7k,
     // width $20k → ~3-way overlap, derived from nation so the oracle

@@ -288,5 +288,61 @@ object ScaleQueries {
         |FROM corpus a JOIN corpus b ON a.id < b.id
         |  AND levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
+    // ---- global row index without a single-partition window ---------
+    // GlobalOrder.withGlobalIndex: range-sort + two-pass exclusive
+    // prefix scan. The oracle is the row_number() the operator refuses
+    // to compute the naive way — identical output, parallel plan.
+    // Sort key goes through epoch-micros so both engines compare the
+    // same integers.
+    Q("q_global_rownum",
+      (s, d) => {
+        val li = lineitem(s, d).select(
+          unix_micros(col("l_shipdate").cast(TimestampType)).as("ship_us"),
+          col("l_orderkey"), col("l_linenumber").cast(LongType)
+            .as("l_linenumber"))
+        graft.ops.GlobalOrder.withGlobalIndex(li,
+            Seq(col("ship_us").asc, col("l_orderkey").asc,
+              col("l_linenumber").asc))
+          .select("idx", "l_orderkey", "l_linenumber")
+          .orderBy("idx")
+      },
+      Some("""
+        |SELECT CAST(row_number() OVER (ORDER BY epoch_us(l_shipdate),
+        |    l_orderkey, l_linenumber) - 1 AS BIGINT) AS idx,
+        |  l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM lineitem ORDER BY idx
+        |""".stripMargin.trim)),
+
+    // ---- 2-D skyline (Pareto frontier) -------------------------------
+    // Cheapest-for-its-size parts: minimize (price cents, size). The
+    // operator is the O(n log n) prefix-scan over a range sort; the
+    // oracle is the first-principles O(n^2) NOT-EXISTS dominance
+    // definition — proving the sort formulation IS the skyline.
+    Q("q_skyline",
+      (s, d) => {
+        val p = part(s, d).select(
+          floor(col("p_retailprice") * 100 + 0.5).cast(LongType)
+            .as("price_c"),
+          col("p_size").cast(LongType).as("sz"))
+        val sky = graft.ops.GlobalOrder.skylineMin2D(p, "price_c", "sz")
+        // row multiplicity back on the frontier points
+        sky.join(p, Seq("price_c", "sz"))
+          .groupBy("price_c", "sz").agg(count(lit(1)).as("n_parts"))
+          .orderBy("price_c", "sz")
+      },
+      Some(s"""
+        |WITH p AS (SELECT ${centsSql("p_retailprice")} AS price_c,
+        |    CAST(p_size AS BIGINT) AS sz FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |d AS (SELECT DISTINCT price_c, sz FROM p),
+        |sk AS (SELECT * FROM d a WHERE NOT EXISTS (
+        |  SELECT 1 FROM d b WHERE b.price_c <= a.price_c
+        |    AND b.sz <= a.sz
+        |    AND (b.price_c < a.price_c OR b.sz < a.sz)))
+        |SELECT sk.price_c, sk.sz, count(*) AS n_parts
+        |FROM sk JOIN p ON p.price_c = sk.price_c AND p.sz = sk.sz
+        |GROUP BY sk.price_c, sk.sz ORDER BY sk.price_c, sk.sz
         |""".stripMargin.trim)))
 }
