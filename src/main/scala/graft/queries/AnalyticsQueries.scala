@@ -443,5 +443,38 @@ object AnalyticsQueries {
         |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM corners GROUP BY node ORDER BY node
-        |""".stripMargin.trim)))
+        |""".stripMargin.trim)),
+
+    // ---- label-propagation communities -------------------------------
+    // Third graph op beside PageRank and triangles: deterministic
+    // synchronous LPA (3 rounds) over the SUPPORT-THRESHOLDED
+    // co-purchase graph (pairs sharing >= 2 baskets — the raw graph is
+    // near-complete and collapses to one community; thresholding is
+    // also what a 100 TB run does to cut the pair expansion). The
+    // oracle replays the same rounds as unrolled CTEs, generated from
+    // the same iteration count.
+    Q("q_label_prop",
+      (s, d) => {
+        val pairs = lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), " +
+              "y -> struct(x AS src, y AS dst))))")).as("pr"))
+          .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
+        val edges = pairs.groupBy("src", "dst")
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("src", "dst")
+        graft.ops.Communities.labelPropagation(edges, iters = 3)
+          .orderBy("id")
+      },
+      Some(graft.ops.Communities.oracleSql(
+        """SELECT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |    AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2
+          |  HAVING count(DISTINCT a.l_orderkey) >= 2""".stripMargin,
+        iters = 3))))
 }
