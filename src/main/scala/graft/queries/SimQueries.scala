@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
 import graft.Tables._
 import graft.functions.GraftFunctions
 import graft.ops.{Similarity, TextOps}
@@ -800,6 +800,59 @@ object SimQueries {
         |      JOIN embeddings q ON q.vec_id = cd.q_id))
         |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
+    // ---- sorted-neighborhood blocking dedup --------------------------
+    // The record-linkage classic beside hash blocking (PassJoin) and
+    // LSH: sort by an ASCII-normalized 12-char blocking key, compare
+    // each row to its 7 successors in the GLOBAL order, verify with
+    // exact levenshtein. Candidates are exactly 7n — no quadratic hot
+    // block. Twins are planted BEYOND the blocking prefix (positions
+    // 25/40), the case hash blocking on a longer key would miss but SN
+    // catches via adjacency. Oracle replays the same sort with
+    // row_number and the same verify — the sort key is [a-z0-9]-only,
+    // so binary collation agrees across engines.
+    Q("q_sorted_neighborhood",
+      (s, d) => {
+        val base = documents(s, d).filter(length(col("text")) >= 50)
+          .select(col("doc_id").as("id"),
+            substring(col("text"), 1, 50).as("s"))
+        val corpus = base.unionByName(base.select(
+          (col("id") + 4000000L).as("id"),
+          concat(substring(col("s"), 1, 24), lit("Q"),
+            expr("substring(s, 26, 14)"), lit("Q"),
+            expr("substring(s, 41)")).as("s")))
+          .localCheckpoint() // candidates + payload rejoin below
+        val key = substring(
+          regexp_replace(lower(col("s")), "[^a-z0-9]", ""), 1, 12)
+        val cand = graft.ops.Blocking.sortedNeighborhoodPairs(
+          corpus, "id", Seq(key), window = 8)
+        val pa = corpus.select(col("id").as("id_a"), col("s").as("sa"))
+        val pb = corpus.select(col("id").as("id_b"), col("s").as("sb"))
+        cand.join(pa, "id_a").join(pb, "id_b")
+          .withColumn("dist",
+            levenshtein(col("sa"), col("sb")).cast(LongType))
+          .filter(col("dist") <= 2)
+          .select(least(col("id_a"), col("id_b")).as("id_lo"),
+            greatest(col("id_a"), col("id_b")).as("id_hi"), col("dist"))
+          .orderBy("id_lo", "id_hi")
+      },
+      Some("""
+        |WITH base AS (SELECT doc_id AS id, substr(text, 1, 50) AS s
+        |  FROM documents WHERE length(text) >= 50),
+        |corpus AS (SELECT id, s FROM base
+        |  UNION ALL SELECT id + 4000000,
+        |    concat(substr(s, 1, 24), 'Q', substr(s, 26, 14), 'Q',
+        |      substr(s, 41)) FROM base),
+        |idx AS (SELECT id, s, row_number() OVER (ORDER BY
+        |    substr(regexp_replace(lower(s), '[^a-z0-9]', '', 'g'),
+        |      1, 12), id) - 1 AS i FROM corpus),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        |  FROM idx a JOIN idx b ON b.i > a.i AND b.i <= a.i + 7)
+        |SELECT least(id_a, id_b) AS id_lo, greatest(id_a, id_b) AS id_hi,
+        |  CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 2
+        |ORDER BY id_lo, id_hi
         |""".stripMargin.trim))
   )
 }
