@@ -318,6 +318,18 @@ object TextQueries {
         |        FROM corpus) WHERE len(toks) >= 8)
         |SELECT DISTINCT doc_id FROM cs
         |WHERE s IN (SELECT s FROM evs) ORDER BY doc_id
-        |""".stripMargin.trim))
+        |""".stripMargin.trim)),
+
+    // ---- bigram LM coherence scoring ---------------------------------
+    // The KenLM-style fluency filter kept exact: per-doc mean bigram
+    // conditional probability in integer micro-units (floor divisions
+    // only — no logs, no doubles). The model (two count tables) is fit
+    // on the corpus itself and re-joined onto bigram occurrences.
+    Q("q_bigram_coherence",
+      (s, d) => graft.ops.Ngram.bigramCoherence(
+          documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(graft.ops.Ngram.bigramCoherenceSql(
+        "documents", "doc_id", "text") + "\nORDER BY doc_id"))
   )
 }
