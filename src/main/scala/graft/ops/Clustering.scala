@@ -99,9 +99,14 @@ object Clustering {
       }
     }
     val best = assignCol(cents)
+    // materialize the final projection (id/cluster/dist_sq — 3 narrow
+    // columns) off the cache BEFORE unpersisting, so the "quantized
+    // input is scanned once" contract holds for callers evaluating the
+    // returned frame after this method exits
     val out = in.select(col("id"),
       best.getField("cid").as("cluster"),
       best.getField("d").as("dist_sq"))
+      .localCheckpoint()
     in.unpersist()
     out
   }

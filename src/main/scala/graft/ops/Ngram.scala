@@ -26,12 +26,20 @@ object Ngram {
   /** Per-document mean bigram probability in micro-units over
     * lowercased whitespace tokens. Documents with fewer than two
     * tokens have no bigram and are excluded. Output:
-    * (idCol, n_bigrams, score_micro). */
+    * (idCol, n_bigrams, score_micro).
+    *
+    * Tokenizer contract: the split class is pinned to the EXPLICIT
+    * five whitespace chars `[ \t\n\r\f]` — Java's `\s` includes
+    * vertical tab (\x0B) while RE2's `\s` excludes it, so a `\s+`
+    * split is a latent cross-engine divergence on VT-bearing text —
+    * and empty tokens (leading separators) are filtered, matching
+    * [[Retrieval]]'s tokenizer. */
   def bigramCoherence(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val base = docs
       .select(col(idCol),
-        split(trim(lower(col(textCol))), "\\s+").as("t"))
+        filter(split(trim(lower(col(textCol))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= "").as("t"))
       .where(size(col("t")) >= 2)
     val bigrams = base.select(col(idCol), explode(expr(
         "transform(slice(t, 1, size(t) - 1), (w, i) -> " +
@@ -52,9 +60,10 @@ object Ngram {
   def bigramCoherenceSql(rel: String, idCol: String,
                          textCol: String): String =
     s"""WITH base AS (SELECT $idCol,
-       |    string_split_regex(trim(lower($textCol)), '\\s+') AS t
-       |  FROM $rel
-       |  WHERE len(string_split_regex(trim(lower($textCol)), '\\s+')) >= 2),
+       |    list_filter(string_split_regex(trim(lower($textCol)),
+       |      '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
+       |  FROM $rel),
+       |base2 AS (SELECT $idCol, t FROM base WHERE len(t) >= 2),
        |bg AS (SELECT $idCol, u['w1'] AS w1, u['w2'] AS w2 FROM (
        |  SELECT $idCol, unnest(list_transform(range(1, len(t)),
        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS u FROM base)),

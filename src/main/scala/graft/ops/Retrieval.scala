@@ -75,6 +75,12 @@ object Retrieval {
           (col("dl").cast("double") / avgdl)))
     val termScore = floor(lit(1000.0d) * (idf * tnorm) + lit(0.5d))
       .cast("long")
+    // top-k WITHOUT the unpartitioned-window scale cliff: orderBy +
+    // limit plans as TakeOrderedAndProject (per-partition heap of k,
+    // driver merge of k·partitions rows); the rank window then runs
+    // over the ALREADY-REDUCED k rows, so its single-partition
+    // exchange moves k rows, not the corpus-sized scored-doc set a
+    // common query term would produce
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_milli").desc, col("id").asc)
     tf.join(broadcast(df), "term")
@@ -83,8 +89,9 @@ object Retrieval {
       .withColumn("term_score", termScore)
       .groupBy("id")
       .agg(sum(col("term_score")).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("id").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select("rank", "id", "score_milli")
   }
 

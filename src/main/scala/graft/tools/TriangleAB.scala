@@ -21,7 +21,7 @@ object TriangleAB {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def edges: DataFrame = spark.read
+    def pairExpansion: DataFrame = spark.read
       .parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -30,6 +30,8 @@ object TriangleAB {
           "transform(slice(ps, i + 2, size(ps)), " +
           "y -> struct(x AS id_a, y AS id_b))))"))
         .as("pr"))
+
+    def edges: DataFrame = pairExpansion
       .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
       .distinct()
 
@@ -45,16 +47,7 @@ object TriangleAB {
     }
 
     time("edge_build")(edges.count())
-    time("edge_build_nodistinct")(edges.queryExecution.logical match {
-      case _ => spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), " +
-            "y -> struct(x AS id_a, y AS id_b))))"))
-          .as("pr")).count()
-    })
+    time("edge_build_nodistinct")(pairExpansion.count())
     time("full_per_node") {
       graft.ops.Triangles.perNode(edges).count()
     }
