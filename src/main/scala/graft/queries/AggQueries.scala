@@ -26,19 +26,10 @@ object AggQueries {
   /** See [[OracleSql.sumB]]. */
   private val sumB = OracleSql.sumB
 
-  /** Content key for idempotent side-channel sinks (tables written by
-    * queries, reused across runs): stable while the source file is
-    * unchanged, different after regeneration. Fold anything that
-    * changes the written CONTENT (operator parameters included) into
-    * `extra`, or a stale sink silently verifies. */
+  /** See [[Sinks.contentKey]]. */
   private def contentKey(d: String, file: String,
-                         extra: String = ""): String = {
-    val src = new java.io.File(s"$d/$file")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|${src.length}|${src.lastModified}|$extra"
-        .getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-  }
+                         extra: String = ""): String =
+    Sinks.contentKey(d, file, extra)
 
   def all: Seq[Q] = Seq(
 

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the persisted-ANN-index contracts:
+  *  1. build ∪ incremental append ≡ one-shot rebuild (bit-identical
+  *     probe results — the property that lets q_ann_lsh_persisted
+  *     share q_ann_lsh_topk's oracle);
+  *  2. the probe plan prunes index partitions dynamically instead of
+  *     scanning the whole stored corpus (the reason the index exists). */
+class AnnIndexSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def hyper = emb.filter(col("vec_id") < 16)
+    .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
+
+  private def queries = emb.filter(col("vec_id") >= 13 && col("vec_id") < 18)
+
+  test("incremental append equals one-shot rebuild, probe prunes " +
+      "partitions dynamically") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    // incremental: base without the holdout, then the holdout appended
+    AnnIndex.buildSignIndex(emb.filter(pmod(col("vec_id"), lit(5)) =!= 2),
+      "vec_id", "embedding", hyper, 4, "t_ann_incr", overwrite = true)
+    AnnIndex.appendBatch(emb.filter(pmod(col("vec_id"), lit(5)) === 2),
+      "vec_id", "embedding", hyper, 4, "t_ann_incr")
+    // rebuild: the full corpus banded in one shot
+    AnnIndex.buildSignIndex(emb, "vec_id", "embedding", hyper, 4,
+      "t_ann_full", overwrite = true)
+
+    val pIncr = AnnIndex.probeTopK(spark, "t_ann_incr", queries,
+      "vec_id", "embedding", hyper, 4, 10)
+    val pFull = AnnIndex.probeTopK(spark, "t_ann_full", queries,
+      "vec_id", "embedding", hyper, 4, 10)
+    val a = pIncr.orderBy("q_id", "rank").collect().toSeq
+    val b = pFull.orderBy("q_id", "rank").collect().toSeq
+    assert(a.nonEmpty, "probe must return candidates")
+    assert(a == b, "append path must be bit-identical to rebuild")
+
+    // plan pin: the index scan must carry a dynamic-pruning partition
+    // filter from the broadcast probe side — without it every probe is
+    // a full-index scan and the layout bought nothing
+    val plan = pIncr.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"probe must dynamically prune index partitions:\n$plan")
+  }
+
+  test("index table is partitioned by (band, bucket) and stores the " +
+      "vector payload") {
+    val idx = spark.table("t_ann_full")
+    assert(idx.columns.toSeq == Seq("id", "vec", "band", "bucket"))
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst
+        .TableIdentifier("t_ann_full"))
+    assert(cat.partitionColumnNames == Seq("band", "bucket"),
+      s"expected (band, bucket) partitioning, got " +
+        s"${cat.partitionColumnNames}")
+  }
+}
