@@ -1,8 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.jobs.{MergeDedupJob, PropnexJob, SrxJob}
 import graft.schemas.Schemas
+import graft.sources.Audited
 import java.time.LocalDate
 
 /** End-to-end job pipeline smoke query: inline reference-shaped fixture
@@ -63,7 +66,69 @@ object JobQueries {
        .toDF("agency", "agency_id"))
   }
 
+  /** Deterministic planted feed for the quarantine gate: 2 of 4 JSON
+    * lines and 1 of 3 CSV rows are malformed (syntax error; string
+    * where the schema says long). Written once to a constant temp
+    * location (content is fixed, so re-writing is idempotent). */
+  private def quarantineFixtureDir(): String = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_quarantine_fix_v1")
+    dir.mkdirs()
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, name).toPath, content)
+    put("feed.json",
+      """{"id": 1, "v": "alpha"}
+        |{"id": 2 "v": "beta"}
+        |{"id": "x3", "v": "gamma"}
+        |{"id": 4, "v": "delta"}
+        |""".stripMargin)
+    put("feed.csv",
+      """id,v
+        |10,kilo
+        |x11,lima
+        |12,mike
+        |""".stripMargin)
+    dir.getAbsolutePath
+  }
+
   def all: Seq[Q] = Seq(
+    // ---- PERMISSIVE read + corrupt-record quarantine ledger ----------
+    // The production answer to the reference's silent schema-inferred
+    // reads (srx_transformation.py:122, HIST:21): planted corrupt rows
+    // must land in the ledger WITH their raw payload and recovered
+    // partial columns, clean rows must parse fully, and the two
+    // channels must partition the input. Golden VALUES oracle — every
+    // payload byte is hash-checked.
+    Q("q_source_quarantine",
+      (s, _) => {
+        val dir = quarantineFixtureDir()
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("v", StringType)))
+        def view(df: DataFrame, src: String): DataFrame =
+          df.select(lit(src).as("src"), col("id"), col("v"),
+            col(Audited.CorruptCol).as("quarantined_payload"))
+        view(Audited.readJsonAudited(s, schema, s"$dir/feed.json"), "json")
+          .unionByName(
+            view(Audited.readCsvAudited(s, schema, s"$dir/feed.csv"),
+              "csv"))
+          .orderBy("src", "id", "quarantined_payload")
+      },
+      Some("""
+        |SELECT * FROM (VALUES
+        |  ('json', CAST(1 AS BIGINT), 'alpha', CAST(NULL AS VARCHAR)),
+        |  ('json', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   '{"id": 2 "v": "beta"}'),
+        |  ('json', CAST(NULL AS BIGINT), 'gamma',
+        |   '{"id": "x3", "v": "gamma"}'),
+        |  ('json', CAST(4 AS BIGINT), 'delta', CAST(NULL AS VARCHAR)),
+        |  ('csv', CAST(10 AS BIGINT), 'kilo', CAST(NULL AS VARCHAR)),
+        |  ('csv', CAST(NULL AS BIGINT), 'lima', 'x11,lima'),
+        |  ('csv', CAST(12 AS BIGINT), 'mike', CAST(NULL AS VARCHAR))
+        |) AS t(src, id, v, quarantined_payload)
+        |ORDER BY src, id, quarantined_payload
+        |""".stripMargin.trim)),
+
     Q("q_job_pipeline_merged",
       (s, _) => {
         val (dc, dr, ag) = dims(s)
