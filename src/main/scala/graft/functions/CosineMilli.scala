@@ -115,6 +115,8 @@ object GraftFunctions {
         es => RollingHash(es.head)),
       ("cdc_bounds", classOf[CdcBounds],
         es => CdcBounds(es.head, es(1))),
+      ("unicode_nfc", classOf[UnicodeNfc],
+        es => UnicodeNfc(es.head)),
       // aggregates: the analyzer wraps a bare AggregateFunction returned
       // by a registry builder into an AggregateExpression
       ("min_by_obj", classOf[MinByObj],
@@ -154,4 +156,6 @@ object GraftFunctions {
   def cdcBounds(codes: Column, mask: Int = 64): Column =
     call_function("cdc_bounds", codes,
       org.apache.spark.sql.functions.lit(mask))
+  def unicodeNfc(c: Column): Column =
+    call_function("unicode_nfc", c)
 }

@@ -12,6 +12,20 @@ import org.apache.spark.sql.types._
   * run per-row in the scan→project pipeline with zero extra shuffles. */
 object Cleaning {
 
+  /** Canonical Unicode key for fingerprints, blocking keys, and sort
+    * keys: NFC composition (native [[graft.functions.UnicodeNfc]]
+    * kernel, ASCII fast-path) then casefold. Without it,
+    * visually-identical NFC/NFD variants and case twins have different
+    * bytes and silently defeat exact dedup
+    * ([[Dedup.exactDedup]]'s sha2 hashes raw bytes) and hash blocking.
+    * Collation contract (the oracle twin must spell the same chain):
+    * DuckDB `lower(nfc_normalize(x))` — both engines implement UAX #15
+    * canonical composition and Unicode simple lowercase, so the chain
+    * is byte-identical across engines. Requires
+    * [[graft.functions.GraftFunctions.ensureRegistered]]. */
+  def canonicalUnicode(c: Column): Column =
+    lower(graft.functions.GraftFunctions.unicodeNfc(c))
+
   /** F3 — sentinel strings → real NULL on every string column.
     * Reference: `df.na.replace(['None',''], None)`
     * (jobs/spark/propnex_transformation.py:113,138;

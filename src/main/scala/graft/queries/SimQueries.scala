@@ -115,6 +115,51 @@ object SimQueries {
         |FROM documents GROUP BY text ORDER BY id
         |""".stripMargin.trim)),
 
+    // ---- Unicode-canonical exact dedup (NFC + casefold) ---------------
+    // Planted NFC/NFD twins (composed U+00E9 vs e+combining U+0301) and
+    // case twins are byte-different but visually identical — raw-byte
+    // fingerprints (q_docs_exact_dedup's sha2) keep all three copies.
+    // Canonicalizing with Cleaning.canonicalUnicode (native NFC kernel
+    // + casefold) collapses each triple to one kept row. DuckDB's
+    // nfc_normalize implements the same UAX #15 composition, so the
+    // oracle replays the identical chain.
+    Q("q_unicode_dedup",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val base = documents(s, d)
+          .select(col("doc_id").as("id"),
+            substring(col("text"), 1, 40).as("t"))
+        // three byte-distinct spellings of the same canonical text:
+        // composed U+00E9, decomposed e+U+0301, uppercase U+00C9
+        val composed = base.select(col("id"),
+          concat(col("t"), lit(" café zeitgeist")).as("t"))
+        val decomposed = base.select((col("id") + 3000000L).as("id"),
+          concat(col("t"), lit(" café zeitgeist")).as("t"))
+        val cased = base.select((col("id") + 6000000L).as("id"),
+          concat(col("t"), lit(" CAFÉ ZEITGEIST")).as("t"))
+        val corpus = composed.unionByName(decomposed).unionByName(cased)
+        corpus
+          .groupBy(graft.ops.Cleaning.canonicalUnicode(col("t"))
+            .as("canon"))
+          .agg(min(col("id")).as("kept_id"),
+            count(lit(1)).as("n_variants"))
+          .select("kept_id", "n_variants")
+          .orderBy("kept_id")
+      },
+      Some("""
+        |WITH base AS (SELECT doc_id AS id, substr(text, 1, 40) AS t
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT id, t || ' café zeitgeist' AS t FROM base
+        |  UNION ALL
+        |  SELECT id + 3000000, t || ' café zeitgeist' FROM base
+        |  UNION ALL
+        |  SELECT id + 6000000, t || ' CAFÉ ZEITGEIST' FROM base)
+        |SELECT min(id) AS kept_id, count(*) AS n_variants
+        |FROM corpus GROUP BY lower(nfc_normalize(t))
+        |ORDER BY kept_id
+        |""".stripMargin.trim)),
+
     // ---- edit-distance fuzzy matching (adjacent pairs) ----------------
     // Levenshtein over the first 64 chars of adjacent docs — the fuzzy
     // string-matching primitive (record linkage, near-key matching).
