@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
-import graft.ops.{Analytics, PageRank}
+import graft.ops.{Analytics, GraphEdges, PageRank}
 
 /** Product-analytics queries (funnel, cohort retention, gap fill,
   * anomaly flags) — the BigQuery/Looker layer of the reference
@@ -12,6 +12,37 @@ import graft.ops.{Analytics, PageRank}
   * through integer milli-units so the hashes are engine-exact (see
   * AggQueries' determinism note). */
 object AnalyticsQueries {
+
+  /** The write-once co-purchase edge layout shared by the graph gates
+    * (triangles, label propagation): (src, dst, support) bucketed by
+    * src — see [[GraphEdges]]. Content-keyed so regeneration of the
+    * source invalidates the stored table. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    GraphEdges.shared(s,
+      "grf_copurchase_" + Sinks.contentKey(d, "lineitem.parquet",
+        "copurchase-support|v1"),
+      GraphEdges.copurchaseSupport(lineitem(s, d), "l_orderkey",
+        "l_partkey"))
+
+  /** The symmetric customer↔supplier purchase graph PageRank walks,
+    * same write-once bucketed layout (supplier ids offset by 1e6 —
+    * disjoint from customer keys by construction). */
+  private def purchaseGraphEdges(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame =
+    GraphEdges.shared(s,
+      "grf_purchase_" + Sinks.contentKey(d, "lineitem.parquet",
+        "bipartite|v1|" + Sinks.contentKey(d, "orders.parquet")), {
+        val pairs = orders(s, d).select("o_orderkey", "o_custkey")
+          .join(lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("s2"))
+          .distinct()
+        pairs.select(col("c").as("src"), col("s2").as("dst"))
+          .unionByName(pairs.select(col("s2").as("src"),
+            col("c").as("dst")))
+      })
 
   def all: Seq[Q] = Seq(
 
@@ -148,18 +179,8 @@ object AnalyticsQueries {
     // documents the iteration (PageRank.oracleSql), unrolled because
     // recursive CTEs cannot aggregate over the recursive table.
     Q("q_pagerank",
-      (s, d) => {
-        val pairs = orders(s, d).select("o_orderkey", "o_custkey")
-          .join(lineitem(s, d).select("l_orderkey", "l_suppkey"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"),
-            (col("l_suppkey") + 1000000L).as("s2"))
-          .distinct()
-        val edges = pairs.select(col("c").as("src"), col("s2").as("dst"))
-          .unionByName(pairs.select(col("s2").as("src"),
-            col("c").as("dst")))
-        PageRank.pageRank(edges, iters = 5).orderBy("id")
-      },
+      (s, d) => PageRank.pageRank(purchaseGraphEdges(s, d), iters = 5)
+        .orderBy("id"),
       Some(PageRank.oracleSql(
         """SELECT c AS src, s2 AS dst FROM (SELECT DISTINCT o_custkey
           |    AS c, 1000000 + l_suppkey AS s2 FROM orders
@@ -403,22 +424,14 @@ object AnalyticsQueries {
     // ---- per-node triangle counts over the co-purchase graph --------
     // Degree-oriented exact triangle counting (Triangles scaladoc: hub
     // wedge explosion bounded to m^1.5 with no salting). Edges come
-    // from the same basket-local pair expansion as q_copurchase_pairs —
-    // no self-join on the fact table. The oracle recomputes edges,
-    // orientation, and both joins from first principles.
+    // from the SHARED write-once bucketed layout (GraphEdges) — the
+    // basket pair expansion is paid once for the whole graph family,
+    // not per query. The oracle recomputes edges, orientation, and
+    // both joins from first principles.
     Q("q_triangle_count",
       (s, d) => {
-        val edges = lineitem(s, d)
-          .groupBy("l_orderkey")
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), " +
-              "y -> struct(x AS id_a, y AS id_b))))"))
-            .as("pr"))
-          .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
-        // no .distinct() here: perNode's canonical() dedups — a second
-        // distinct would just repeat the same 1.2M-row shuffle
+        val edges = copurchaseEdges(s, d)
+          .select(col("src").as("id_a"), col("dst").as("id_b"))
         graft.ops.Triangles.perNode(edges).orderBy("node")
       },
       Some("""
@@ -455,17 +468,11 @@ object AnalyticsQueries {
     // the same iteration count.
     Q("q_label_prop",
       (s, d) => {
-        val pairs = lineitem(s, d)
-          .groupBy("l_orderkey")
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), " +
-              "y -> struct(x AS src, y AS dst))))")).as("pr"))
-          .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
-        val edges = pairs.groupBy("src", "dst")
-          .agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select("src", "dst")
+        // support ≥ 2 read straight off the shared layout — the
+        // threshold is a filter over the stored support column, not a
+        // recount
+        val edges = copurchaseEdges(s, d)
+          .filter(col("support") >= 2).select("src", "dst")
         graft.ops.Communities.labelPropagation(edges, iters = 3)
           .orderBy("id")
       },
