@@ -70,6 +70,29 @@ object Corpus {
       .filter(col("sample_rank") <= k)
   }
 
+  /** The AGGREGATE form of [[stratifiedHashSample]] — a deterministic
+    * bounded reservoir ([[graft.functions.ReservoirAgg]]): within each
+    * stratum keep the k ids with the smallest md5(id ‖ ':' ‖ seed)
+    * priorities. Identical sample to the window form with the same
+    * priority expression (the gate pins them equal cross-engine), but
+    * computed as partial-aggregable bounded state: each map task ships
+    * at most k pairs per stratum — no per-group sort, no window — so
+    * it survives unknown-n streams and hot strata where the window
+    * form pays a corpus-sized sort. Varying `seed` varies the draw
+    * (inclusion-frequency guarantee checked in ReservoirSpec). Output:
+    * strata columns + (sample_rank, idCol), rank in priority order. */
+  def reservoirSample(df0: DataFrame, strata: Seq[String], idCol: String,
+                      k: Int, seed: String): DataFrame = {
+    val prio = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    df0.groupBy(strata.map(col): _*)
+      .agg(graft.functions.ReservoirAgg.reservoir(k)(
+        prio, col(idCol).cast("long")).as("__smp"))
+      .select(strata.map(col) :+ posexplode(col("__smp")): _*)
+      .select(strata.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("sample_rank"),
+        col("col._2").as(idCol)): _*)
+  }
+
   /** Greedy token-budget packing: within each shard, walk rows in
     * `orderCol` order and assign bin = (tokens-before-this-row) div
     * budget — consecutive documents fill a context window until the

@@ -52,6 +52,30 @@ object CorpusQueries {
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank
         |""".stripMargin.trim)),
 
+    // ---- bounded-reservoir sample (aggregate form, seeded) ------------
+    // The unknown-n single-pass sibling of q_sample_stratified: the
+    // SAME md5-priority sample computed as partial-aggregable bounded
+    // state (ReservoirAgg — k pairs per map task per stratum, no
+    // per-group sort) instead of a rank window. The oracle is the
+    // window formulation — pinning the aggregate and window forms
+    // equal cross-engine. Seed ':7' varies the draw vs the seedless
+    // stratified gate.
+    Q("q_reservoir_sample",
+      (s, d) => Corpus.reservoirSample(
+          documents(s, d).select("doc_id", "lang"),
+          strata = Seq("lang"), idCol = "doc_id", k = 15, seed = "7")
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank"),
+      Some("""
+        |SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7') ASC,
+        |        doc_id ASC)
+        |    AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 15 ORDER BY lang, sample_rank
+        |""".stripMargin.trim)),
+
     // ---- per-source quota cap (crawl-balance curation) ----------------
     // Cap every source at 40 docs via the same deterministic md5-rank —
     // the standard guard against one domain dominating a training mix.
