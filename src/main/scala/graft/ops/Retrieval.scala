@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * touches only docs containing >= 1 query term. */
 object Retrieval {
 
-  private def toks(textCol: Column): Column =
+  private[ops] def toks(textCol: Column): Column =
     filter(split(trim(lower(textCol)), "\\s+"), t => t =!= "")
 
   /** (term, df, postings): every distinct term with its document

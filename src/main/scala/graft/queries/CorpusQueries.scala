@@ -156,6 +156,40 @@ object CorpusQueries {
         |FROM p GROUP BY term ORDER BY term
         |""".stripMargin.trim)),
 
+    // ---- persisted index: build → incremental append → assemble ------
+    // The stored (term, id) row-form index round-trip: corpus minus a
+    // holdout indexed and written partitioned by term prefix, the
+    // holdout's postings APPENDED (the posting merge is structural —
+    // new pairs land beside old ones, no read-modify-write, no
+    // rebuild), and the merged store assembled back to the
+    // (term, df, postings) shape. Shares q_inverted_index's oracle
+    // verbatim: the incremental path must be bit-identical to a full
+    // rebuild over the whole corpus.
+    Q("q_incr_index_maintain",
+      (s, d) => {
+        val tbl = "inv_idx_" +
+          Sinks.contentKey(d, "documents.parquet", "terms|v1")
+        if (!s.catalog.tableExists(tbl)) {
+          val docs = documents(s, d)
+          graft.ops.InvertedIndexStore.build(
+            docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+            "doc_id", "text", tbl, overwrite = true)
+          graft.ops.InvertedIndexStore.append(
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id", "text", tbl)
+        }
+        graft.ops.InvertedIndexStore.assemble(s, tbl).orderBy("term")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |p AS (SELECT DISTINCT term, id FROM t WHERE term <> '')
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list(id ORDER BY id), ',') AS postings
+        |FROM p GROUP BY term ORDER BY term
+        |""".stripMargin.trim)),
+
     // ---- BM25 top-20 for a fixed term query ---------------------------
     // Rational (ln-free) BM25, k1=1.2 b=0.75 — every double op is
     // IEEE-exact in a pinned order and per-term milli scores are

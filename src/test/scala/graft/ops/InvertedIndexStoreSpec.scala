@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the persisted-index contracts: structural posting merge
+  * (build + append ≡ full rebuild, bit-identical assembly) and the
+  * partition-pruned term lookup — the properties that make the stored
+  * index an index rather than a cached query result. */
+class InvertedIndexStoreSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("append is the posting merge: incremental store assembles " +
+      "bit-identical to a full rebuild") {
+    InvertedIndexStore.build(
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 1),
+      "doc_id", "text", "t_inv_incr", overwrite = true)
+    InvertedIndexStore.append(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      "doc_id", "text", "t_inv_incr")
+    val merged = InvertedIndexStore.assemble(spark, "t_inv_incr")
+      .orderBy("term").collect().toSeq
+    val rebuilt = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .orderBy("term").collect().toSeq
+    assert(merged.nonEmpty && merged == rebuilt)
+  }
+
+  test("term lookup reads only the term-prefix partitions") {
+    val lk = InvertedIndexStore.lookup(spark, "t_inv_incr",
+      Seq("batch", "broadcast", "join"))
+    val p = lk.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("p#"),
+      s"prefix filter must prune partitions:\n$p")
+    // correctness of the pruned read: df per term matches the assembly
+    val byTerm = lk.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = InvertedIndexStore.assemble(spark, "t_inv_incr")
+      .filter(col("term").isin("batch", "broadcast", "join"))
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTerm == full && byTerm.nonEmpty)
+  }
+}
