@@ -174,6 +174,52 @@ object MergeQueries {
         |WHERE status <> 'unchanged' ORDER BY c_custkey
         |""".stripMargin.trim)),
 
+    // ---- schema-evolution read: mergeSchema over two snapshot eras ---
+    // The day-2 corpus-store problem beside q_snapshot_diff: snapshot
+    // v1 (even orderkeys) carries (o_orderkey, price, priority);
+    // snapshot v2 (odd orderkeys) ADDS cust and RENAMES priority →
+    // order_priority. One mergeSchema read unifies them; the rename
+    // reconciles as coalesce(new, old) (parquet has no rename — each
+    // era's files carry one of the names). Oracle recomputes the union
+    // from the orders table: added column null for v1 rows, snapshot
+    // id from the partition directory.
+    Q("q_schema_evolution",
+      (s, d) => {
+        val root = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_schema_evo_" + Sinks.contentKey(d, "orders.parquet",
+            "evo|v1"))
+        val done = new java.io.File(root, "snap=2/_SUCCESS")
+        if (!done.exists()) {
+          val o = orders(s, d)
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_totalprice").as("price"),
+              col("o_orderpriority").as("priority"))
+            .write.mode("overwrite")
+            .parquet(s"${root.getAbsolutePath}/snap=1")
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_totalprice").as("price"),
+              col("o_orderpriority").as("order_priority"),
+              col("o_custkey").as("cust"))
+            .write.mode("overwrite")
+            .parquet(s"${root.getAbsolutePath}/snap=2")
+        }
+        graft.sources.Evolved.readMerged(s, root.getAbsolutePath,
+            renames = Map("priority" -> "order_priority"))
+          .select(col("o_orderkey"), cents(col("price")).as("price_c"),
+            col("order_priority"), col("cust"),
+            col("snap").cast(IntegerType).as("snap"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        |SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_c,
+        |  o_orderpriority AS order_priority,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END AS cust,
+        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END
+        |    AS INTEGER) AS snap
+        |FROM orders ORDER BY o_orderkey
+        |""".stripMargin.trim)),
+
     // ---- SCD2 point-in-time join (the native as-of exec's natural
     // use): enrich each click with the purchase-value VERSION valid at
     // the click instant. SCD2 intervals are contiguous per key, so
