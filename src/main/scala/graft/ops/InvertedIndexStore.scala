@@ -20,42 +20,69 @@ import org.apache.spark.sql.functions._
   * q_inverted_index's oracle). */
 object InvertedIndexStore {
 
-  /** Distinct (p, term, id) posting rows of a document batch;
-    * p = first char of the term (the partition key). */
+  /** (p, term, id, tf) posting rows of a document batch — one row per
+    * present (term, doc) carrying the term frequency (the posting
+    * payload real IR systems store); p = first char of the term (the
+    * partition key). */
   def postingRows(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
         explode(Retrieval.toks(col(textCol))).as("term"))
-      .dropDuplicates("term", "id")
+      .groupBy("term", "id")
+      .agg(count(lit(1)).as("tf"))
       .select(substring(col("term"), 1, 1).as("p"), col("term"),
-        col("id"))
+        col("id"), col("tf"))
 
-  /** Write the corpus index (overwrite or keep-if-exists — same
-    * catalog hygiene as [[graft.ops.AnnIndex.buildSignIndex]]). */
+  /** (id, dl) per-document token counts — the OTHER sufficient
+    * statistic BM25 needs; tokenless docs keep dl = 0 so corpus
+    * scalars (N, total token mass) derive exactly. */
+  def docStats(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(Retrieval.toks(col(textCol))).cast("long").as("dl"))
+
+  /** The doc-stats side table name beside a postings table. */
+  def docsTable(table: String): String = s"${table}_docs"
+
+  private def dropManaged(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Write the corpus index: the prefix-partitioned postings table
+    * plus the (id, dl) doc-stats side table (same catalog hygiene as
+    * [[graft.ops.AnnIndex.buildSignIndex]]). */
   def build(docs: DataFrame, idCol: String, textCol: String,
             table: String, overwrite: Boolean = false): Unit = {
     val s = docs.sparkSession
     if (overwrite || !s.catalog.tableExists(table)) {
-      s.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(table)))
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      dropManaged(s, table)
+      dropManaged(s, docsTable(table))
       postingRows(docs, idCol, textCol)
         .write.partitionBy("p")
         .format("parquet").mode("overwrite").saveAsTable(table)
+      docStats(docs, idCol, textCol)
+        .write.format("parquet").mode("overwrite")
+        .saveAsTable(docsTable(table))
     }
   }
 
-  /** Append a NEW batch's postings (batch doc ids must be new — the
-    * standard ingest contract; dedup-vs-corpus is the exact-dedup
-    * stage's job, upstream of indexing). */
+  /** Append a NEW batch's postings and doc stats (batch doc ids must
+    * be new — the standard ingest contract; dedup-vs-corpus is the
+    * exact-dedup stage's job, upstream of indexing). */
   def append(batch: DataFrame, idCol: String, textCol: String,
-             table: String): Unit =
+             table: String): Unit = {
     postingRows(batch, idCol, textCol)
       .write.partitionBy("p")
       .format("parquet").mode("append").saveAsTable(table)
+    docStats(batch, idCol, textCol)
+      .write.format("parquet").mode("append")
+      .saveAsTable(docsTable(table))
+  }
 
   /** Assemble the stored rows to [[Retrieval.invertedIndex]]'s
     * (term, df, postings) verification shape. */
@@ -75,6 +102,30 @@ object InvertedIndexStore {
     s.table(table)
       .filter(col("p").isin(prefixes: _*) &&
         col("term").isin(terms: _*))
-      .select("term", "id")
+      .select("term", "id", "tf")
+  }
+
+  /** Rational-BM25 top-k answered FROM THE STORE ONLY — no text is
+    * touched: tf rides in the pruned posting lookup, df derives from
+    * the looked-up postings (each list is complete for its term), dl
+    * joins from the doc-stats table (id-selective — only docs holding
+    * a query term), and the corpus scalars are one partial-aggregable
+    * pass over the 2-column stats table. The score expression and the
+    * final ranking are [[Retrieval.termScoreMilli]]/[[Retrieval.rankTopK]]
+    * — the SAME objects the payload path uses, so the stored path is
+    * bit-identical by construction (gate shares q_bm25_topk's oracle). */
+  def bm25FromStore(s: SparkSession, table: String,
+                    queryTerms: Seq[String], k: Int): DataFrame = {
+    val post = lookup(s, table, queryTerms)
+    val stats = s.table(docsTable(table))
+    val scalars = stats.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    Retrieval.rankTopK(
+      post.join(broadcast(df), "term")
+        .join(stats, "id")
+        .crossJoin(broadcast(scalars))
+        .withColumn("term_score", Retrieval.termScoreMilli),
+      k)
   }
 }

@@ -46,6 +46,43 @@ object Retrieval {
       .select(col("term"), size(col("ids")).cast("long").as("df"),
         array_join(col("ids"), ",").as("postings"))
 
+  /** The per-(doc, term) milli score expression over integer columns
+    * `tf, df, dl, n_docs, total_tokens` — ONE milli rounding point,
+    * fixed double-op order; the SINGLE definition behind both the
+    * payload path ([[bm25TopK]]) and the stored-stats path
+    * ([[InvertedIndexStore.bm25FromStore]]), and mirrored textually by
+    * [[scoreSql]], so the three can never drift. */
+  private[ops] def termScoreMilli: Column = {
+    val avgdl = col("total_tokens").cast("double") /
+      col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5d)) /
+      (col("df").cast("double") + lit(0.5d))
+    val tnorm = (col("tf").cast("double") * lit(2.2d)) /
+      (col("tf").cast("double") +
+        lit(1.2d) * (lit(0.25d) + lit(0.75d) *
+          (col("dl").cast("double") / avgdl)))
+    floor(lit(1000.0d) * (idf * tnorm) + lit(0.5d)).cast("long")
+  }
+
+  /** Final ranking shared by both BM25 paths: integer-sum the term
+    * scores per doc, take k without the unpartitioned-window scale
+    * cliff — orderBy + limit plans as TakeOrderedAndProject
+    * (per-partition heap of k, driver merge of k·partitions rows);
+    * the rank window then runs over the ALREADY-REDUCED k rows, so
+    * its single-partition exchange moves k rows, not the corpus-sized
+    * scored-doc set a common query term would produce. */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_milli").desc, col("id").asc)
+    scored
+      .groupBy("id")
+      .agg(sum(col("term_score")).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "id", "score_milli")
+  }
+
   /** Top-k docs for `queryTerms` by rational-BM25 (k1 = 1.2,
     * b = 0.75), ties to the smaller id. Returns
     * (rank, id, score_milli). */
@@ -63,36 +100,12 @@ object Retrieval {
     // df from tf, not a second distinct pass over the token stream:
     // tf already holds exactly one row per present (doc, term)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // ONE milli rounding point per (doc, term); fixed double-op order —
-    // the oracle must spell the identical expression (scoreSql)
-    val avgdl = col("total_tokens").cast("double") /
-      col("n_docs").cast("double")
-    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5d)) /
-      (col("df").cast("double") + lit(0.5d))
-    val tnorm = (col("tf").cast("double") * lit(2.2d)) /
-      (col("tf").cast("double") +
-        lit(1.2d) * (lit(0.25d) + lit(0.75d) *
-          (col("dl").cast("double") / avgdl)))
-    val termScore = floor(lit(1000.0d) * (idf * tnorm) + lit(0.5d))
-      .cast("long")
-    // top-k WITHOUT the unpartitioned-window scale cliff: orderBy +
-    // limit plans as TakeOrderedAndProject (per-partition heap of k,
-    // driver merge of k·partitions rows); the rank window then runs
-    // over the ALREADY-REDUCED k rows, so its single-partition
-    // exchange moves k rows, not the corpus-sized scored-doc set a
-    // common query term would produce
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_milli").desc, col("id").asc)
-    tf.join(broadcast(df), "term")
-      .join(dl, "id")
-      .crossJoin(broadcast(scalars))
-      .withColumn("term_score", termScore)
-      .groupBy("id")
-      .agg(sum(col("term_score")).as("score_milli"))
-      .orderBy(col("score_milli").desc, col("id").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(w))
-      .select("rank", "id", "score_milli")
+    rankTopK(
+      tf.join(broadcast(df), "term")
+        .join(dl, "id")
+        .crossJoin(broadcast(scalars))
+        .withColumn("term_score", termScoreMilli),
+      k)
   }
 
   /** The DuckDB twin of [[bm25TopK]]'s per-term score expression —

@@ -10,6 +10,25 @@ import graft.ops.Corpus
   * between dedup and the trainer. */
 object CorpusQueries {
 
+  /** The incremental persisted index the stored-retrieval gates share:
+    * corpus minus the doc_id%5==0 holdout built, the holdout appended
+    * (the structural posting merge), content-keyed. */
+  private def incrIndexTable(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    val tbl = "inv_idx_" +
+      Sinks.contentKey(d, "documents.parquet", "terms-tf|v2")
+    if (!s.catalog.tableExists(tbl)) {
+      val docs = documents(s, d)
+      graft.ops.InvertedIndexStore.build(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", tbl, overwrite = true)
+      graft.ops.InvertedIndexStore.append(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", tbl)
+    }
+    tbl
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- top-3 terms per doc by exact-integer tf-rarity ---------------
@@ -166,20 +185,8 @@ object CorpusQueries {
     // verbatim: the incremental path must be bit-identical to a full
     // rebuild over the whole corpus.
     Q("q_incr_index_maintain",
-      (s, d) => {
-        val tbl = "inv_idx_" +
-          Sinks.contentKey(d, "documents.parquet", "terms|v1")
-        if (!s.catalog.tableExists(tbl)) {
-          val docs = documents(s, d)
-          graft.ops.InvertedIndexStore.build(
-            docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-            "doc_id", "text", tbl, overwrite = true)
-          graft.ops.InvertedIndexStore.append(
-            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-            "doc_id", "text", tbl)
-        }
-        graft.ops.InvertedIndexStore.assemble(s, tbl).orderBy("term")
-      },
+      (s, d) => graft.ops.InvertedIndexStore
+        .assemble(s, incrIndexTable(s, d)).orderBy("term"),
       Some("""
         |WITH t AS (SELECT doc_id AS id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -188,6 +195,44 @@ object CorpusQueries {
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
         |  array_to_string(list(id ORDER BY id), ',') AS postings
         |FROM p GROUP BY term ORDER BY term
+        |""".stripMargin.trim)),
+
+    // ---- BM25 answered from the persisted store only ------------------
+    // The sufficient-statistics contract of the stored index: tf rides
+    // in the pruned posting lookup, df derives from the looked-up
+    // lists, dl/N/total-token-mass come from the doc-stats side table
+    // — NO text is touched at query time, and the store is the same
+    // incremental build+append as q_incr_index_maintain. Shares
+    // q_bm25_topk's oracle verbatim: score expression and ranking are
+    // the same shared objects, so stored scoring must be bit-identical
+    // to payload scoring over the full corpus.
+    Q("q_bm25_from_store",
+      (s, d) => graft.ops.InvertedIndexStore.bm25FromStore(
+          s, incrIndexTable(s, d),
+          queryTerms = Seq("batch", "join", "filter"), k = 20)
+        .orderBy("rank"),
+      Some(s"""
+        |WITH tok AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+        |sc AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    (SELECT count(*) FROM t) AS total_tokens),
+        |qt AS (SELECT * FROM t
+        |  WHERE term IN ('batch', 'join', 'filter')),
+        |tf AS (SELECT id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT id) AS df FROM qt GROUP BY 1),
+        |ts AS (SELECT tf.id,
+        |    ${graft.ops.Retrieval.scoreSql("tf.tf", "dfq.df", "dl.dl",
+                 "sc.n_docs", "sc.total_tokens")} AS term_score
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.id = tf.id, sc),
+        |agg AS (SELECT id, CAST(sum(term_score) AS BIGINT)
+        |    AS score_milli FROM ts GROUP BY id)
+        |SELECT rank, id, score_milli FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY score_milli DESC, id ASC) AS rank FROM agg)
+        |WHERE rank <= 20 ORDER BY rank
         |""".stripMargin.trim)),
 
     // ---- BM25 top-20 for a fixed term query ---------------------------

@@ -42,4 +42,14 @@ class InvertedIndexStoreSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byTerm == full && byTerm.nonEmpty)
   }
+
+  test("BM25 from the store is bit-identical to payload scoring") {
+    val fromStore = InvertedIndexStore.bm25FromStore(spark,
+        "t_inv_incr", Seq("batch", "join", "filter"), k = 10)
+      .orderBy("rank").collect().toSeq
+    val payload = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("batch", "join", "filter"), k = 10)
+      .orderBy("rank").collect().toSeq
+    assert(fromStore.nonEmpty && fromStore == payload)
+  }
 }
