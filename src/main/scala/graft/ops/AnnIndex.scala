@@ -79,6 +79,104 @@ object AnnIndex {
       .join(df.select(col(idCol), col(vecCol).as("vec")), idCol)
       .select(col(idCol).as("id"), col("vec"), col("band"), col("bucket"))
 
+  // ---------------------------------------------------------------
+  // IVF family — same store discipline, codebook-partitioned
+  // ---------------------------------------------------------------
+
+  /** The persisted codebook beside an IVF table: assignment at APPEND
+    * time must use the exact centroids the corpus was built with, so
+    * they are stored, not re-derived. */
+  def codebookTable(table: String): String = s"${table}_cb"
+
+  /** Nearest-centroid id for each row, against the (c_id, cv)
+    * codebook — exact-cosine argmin, ties to the smaller c_id. The
+    * codebook is KB-sized and broadcast; assignment is one pass. */
+  private def assignCluster(df: DataFrame, idCol: String, vecCol: String,
+                            codebook: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("__c_cos").desc, col("c_id").asc)
+    df.crossJoin(broadcast(codebook))
+      .withColumn("__c_cos", graft.functions.GraftFunctions
+        .cosineMilli(col(vecCol), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("c_id").as("cluster"))
+  }
+
+  /** Build the IVF store: persist the codebook, assign every vector to
+    * its nearest centroid, write partitioned by cluster — the
+    * inverted-file layout (Faiss IVF): a probe reads only its probed
+    * clusters' partitions. */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, table: String,
+               overwrite: Boolean = false): Unit = {
+    val s = corpus.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    if (overwrite || !s.catalog.tableExists(table)) {
+      Seq(table, codebookTable(table)).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)))
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      codebook.write.format("parquet").mode("overwrite")
+        .saveAsTable(codebookTable(table))
+      assignCluster(corpus, idCol, vecCol, codebook)
+        .write.partitionBy("cluster")
+        .format("parquet").mode("overwrite").saveAsTable(table)
+    }
+  }
+
+  /** Assign ONLY the new batch under the STORED codebook and append —
+    * batch-sized maintenance touching just the clusters the batch
+    * lands in; assignment is per-row deterministic against fixed
+    * centroids, so build ∪ append ≡ one-shot rebuild. */
+  def appendIvf(batch: DataFrame, idCol: String, vecCol: String,
+                table: String): Unit = {
+    val s = batch.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    assignCluster(batch, idCol, vecCol, s.table(codebookTable(table)))
+      .write.partitionBy("cluster")
+      .format("parquet").mode("append").saveAsTable(table)
+  }
+
+  /** Top-k exact-cosine neighbors from the stored IVF lists: queries
+    * pick their `nprobe` closest centroids from the stored codebook
+    * (KB work), the list scan joins on the cluster partition column
+    * (broadcast → dynamic partition pruning), exact cosine re-ranks.
+    * Output (q_id, rank, id, cos_milli). */
+  def probeIvfTopK(s: SparkSession, table: String, queries: DataFrame,
+                   idCol: String, vecCol: String, nprobe: Int,
+                   k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val cb = s.table(codebookTable(table))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("__c_cos").desc, col("c_id").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cb))
+      .withColumn("__c_cos", graft.functions.GraftFunctions
+        .cosineMilli(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cluster"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("cos_milli").desc, col("id").asc)
+    s.table(table).join(broadcast(probes), Seq("cluster"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("cos_milli", graft.functions.GraftFunctions
+        .cosineMilli(col("qv"), col("vec")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "id", "cos_milli")
+  }
+
   /** Top-k exact-cosine neighbors for each query vector, answered FROM
     * THE STORED INDEX: the queries are banded (KB-side work), the index
     * scan is joined on the partition columns (broadcast → dynamic

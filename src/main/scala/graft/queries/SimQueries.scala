@@ -782,6 +782,64 @@ object SimQueries {
         |ORDER BY q_id, rank
         |""".stripMargin.trim)),
 
+    // ---- PERSISTED IVF index (build → append → pruned probe) ----------
+    // q_ann_ivf_topk's inverted-file layout round-tripped through a
+    // stored table: vectors assigned to their nearest stored centroid
+    // and written partitioned by cluster; the holdout is assigned
+    // under the SAME persisted codebook and appended (assignment is
+    // per-row deterministic against fixed centroids, so build ∪ append
+    // ≡ rebuild); probes pick top-2 centroids and read only those
+    // cluster partitions. Shares q_ann_ivf_topk's oracle verbatim.
+    Q("q_ann_ivf_persisted",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        val tbl = "ann_ivf_idx_" +
+          Sinks.contentKey(d, "embeddings.parquet", "ivf8|v1")
+        if (!s.catalog.tableExists(tbl)) {
+          val cents = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+          graft.ops.AnnIndex.buildIvf(
+            emb.filter(pmod(col("vec_id"), lit(7)) =!= 3),
+            "vec_id", "embedding", cents, tbl, overwrite = true)
+          graft.ops.AnnIndex.appendIvf(
+            emb.filter(pmod(col("vec_id"), lit(7)) === 3),
+            "vec_id", "embedding", tbl)
+        }
+        val q = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        graft.ops.AnnIndex.probeIvfTopK(s, tbl, q, "vec_id",
+            "embedding", nprobe = 2, k = 5)
+          .withColumnRenamed("id", "vec_id")
+          .select("q_id", "rank", "vec_id", "cos_milli")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        |WITH cents AS (SELECT vec_id AS c_id, embedding AS cv
+        |    FROM embeddings WHERE vec_id < 8),
+        |assigned AS (SELECT vec_id, cluster, embedding FROM (
+        |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+        |                 c.c_id ASC) AS rn
+        |    FROM embeddings e, cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |    WHERE vec_id >= 8 AND vec_id < 13),
+        |probes AS (SELECT q_id, qv, cluster FROM (
+        |    SELECT q.q_id, q.qv, c.c_id AS cluster,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id ASC) AS rn
+        |    FROM q, cents c) WHERE rn <= 2),
+        |ranked AS (SELECT q_id, vec_id, cos_milli,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
+        |  FROM (SELECT p.q_id, a.vec_id,
+        |      ${cosSql("p.qv", "a.embedding")} AS cos_milli
+        |    FROM probes p JOIN assigned a ON p.cluster = a.cluster
+        |    WHERE a.vec_id <> p.q_id))
+        |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
     // ---- LSH-bucketed ANN top-k (the training-free scale path) --------
     // Sign-LSH complement to q_ann_ivf_topk: no codebook to train —
     // each vector lands in 4 banded hyperplane-sign buckets (shared

@@ -50,6 +50,29 @@ class AnnIndexSpec extends SparkSpec {
       s"probe must dynamically prune index partitions:\n$plan")
   }
 
+  test("IVF: incremental append under the stored codebook equals " +
+      "rebuild; probe prunes cluster partitions") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    AnnIndex.buildIvf(emb.filter(pmod(col("vec_id"), lit(5)) =!= 2),
+      "vec_id", "embedding", cents, "t_ivf_incr", overwrite = true)
+    AnnIndex.appendIvf(emb.filter(pmod(col("vec_id"), lit(5)) === 2),
+      "vec_id", "embedding", "t_ivf_incr")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", cents, "t_ivf_full",
+      overwrite = true)
+    val pIncr = AnnIndex.probeIvfTopK(spark, "t_ivf_incr", queries,
+      "vec_id", "embedding", nprobe = 2, k = 5)
+    val pFull = AnnIndex.probeIvfTopK(spark, "t_ivf_full", queries,
+      "vec_id", "embedding", nprobe = 2, k = 5)
+    val a = pIncr.orderBy("q_id", "rank").collect().toSeq
+    assert(a.nonEmpty &&
+      a == pFull.orderBy("q_id", "rank").collect().toSeq)
+    val plan = pIncr.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"IVF probe must dynamically prune cluster partitions:\n$plan")
+  }
+
   test("index table is partitioned by (band, bucket) and stores the " +
       "vector payload") {
     val idx = spark.table("t_ann_full")
