@@ -22,6 +22,71 @@ object Compaction {
       .map(_.getLen).sum
   }
 
+  /** Compact a PARTITIONED managed table in place — the maintenance
+    * pass an append-maintained store (the persisted inverted index,
+    * the ANN lists) needs: every [[InvertedIndexStore.append]] /
+    * [[AnnIndex.appendBatch]] leaves one more file per touched
+    * partition, and after N batches each partition holds N files.
+    * Rows are clustered back to their partition key (one shuffle; all
+    * rows of a partition land in one task → ONE file per partition),
+    * staged as a new table, and swapped in via catalog rename — the
+    * read and the overwrite never race on the same location. Content
+    * is untouched: CompactionSpec + the q_index_compaction gate pin
+    * assembly invariance. */
+  def compactPartitionedTable(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val parts = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames
+    require(parts.nonEmpty, s"$table has no partition columns")
+    val staged = s"${table}__compacting"
+    dropManagedTable(spark, staged)
+    spark.table(table)
+      .repartition(parts.map(col): _*)
+      .write.partitionBy(parts: _*)
+      .format("parquet").mode("overwrite").saveAsTable(staged)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+    // the rename moves the DIRECTORY but the catalog's partition
+    // entries still point at the staged location — re-discover them
+    // from the moved directory or every scan comes back empty
+    spark.sql(s"ALTER TABLE `$table` RECOVER PARTITIONS")
+  }
+
+  /** Drop a managed table AND its orphan location — the in-memory
+    * catalog forgets tables across sessions while the warehouse dir
+    * persists, and CTAS refuses an existing location (same hazard
+    * [[Bucketing.writeBucketed]] documents). */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Parquet data-file count per partition directory of a managed
+    * table — the compaction metric. */
+  def filesPerPartition(spark: SparkSession,
+                        table: String): Map[String, Int] = {
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path, prefix: String): Seq[(String, Int)] = {
+      val (dirs, files) = fs.listStatus(p).partition(_.isDirectory)
+      val here =
+        if (prefix.nonEmpty)
+          Seq(prefix -> files.count(_.getPath.getName.endsWith(".parquet")))
+        else Seq.empty
+      here.filter(_._2 > 0) ++ dirs.flatMap(d =>
+        walk(d.getPath, d.getPath.getName))
+    }
+    walk(loc, "").toMap
+  }
+
   /** Rewrite the parquet directory at `inPath` into
     * `ceil(inputBytes / targetBytes)` similarly-sized files at
     * `outPath` and return the compacted relation. Idempotent per

@@ -197,6 +197,30 @@ object CorpusQueries {
         |FROM p GROUP BY term ORDER BY term
         |""".stripMargin.trim)),
 
+    // ---- index compaction: assembly invariant, files bounded ----------
+    // The maintenance pass of the append-maintained store: after the
+    // build+append lifecycle each touched prefix partition holds 2
+    // files; compaction clusters rows back to their partition key and
+    // swaps the table (one file per partition). The gate assembles the
+    // COMPACTED store against the same full-corpus oracle — content
+    // must be untouched; the file-count drop is pinned in
+    // CompactionSpec.
+    Q("q_index_compaction",
+      (s, d) => {
+        val tbl = incrIndexTable(s, d)
+        graft.ops.Compaction.compactPartitionedTable(s, tbl)
+        graft.ops.InvertedIndexStore.assemble(s, tbl).orderBy("term")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |p AS (SELECT DISTINCT term, id FROM t WHERE term <> '')
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list(id ORDER BY id), ',') AS postings
+        |FROM p GROUP BY term ORDER BY term
+        |""".stripMargin.trim)),
+
     // ---- BM25 answered from the persisted store only ------------------
     // The sufficient-statistics contract of the stored index: tf rides
     // in the pruned posting lookup, df derives from the looked-up
