@@ -72,12 +72,17 @@ object AnnIndex {
 
   /** (id, vec, band, bucket) banding rows: [[Similarity.signLshBuckets]]
     * buckets re-joined with the vector payload so the stored list is
-    * self-contained. The rejoin is id-keyed and batch-sized. */
+    * self-contained. The rejoin is id-keyed and batch-sized. Rows are
+    * clustered to their partition key before the write — one file per
+    * (band, bucket) per write instead of tasks×partitions slivers
+    * (the write-compacted discipline; [[Compaction]] exists for the
+    * appends that accumulate anyway). */
   private def bucketRows(df: DataFrame, idCol: String, vecCol: String,
                          hyper: DataFrame, rowsPerBand: Int): DataFrame =
     Similarity.signLshBuckets(df, idCol, vecCol, hyper, rowsPerBand)
       .join(df.select(col(idCol), col(vecCol).as("vec")), idCol)
       .select(col(idCol).as("id"), col("vec"), col("band"), col("bucket"))
+      .repartition(col("band"), col("bucket"))
 
   // ---------------------------------------------------------------
   // IVF family — same store discipline, codebook-partitioned
@@ -103,6 +108,8 @@ object AnnIndex {
       .filter(col("__rn") === 1)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("c_id").as("cluster"))
+      // one file per cluster per write (write-compacted discipline)
+      .repartition(col("cluster"))
   }
 
   /** Build the IVF store: persist the codebook, assign every vector to

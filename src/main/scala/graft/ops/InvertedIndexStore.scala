@@ -32,6 +32,10 @@ object InvertedIndexStore {
       .agg(count(lit(1)).as("tf"))
       .select(substring(col("term"), 1, 1).as("p"), col("term"),
         col("id"), col("tf"))
+      // one file per prefix partition per write, not tasks×partitions
+      // slivers (write-compacted discipline; Compaction handles the
+      // accumulation across appends)
+      .repartition(col("p"))
 
   /** (id, dl) per-document token counts — the OTHER sufficient
     * statistic BM25 needs; tokenless docs keep dl = 0 so corpus
