@@ -192,11 +192,25 @@ object AnnIndex {
     * rank ties to the smaller id. */
   def probeTopK(s: SparkSession, table: String, queries: DataFrame,
                 idCol: String, vecCol: String, hyper: DataFrame,
-                rowsPerBand: Int, k: Int): DataFrame = {
+                rowsPerBand: Int, k: Int, multiprobe: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val qb = Similarity.signLshBuckets(
+    require(multiprobe >= 0 && multiprobe <= rowsPerBand,
+      "multiprobe flips at most rowsPerBand sign bits")
+    val qb0 = Similarity.signLshBuckets(
         queries, idCol, vecCol, hyper, rowsPerBand)
       .select(col(idCol).as("q_id"), col("band"), col("bucket"))
+    // MULTIPROBE (Lv et al. 2007, adapted to sign-LSH): a near
+    // neighbor that misses the query's bucket in a band most often
+    // differs by ONE hyperplane sign — its bucket is a single-bit
+    // flip away. Probing the first `multiprobe` bit-flip neighbors of
+    // each band bucket multiplies recall without more bands (no
+    // index growth, no rebuild): probe keys go from bands to
+    // bands·(1+multiprobe), still KB-sized, still partition-pruned.
+    val qb =
+      if (multiprobe == 0) qb0
+      else qb0.withColumn("bucket", explode(array(
+        (col("bucket") +: (0 until multiprobe).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val idx = s.table(table)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")

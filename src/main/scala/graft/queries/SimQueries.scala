@@ -966,6 +966,66 @@ object SimQueries {
         |ORDER BY q_id, rank
         |""".stripMargin.trim)),
 
+    // ---- multiprobe over the persisted LSH index ----------------------
+    // The recall knob that needs NO index growth: each band probes its
+    // own bucket plus the first 2 single-bit-flip neighbors (a near
+    // neighbor that misses the bucket most often differs by one
+    // hyperplane sign). Probe keys stay KB-sized and partition-pruned;
+    // the oracle replays the exact flip set with xor, so the widened
+    // candidate set and re-ranking are hash-checked bit-for-bit.
+    Q("q_ann_lsh_multiprobe",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        val hyper = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
+        val tbl = "ann_lsh_idx_" +
+          Sinks.contentKey(d, "embeddings.parquet", "signlsh|r4|v1")
+        if (!s.catalog.tableExists(tbl)) {
+          val base = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+          val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+          graft.ops.AnnIndex.buildSignIndex(base, "vec_id", "embedding",
+            hyper, rowsPerBand = 4, table = tbl, overwrite = true)
+          graft.ops.AnnIndex.appendBatch(batch, "vec_id", "embedding",
+            hyper, rowsPerBand = 4, table = tbl)
+        }
+        val q = emb.filter(col("vec_id") >= 13 && col("vec_id") < 18)
+        graft.ops.AnnIndex.probeTopK(s, tbl, q, "vec_id", "embedding",
+            hyper, rowsPerBand = 4, k = 10, multiprobe = 2)
+          .withColumnRenamed("id", "vec_id")
+          .select("q_id", "rank", "vec_id", "cos_milli")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        |WITH hyper AS (SELECT vec_id AS h_id, embedding AS hv
+        |    FROM embeddings WHERE vec_id < 16),
+        |sgn AS (SELECT e.vec_id, h_id // 4 AS band,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |           * CAST(h.hv[i] AS DOUBLE))) > 0
+        |      THEN (1 << CAST(h_id % 4 AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM embeddings e, hyper h GROUP BY e.vec_id, band),
+        |qb0 AS (SELECT vec_id AS q_id, band, bucket FROM sgn
+        |    WHERE vec_id >= 13 AND vec_id < 18),
+        |qb AS (SELECT q_id, band,
+        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) AS bucket
+        |  FROM qb0),
+        |cands AS (SELECT DISTINCT q.q_id, c.vec_id
+        |  FROM sgn c JOIN qb q ON c.band = q.band
+        |    AND c.bucket = q.bucket AND c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, cos_milli,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
+        |  FROM (SELECT cd.q_id, cd.vec_id,
+        |      ${cosSql("q.embedding", "e.embedding")} AS cos_milli
+        |    FROM cands cd
+        |      JOIN embeddings e ON e.vec_id = cd.vec_id
+        |      JOIN embeddings q ON q.vec_id = cd.q_id))
+        |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
     // ---- sorted-neighborhood blocking dedup --------------------------
     // The record-linkage classic beside hash blocking (PassJoin) and
     // LSH: sort by an ASCII-normalized 12-char blocking key, compare

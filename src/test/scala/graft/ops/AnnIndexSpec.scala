@@ -50,6 +50,24 @@ class AnnIndexSpec extends SparkSpec {
       s"probe must dynamically prune index partitions:\n$plan")
   }
 
+  test("multiprobe widens the candidate set monotonically: per-query " +
+      "best cosine never drops") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def best(multiprobe: Int): Map[Long, Long] =
+      AnnIndex.probeTopK(spark, "t_ann_full", queries, "vec_id",
+          "embedding", hyper, 4, 10, multiprobe)
+        .filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val plain = best(0)
+    val multi = best(2)
+    assert(plain.keySet.subsetOf(multi.keySet),
+      "multiprobe must answer every query the plain probe answers")
+    plain.foreach { case (q, cos) =>
+      assert(multi(q) >= cos,
+        s"query $q: multiprobe best ${multi(q)} < plain best $cos")
+    }
+  }
+
   test("IVF: incremental append under the stored codebook equals " +
       "rebuild; probe prunes cluster partitions") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
