@@ -70,7 +70,7 @@ object JobQueries {
     * lines and 1 of 3 CSV rows are malformed (syntax error; string
     * where the schema says long). Written once to a constant temp
     * location (content is fixed, so re-writing is idempotent). */
-  private def quarantineFixtureDir(): String = {
+  private[queries] def quarantineFixtureDir(): String = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_quarantine_fix_v1")
     dir.mkdirs()

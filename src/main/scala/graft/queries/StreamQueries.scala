@@ -274,6 +274,45 @@ object StreamQueries {
         |FROM agg, wm
         |WHERE session_end_us + 1800000000 <= wm_us
         |ORDER BY user_id, session_start_us
+        |""".stripMargin.trim)),
+
+    // ---- streaming corrupt-record quarantine --------------------------
+    // The audit posture where it matters most: a scrape feed arriving
+    // as a stream. Because the audited parse is a pure PROJECTION
+    // (Audited.auditJsonLines — the reason the op line-frames instead
+    // of using the file readers' internal corrupt column), the exact
+    // batch semantics run unchanged on readStream.text: clean rows
+    // flow on, planted corrupt rows surface with their raw payload,
+    // stateless Append mode. Oracle = the JSON half of
+    // q_source_quarantine's golden VALUES.
+    Q("q_stream_quarantine",
+      (s, _) => {
+        val dir = JobQueries.quarantineFixtureDir()
+        val s2 = streamSession(s)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType)))
+        val lines = s2.readStream
+          .option("pathGlobFilter", "feed.json").text(dir)
+        StreamingOps.runToTable(
+            graft.sources.Audited.auditJsonLines(lines, schema)
+              .select(col("id"), col("v"),
+                col(graft.sources.Audited.CorruptCol)
+                  .as("quarantined_payload")),
+            OutputMode.Append())
+          .orderBy("id", "quarantined_payload")
+      },
+      Some("""
+        |SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(NULL AS VARCHAR)),
+        |  (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   '{"id": 2 "v": "beta"}'),
+        |  (CAST(NULL AS BIGINT), 'gamma', '{"id": "x3", "v": "gamma"}'),
+        |  (CAST(4 AS BIGINT), 'delta', CAST(NULL AS VARCHAR))
+        |) AS t(id, v, quarantined_payload)
+        |ORDER BY id, quarantined_payload
         |""".stripMargin.trim))
   )
 }

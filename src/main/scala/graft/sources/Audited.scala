@@ -52,27 +52,27 @@ object Audited {
       schema.fieldNames.map(f => col(s"r.`$f`").as(f)) :+
         corrupt.as(CorruptCol): _*)
 
-  /** Audited line-oriented (JSONL) read: (schema columns...,
-    * _corrupt_record). */
-  def readJsonAudited(s: SparkSession, schema: StructType,
-                      path: String): DataFrame = {
-    val parsed = s.read.text(path)
-      .select(col("value"),
-        from_json(col("value"), withCorrupt(schema), opts).as("r"))
+  /** Audit a `value`-column lines frame as JSONL. Pure projection —
+    * works identically on a BATCH text scan and a STREAMING text
+    * source (readStream.text), which is the point of the line-framed
+    * design: the scrape feeds that need quarantine most arrive as
+    * streams. */
+  def auditJsonLines(lines: DataFrame, schema: StructType): DataFrame = {
+    val parsed = lines.select(col("value"),
+      from_json(col("value"), withCorrupt(schema), opts).as("r"))
     shape(parsed, schema,
       when(col("r").isNull, col("value"))
         .otherwise(col(s"r.`$CorruptCol`")))
   }
 
-  /** Audited CSV read. With `header = true`, lines equal to the
-    * schema-derived header are dropped — the line-framed equivalent of
-    * the csv reader's first-line skip (a DATA line spelling exactly
-    * the header would also drop; headers with type-parseable names
-    * don't have that shape). */
-  def readCsvAudited(s: SparkSession, schema: StructType, path: String,
-                     header: Boolean = true): DataFrame = {
+  /** Audit a `value`-column lines frame as CSV. With `header = true`,
+    * lines equal to the schema-derived header are dropped — the
+    * line-framed equivalent of the csv reader's first-line skip (a
+    * DATA line spelling exactly the header would also drop; headers
+    * with type-parseable names don't have that shape). */
+  def auditCsvLines(lines0: DataFrame, schema: StructType,
+                    header: Boolean = true): DataFrame = {
     val headerLine = schema.fieldNames.mkString(",")
-    val lines0 = s.read.text(path)
     val lines = if (header) lines0.filter(col("value") =!= headerLine)
                 else lines0
     val parsed = lines.select(col("value"),
@@ -81,6 +81,17 @@ object Audited {
       when(col("r").isNull, col("value"))
         .otherwise(col(s"r.`$CorruptCol`")))
   }
+
+  /** Audited line-oriented (JSONL) read: (schema columns...,
+    * _corrupt_record). */
+  def readJsonAudited(s: SparkSession, schema: StructType,
+                      path: String): DataFrame =
+    auditJsonLines(s.read.text(path), schema)
+
+  /** Audited CSV read (see [[auditCsvLines]] for header semantics). */
+  def readCsvAudited(s: SparkSession, schema: StructType, path: String,
+                     header: Boolean = true): DataFrame =
+    auditCsvLines(s.read.text(path), schema, header)
 
   /** Rows that parsed fully, audit column dropped — the downstream
     * transform input. */

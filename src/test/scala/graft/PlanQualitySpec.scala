@@ -140,6 +140,23 @@ class PlanQualitySpec extends SparkSpec {
       s"triangle close must stay equi-join + local intersect:\n$p")
   }
 
+  test("q_bm25_topk: top-k plans as TakeOrderedAndProject, not a " +
+      "corpus-wide single-partition window sort") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan the bounded heap:\n$p")
+  }
+
+  test("q_reservoir_sample: bounded-state aggregate with partial + " +
+      "final stages, no window sort") {
+    val p = plan("q_reservoir_sample")
+    assert(!p.contains("Window"),
+      s"the aggregate form must not plan a window:\n$p")
+    assert(p.split("ObjectHashAggregate").length >= 3 ||
+      p.split("SortAggregate").length >= 3,
+      s"reservoir must partial-aggregate map-side:\n$p")
+  }
+
   test("q_inverted_index: single partial-aggregable shuffle, no Expand") {
     val p = plan("q_inverted_index")
     assert(!p.contains("Expand"),
