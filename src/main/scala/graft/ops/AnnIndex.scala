@@ -121,7 +121,11 @@ object AnnIndex {
                overwrite: Boolean = false): Unit = {
     val s = corpus.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(s)
-    if (overwrite || !s.catalog.tableExists(table)) {
+    // BOTH tables must exist to skip: a run that died between the
+    // codebook and list writes must rebuild (same contract as
+    // InvertedIndexStore.build)
+    if (overwrite || !s.catalog.tableExists(table) ||
+        !s.catalog.tableExists(codebookTable(table))) {
       Seq(table, codebookTable(table)).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS `$t`")
         val loc = new org.apache.hadoop.fs.Path(

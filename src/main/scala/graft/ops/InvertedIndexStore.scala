@@ -63,7 +63,10 @@ object InvertedIndexStore {
   def build(docs: DataFrame, idCol: String, textCol: String,
             table: String, overwrite: Boolean = false): Unit = {
     val s = docs.sparkSession
-    if (overwrite || !s.catalog.tableExists(table)) {
+    // BOTH tables must exist to skip: a run that died between the two
+    // writes must rebuild, or bm25FromStore reads a half-built store
+    if (overwrite || !s.catalog.tableExists(table) ||
+        !s.catalog.tableExists(docsTable(table))) {
       dropManaged(s, table)
       dropManaged(s, docsTable(table))
       postingRows(docs, idCol, textCol)
