@@ -93,6 +93,28 @@ object Corpus {
         col("col._2").as(idCol)): _*)
   }
 
+  /** Deterministic TRAINING-MIXTURE sample: per-source quotas (the
+    * domain-reweighting knob of a training-data pipeline — N docs of
+    * web, M of code, K of reference) filled by the same md5 rank as
+    * [[stratifiedHashSample]], so the mixture is reproducible,
+    * growth-stable (an id's rank never changes), and engine-portable.
+    * Sources absent from `quotas` are excluded — the mixture IS the
+    * allowlist. Scale shape: one strata shuffle + rank-window with
+    * group-limit pushdown; quotas ride in as a broadcast literal map. */
+  def mixtureSample(df0: DataFrame, sourceCol: String, idCol: String,
+                    quotas: Map[String, Int]): DataFrame = {
+    val quotaCol = quotas.foldLeft(lit(-1)) { case (acc, (src, q)) =>
+      when(col(sourceCol) === src, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df0.withColumn("__quota", quotaCol)
+      .filter(col("__quota") > 0)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= col("__quota"))
+      .drop("__quota")
+  }
+
   /** Greedy token-budget packing: within each shard, walk rows in
     * `orderCol` order and assign bin = (tokens-before-this-row) div
     * budget — consecutive documents fill a context window until the

@@ -175,6 +175,52 @@ object CorpusQueries {
         |FROM p GROUP BY term ORDER BY term
         |""".stripMargin.trim)),
 
+    // ---- deterministic training-mixture sample -------------------------
+    // The domain-reweighting knob: unequal per-source quotas (src0=30
+    // — clamped to the 25 available, src1=10, src2=5; everything else
+    // excluded) filled by md5 rank, reproducible and growth-stable.
+    // The oracle replays the rank window with the same quota CASE.
+    Q("q_mixture_sample",
+      (s, d) => Corpus.mixtureSample(
+          documents(s, d).select("doc_id", "source"),
+          sourceCol = "source", idCol = "doc_id",
+          quotas = Map("src0" -> 30, "src1" -> 10, "src2" -> 5))
+        .orderBy("source", "sample_rank"),
+      Some("""
+        |SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 10
+        |      WHEN 'src2' THEN 5 ELSE -1 END AS q,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |      AS sample_rank
+        |  FROM documents)
+        |WHERE q > 0 AND sample_rank <= q
+        |ORDER BY source, sample_rank
+        |""".stripMargin.trim)),
+
+    // ---- vocabulary spectrum (count-of-counts, Zipf diagnostics) ------
+    // Corpus-health analytics: how many distinct terms occur exactly c
+    // times. Two partial-aggregable shuffles (term counts, then
+    // count-of-counts); the spectrum is vocabulary-sized then
+    // distinct-count-sized — KB output from any corpus size.
+    Q("q_vocab_spectrum",
+      (s, d) => documents(s, d)
+        .select(explode(filter(
+          split(trim(lower(col("text"))), "\\s+"), t => t =!= ""))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("n_terms"))
+        .orderBy("c"),
+      Some("""
+        |WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM t WHERE term <> ''
+        |  GROUP BY term)
+        |SELECT c, CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tc GROUP BY c ORDER BY c
+        |""".stripMargin.trim)),
+
     // ---- persisted index: build → incremental append → assemble ------
     // The stored (term, id) row-form index round-trip: corpus minus a
     // holdout indexed and written partitioned by term prefix, the
