@@ -37,6 +37,18 @@ object GraphEdges {
       .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
       .agg(count(lit(1)).as("support"))
 
+  /** Incremental maintenance of the support layout: pair supports are
+    * ADDITIVE when deltas arrive as whole baskets (an order's lines
+    * land together — the ingest contract), so merging stored edges
+    * with a delta batch's edges is one partial-aggregable sum on the
+    * pair key — delta-sized work plus a stored-table-sized merge
+    * write, never a fact-table rescan. merge(stored, delta) ≡ rebuild
+    * over the union of baskets (gate q_incr_edges_maintain). */
+  def mergeSupport(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta)
+      .groupBy("src", "dst")
+      .agg(sum(col("support")).as("support"))
+
   /** Write-once accessor: ensure `table` holds the bucketed edge
     * layout of `build` (bucketed + sorted by `src`, one file per
     * bucket via [[Bucketing.writeBucketed]]) and return the stored

@@ -458,6 +458,69 @@ object AnalyticsQueries {
         |FROM corners GROUP BY node ORDER BY node
         |""".stripMargin.trim)),
 
+    // ---- incremental edge-layout maintenance --------------------------
+    // The shared support table maintained as an aggregate MV: deltas
+    // arrive as whole baskets, so pair supports merge additively —
+    // stored(90% of orders) + delta(10%) must equal the full rebuild
+    // bit-for-bit. The oracle recomputes support over ALL baskets from
+    // first principles (count of distinct containing orders).
+    Q("q_incr_edges_maintain",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+        val stored = GraphEdges.copurchaseSupport(
+          li.filter(pmod(col("l_orderkey"), lit(10)) =!= 7),
+          "l_orderkey", "l_partkey")
+        val delta = GraphEdges.copurchaseSupport(
+          li.filter(pmod(col("l_orderkey"), lit(10)) === 7),
+          "l_orderkey", "l_partkey")
+        GraphEdges.mergeSupport(stored, delta)
+          .orderBy("src", "dst")
+      },
+      Some("""
+        |SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |  CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS support
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    // ---- item-to-item recommendations off the shared layout -----------
+    // Fourth consumer of the stored edge table (after triangles, LPA,
+    // and the threshold filter): per-part top-3 co-purchased parts by
+    // support — a filter + symmetric union + rank window over the
+    // STORED layout, zero rebuild. Ties break to the smaller neighbor.
+    Q("q_item_recs",
+      (s, d) => {
+        val e = copurchaseEdges(s, d)
+        val sym = e.select(col("src").as("item"),
+            col("dst").as("rec"), col("support"))
+          .unionByName(e.select(col("dst").as("item"),
+            col("src").as("rec"), col("support")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("item")
+          .orderBy(col("support").desc, col("rec").asc)
+        sym.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("item", "rank", "rec", "support")
+          .orderBy("item", "rank")
+      },
+      Some("""
+        |WITH e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |    CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS support
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src AS item, dst AS rec, support FROM e
+        |  UNION ALL SELECT dst, src, support FROM e),
+        |r AS (SELECT item, rec, support, row_number() OVER (
+        |    PARTITION BY item ORDER BY support DESC, rec ASC) AS rank
+        |  FROM sym)
+        |SELECT item, rank, rec, support FROM r WHERE rank <= 3
+        |ORDER BY item, rank
+        |""".stripMargin.trim)),
+
     // ---- label-propagation communities -------------------------------
     // Third graph op beside PageRank and triangles: deterministic
     // synchronous LPA (3 rounds) over the SUPPORT-THRESHOLDED
