@@ -63,7 +63,6 @@ object Ngram {
        |    list_filter(string_split_regex(trim(lower($textCol)),
        |      '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
        |  FROM $rel),
-       |base2 AS (SELECT $idCol, t FROM base WHERE len(t) >= 2),
        |bg AS (SELECT $idCol, u['w1'] AS w1, u['w2'] AS w2 FROM (
        |  SELECT $idCol, unnest(list_transform(range(1, len(t)),
        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS u FROM base)),
