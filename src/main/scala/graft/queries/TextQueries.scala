@@ -330,6 +330,65 @@ object TextQueries {
           documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some(graft.ops.Ngram.bigramCoherenceSql(
-        "documents", "doc_id", "text") + "\nORDER BY doc_id"))
+        "documents", "doc_id", "text") + "\nORDER BY doc_id")),
+
+    // ---- duplicated-span fraction (Lee et al. 2022-style signal) ------
+    // Per-doc fraction of distinct 8-token spans that appear in >= 2
+    // docs — the "how much of this document is boilerplate" filter
+    // signal of training-data dedup. Planted: every 10th doc carries
+    // the same footer, so its footer spans read duplicated. Scale
+    // shape: shingle explode is per-row; the >= 2-doc span set is one
+    // (span) two-phase distinct aggregate; the per-doc dup count is a
+    // semi-join on the span key (both sides shuffle on span — at
+    // 100 TB hash the spans to longs first and accept the negligible
+    // collision rate; the gate keeps raw strings for oracle parity).
+    // Exact integer milli fraction — floor division, no doubles.
+    Q("q_text_dupspan_fraction",
+      (s, d) => {
+        val footer = " all rights reserved subscribe to the newsletter" +
+          " for weekly updates today"
+        val corpus = documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(footer)))
+            .otherwise(col("text")).as("text"))
+        val sh = corpus.select(col("doc_id"),
+          explode(TextOps.wordShingles(col("text"), 8)).as("s"))
+        val dupSpans = sh.groupBy("s")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("s")
+        val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        val dup = sh.join(dupSpans, Seq("s"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        tot.join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            expr("1000 * coalesce(n_dup, 0) div n_spans")
+              .as("dup_milli"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH corpus AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text ||
+        |      ' all rights reserved subscribe to the newsletter' ||
+        |      ' for weekly updates today'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS toks
+        |        FROM corpus) WHERE len(toks) >= 8),
+        |dupspans AS (SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s)
+        |  WHERE nd >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sh GROUP BY 1),
+        |dup AS (SELECT doc_id, count(*) AS n_dup FROM sh
+        |  WHERE s IN (SELECT s FROM dupspans) GROUP BY 1)
+        |SELECT t.doc_id, t.n_spans,
+        |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+        |  (1000 * coalesce(d.n_dup, 0)) // t.n_spans AS dup_milli
+        |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+        |ORDER BY t.doc_id
+        |""".stripMargin.trim))
   )
 }

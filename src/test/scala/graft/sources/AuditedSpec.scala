@@ -44,6 +44,36 @@ class AuditedSpec extends SparkSpec {
     assert(partial == 1L, "PERMISSIVE must keep recoverable columns")
   }
 
+  test("fuzz: arbitrary byte soup always PARTITIONS into clean + " +
+      "quarantine, and quarantine keeps the line verbatim") {
+    // seeded random lines: valid JSON, truncated JSON, type drift,
+    // raw garbage, empty-ish whitespace — the audit contract must hold
+    // for all of them: every line lands in exactly one channel, and a
+    // quarantined line's payload is byte-identical to the input
+    val rnd = new scala.util.Random(42)
+    val soup = "{}[]\":, abcxyz0189\\"
+    val lines = (1 to 120).map { i =>
+      rnd.nextInt(5) match {
+        case 0 => s"""{"id": $i, "v": "ok$i"}"""
+        case 1 => s"""{"id": $i, "v": "ok$i""""       // truncated
+        case 2 => s"""{"id": "x$i", "v": "drift$i"}""" // type drift
+        case 3 => Seq.fill(1 + rnd.nextInt(20))(
+          soup(rnd.nextInt(soup.length))).mkString
+        case 4 => " " * rnd.nextInt(3) + i.toString
+      }
+    }.filter(_.trim.nonEmpty)
+    val path = writeLines("fuzz.json", lines)
+    val audited = Audited.readJsonAudited(spark, schema, path)
+    val n = audited.count()
+    val nClean = Audited.clean(audited).count()
+    val quar = Audited.quarantine(audited)
+      .select(Audited.CorruptCol).collect().map(_.getString(0))
+    assert(n == lines.size, "no line may be dropped")
+    assert(nClean + quar.length == n, "channels must partition")
+    assert(quar.toSet.subsetOf(lines.toSet),
+      "quarantine must keep lines verbatim")
+  }
+
   test("CSV: type mismatches quarantine with the raw line") {
     val path = writeLines("a.csv", Seq(
       "id,v", "10,kilo", "x11,lima", "12,mike"))
