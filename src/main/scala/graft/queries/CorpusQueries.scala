@@ -199,6 +199,29 @@ object CorpusQueries {
         |ORDER BY source, sample_rank
         |""".stripMargin.trim)),
 
+    // ---- deterministic training-order shuffle --------------------------
+    // The "shuffle before training" step as a FULL permutation:
+    // position = dense global index along md5(id ‖ seed) order —
+    // reproducible on any cluster, seed varies the epoch order, and
+    // the index comes from the two-pass prefix-scan (GlobalOrder), not
+    // the single-partition row_number() cliff. Oracle replays the
+    // permutation with a rank window.
+    Q("q_corpus_shuffle",
+      (s, d) => graft.ops.GlobalOrder.withGlobalIndex(
+          documents(s, d).select("doc_id", "lang"),
+          Seq(md5(concat(col("doc_id").cast("string"), lit(":ep1"))).asc,
+            col("doc_id").asc),
+          out = "shuffle_pos")
+        .select("shuffle_pos", "doc_id", "lang")
+        .orderBy("shuffle_pos"),
+      Some("""
+        |SELECT row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ep1') ASC,
+        |      doc_id ASC) - 1 AS shuffle_pos,
+        |  doc_id, lang
+        |FROM documents ORDER BY shuffle_pos
+        |""".stripMargin.trim)),
+
     // ---- vocabulary spectrum (count-of-counts, Zipf diagnostics) ------
     // Corpus-health analytics: how many distinct terms occur exactly c
     // times. Two partial-aggregable shuffles (term counts, then
