@@ -43,6 +43,31 @@ object SimQueries {
     |  FROM (SELECT id, string_split_regex(trim(text), '\s+') AS toks
     |        FROM corpus) WHERE len(toks) >= 3)""".stripMargin
 
+  /** The STORED near-dup cluster assignment — the artifact a dedup
+    * pipeline persists (keep-best, split-leakage audits, and the
+    * component report all read it): LSH pair detection + min-label
+    * components computed once per corpus content and written as a
+    * managed table, same write-once discipline as GraphEdges/AnnIndex.
+    * Both consumer gates' oracles recompute the clustering from first
+    * principles, so the stored path stays fully hash-verified. */
+  private def neardupComponents(s: SparkSession, d: String): DataFrame = {
+    val tbl = "neardup_comp_" +
+      Sinks.contentKey(d, "documents.parquet", "k32b16t800|v1")
+    if (!s.catalog.tableExists(tbl)) {
+      val docs = corpus(s, d)
+        .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+        .filter(size(col("shingles")) > 0)
+        .select("id", "shingles")
+      val pairs = Similarity.nearDupPairs(docs, k = 32, bands = 16,
+        thresholdMilli = 800)
+      graft.ops.Compaction.dropManagedTable(s, tbl)
+      graft.ops.Components
+        .connectedComponents(pairs.select("id_a", "id_b"))
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
   /** Brute-force ground-truth Jaccard pairs over the corpus — the ONE
     * oracle both q_neardup_minhash_lsh and q_setsim_prefix_join
     * compare against, which is what pins the probabilistic and exact
@@ -276,17 +301,7 @@ object SimQueries {
     // components with a recursive CTE — verifying the distributed
     // label-propagation loop end-to-end.
     Q("q_neardup_components",
-      (s, d) => {
-        val docs = corpus(s, d)
-          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
-          .filter(size(col("shingles")) > 0)
-          .select("id", "shingles")
-        val pairs = Similarity.nearDupPairs(docs, k = 32, bands = 16,
-          thresholdMilli = 800)
-        graft.ops.Components
-          .connectedComponents(pairs.select("id_a", "id_b"))
-          .orderBy("id")
-      },
+      (s, d) => neardupComponents(s, d).orderBy("id"),
       Some(s"""
         |WITH RECURSIVE $corpusSql,
         |p0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -319,18 +334,11 @@ object SimQueries {
     // deterministic and the oracle's arg_min agrees bit-for-bit).
     Q("q_neardup_keep_best",
       (s, d) => {
-        val docs = corpus(s, d)
-          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
-          .filter(size(col("shingles")) > 0)
-          .select("id", "shingles")
-        val pairs = Similarity.nearDupPairs(docs, k = 32, bands = 16,
-          thresholdMilli = 800)
-        val comp = graft.ops.Components
-          .connectedComponents(pairs.select("id_a", "id_b"))
         val scored = corpus(s, d).select(col("id"),
           (size(TextOps.tokens(col("text"))).cast("long") * -10000000L
             + col("id")).as("score"))
-        graft.ops.Components.representatives(comp, scored, "id", "score")
+        graft.ops.Components.representatives(
+            neardupComponents(s, d), scored, "id", "score")
           .orderBy("component")
       },
       Some(s"""
