@@ -46,15 +46,9 @@ object AnnIndex {
                      overwrite: Boolean = false): Unit = {
     val s = corpus.sparkSession
     if (overwrite || !s.catalog.tableExists(table)) {
-      s.sql(s"DROP TABLE IF EXISTS `$table`")
-      // the session catalog is in-memory: a previous SESSION may have
-      // left the managed location on disk with no catalog entry (same
-      // hazard Bucketing.writeBucketed documents) — clear it
-      val loc = new org.apache.hadoop.fs.Path(
-        s.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(table)))
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      // drop table AND orphan location (in-memory-catalog hazard) —
+      // one shared helper, see Compaction.dropManagedTable
+      Compaction.dropManagedTable(s, table)
       bucketRows(corpus, idCol, vecCol, hyper, rowsPerBand)
         .write.partitionBy("band", "bucket")
         .format("parquet").mode("overwrite").saveAsTable(table)
@@ -126,14 +120,8 @@ object AnnIndex {
     // InvertedIndexStore.build)
     if (overwrite || !s.catalog.tableExists(table) ||
         !s.catalog.tableExists(codebookTable(table))) {
-      Seq(table, codebookTable(table)).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS `$t`")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.sessionState.catalog.defaultTablePath(
-            org.apache.spark.sql.catalyst.TableIdentifier(t)))
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      Seq(table, codebookTable(table))
+        .foreach(Compaction.dropManagedTable(s, _))
       codebook.write.format("parquet").mode("overwrite")
         .saveAsTable(codebookTable(table))
       assignCluster(corpus, idCol, vecCol, codebook)

@@ -46,6 +46,14 @@ object Compaction {
       .repartition(parts.map(col): _*)
       .write.partitionBy(parts: _*)
       .format("parquet").mode("overwrite").saveAsTable(staged)
+    // publish via DROP + RENAME. A rename-out/rename-in swap (which
+    // would keep both copies until the new one is live) does NOT work
+    // here: renaming into a location whose directory still exists
+    // nests the source dir inside it (filesystem rename semantics),
+    // so the old dir must be gone before the staged rename. Failure
+    // window: a death between the two statements loses the table NAME
+    // but no CONTENT — the staged table holds the identical rows, and
+    // every caller guards with build-if-missing, which rebuilds.
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
     // the rename moves the DIRECTORY but the catalog's partition
@@ -75,14 +83,20 @@ object Compaction {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // key by the FULL partition path relative to the table root:
+    // multi-level layouts (band=N/bucket=M) must not collide on the
+    // leaf directory name or counts silently overwrite each other
     def walk(p: Path, prefix: String): Seq[(String, Int)] = {
       val (dirs, files) = fs.listStatus(p).partition(_.isDirectory)
       val here =
         if (prefix.nonEmpty)
           Seq(prefix -> files.count(_.getPath.getName.endsWith(".parquet")))
         else Seq.empty
-      here.filter(_._2 > 0) ++ dirs.flatMap(d =>
-        walk(d.getPath, d.getPath.getName))
+      here.filter(_._2 > 0) ++ dirs.flatMap { d =>
+        val child = if (prefix.isEmpty) d.getPath.getName
+                    else s"$prefix/${d.getPath.getName}"
+        walk(d.getPath, child)
+      }
     }
     walk(loc, "").toMap
   }

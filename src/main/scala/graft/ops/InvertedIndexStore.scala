@@ -48,14 +48,8 @@ object InvertedIndexStore {
   /** The doc-stats side table name beside a postings table. */
   def docsTable(table: String): String = s"${table}_docs"
 
-  private def dropManaged(s: SparkSession, table: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-  }
+  private def dropManaged(s: SparkSession, table: String): Unit =
+    Compaction.dropManagedTable(s, table)
 
   /** Write the corpus index: the prefix-partitioned postings table
     * plus the (id, dl) doc-stats side table (same catalog hygiene as

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * touches only docs containing >= 1 query term. */
 object Retrieval {
 
+  // split class pinned like TextOps.tokens (Java \s includes VT,
+  // RE2 \s does not)
   private[ops] def toks(textCol: Column): Column =
-    filter(split(trim(lower(textCol)), "\\s+"), t => t =!= "")
+    filter(split(trim(lower(textCol)), "[ \\t\\n\\r\\f]+"), t => t =!= "")
 
   /** (term, df, postings): every distinct term with its document
     * frequency and the sorted ids of containing docs, comma-joined —

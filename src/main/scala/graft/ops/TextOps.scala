@@ -12,18 +12,23 @@ import org.apache.spark.sql.types._
 object TextOps {
 
   /** Whitespace tokens of trimmed text. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenizer with the split class PINNED to the explicit
+    * five chars `[ \t\n\r\f]` — Java's `\s` includes vertical tab
+    * (\x0B) while RE2's (the oracle engine's) excludes it, so a bare
+    * `\s+` split is a latent cross-engine divergence on VT-bearing
+    * text (see the same pin in [[Ngram]] and [[Retrieval]]). */
+  def tokens(c: Column): Column = split(trim(c), "[ \\t\\n\\r\\f]+")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish pre-tokenizer count: word runs + single non-word-non-space
     * marks (the shape of a GPT-style regex pre-tokenizer, ASCII \w). */
   def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+    size(regexp_extract_all(c, lit("\\w+|[^\\w \\t\\n\\r\\f]"), lit(0)))
 
   /** Mean token length in milli-chars (exact integer). */
   def avgTokenLenMilli(c: Column): Column =
-    floor(lit(1000.0) * length(regexp_replace(c, "\\s+", ""))
+    floor(lit(1000.0) * length(regexp_replace(c, "[ \\t\\n\\r\\f]+", ""))
       / tokenCount(c) + 0.5).cast(LongType)
 
   // English stopword list used by quality scoring and language ID.
@@ -74,7 +79,7 @@ object TextOps {
     * `documents`. */
   val langIdOracleSql: String = {
     def cnt(words: Seq[String]) =
-      s"len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+      s"len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), " +
         s"w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
     s"""
     |WITH v AS (SELECT doc_id, lang,

@@ -17,7 +17,11 @@ object CorpusQueries {
                              d: String): String = {
     val tbl = "inv_idx_" +
       Sinks.contentKey(d, "documents.parquet", "terms-tf|v2")
-    if (!s.catalog.tableExists(tbl)) {
+    // marker-guarded: the sequence is FOUR writes (postings + doc
+    // stats, then the appended halves) — a death mid-sequence must
+    // re-run it, not leave later gates reading a store missing the
+    // holdout
+    Sinks.ensureBuilt(s, s"${tbl}_ok") {
       val docs = documents(s, d)
       graft.ops.InvertedIndexStore.build(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
@@ -40,7 +44,7 @@ object CorpusQueries {
         .orderBy("id", "rank"),
       Some("""
         |WITH terms AS (SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+')) AS term
         |  FROM documents),
         |t AS (SELECT * FROM terms WHERE term <> ''),
         |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -126,7 +130,7 @@ object CorpusQueries {
         .orderBy("shard", "doc_id"),
       Some("""
         |WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT)
         |      AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens,
@@ -167,7 +171,7 @@ object CorpusQueries {
         .orderBy("term"),
       Some("""
         |WITH t AS (SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+')) AS term
         |  FROM documents),
         |p AS (SELECT DISTINCT term, id FROM t WHERE term <> '')
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
@@ -230,14 +234,14 @@ object CorpusQueries {
     Q("q_vocab_spectrum",
       (s, d) => documents(s, d)
         .select(explode(filter(
-          split(trim(lower(col("text"))), "\\s+"), t => t =!= ""))
-          .as("term"))
+          split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= "")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("c"))
         .groupBy("c").agg(count(lit(1)).as("n_terms"))
         .orderBy("c"),
       Some("""
         |WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
-        |    '\s+')) AS term FROM documents),
+        |    '[ \t\n\r\f]+')) AS term FROM documents),
         |tc AS (SELECT term, count(*) AS c FROM t WHERE term <> ''
         |  GROUP BY term)
         |SELECT c, CAST(count(*) AS BIGINT) AS n_terms
@@ -258,7 +262,7 @@ object CorpusQueries {
         .assemble(s, incrIndexTable(s, d)).orderBy("term"),
       Some("""
         |WITH t AS (SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+')) AS term
         |  FROM documents),
         |p AS (SELECT DISTINCT term, id FROM t WHERE term <> '')
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
@@ -282,7 +286,7 @@ object CorpusQueries {
       },
       Some("""
         |WITH t AS (SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+')) AS term
         |  FROM documents),
         |p AS (SELECT DISTINCT term, id FROM t WHERE term <> '')
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
@@ -306,7 +310,7 @@ object CorpusQueries {
         .orderBy("rank"),
       Some(s"""
         |WITH tok AS (SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+')) AS term
         |  FROM documents),
         |t AS (SELECT * FROM tok WHERE term <> ''),
         |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
@@ -341,7 +345,7 @@ object CorpusQueries {
         .orderBy("rank"),
       Some(s"""
         |WITH tok AS (SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+')) AS term
         |  FROM documents),
         |t AS (SELECT * FROM tok WHERE term <> ''),
         |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),

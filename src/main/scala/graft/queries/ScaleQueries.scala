@@ -196,13 +196,13 @@ object ScaleQueries {
         |evs AS (SELECT DISTINCT unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 6),
         |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
-        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM (SELECT string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
         |        FROM ev) WHERE len(toks) >= 8),
         |cs AS (SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 6),
         |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
         |  FROM (SELECT doc_id,
-        |          string_split_regex(trim(text), '\s+') AS toks
+        |          string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
         |        FROM corpus) WHERE len(toks) >= 8)
         |SELECT DISTINCT doc_id FROM cs
         |WHERE s IN (SELECT s FROM evs) ORDER BY doc_id

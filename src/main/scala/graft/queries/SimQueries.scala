@@ -35,12 +35,12 @@ object SimQueries {
     |docs AS (SELECT doc_id AS id, text FROM documents),
     |mut AS (SELECT doc_id + 1000000 AS id,
     |    array_to_string(toks[1:len(toks)-2], ' ') AS text
-    |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
     |        FROM documents) WHERE len(toks) >= 10),
     |corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM mut),
     |sh AS (SELECT id, list_distinct(list_transform(range(1, len(toks)-1),
     |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-    |  FROM (SELECT id, string_split_regex(trim(text), '\s+') AS toks
+    |  FROM (SELECT id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
     |        FROM corpus) WHERE len(toks) >= 3)""".stripMargin
 
   /** The STORED near-dup cluster assignment — the artifact a dedup
@@ -66,6 +66,30 @@ object SimQueries {
         .write.format("parquet").mode("overwrite").saveAsTable(tbl)
     }
     s.table(tbl)
+  }
+
+  /** The persisted sign-LSH index both ANN-store gates probe
+    * (plain + multiprobe): corpus minus the %7==3 holdout built, the
+    * holdout appended. Marker-guarded (Sinks.ensureBuilt) because the
+    * sequence is two writes — a death between build and append must
+    * re-run it, not leave the second consumer probing an index missing
+    * the holdout. */
+  private def lshIndexTable(s: SparkSession, d: String): String = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val hyper = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
+    val tbl = "ann_lsh_idx_" +
+      Sinks.contentKey(d, "embeddings.parquet", "signlsh|r4|v1")
+    Sinks.ensureBuilt(s, s"${tbl}_ok") {
+      graft.ops.AnnIndex.buildSignIndex(
+        emb.filter(pmod(col("vec_id"), lit(7)) =!= 3),
+        "vec_id", "embedding", hyper, rowsPerBand = 4, table = tbl,
+        overwrite = true)
+      graft.ops.AnnIndex.appendBatch(
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3),
+        "vec_id", "embedding", hyper, rowsPerBand = 4, table = tbl)
+    }
+    tbl
   }
 
   /** Brute-force ground-truth Jaccard pairs over the corpus — the ONE
@@ -259,7 +283,7 @@ object SimQueries {
         |    list_distinct(list_transform(range(1, len(toks)-1),
         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
         |      AS shingles
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
         |        FROM documents) WHERE len(toks) >= 3)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.shingles, b.shingles)) AS n_inter,
@@ -375,7 +399,7 @@ object SimQueries {
         |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
         |scored AS (SELECT id,
-        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+        |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT)
         |      * -10000000 + id AS score
         |  FROM corpus)
         |SELECT component, arg_min(c.id, s.score) AS rep_id,
@@ -419,7 +443,7 @@ object SimQueries {
         |WITH docs AS (SELECT doc_id AS id, text FROM documents),
         |mut AS (SELECT doc_id + 1000000 AS id,
         |    array_to_string(toks[1:len(toks)-2], ' ') AS text
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS toks
         |        FROM documents) WHERE len(toks) >= 10),
         |corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM mut),
         |chunks AS (${TextOps.cdcOracleSql("corpus", "id")})
@@ -445,7 +469,7 @@ object SimQueries {
       (s, d) => simhashDetected(s, d).select("id_a").orderBy("id_a"),
       Some("""
         |SELECT doc_id AS id_a FROM documents
-        |WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+        |WHERE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) >= 10
         |ORDER BY id_a
         |""".stripMargin.trim)),
 
@@ -541,7 +565,7 @@ object SimQueries {
       },
       Some(s"""
         |WITH det AS (SELECT doc_id AS id_a FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 10),
+        |  WHERE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) >= 10),
         |sp AS (SELECT id_a,
         |  ${graft.ops.Corpus.deterministicSplitSql(
              "CAST(id_a AS VARCHAR)",
@@ -582,7 +606,7 @@ object SimQueries {
       Some("""
         |SELECT count(*) AS n_pairs, CAST(0 AS BIGINT) AS n_leaked
         |FROM documents
-        |WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+        |WHERE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) >= 10
         |""".stripMargin.trim)),
 
     // ---- brute-force cosine top-k (ANN baseline) ----------------------
@@ -815,7 +839,9 @@ object SimQueries {
         val emb = embeddings(s, d).select("vec_id", "embedding")
         val tbl = "ann_ivf_idx_" +
           Sinks.contentKey(d, "embeddings.parquet", "ivf8|v1")
-        if (!s.catalog.tableExists(tbl)) {
+        // marker-guarded like lshIndexTable: codebook + lists + append
+        // are three writes; a partial sequence must re-run
+        Sinks.ensureBuilt(s, s"${tbl}_ok") {
           val cents = emb.filter(col("vec_id") < 8)
             .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
           graft.ops.AnnIndex.buildIvf(
@@ -940,20 +966,9 @@ object SimQueries {
         val emb = embeddings(s, d).select("vec_id", "embedding")
         val hyper = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
-        val tbl = "ann_lsh_idx_" +
-          Sinks.contentKey(d, "embeddings.parquet", "signlsh|r4|v1")
-        if (!s.catalog.tableExists(tbl)) {
-          // holdout: every 7th vector arrives "later" as the increment
-          val base = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
-          val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
-          graft.ops.AnnIndex.buildSignIndex(base, "vec_id", "embedding",
-            hyper, rowsPerBand = 4, table = tbl, overwrite = true)
-          graft.ops.AnnIndex.appendBatch(batch, "vec_id", "embedding",
-            hyper, rowsPerBand = 4, table = tbl)
-        }
         val q = emb.filter(col("vec_id") >= 13 && col("vec_id") < 18)
-        graft.ops.AnnIndex.probeTopK(s, tbl, q, "vec_id", "embedding",
-            hyper, rowsPerBand = 4, k = 10)
+        graft.ops.AnnIndex.probeTopK(s, lshIndexTable(s, d), q,
+            "vec_id", "embedding", hyper, rowsPerBand = 4, k = 10)
           .withColumnRenamed("id", "vec_id")
           .select("q_id", "rank", "vec_id", "cos_milli")
           .orderBy("q_id", "rank")
@@ -998,19 +1013,10 @@ object SimQueries {
         val emb = embeddings(s, d).select("vec_id", "embedding")
         val hyper = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
-        val tbl = "ann_lsh_idx_" +
-          Sinks.contentKey(d, "embeddings.parquet", "signlsh|r4|v1")
-        if (!s.catalog.tableExists(tbl)) {
-          val base = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
-          val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
-          graft.ops.AnnIndex.buildSignIndex(base, "vec_id", "embedding",
-            hyper, rowsPerBand = 4, table = tbl, overwrite = true)
-          graft.ops.AnnIndex.appendBatch(batch, "vec_id", "embedding",
-            hyper, rowsPerBand = 4, table = tbl)
-        }
         val q = emb.filter(col("vec_id") >= 13 && col("vec_id") < 18)
-        graft.ops.AnnIndex.probeTopK(s, tbl, q, "vec_id", "embedding",
-            hyper, rowsPerBand = 4, k = 10, multiprobe = 2)
+        graft.ops.AnnIndex.probeTopK(s, lshIndexTable(s, d), q,
+            "vec_id", "embedding", hyper, rowsPerBand = 4, k = 10,
+            multiprobe = 2)
           .withColumnRenamed("id", "vec_id")
           .select("q_id", "rank", "vec_id", "cos_milli")
           .orderBy("q_id", "rank")

@@ -25,11 +25,11 @@ object TextQueries {
         .orderBy("doc_id"),
       Some("""
         |SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS n_tokens,
         |  length(text) AS n_chars_obs,
-        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish,
-        |  CAST(floor(1000.0 * length(regexp_replace(text, '\s+', '', 'g'))
-        |    / len(string_split_regex(trim(text), '\s+')) + 0.5) AS BIGINT)
+        |  len(regexp_extract_all(text, '\w+|[^\w \t\n\r\f]')) AS n_bpeish,
+        |  CAST(floor(1000.0 * length(regexp_replace(text, '[ \t\n\r\f]+', '', 'g'))
+        |    / len(string_split_regex(trim(text), '[ \t\n\r\f]+')) + 0.5) AS BIGINT)
         |    AS avg_tok_len_milli
         |FROM documents ORDER BY doc_id
         |""".stripMargin.trim)),
@@ -51,11 +51,11 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(s"""
         |WITH t AS (SELECT doc_id,
-        |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |    len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
         |      w -> w IN (${TextOps.stopwordsSql}))) AS n_stop,
         |    length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct,
         |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-        |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        |    len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, n_stop, n_punct, n_digit, n_tokens,
         |  CAST(floor(1000.0 * n_stop / n_tokens + 0.5) AS BIGINT)
@@ -142,7 +142,7 @@ object TextQueries {
         .orderBy("doc_id"),
       Some("""
         |WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |    string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks FROM documents)
         |SELECT doc_id,
         |  CASE WHEN len(toks) < 3 THEN 0 ELSE
         |    len(list_distinct(list_transform(range(1, len(toks) - 1),
@@ -191,7 +191,7 @@ object TextQueries {
       },
       Some("""
         |WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks
+        |    string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
         |  FROM documents),
         |st AS (SELECT doc_id, toks,
         |    unnest(generate_series(1, greatest(len(toks), 1), 24))
@@ -223,7 +223,7 @@ object TextQueries {
       },
       Some("""
         |WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT)
         |      AS n_tokens
         |  FROM documents),
         |b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
@@ -256,7 +256,7 @@ object TextQueries {
       },
       Some("""
         |WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |    string_split_regex(trim(lower(text)), '[ \t\n\r\f]+') AS toks
         |  FROM documents),
         |bg AS (SELECT doc_id,
         |    unnest(list_transform(range(1, len(toks)),
@@ -308,13 +308,13 @@ object TextQueries {
         |evs AS (SELECT DISTINCT unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 6),
         |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
-        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM (SELECT string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
         |        FROM ev) WHERE len(toks) >= 8),
         |cs AS (SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 6),
         |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
         |  FROM (SELECT doc_id,
-        |          string_split_regex(trim(text), '\s+') AS toks
+        |          string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
         |        FROM corpus) WHERE len(toks) >= 8)
         |SELECT DISTINCT doc_id FROM cs
         |WHERE s IN (SELECT s FROM evs) ORDER BY doc_id
@@ -376,7 +376,7 @@ object TextQueries {
         |    list_transform(range(1, len(toks) - 6),
         |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
         |  FROM (SELECT doc_id,
-        |          string_split_regex(trim(text), '\s+') AS toks
+        |          string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
         |        FROM corpus) WHERE len(toks) >= 8),
         |dupspans AS (SELECT s FROM (
         |    SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s)

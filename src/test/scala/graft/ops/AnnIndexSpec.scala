@@ -20,22 +20,30 @@ class AnnIndexSpec extends SparkSpec {
 
   private def queries = emb.filter(col("vec_id") >= 13 && col("vec_id") < 18)
 
-  test("incremental append equals one-shot rebuild, probe prunes " +
-      "partitions dynamically") {
+  // lazy fixtures so every test can run in isolation (no ordering
+  // dependency between tests in this suite)
+  private lazy val incrIndex: String = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-
     // incremental: base without the holdout, then the holdout appended
     AnnIndex.buildSignIndex(emb.filter(pmod(col("vec_id"), lit(5)) =!= 2),
       "vec_id", "embedding", hyper, 4, "t_ann_incr", overwrite = true)
     AnnIndex.appendBatch(emb.filter(pmod(col("vec_id"), lit(5)) === 2),
       "vec_id", "embedding", hyper, 4, "t_ann_incr")
+    "t_ann_incr"
+  }
+  private lazy val fullIndex: String = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     // rebuild: the full corpus banded in one shot
     AnnIndex.buildSignIndex(emb, "vec_id", "embedding", hyper, 4,
       "t_ann_full", overwrite = true)
+    "t_ann_full"
+  }
 
-    val pIncr = AnnIndex.probeTopK(spark, "t_ann_incr", queries,
+  test("incremental append equals one-shot rebuild, probe prunes " +
+      "partitions dynamically") {
+    val pIncr = AnnIndex.probeTopK(spark, incrIndex, queries,
       "vec_id", "embedding", hyper, 4, 10)
-    val pFull = AnnIndex.probeTopK(spark, "t_ann_full", queries,
+    val pFull = AnnIndex.probeTopK(spark, fullIndex, queries,
       "vec_id", "embedding", hyper, 4, 10)
     val a = pIncr.orderBy("q_id", "rank").collect().toSeq
     val b = pFull.orderBy("q_id", "rank").collect().toSeq
@@ -54,7 +62,7 @@ class AnnIndexSpec extends SparkSpec {
       "best cosine never drops") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     def best(multiprobe: Int): Map[Long, Long] =
-      AnnIndex.probeTopK(spark, "t_ann_full", queries, "vec_id",
+      AnnIndex.probeTopK(spark, fullIndex, queries, "vec_id",
           "embedding", hyper, 4, 10, multiprobe)
         .filter(col("rank") === 1)
         .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
@@ -93,11 +101,11 @@ class AnnIndexSpec extends SparkSpec {
 
   test("index table is partitioned by (band, bucket) and stores the " +
       "vector payload") {
-    val idx = spark.table("t_ann_full")
+    val idx = spark.table(fullIndex)
     assert(idx.columns.toSeq == Seq("id", "vec", "band", "bucket"))
     val cat = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst
-        .TableIdentifier("t_ann_full"))
+        .TableIdentifier(fullIndex))
     assert(cat.partitionColumnNames == Seq("band", "bucket"),
       s"expected (band, bucket) partitioning, got " +
         s"${cat.partitionColumnNames}")

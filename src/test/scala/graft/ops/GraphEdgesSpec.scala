@@ -12,11 +12,18 @@ class GraphEdgesSpec extends SparkSpec {
 
   private def li = spark.read.parquet(s"$sf/lineitem.parquet")
 
+  private def inline = GraphEdges.copurchaseSupport(li, "l_orderkey",
+    "l_partkey")
+
+  // lazy fixture: both tests can run in isolation
+  private lazy val storedTable: String = {
+    GraphEdges.shared(spark, "t_grf_edges_spec", inline)
+    "t_grf_edges_spec"
+  }
+
   test("stored layout equals the inline expansion; src-keyed reads " +
       "are exchange-free over the edge side") {
-    val inline = GraphEdges.copurchaseSupport(li, "l_orderkey",
-      "l_partkey")
-    val stored = GraphEdges.shared(spark, "t_grf_edges_spec", inline)
+    val stored = spark.table(storedTable)
     assert(stored.orderBy("src", "dst").collect().toSeq ==
       inline.orderBy("src", "dst").collect().toSeq)
 
@@ -32,7 +39,7 @@ class GraphEdgesSpec extends SparkSpec {
 
   test("consumers derive their graphs by filter/projection only " +
       "(label-prop threshold is a stored-column filter)") {
-    val stored = spark.table("t_grf_edges_spec")
+    val stored = spark.table(storedTable)
     val thresholded = stored.filter(col("support") >= 2)
       .select("src", "dst")
     val p = thresholded.queryExecution.executedPlan.toString

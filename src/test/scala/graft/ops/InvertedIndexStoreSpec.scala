@@ -12,15 +12,20 @@ class InvertedIndexStoreSpec extends SparkSpec {
 
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
 
-  test("append is the posting merge: incremental store assembles " +
-      "bit-identical to a full rebuild") {
+  // lazy fixture: every test can run in isolation
+  private lazy val store: String = {
     InvertedIndexStore.build(
       docs.filter(pmod(col("doc_id"), lit(3)) =!= 1),
       "doc_id", "text", "t_inv_incr", overwrite = true)
     InvertedIndexStore.append(
       docs.filter(pmod(col("doc_id"), lit(3)) === 1),
       "doc_id", "text", "t_inv_incr")
-    val merged = InvertedIndexStore.assemble(spark, "t_inv_incr")
+    "t_inv_incr"
+  }
+
+  test("append is the posting merge: incremental store assembles " +
+      "bit-identical to a full rebuild") {
+    val merged = InvertedIndexStore.assemble(spark, store)
       .orderBy("term").collect().toSeq
     val rebuilt = Retrieval.invertedIndex(docs, "doc_id", "text")
       .orderBy("term").collect().toSeq
@@ -28,7 +33,7 @@ class InvertedIndexStoreSpec extends SparkSpec {
   }
 
   test("term lookup reads only the term-prefix partitions") {
-    val lk = InvertedIndexStore.lookup(spark, "t_inv_incr",
+    val lk = InvertedIndexStore.lookup(spark, store,
       Seq("batch", "broadcast", "join"))
     val p = lk.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("p#"),
@@ -36,7 +41,7 @@ class InvertedIndexStoreSpec extends SparkSpec {
     // correctness of the pruned read: df per term matches the assembly
     val byTerm = lk.groupBy("term").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val full = InvertedIndexStore.assemble(spark, "t_inv_incr")
+    val full = InvertedIndexStore.assemble(spark, store)
       .filter(col("term").isin("batch", "broadcast", "join"))
       .select("term", "df").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -45,7 +50,7 @@ class InvertedIndexStoreSpec extends SparkSpec {
 
   test("BM25 from the store is bit-identical to payload scoring") {
     val fromStore = InvertedIndexStore.bm25FromStore(spark,
-        "t_inv_incr", Seq("batch", "join", "filter"), k = 10)
+        store, Seq("batch", "join", "filter"), k = 10)
       .orderBy("rank").collect().toSeq
     val payload = Retrieval.bm25TopK(docs, "doc_id", "text",
         Seq("batch", "join", "filter"), k = 10)
