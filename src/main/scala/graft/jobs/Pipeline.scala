@@ -48,6 +48,31 @@ object Pipeline {
                        partitionCol: String): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
 
+  /** REPLAY-IDEMPOTENT day-partitioned sink — closes the replay
+    * hazard the reference ships: its loads are WRITE_APPEND under
+    * Airflow retries (dags/pipeline.py:246,258,271 + per-task
+    * `retries`), so a load that dies after commit and is retried
+    * double-appends the day's rows. Dynamic partition overwrite
+    * replaces exactly the partitions PRESENT IN THIS BATCH: a retried
+    * same-day load lands byte-identical (gate q_partition_replay
+    * hash-pins re-run ≡ single run), other days' partitions are
+    * untouched, and downstream readers keep the same pruned layout.
+    * At 100 TB this is the difference between "retries are safe" and
+    * "every retry needs a manual dedup pass". */
+  def writePartitionedIdempotent(df: DataFrame, path: String,
+                                 partitionCol: String): Unit = {
+    val s = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Bucketed managed-table sink: pre-shuffles rows into `buckets`
     * files by `bucketCol` so later equi-joins/aggregations on that key
     * read co-located data and plan with ZERO exchanges. The Spark

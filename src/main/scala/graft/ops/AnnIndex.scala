@@ -88,20 +88,31 @@ object AnnIndex {
   def codebookTable(table: String): String = s"${table}_cb"
 
   /** Nearest-centroid id for each row, against the (c_id, cv)
-    * codebook — exact-cosine argmin, ties to the smaller c_id. The
-    * codebook is KB-sized and broadcast; assignment is one pass. */
-  private def assignCluster(df: DataFrame, idCol: String, vecCol: String,
-                            codebook: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
-      .orderBy(col("__c_cos").desc, col("c_id").asc)
-    df.crossJoin(broadcast(codebook))
-      .withColumn("__c_cos", graft.functions.GraftFunctions
-        .cosineMilli(col(vecCol), col("cv")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        col("c_id").as("cluster"))
+    * codebook — exact-cosine argmax, ties to the smaller c_id.
+    *
+    * The codebook is KB-sized by contract, so it folds into the row
+    * expression as LITERALS (the [[Clustering.kmeansAssign]] argmin
+    * discipline): one codegen'd projection per row — no crossJoin
+    * n×k expansion, no Window, no shuffle beyond the write clustering
+    * (AnnIndexSpec pins the plan shape). Ties break to the smaller
+    * c_id via the negated id inside the max-struct order. */
+  private[ops] def assignCluster(df: DataFrame, idCol: String,
+                                 vecCol: String,
+                                 codebook: DataFrame): DataFrame = {
+    val cents = codebook
+      .select(col("c_id").cast("long"), col("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1)
+    val cands = array(cents.map { case (cid, cv) =>
+      struct(
+        graft.functions.GraftFunctions
+          .cosineMilli(col(vecCol), array(cv.map(lit(_)): _*))
+          .as("cos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        (-array_max(cands).getField("ncid")).as("cluster"))
       // one file per cluster per write (write-compacted discipline)
       .repartition(col("cluster"))
   }

@@ -545,12 +545,17 @@ object AggQueries {
         val sketch = ev
           .select(xxhash64(col("event_type")).as("h")).as[Long]
           .select(cms.toColumn.name("sketch")).head()
-        val keys = ev
-          .select(col("event_type"), xxhash64(col("event_type")).as("h"))
-          .distinct().collect()
-        keys.map(r => (r.getString(0),
-            cms.estimate(sketch, r.getLong(1)))).toSeq
-          .toDF("event_type", "cms_count")
+        // estimate DISTRIBUTED over the key frame: the sketch (a
+        // depth×width array, KB-sized) ships to executors in the
+        // estimator's closure — the keys themselves never visit the
+        // driver, so the gate stays safe if re-pointed at a
+        // high-cardinality column. (A udf, not an expression, because
+        // the splitmix64 row hash needs wrapping i64 multiplies and
+        // ANSI-mode long arithmetic throws on overflow.)
+        val est = udf((h: Long) => cms.estimate(sketch, h))
+        ev.select(col("event_type"), xxhash64(col("event_type")).as("h"))
+          .distinct()
+          .select(col("event_type"), est(col("h")).as("cms_count"))
           .orderBy("event_type")
       },
       Some("""

@@ -21,7 +21,8 @@ object CorpusQueries {
     // stats, then the appended halves) — a death mid-sequence must
     // re-run it, not leave later gates reading a store missing the
     // holdout
-    Sinks.ensureBuilt(s, s"${tbl}_ok") {
+    Sinks.ensureBuilt(s, s"${tbl}_ok",
+      requires = Seq(tbl, graft.ops.InvertedIndexStore.docsTable(tbl))) {
       val docs = documents(s, d)
       graft.ops.InvertedIndexStore.build(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
@@ -32,6 +33,12 @@ object CorpusQueries {
     }
     tbl
   }
+
+  /** One-time content-addressed store builds (see
+    * [[SimQueries.prepares]] for the rationale). */
+  def prepares: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
+    "inverted_index" -> ((s, d) => { incrIndexTable(s, d); () }))
 
   def all: Seq[Q] = Seq(
 

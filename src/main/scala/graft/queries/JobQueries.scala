@@ -69,14 +69,30 @@ object JobQueries {
   /** Deterministic planted feed for the quarantine gate: 2 of 4 JSON
     * lines and 1 of 3 CSV rows are malformed (syntax error; string
     * where the schema says long). Written once to a constant temp
-    * location (content is fixed, so re-writing is idempotent). */
+    * location. Content is fixed, so the files are written only when
+    * absent, via temp-name + atomic rename — a plain truncating
+    * rewrite would let a concurrent consumer (q_source_quarantine and
+    * q_stream_quarantine share the dir) read a half-written file. */
   private[queries] def quarantineFixtureDir(): String = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_quarantine_fix_v1")
     dir.mkdirs()
-    def put(name: String, content: String): Unit =
-      java.nio.file.Files.writeString(
-        new java.io.File(dir, name).toPath, content)
+    def put(name: String, content: String): Unit = {
+      val dst = new java.io.File(dir, name).toPath
+      if (!java.nio.file.Files.exists(dst)) {
+        val tmp = java.nio.file.Files.createTempFile(
+          dir.toPath, s".$name.", ".tmp")
+        java.nio.file.Files.writeString(tmp, content)
+        try java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent writer won the rename: its content is
+          // identical by construction — drop ours
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmp)
+        }
+      }
+    }
     put("feed.json",
       """{"id": 1, "v": "alpha"}
         |{"id": 2 "v": "beta"}

@@ -11,27 +11,58 @@ object Sinks {
     * re-entry instead of a later gate silently serving a half-built
     * store. Single-CTAS sinks don't need this — the catalog entry
     * itself is their completion marker (CTAS registers only after a
-    * successful write). */
+    * successful write).
+    *
+    * `requires` lists the DATA tables the marker vouches for: the
+    * marker alone is not trusted, because a maintenance pass can
+    * remove a data table while the marker survives (e.g.
+    * [[graft.ops.Compaction.compactPartitionedTable]] dying between
+    * its DROP and the staged RENAME) — if any required table is
+    * missing the marker is dropped and the sequence re-runs. */
   def ensureBuilt(s: org.apache.spark.sql.SparkSession,
-                  marker: String)(build: => Unit): Unit = {
-    if (!s.catalog.tableExists(marker)) {
-      build
+                  marker: String, requires: Seq[String] = Seq.empty)
+                 (build: => Unit): Unit = {
+    val complete = s.catalog.tableExists(marker) &&
+      requires.forall(s.catalog.tableExists)
+    if (!complete) {
       graft.ops.Compaction.dropManagedTable(s, marker)
+      build
       import s.implicits._
       Seq(1).toDF("ok").write.format("parquet")
         .mode("overwrite").saveAsTable(marker)
     }
   }
 
-  /** Content key for idempotent side-channel sinks: stable while the
-    * source file is unchanged, different after regeneration. Fold
+  /** Content key for idempotent side-channel sinks: an MD5 over the
+    * source file's actual BYTES (plus `extra`), so a regeneration that
+    * happens to preserve byte length within mtime granularity still
+    * changes the key — (length, mtime) keys cannot promise that. Fold
     * anything that changes the written CONTENT (operator parameters
-    * included) into `extra`, or a stale sink silently verifies. */
+    * included) into `extra`, or a stale sink silently verifies.
+    * Memoized per (path, length, mtime) so repeated calls in a session
+    * don't re-read the file; a changed file re-hashes. */
   def contentKey(d: String, file: String, extra: String = ""): String = {
     val src = new java.io.File(s"$d/$file")
+    val memoKey = (src.getAbsolutePath, src.length, src.lastModified)
+    val bytesHex = hashMemo.computeIfAbsent(memoKey, _ => hashFile(src))
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|${src.length}|${src.lastModified}|$extra"
-        .getBytes("UTF-8"))
+      .digest(s"$d|$bytesHex|$extra".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
+  }
+
+  private val hashMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+
+  private def hashFile(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (f.isFile) {
+      val in = new java.io.FileInputStream(f)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    } else md.update(s"${f.length}|${f.lastModified}".getBytes("UTF-8"))
+    md.digest().map(b => f"$b%02x").mkString
   }
 }

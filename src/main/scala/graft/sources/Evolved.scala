@@ -21,13 +21,27 @@ object Evolved {
   /** Merged read over every snapshot under `path`, with rename
     * reconciliation: for each `oldName -> newName`, the unified column
     * is `coalesce(newName, oldName)` (new files carry newName, old
-    * files carry oldName — exactly one is non-null per row). */
+    * files carry oldName — exactly one is non-null per row).
+    *
+    * A configured rename whose eras are not both present degrades
+    * gracefully: if only the old name exists in the merged schema it
+    * is aliased to the new name (a path holding only pre-rename
+    * snapshots), if only the new name exists the row is passed through
+    * (all snapshots post-rename), and if neither exists the rename is
+    * ignored — referencing both unconditionally would throw
+    * AnalysisException on single-era subsets. */
   def readMerged(s: SparkSession, path: String,
                  renames: Map[String, String] = Map.empty): DataFrame = {
     val merged = s.read.option("mergeSchema", "true").parquet(path)
     renames.foldLeft(merged) { case (df, (oldName, newName)) =>
-      df.withColumn(newName, coalesce(col(newName), col(oldName)))
-        .drop(oldName)
+      val cols = df.columns.toSet
+      (cols.contains(oldName), cols.contains(newName)) match {
+        case (true, true) =>
+          df.withColumn(newName, coalesce(col(newName), col(oldName)))
+            .drop(oldName)
+        case (true, false) => df.withColumnRenamed(oldName, newName)
+        case _             => df
+      }
     }
   }
 }

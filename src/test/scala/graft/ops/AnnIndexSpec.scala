@@ -99,6 +99,40 @@ class AnnIndexSpec extends SparkSpec {
       s"IVF probe must dynamically prune cluster partitions:\n$plan")
   }
 
+  test("IVF assignment is one codegen'd projection: no Window, no " +
+      "join expansion, only the write-clustering exchange") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val asg = AnnIndex.assignCluster(emb, "vec_id", "embedding", cents)
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"assignment must not rank via a window:\n$plan")
+    assert(!plan.toLowerCase.contains("join"),
+      s"assignment must not expand rows via a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"only the write-clustering repartition may shuffle " +
+        s"(found $exchanges):\n$plan")
+    // and the literal-codebook argmax must agree with the windowed
+    // formulation it replaced (same cosine kernel, ties to smaller id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("__c_cos").desc, col("c_id").asc)
+    val ref = emb.crossJoin(broadcast(cents))
+      .withColumn("__c_cos", graft.functions.GraftFunctions
+        .cosineMilli(col("embedding"), col("cv")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id").as("id"), col("c_id").as("cluster"))
+    val got = asg.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ref.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "argmax assignment must equal windowed argmax")
+  }
+
   test("index table is partitioned by (band, bucket) and stores the " +
       "vector payload") {
     val idx = spark.table(fullIndex)
