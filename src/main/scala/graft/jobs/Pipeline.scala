@@ -85,8 +85,50 @@ object Pipeline {
     graft.ops.Bucketing.writeBucketed(df, table, bucketCol, buckets,
       overwrite = true)
 
+  /** RESUMABLE chain execution — the retry/skip/resume story the
+    * reference delegates to Airflow (jobs trap everything to
+    * sys.exit(1) and the DAG retries the task:
+    * merge_dedup.py:67-68, dags/pipeline.py task `retries`): each
+    * sink write is guarded by a per-step completion marker beside the
+    * output (the Sinks.ensureBuilt pattern at file level), so a
+    * re-run after a mid-chain death SKIPS finished sinks and resumes
+    * at the first incomplete one. Death windows:
+    *  - during a write → no marker; the retry re-runs the step, and
+    *    the idempotent partition overwrite makes the second landing
+    *    byte-identical (no double-append);
+    *  - between write and marker → same as above: re-run is a no-op
+    *    on the data, then the marker lands.
+    * Returns the step names actually executed this invocation.
+    * `onStepWritten` is a test seam, called after a step's write but
+    * BEFORE its marker — throwing there simulates the second death
+    * window (PipelineSpec kill-and-rerun). */
+  def runResumable(spark: SparkSession, propnexJson: String,
+                   srxJson: String, historicalCsvDir: String, dims: Dims,
+                   runDate: LocalDate, outDir: String,
+                   onStepWritten: String => Unit = _ => ()): Seq[String] = {
+    val (merged, histOut) = run(spark, propnexJson, srxJson,
+      historicalCsvDir, dims, runDate)
+    val steps: Seq[(String, () => Unit)] = Seq(
+      "scraped" -> (() => writePartitionedIdempotent(
+        merged, s"$outDir/scraped", "transformed_date")),
+      "historical" -> (() => writePartitionedIdempotent(
+        histOut, s"$outDir/historical", "date_of_sale")))
+    steps.flatMap { case (name, write) =>
+      val marker = new java.io.File(outDir, s"_graft_done_$name")
+      if (marker.exists()) None
+      else {
+        write()
+        onStepWritten(name)
+        marker.getParentFile.mkdirs()
+        marker.createNewFile()
+        Some(name)
+      }
+    }
+  }
+
   /** CLI: <propnexJson> <srxJson> <historicalCsvDir> <dimsDir> <outDir>
-    * [runDate]. */
+    * [runDate]. Resumable: re-invoking after a failure completes the
+    * remaining steps (see [[runResumable]]). */
   def main(args: Array[String]): Unit = {
     val Array(pn, srx, hist, dimsDir, outDir) = args.take(5)
     val runDate = args.lift(5).map(LocalDate.parse)
@@ -96,10 +138,8 @@ object Pipeline {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
-    val (merged, histOut) = run(spark, pn, srx, hist,
-      readDims(spark, dimsDir), runDate)
-    writePartitioned(merged, s"$outDir/scraped", "transformed_date")
-    writePartitioned(histOut, s"$outDir/historical", "date_of_sale")
+    runResumable(spark, pn, srx, hist, readDims(spark, dimsDir),
+      runDate, outDir)
     spark.stop()
   }
 }

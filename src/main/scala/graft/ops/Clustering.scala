@@ -52,31 +52,31 @@ object Clustering {
     * present (they seed the codebook). Ties go to the smaller centroid
     * id; a cluster that loses all members keeps its previous centroid.
     * `dist_sq` is the exact integer squared-L2 to the FINAL centroid. */
-  def kmeansAssign(df: DataFrame, idCol: String, qvCol: String,
-                   k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 1, "kmeansAssign needs k >= 1, iters >= 1")
-    val in = df.select(col(idCol).cast("long").as("id"),
-      col(qvCol).as("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  // argmin over the literal codebook inside ONE projection:
+  // min of (dist, cid) structs = nearest centroid, ties to smaller id
+  private def assignCol(cs: Seq[(Long, Seq[Long])]): Column = {
+    val cands = array(cs.map { case (cid, cv) =>
+      struct(
+        l2sqLong(array(cv.map(lit): _*), col("qv")).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    array_min(cands)
+  }
+
+  /** The Lloyd loop over a persisted `(id, qv)` frame: seed from rows
+    * with id < k, run exactly `iters` assignment/update rounds, return
+    * the FINAL centroids. Shared by [[kmeansAssign]] (which projects
+    * the assignment) and [[kmeansCentroids]] (which returns the
+    * codebook itself — e.g. as a trained PQ/IVF seed). */
+  private def lloyd(in: DataFrame, k: Int,
+                    iters: Int): Seq[(Long, Seq[Long])] = {
     // seed codebook: rows with id < k (KB-sized collect, k·dim longs)
     var cents: Seq[(Long, Seq[Long])] = in.filter(col("id") < k)
       .collect().map(r =>
         r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
     require(cents.size == k,
-      s"kmeansAssign: expected ids 0..${k - 1} to seed the codebook, " +
+      s"kmeans: expected ids 0..${k - 1} to seed the codebook, " +
         s"found ${cents.size}")
-
-    // argmin over the literal codebook inside ONE projection:
-    // min of (dist, cid) structs = nearest centroid, ties to smaller id
-    def assignCol(cs: Seq[(Long, Seq[Long])]): Column = {
-      val cands = array(cs.map { case (cid, cv) =>
-        struct(
-          l2sqLong(array(cv.map(lit): _*), col("qv")).as("d"),
-          lit(cid).as("cid"))
-      }: _*)
-      array_min(cands)
-    }
-
     for (_ <- 1 to iters) {
       val assigned = in.withColumn("cluster",
         assignCol(cents).getField("cid"))
@@ -98,6 +98,30 @@ object Clustering {
         cid -> byCluster.getOrElse(cid, prev)
       }
     }
+    cents
+  }
+
+  /** The TRAINED codebook alone — the final centroids after `iters`
+    * Lloyd rounds, for callers that want a data-trained quantizer
+    * (PQ/IVF codebook seeding) rather than the assignment. Same seed,
+    * arithmetic, and dataflow as [[kmeansAssign]], so the DuckDB twin
+    * is [[oracleCtes]]'s `c<iters>` CTE. */
+  def kmeansCentroids(df: DataFrame, idCol: String, qvCol: String,
+                      k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
+    require(k >= 1 && iters >= 1, "kmeansCentroids needs k, iters >= 1")
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(qvCol).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try lloyd(in, k, iters) finally in.unpersist()
+  }
+
+  def kmeansAssign(df: DataFrame, idCol: String, qvCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansAssign needs k >= 1, iters >= 1")
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(qvCol).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloyd(in, k, iters)
     val best = assignCol(cents)
     // materialize the final projection (id/cluster/dist_sq — 3 narrow
     // columns) off the cache BEFORE unpersisting, so the "quantized
@@ -118,49 +142,53 @@ object Clustering {
   /** The CTE chain replaying [[kmeansAssign]] in DuckDB, UNROLLED like
     * [[PageRank.oracleSql]] (recursive CTEs cannot aggregate over the
     * recursive table): `vecsSql` must be a SELECT producing
-    * `(id BIGINT, qv BIGINT[dim])`. Ends with CTE `asg(id, cluster,
+    * `(id BIGINT, qv BIGINT[dim])`. Ends with CTE `<p>asg(id, cluster,
     * dist_sq)` — the final assignment — so SemDeDup-style oracles can
-    * keep building. Generated by the same object that documents the
-    * iteration so the Spark loop and the SQL twin can never drift. */
-  def oracleCtes(vecsSql: String, k: Int, iters: Int, dim: Int): String = {
+    * keep building; `<p>c<iters>` is the trained codebook. `p`
+    * prefixes every CTE name so several independent chains can share
+    * one WITH clause (the per-subspace PQ training runs 8). Generated
+    * by the same object that documents the iteration so the Spark
+    * loop and the SQL twin can never drift. */
+  def oracleCtes(vecsSql: String, k: Int, iters: Int, dim: Int,
+                 p: String = ""): String = {
     val d = distSql(dim) _
     val base =
-      s"""v AS ($vecsSql),
-         |c0 AS (SELECT id AS cid, qv AS cv FROM v WHERE id < $k)""".stripMargin
+      s"""${p}v AS ($vecsSql),
+         |${p}c0 AS (SELECT id AS cid, qv AS cv FROM ${p}v WHERE id < $k)""".stripMargin
     val steps = (1 to iters).flatMap { i =>
-      val prev = s"c${i - 1}"
+      val prev = s"${p}c${i - 1}"
       Seq(
         // assignment under the previous codebook
-        s"""a$i AS (SELECT id, qv, cid AS cluster FROM (
+        s"""${p}a$i AS (SELECT id, qv, cid AS cluster FROM (
            |  SELECT v.id, v.qv, c.cid, row_number() OVER (
            |      PARTITION BY v.id
            |      ORDER BY ${d("v.qv", "c.cv")}, c.cid) AS rn
-           |  FROM v, $prev c) WHERE rn = 1)""".stripMargin,
+           |  FROM ${p}v v, $prev c) WHERE rn = 1)""".stripMargin,
         // centroid update: exact integer floor-division mean; empty
         // clusters carry the previous centroid forward
-        s"""c$i AS (
+        s"""${p}c$i AS (
            |  SELECT cluster AS cid, list(m ORDER BY i) AS cv FROM (
            |    SELECT cluster, i,
            |      CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS m
            |    FROM (SELECT a.cluster, t.i,
            |        CAST(sum(a.qv[t.i]) AS BIGINT) AS s,
            |        CAST(count(*) AS BIGINT) AS n
-           |      FROM a$i a, unnest(range(1, ${dim + 1})) AS t(i)
+           |      FROM ${p}a$i a, unnest(range(1, ${dim + 1})) AS t(i)
            |      GROUP BY a.cluster, t.i))
            |  GROUP BY cluster
            |  UNION ALL
            |  SELECT cid, cv FROM $prev
-           |  WHERE cid NOT IN (SELECT DISTINCT cluster FROM a$i))""".stripMargin)
+           |  WHERE cid NOT IN (SELECT DISTINCT cluster FROM ${p}a$i))""".stripMargin)
     }
     // final assignment under the FINAL codebook, mirroring the Spark
     // side's post-loop projection
     val fin =
-      s"""asg AS (SELECT id, cluster, dist_sq FROM (
+      s"""${p}asg AS (SELECT id, cluster, dist_sq FROM (
          |  SELECT v.id, c.cid AS cluster,
          |    CAST(${d("v.qv", "c.cv")} AS BIGINT) AS dist_sq,
          |    row_number() OVER (PARTITION BY v.id
          |      ORDER BY ${d("v.qv", "c.cv")}, c.cid) AS rn
-         |  FROM v, c$iters c) WHERE rn = 1)""".stripMargin
+         |  FROM ${p}v v, ${p}c$iters c) WHERE rn = 1)""".stripMargin
     (base +: steps :+ fin).mkString(",\n")
   }
 

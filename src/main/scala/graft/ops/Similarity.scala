@@ -113,11 +113,13 @@ object Similarity {
     * bands/r so it is negligible at the target J. */
   def nearDupPairs(docs: DataFrame, k: Int = 32, bands: Int = 16,
                    thresholdMilli: Int = 800): DataFrame = {
-    // same materialization barrier as lshCandidatePairs: compute the
-    // shingle arrays once, let every downstream consumer (signature,
-    // both verify sides) read the stored column
+    // EAGER shingle materialization: three consumers (the banding
+    // pipeline and both verify payload sides) and two of them are
+    // broadcast/build-side subtrees exchange reuse cannot serve —
+    // same rationale as [[setSimilarityPairsExact]]'s checkpoint
     val mat = docs.select(col("id"), col("shingles"))
       .repartition(barrierPartitions(docs), col("id"))
+      .localCheckpoint()
     val cands = lshCandidatePairs(mat, k, bands)
     val sa = mat.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = mat.select(col("id").as("id_b"), col("shingles").as("sh_b"))
@@ -159,9 +161,21 @@ object Similarity {
   def setSimilarityPairsExact(docs: DataFrame,
                               thresholdMilli: Int): DataFrame = {
     val n0 = barrierPartitions(docs)
+    // EAGER materialization (localCheckpoint), not just an exchange
+    // barrier: this plan fans out — the prefix table feeds BOTH
+    // self-join sides and the shingle table BOTH payload sides, and
+    // exchange reuse does not cover a broadcast side (the build side
+    // wraps in a BroadcastExchange, a different node than the probe
+    // side's shuffle, so the planner re-derives the whole subtree:
+    // measured as the full scan→shingle→freq→pack pipeline appearing
+    // 2× and the corpus shingling 4× in the physical plan). Storing
+    // the signature/prefix tables once and re-reading blocks is the
+    // same "write the signature table once" shape the LSH path
+    // documents — at scale these ARE stored tables.
     val mat = docs.select(col("id"),
         array_distinct(col("shingles")).as("shingles"))
       .repartition(n0, col("id"))
+      .localCheckpoint()
     val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))
     // prefix extraction via per-doc array sort (hash aggregate +
@@ -185,6 +199,9 @@ object Similarity {
         // 1-based position in the rare-first token order (slice starts
         // at element 1, so posexplode's 0-based pos + 1 is global)
         (col("pos") + 1).as("i"))
+      // narrow (id, n, t, i) rows, stored once, read by both join
+      // sides — see the materialization note on `mat`
+      .localCheckpoint()
     // length filter (PPJoin): J(A,B) >= t forces t·|B| <= |A| (and
     // symmetrically), so size-mismatched collisions die before the
     // distinct and the verify joins. Positional filter (Xiao et al.

@@ -266,6 +266,41 @@ object MergeQueries {
         |  AND v.valid_from <= c.ts_us
         |  AND (v.valid_to IS NULL OR c.ts_us < v.valid_to)
         |ORDER BY click_id
+        |""".stripMargin.trim)),
+
+    // ---- replay-idempotent day-partitioned load -----------------------
+    // The reference's loads are WRITE_APPEND under Airflow retries
+    // (dags/pipeline.py:246,258,271) — a retried load double-appends
+    // the day's rows. Pipeline.writePartitionedIdempotent is the fix
+    // (dynamic partition overwrite); this gate RUNS THE REPLAY: the
+    // same month of orders is loaded twice into the sink, and the
+    // hash-checked oracle holds single-copy counts — a double-append
+    // would double every row and fail the gate.
+    Q("q_partition_replay",
+      (s, d) => {
+        val key = Sinks.contentKey(d, "orders.parquet", "replay|v1")
+        val out = s"/tmp/graft_replay_$key"
+        val day = orders(s, d)
+          .filter(col("o_orderdate").between("1995-01-01", "1995-01-31"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            cents(col("o_totalprice")).as("price_c"),
+            col("o_orderdate"))
+        graft.jobs.Pipeline.writePartitionedIdempotent(
+          day, out, "o_orderdate")
+        // the retry — byte-identical batch, same partitions
+        graft.jobs.Pipeline.writePartitionedIdempotent(
+          day, out, "o_orderdate")
+        s.read.parquet(out)
+          .select(col("o_orderkey"), col("o_custkey"), col("price_c"),
+            col("o_orderdate").cast(DateType).as("o_orderdate"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        |SELECT o_orderkey, o_custkey,
+        |  ${centsSql("o_totalprice")} AS price_c, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+        |ORDER BY o_orderkey
         |""".stripMargin.trim))
   )
 }

@@ -209,6 +209,64 @@ class PipelineSpec extends SparkSpec {
       == "https://example.com/srx/9") // fewer nulls → srx wins
   }
 
+  test("kill-and-rerun: a death after the first sink's write resumes " +
+      "at the second, and no sink double-appends") {
+    val outDir = Files.createTempDirectory("graft-resume").toString
+    val dims = Pipeline.Dims(districtCode, districtRegion, townDistrict,
+      agencyId)
+    val pnPath = writeTemp("pn.json", propnexRawJson)
+    val srxPath = writeTemp("srx.json", srxRawJson)
+    val histDir = writeTemp("hist.csv", histCsv)
+
+    // first attempt dies between the scraped write and its marker —
+    // the worst window: data landed, completion not recorded
+    val boom = intercept[RuntimeException] {
+      Pipeline.runResumable(spark, pnPath, srxPath, histDir, dims,
+        runDate, outDir,
+        onStepWritten = n => if (n == "scraped")
+          throw new RuntimeException("simulated death"))
+    }
+    assert(boom.getMessage == "simulated death")
+    assert(!new java.io.File(outDir, "_graft_done_scraped").exists())
+    assert(new java.io.File(outDir, "scraped").exists(),
+      "the write itself completed before the death")
+
+    // retry: re-runs scraped (idempotent overwrite — no duplication),
+    // then completes historical
+    val ran = Pipeline.runResumable(spark, pnPath, srxPath, histDir,
+      dims, runDate, outDir)
+    assert(ran == Seq("scraped", "historical"))
+    val scraped = spark.read.parquet(s"$outDir/scraped")
+    val hist = spark.read.parquet(s"$outDir/historical")
+    assert(scraped.count() == 3, "replayed day must hold ONE copy")
+    assert(hist.count() == 2)
+
+    // a third, fully-completed re-run is a pure no-op
+    val ran2 = Pipeline.runResumable(spark, pnPath, srxPath, histDir,
+      dims, runDate, outDir)
+    assert(ran2.isEmpty)
+    assert(spark.read.parquet(s"$outDir/scraped").count() == 3)
+  }
+
+  test("writePartitionedIdempotent: a replayed day's load is a no-op; " +
+      "other days' partitions survive") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft-replay").toString
+    val day1 = Seq((1L, "a", "2024-11-01"), (2L, "b", "2024-11-01"))
+      .toDF("k", "v", "day")
+    val day2 = Seq((3L, "c", "2024-11-02")).toDF("k", "v", "day")
+    Pipeline.writePartitionedIdempotent(day1, path, "day")
+    Pipeline.writePartitionedIdempotent(day2, path, "day")
+    // the retry: day1 lands again — must replace, not append
+    Pipeline.writePartitionedIdempotent(day1, path, "day")
+    val got = spark.read.parquet(path)
+      .select(col("k"), col("v"), col("day").cast("string"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "a", "2024-11-01"), (2L, "b", "2024-11-01"),
+      (3L, "c", "2024-11-02")))
+  }
+
   test("historical: golden rows + 17-col schema") {
     val out = HistoricalJob.transform(
       spark.read.schema(Schemas.historicalRaw).option("header", "true")
