@@ -141,6 +141,13 @@ object ClusterQueries {
        |      ORDER BY cos_milli DESC, vec_id) AS rank FROM scored)""".stripMargin
   }
 
+  /** One-time trained-artifact builds (see [[SimQueries.prepares]]):
+    * the per-subspace PQ codebook training is a corpus-refresh cost,
+    * not a query cost — without this the alphabetically-first PQ gate
+    * pays all 8 k-means runs inside its timed window. */
+  def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "pq_codebooks" -> ((s, d) => { pqTopK(s, d); () }))
+
   def all: Seq[Q] = Seq(
 
     // ---- integer-exact k-means (k=8, 3 Lloyd iterations) -------------
