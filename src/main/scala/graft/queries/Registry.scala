@@ -34,5 +34,6 @@ object Registry {
     * is missing — this pass only moves WHERE the cost lands. */
   def prepares: Seq[(String, (SparkSession, String) => Unit)] =
     SimQueries.prepares ++ AnalyticsQueries.prepares ++
-      CorpusQueries.prepares ++ ClusterQueries.prepares
+      CorpusQueries.prepares ++ ClusterQueries.prepares ++
+      EvalArtifacts.prepares
 }

@@ -115,6 +115,33 @@ object SimQueries {
     tbl
   }
 
+  /** Stored corpus-side LSH artifacts for the incremental near-dup
+    * path — the daily-path discipline
+    * [[Similarity.nearDupPairsAgainstBuckets]] prescribes ("store
+    * bucketize's output"): the (id, __bucket) banding table and the
+    * (id, shingles) payload of the ORIGINAL corpus (ids < 1e6),
+    * content-keyed and marker-guarded (two writes). Each increment
+    * then pays banding over the BATCH only. */
+  private def corpusLshTables(s: SparkSession,
+                              d: String): (String, String) = {
+    val key = Sinks.contentKey(d, "documents.parquet", "lshc|k32b16|v1")
+    val bT = s"lsh_cbuckets_$key"
+    val shT = s"lsh_cshingles_$key"
+    Sinks.ensureBuilt(s, s"lsh_corpus_${key}_ok",
+      requires = Seq(bT, shT)) {
+      val cs = corpus(s, d).filter(col("id") < 1000000L)
+        .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+        .filter(size(col("shingles")) > 0)
+        .select("id", "shingles")
+      graft.ops.Compaction.dropManagedTable(s, shT)
+      cs.write.format("parquet").mode("overwrite").saveAsTable(shT)
+      graft.ops.Compaction.dropManagedTable(s, bT)
+      Similarity.bucketize(s.table(shT), k = 32, bands = 16)
+        .write.format("parquet").mode("overwrite").saveAsTable(bT)
+    }
+    (bT, shT)
+  }
+
   /** One-time content-addressed store builds the gates above consume —
     * run untimed by the bench harness ([[Registry.prepares]]): in a
     * metastore-backed deployment these are paid once per corpus
@@ -124,7 +151,8 @@ object SimQueries {
     "neardup_components" -> ((s, d) => { neardupComponents(s, d); () }),
     "simhash_detected" -> ((s, d) => { simhashDetected(s, d); () }),
     "ann_lsh_index" -> ((s, d) => { lshIndexTable(s, d); () }),
-    "ann_ivf_index" -> ((s, d) => { ivfIndexTable(s, d); () }))
+    "ann_ivf_index" -> ((s, d) => { ivfIndexTable(s, d); () }),
+    "lsh_corpus_store" -> ((s, d) => { corpusLshTables(s, d); () }))
 
   /** Brute-force ground-truth Jaccard pairs over the corpus — the ONE
     * oracle both q_neardup_minhash_lsh and q_setsim_prefix_join
@@ -548,13 +576,16 @@ object SimQueries {
     // pairs.
     Q("q_incr_neardup",
       (s, d) => {
-        val withSh = corpus(s, d)
+        // corpus-side artifacts come from the STORE (corpusLshTables)
+        // — the daily path: the increment pays banding over the batch
+        // only, plus the bucket equi-join and the per-candidate verify
+        val (bT, shT) = corpusLshTables(s, d)
+        val batchSide = corpus(s, d).filter(col("id") >= 1000000L)
           .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
           .filter(size(col("shingles")) > 0)
           .select("id", "shingles")
-        val corpusSide = withSh.filter(col("id") < 1000000L)
-        val batchSide = withSh.filter(col("id") >= 1000000L)
-        Similarity.nearDupPairsAgainst(batchSide, corpusSide,
+        Similarity.nearDupPairsAgainstBuckets(batchSide,
+            s.table(bT), s.table(shT),
             k = 32, bands = 16, thresholdMilli = 800)
           .orderBy("id_new", "id_corpus")
       },

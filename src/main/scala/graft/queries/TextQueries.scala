@@ -289,9 +289,9 @@ object TextQueries {
           col("text"))
         val corpus = docs.filter(col("doc_id") % 50 =!= 0)
           .select("doc_id", "text").unionByName(planted)
-        val evalShingles = eval_
-          .select(explode(TextOps.wordShingles(col("text"), 8)).as("s"))
-          .distinct()
+        // stored eval-shingle artifact (EvalArtifacts): the eval suite
+        // is frozen once; per-batch decontamination reads it
+        val evalShingles = s.table(EvalArtifacts.evalShingleTable(s, d))
         corpus
           .select(col("doc_id"),
             explode(TextOps.wordShingles(col("text"), 8)).as("s"))
