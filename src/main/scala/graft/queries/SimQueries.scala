@@ -187,6 +187,35 @@ object SimQueries {
       s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))) + 0.5) AS BIGINT)"
   }
 
+  /** The ONE IVF oracle CTE chain (codebook → assignment → probes →
+    * exact re-rank over probed clusters), ending at
+    * `ranked(q_id, vec_id, cos_milli, rank)`. Three gates build on it
+    * verbatim — inline IVF, persisted IVF, and the recall companion —
+    * so the semantics cannot drift between them. */
+  private lazy val ivfOracleCtes: String = s"""
+    |cents AS (SELECT vec_id AS c_id, embedding AS cv
+    |    FROM embeddings WHERE vec_id < 8),
+    |assigned AS (SELECT vec_id, cluster, embedding FROM (
+    |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
+    |      row_number() OVER (PARTITION BY e.vec_id
+    |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+    |                 c.c_id ASC) AS rn
+    |    FROM embeddings e, cents c) WHERE rn = 1),
+    |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+    |    WHERE vec_id >= 8 AND vec_id < 13),
+    |probes AS (SELECT q_id, qv, cluster FROM (
+    |    SELECT q.q_id, q.qv, c.c_id AS cluster,
+    |      row_number() OVER (PARTITION BY q.q_id
+    |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id ASC) AS rn
+    |    FROM q, cents c) WHERE rn <= 2),
+    |ranked AS (SELECT q_id, vec_id, cos_milli,
+    |    row_number() OVER (PARTITION BY q_id
+    |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
+    |  FROM (SELECT p.q_id, a.vec_id,
+    |      ${cosSql("p.qv", "a.embedding")} AS cos_milli
+    |    FROM probes p JOIN assigned a ON p.cluster = a.cluster
+    |    WHERE a.vec_id <> p.q_id))""".stripMargin.trim
+
   /** Shared simhash detection pipeline: signature per corpus doc, then
     * original⋈mutated pairs with hamming ≤ 16. FOUR gates consume this
     * (simhash_neardup/detected, both split-leakage audits), so like
@@ -829,6 +858,8 @@ object SimQueries {
     // ---- IVF-style ANN: assign to nearest centroid, probe top-2 -------
     // The 100 TB path: codebook broadcast, one pass to assign, search
     // restricted to probed clusters instead of the full corpus.
+    // (Oracle CTE chain shared verbatim with q_ann_ivf_persisted and
+    // q_ann_ivf_recall — one definition, three gates: ivfOracleCtes.)
     Q("q_ann_ivf_topk",
       (s, d) => {
         GraftFunctions.ensureRegistered(s)
@@ -864,28 +895,7 @@ object SimQueries {
           .orderBy("q_id", "rank")
       },
       Some(s"""
-        |WITH cents AS (SELECT vec_id AS c_id, embedding AS cv
-        |    FROM embeddings WHERE vec_id < 8),
-        |assigned AS (SELECT vec_id, cluster, embedding FROM (
-        |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
-        |                 c.c_id ASC) AS rn
-        |    FROM embeddings e, cents c) WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-        |    WHERE vec_id >= 8 AND vec_id < 13),
-        |probes AS (SELECT q_id, qv, cluster FROM (
-        |    SELECT q.q_id, q.qv, c.c_id AS cluster,
-        |      row_number() OVER (PARTITION BY q.q_id
-        |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id ASC) AS rn
-        |    FROM q, cents c) WHERE rn <= 2),
-        |ranked AS (SELECT q_id, vec_id, cos_milli,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
-        |  FROM (SELECT p.q_id, a.vec_id,
-        |      ${cosSql("p.qv", "a.embedding")} AS cos_milli
-        |    FROM probes p JOIN assigned a ON p.cluster = a.cluster
-        |    WHERE a.vec_id <> p.q_id))
+        |WITH $ivfOracleCtes
         |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank
         |""".stripMargin.trim)),
@@ -911,30 +921,61 @@ object SimQueries {
           .orderBy("q_id", "rank")
       },
       Some(s"""
-        |WITH cents AS (SELECT vec_id AS c_id, embedding AS cv
-        |    FROM embeddings WHERE vec_id < 8),
-        |assigned AS (SELECT vec_id, cluster, embedding FROM (
-        |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
-        |                 c.c_id ASC) AS rn
-        |    FROM embeddings e, cents c) WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-        |    WHERE vec_id >= 8 AND vec_id < 13),
-        |probes AS (SELECT q_id, qv, cluster FROM (
-        |    SELECT q.q_id, q.qv, c.c_id AS cluster,
-        |      row_number() OVER (PARTITION BY q.q_id
-        |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id ASC) AS rn
-        |    FROM q, cents c) WHERE rn <= 2),
-        |ranked AS (SELECT q_id, vec_id, cos_milli,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
-        |  FROM (SELECT p.q_id, a.vec_id,
-        |      ${cosSql("p.qv", "a.embedding")} AS cos_milli
-        |    FROM probes p JOIN assigned a ON p.cluster = a.cluster
-        |    WHERE a.vec_id <> p.q_id))
+        |WITH $ivfOracleCtes
         |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
+    // ---- IVF recall vs exact brute-force ------------------------------
+    // The companion that MEASURES the nprobe=2-of-8 pruning (the PQ
+    // family has q_ann_pq_recall; this is the IVF twin): per query,
+    // how many of the exact-cosine top-5 the pruned probe recovered,
+    // answered FROM THE PERSISTED INDEX. The oracle replays both the
+    // IVF pipeline (shared CTE chain) and the exact ranking, so the
+    // recall number is hash-pinned, not asserted.
+    Q("q_ann_ivf_recall",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        val tbl = ivfIndexTable(s, d)
+        val q = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        val ivf = graft.ops.AnnIndex.probeIvfTopK(s, tbl, q, "vec_id",
+            "embedding", nprobe = 2, k = 5)
+          .select(col("q_id"), col("id").as("vec_id"))
+        val qv = q.select(col("vec_id").as("q_id"),
+          col("embedding").as("qv"))
+        val wCos = Window.partitionBy("q_id")
+          .orderBy(col("cos_milli").desc, col("vec_id").asc)
+        val exact = emb.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_milli",
+            GraftFunctions.cosineMilli(col("qv"), col("embedding")))
+          .withColumn("rn", row_number().over(wCos))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id")
+        val hits = ivf.join(exact, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("hits5"))
+        qv.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits5"), lit(0L)).as("hits5"))
+          .orderBy("q_id")
+      },
+      Some(s"""
+        |WITH $ivfOracleCtes,
+        |ex AS (SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY ${cosSql("q.qv", "e.embedding")} DESC,
+        |        e.vec_id) AS rn
+        |    FROM q, embeddings e WHERE e.vec_id <> q.q_id)
+        |  WHERE rn <= 5),
+        |hits AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits5
+        |  FROM (SELECT q_id, vec_id FROM ranked WHERE rank <= 5) r
+        |  JOIN ex ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id
+        |  GROUP BY r.q_id)
+        |SELECT q.q_id, CAST(coalesce(h.hits5, 0) AS BIGINT) AS hits5
+        |FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+        |ORDER BY q.q_id
         |""".stripMargin.trim)),
 
     // ---- LSH-bucketed ANN top-k (the training-free scale path) --------
