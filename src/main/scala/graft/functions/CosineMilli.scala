@@ -109,6 +109,8 @@ object GraftFunctions {
         es => SimHashPack(es.head)),
       ("dot_double", classOf[DotDouble],
         es => DotDouble(es.head, es(1))),
+      ("jaccard_milli", classOf[JaccardMilli],
+        es => JaccardMilli(es.head, es(1))),
       ("char_codes", classOf[CharCodes],
         es => CharCodes(es.head)),
       ("rolling_hash", classOf[RollingHash],
@@ -149,6 +151,8 @@ object GraftFunctions {
     call_function("simhash_pack", hashes)
   def dotDouble(a: Column, b: Column): Column =
     call_function("dot_double", a, b)
+  def jaccardMilli(a: Column, b: Column): Column =
+    call_function("jaccard_milli", a, b)
   def charCodes(c: Column): Column =
     call_function("char_codes", c)
   def rollingHash(codes: Column): Column =

@@ -99,12 +99,23 @@ object Similarity {
   }
 
   /** Exact Jaccard similarity of two distinct-element arrays, in
-    * floor-rounded milli-units (engine-exact integer). */
+    * floor-rounded milli-units (engine-exact integer). Built-in form —
+    * [[jaccardMilliFast]] is the arithmetic-identical native kernel
+    * the hot verify paths use. */
   def jaccardMilli(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val union = size(a) + size(b) - inter
     floor(lit(1000.0) * inter / union + 0.5).cast(LongType)
   }
+
+  /** [[jaccardMilli]] via the native fused kernel
+    * (functions.JaccardMilli): counts the intersection in one loop
+    * instead of materializing `array_intersect`'s result array just to
+    * take its size — bit-identical milli values (equivalence pinned in
+    * SimilaritySpec). Requires GraftFunctions.ensureRegistered on the
+    * active session. */
+  def jaccardMilliFast(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.jaccardMilli(a, b)
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
     * candidates from [[lshCandidatePairs]], kept iff the true shingle
@@ -124,7 +135,7 @@ object Similarity {
     val sa = mat.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = mat.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard_milli", jaccardMilli(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard_milli", jaccardMilliFast(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_milli") >= thresholdMilli)
       .select("id_a", "id_b", "jaccard_milli")
   }
@@ -160,6 +171,7 @@ object Similarity {
     * would inflate the length filter and silently drop true pairs). */
   def setSimilarityPairsExact(docs: DataFrame,
                               thresholdMilli: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val n0 = barrierPartitions(docs)
     // EAGER materialization (localCheckpoint), not just an exchange
     // barrier: this plan fans out — the prefix table feeds BOTH
@@ -228,7 +240,7 @@ object Similarity {
         "id_a")
       .join(mat.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         "id_b")
-      .withColumn("jaccard_milli", jaccardMilli(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard_milli", jaccardMilliFast(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_milli") >= thresholdMilli)
       .select("id_a", "id_b", "jaccard_milli")
   }
@@ -257,7 +269,7 @@ object Similarity {
         "id_new")
       .join(corpusShingles.select(col("id").as("id_corpus"),
         col("shingles").as("sh_b")), "id_corpus")
-      .withColumn("jaccard_milli", jaccardMilli(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard_milli", jaccardMilliFast(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_milli") >= thresholdMilli)
       .select("id_new", "id_corpus", "jaccard_milli")
   }

@@ -13,6 +13,30 @@ class SimilaritySpec extends SparkSpec {
     assert(j == 500) // 2 / 4
   }
 
+  test("jaccardMilliFast kernel ≡ built-in form, duplicates and " +
+      "empties included") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'j').map(_.toString)
+    val cases = Seq.fill(200)(
+      (Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))),
+       Seq.fill(rnd.nextInt(8) + 1)(vocab(rnd.nextInt(vocab.size))))
+    ) ++ Seq(
+      (Seq("a", "a", "b"), Seq("a", "c")), // duplicates in one side
+      (Seq("x"), Seq("y")),                // disjoint
+      (Seq("x", "y"), Seq("x", "y")))      // identical
+    val df = cases.toDF("x", "y")
+    val rows = df.select(
+      Similarity.jaccardMilli(col("x"), col("y")).as("builtin"),
+      Similarity.jaccardMilliFast(col("x"), col("y")).as("kernel"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"kernel diverged: $r")
+    }
+  }
+
   test("cosineMilli: identical vectors → 1000, orthogonal → 0") {
     val df = Seq(
       (Seq(1f, 0f), Seq(1f, 0f)),
