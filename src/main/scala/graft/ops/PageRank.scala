@@ -37,6 +37,12 @@ object PageRank {
     * all ids appearing as src or dst. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    // no pre-partitioning of the edge side: the rank vector is
+    // node-sized, so AQE broadcasts it into every iteration's join and
+    // the edge list STREAMS without moving (measured — an explicit
+    // hash-partition of the edges cost a shuffle and bought nothing;
+    // at a scale where the rank vector outgrows broadcast, revisit
+    // with a partitioned-both-sides layout)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
