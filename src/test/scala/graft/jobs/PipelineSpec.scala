@@ -267,6 +267,41 @@ class PipelineSpec extends SparkSpec {
       (3L, "c", "2024-11-02")))
   }
 
+  test("writePartitionedIdempotent property: any replay schedule of " +
+      "day batches converges to the last batch per day") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val path = Files.createTempDirectory(s"graft-replay-p$trial").toString
+      val days = (1 to 4).map(d => f"2024-11-$d%02d")
+      // per day, 1-2 batch VERSIONS; the schedule interleaves them and
+      // replays arbitrary earlier versions; dynamic overwrite must
+      // leave exactly the LAST-written version per day
+      val versions = days.map { day =>
+        day -> (1 to 1 + rnd.nextInt(2)).map { v =>
+          (1 to 1 + rnd.nextInt(3)).map(i =>
+            (day.hashCode.toLong * 100 + v * 10 + i, s"$day-v$v-$i", day))
+        }
+      }.toMap
+      val schedule = rnd.shuffle(
+        versions.toSeq.flatMap { case (d, vs) =>
+          vs.zipWithIndex.map { case (rows, i) => (d, i, rows) }
+        } ++ versions.toSeq.map { case (d, vs) => (d, 0, vs.head) })
+      val lastPerDay = scala.collection.mutable.Map[String, Seq[(Long, String, String)]]()
+      schedule.foreach { case (d, _, rows) =>
+        Pipeline.writePartitionedIdempotent(
+          rows.toDF("k", "v", "day"), path, "day")
+        lastPerDay(d) = rows
+      }
+      val got = spark.read.parquet(path)
+        .select(col("k"), col("v"), col("day").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      val want = lastPerDay.values.flatten.toSet
+      assert(got == want, s"trial $trial: $got != $want")
+    }
+  }
+
   test("historical: golden rows + 17-col schema") {
     val out = HistoricalJob.transform(
       spark.read.schema(Schemas.historicalRaw).option("header", "true")
