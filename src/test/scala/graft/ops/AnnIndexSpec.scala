@@ -133,6 +133,23 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == want, "argmax assignment must equal windowed argmax")
   }
 
+  test("compaction after build+append: probe results unchanged, one " +
+      "file per touched (band, bucket) partition") {
+    val before = AnnIndex.probeTopK(spark, incrIndex, queries,
+      "vec_id", "embedding", hyper, 4, 10)
+      .orderBy("q_id", "rank").collect().toSeq
+    Compaction.compactPartitionedTable(spark, incrIndex)
+    val after = AnnIndex.probeTopK(spark, incrIndex, queries,
+      "vec_id", "embedding", hyper, 4, 10)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(before == after,
+      "compaction must be probe-invisible on the ANN store")
+    val files = Compaction.filesPerPartition(spark, incrIndex)
+    assert(files.nonEmpty && files.values.forall(_ == 1),
+      s"expected one file per partition after compaction, got " +
+        files.filter(_._2 > 1).take(5).toString)
+  }
+
   test("index table is partitioned by (band, bucket) and stores the " +
       "vector payload") {
     val idx = spark.table(fullIndex)
