@@ -48,8 +48,13 @@ class SinksSpec extends SparkSpec {
     java.nio.file.Files.write(f, Array[Byte](1, 2, 3, 4))
     val k1 = Sinks.contentKey(dir.toString, "data.bin", "p")
     // same length, different bytes — the (length, mtime) key this
-    // replaced could collide here
+    // replaced could collide here. Bump mtime explicitly: the hash
+    // MEMO is keyed on (path, length, mtime), so a same-millisecond
+    // same-length rewrite inside one JVM would serve the stale hash
+    // (impossible for the read-only driver testdata; this pins the
+    // detection path deterministically on any mtime granularity)
     java.nio.file.Files.write(f, Array[Byte](1, 2, 9, 4))
+    f.toFile.setLastModified(f.toFile.lastModified() + 2000)
     val k2 = Sinks.contentKey(dir.toString, "data.bin", "p")
     assert(k1 != k2, "byte change at equal length must change the key")
     // touch only (same bytes, new mtime): key stays — no spurious
