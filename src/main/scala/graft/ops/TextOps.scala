@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -250,4 +250,42 @@ object TextOps {
   /** The chunk text at a start offset: `window` tokens re-joined. */
   def chunkAt(toks: Column, start: Column, window: Int): Column =
     array_join(slice(toks, start, lit(window)), " ")
+
+  // ---- duplicated-span fraction --------------------------------------
+
+  /** Per-document fraction (milli) of n-gram spans also appearing in
+    * at least one OTHER document — the Lee et al. 2022-style
+    * boilerplate/duplication signal (gate q_text_dupspan_fraction).
+    * Output: (idCol, n_spans, n_dup, dup_milli); documents with fewer
+    * than `n` tokens produce no row.
+    *
+    * Scale shape: the (doc, span) table is materialized once
+    * (checkpoint — three consumers, one a semi-join build side
+    * exchange reuse cannot serve), then COUNT-ONLY partial aggregates
+    * and a semi join. Deliberately no doc-list-per-span aggregation: a
+    * viral boilerplate span — the exact thing this signal detects —
+    * in 10% of a 100 TB corpus would put that whole doc list in one
+    * aggregation buffer; counts and the semi join stay
+    * heavy-hitter-safe (pinned under synthetic 50%-duplication in
+    * TextOpsSpec). */
+  def dupSpanFraction(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val s = docs.sparkSession
+    val spans = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col(idCol))
+      .localCheckpoint()
+    // (doc, span) rows are distinct (wordShingles array_distincts),
+    // so count-per-span IS the distinct-doc count
+    val dupSpans = spans.groupBy("s")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("s")
+    val tot = spans.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
+    val dup = spans.join(dupSpans, Seq("s"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        expr("1000 * coalesce(n_dup, 0) div n_spans").as("dup_milli"))
+  }
 }

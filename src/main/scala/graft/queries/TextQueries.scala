@@ -350,33 +350,7 @@ object TextQueries {
         val corpus = documents(s, d).select(col("doc_id"),
           when(col("doc_id") % 10 === 0, concat(col("text"), lit(footer)))
             .otherwise(col("text")).as("text"))
-        // tokenize/shingle ONCE (checkpoint — three consumers, and the
-        // semi-join build side is a broadcast subtree exchange reuse
-        // can't serve), then count-only aggregates: (doc, shingle)
-        // rows are distinct (wordShingles array_distincts), so
-        // count-per-shingle IS the distinct-doc count. Deliberately
-        // NOT a collect_list-of-docs-per-shingle chain: a viral
-        // boilerplate shingle (the exact thing this gate detects) in
-        // 10% of a 100 TB corpus would put that whole doc list in one
-        // aggregation buffer; count-only partial aggregates and the
-        // semi join stay heavy-hitter-safe
-        val spans = corpus
-          .select(col("doc_id"),
-            explode(TextOps.wordShingles(col("text"), 8)).as("s"))
-          .repartition(s.sessionState.conf.numShufflePartitions,
-            col("doc_id"))
-          .localCheckpoint()
-        val dupSpans = spans.groupBy("s")
-          .agg(count(lit(1)).as("nd"))
-          .filter(col("nd") >= 2).select("s")
-        val tot = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-        val dup = spans.join(dupSpans, Seq("s"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-        tot.join(dup, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_spans"),
-            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-            expr("1000 * coalesce(n_dup, 0) div n_spans")
-              .as("dup_milli"))
+        TextOps.dupSpanFraction(corpus, "doc_id", "text", n = 8)
           .orderBy("doc_id")
       },
       Some("""

@@ -60,6 +60,30 @@ class TextOpsSpec extends SparkSpec {
     assert(one(r, "a@b.com c@d.org") == "<EMAIL> <EMAIL>")
   }
 
+  test("dupSpanFraction: exact fractions under HEAVY duplication (a " +
+      "span shared by half the corpus) and for unique docs") {
+    import spark.implicits._
+    val shared = "w1 w2 w3" // the viral 3-gram, in every even doc
+    val docs = (0 until 200).map { i =>
+      val text =
+        if (i % 2 == 0) s"$shared u${i}a u${i}b" // 3 spans: 1 dup, 2 unique
+        else s"x${i}a x${i}b x${i}c x${i}d"      // 2 spans, all unique
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val got = TextOps.dupSpanFraction(docs, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 200)
+    (0 until 200).foreach { i =>
+      if (i % 2 == 0)
+        // spans: "w1 w2 w3", "w2 w3 u_a", "w3 u_a u_b" — only the
+        // first appears elsewhere
+        assert(got(i.toLong) == ((3L, 1L, 333L)), s"doc $i: ${got(i.toLong)}")
+      else
+        assert(got(i.toLong) == ((2L, 0L, 0L)), s"doc $i: ${got(i.toLong)}")
+    }
+  }
+
   test("chunkStarts/chunkAt: full coverage, overlap, short tail") {
     val toks = TextOps.tokens(col("v"))
     val starts = TextOps.chunkStarts(toks, 3)
