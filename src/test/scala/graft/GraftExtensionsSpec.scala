@@ -40,7 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(minhash_sig(array(CAST(7 AS BIGINT)), 4)) AS k,
         |  dot_double(array(CAST(2.0 AS FLOAT)),
         |             array(CAST(3.0 AS FLOAT))) AS d,
-        |  size(cdc_bounds(char_codes('abcdefghij'), 64)) AS nb
+        |  size(cdc_bounds(char_codes('abcdefghij'), 64)) AS nb,
+        |  jaccard_milli(array('a', 'b', 'c'), array('b', 'c', 'd')) AS j
         |""".stripMargin).collect().head
     assert(r.getLong(0) == 1000L)       // cos(v, v) = 1.000
     // single hash: its set bits (0 and 2) win the vote and pack
@@ -51,6 +52,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(3) == 4)
     assert(r.getDouble(4) == 6.0)
     assert(r.getInt(5) >= 2)            // at least [0, n]
+    assert(r.getLong(6) == 500L)        // |{b,c}| / |{a,b,c,d}|
   }
 
   test("kernel misuse fails at analysis, not mid-job") {
