@@ -51,6 +51,31 @@ class PlanQualitySpec extends SparkSpec {
       "banded candidate join must not degrade to a cartesian product")
   }
 
+  test("q_setsim_prefix_join: shingle/prefix pipelines materialized " +
+      "once — no tokenize work above the checkpoints, fused verify") {
+    val p = plan("q_setsim_prefix_join")
+    // every split/shingle/freq computation happens below the two
+    // localCheckpoints; the query plan itself reads stored blocks.
+    // Without the materialization the scan→shingle→freq→pack subtree
+    // appeared 2-4× (broadcast build sides defeat exchange reuse).
+    assert(!p.contains("split("),
+      s"tokenize work leaked above the checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "join sides must read the checkpointed prefix/shingle tables")
+    assert(p.contains("jaccard_milli"),
+      "verify must use the fused native kernel")
+  }
+
+  test("q_incr_neardup: corpus side reads STORED artifacts — only the " +
+      "batch pays banding") {
+    val p = plan("q_incr_neardup")
+    // the stored banding + shingle tables are parquet relations; the
+    // minhash signature kernel must appear exactly once (batch side)
+    assert("minhash_sig".r.findAllIn(p).size == 1,
+      s"corpus side must not re-band (expected 1 minhash_sig):\n$p")
+    assert(p.contains("jaccard_milli"))
+  }
+
   test("native kernels are planned inside the scan-side projection") {
     // (WholeStageCodegen spans only appear once AQE finalizes the plan;
     // NativeHashSpec executes the kernels through the codegen path)
