@@ -189,6 +189,54 @@ object Corpus {
     df0.withColumn(outCol, chain.otherwise(lit(splits.last._1)))
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007):
+    * weight-proportional sampling WITHOUT replacement — each row gets
+    * priority q = w/u with u uniform in (0,1), and the k largest
+    * priorities form the sample (inclusion probability ≈ proportional
+    * to weight; the scheme's variance optimality is the paper's
+    * result). The training-data use is token-budget-proportional doc
+    * selection: weight by length/quality so big or high-value docs are
+    * favored, without the with-replacement duplicates of naive PPS.
+    *
+    * Engine-exact by construction (module invariant: no libm): u is
+    * the dyadic rational (v+½)/2¹⁶ with v the first 4 hex digits of
+    * md5(id) — so q = w·2¹⁷/(2v+1), ONE IEEE multiply and divide,
+    * bit-identical on any engine — where the textbook exponential-key
+    * form ln(u)/w would hash-diverge in libm's final ulps. Ranking is
+    * by the QUANTIZED `prio_milli` (floor(q·1000+½)) with id
+    * tie-break, so even a last-ulp difference could only flip a rank
+    * at an exact 1/1000 grid boundary. Deterministic and
+    * growth-consistent like [[stratifiedHashSample]]: a doc's
+    * priority never changes as the corpus grows.
+    *
+    * Scale shape: the priority is a per-row codegen'd projection
+    * (scan-speed); global top-k plans as TakeOrderedAndProject — each
+    * partition keeps k rows, the driver merges k·partitions — no
+    * global sort, no single-partition cliff (pinned in
+    * PlanQualitySpec). */
+  def prioritySample(df0: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 4),
+      16, 10).cast(LongType)
+    val prio = col(weightCol).cast("double") * lit(131072.0) /
+      (lit(2.0) * v.cast("double") + lit(1.0))
+    df0.withColumn("prio_milli",
+        floor(prio * lit(1000.0) + lit(0.5)).cast(LongType))
+      .orderBy(col("prio_milli").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The DuckDB-SQL twin of [[prioritySample]]'s hash→uniform step:
+    * renders v (the 4-hex-digit md5 prefix as an integer) for an id
+    * expression, digit-positional so no engine-specific hex-parse
+    * function is needed. */
+  def priorityHashSql(idExpr: String): String = {
+    val d = (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($idExpr), $i, 1)) - 1)"
+    }
+    s"(${d(0)} * 4096 + ${d(1)} * 256 + ${d(2)} * 16 + ${d(3)})"
+  }
+
   /** The DuckDB-SQL twin of [[deterministicSplit]] for oracle
     * authoring: `keyExpr` must render the same string the Column form
     * hashes (for one key: `CAST(doc_id AS VARCHAR)`; for several,

@@ -193,6 +193,40 @@ object AnalyticsQueries {
         |FROM m ORDER BY event_id
         |""".stripMargin.trim)),
 
+    // ---- per-day distribution drift vs corpus baseline (TV) ---------
+    // Data-quality monitor for continuous ingestion: total-variation
+    // distance between each day's binned value distribution and the
+    // whole-corpus baseline, in exact integer milli-units (TV not KL:
+    // no libm, no empty-bin singularities — see
+    // Analytics.distributionDriftTV). Bins: value/50 clamped to 10.
+    Q("q_drift_tv",
+      (s, d) => {
+        val ev = events(s, d).filter(col("value").isNotNull)
+          .select(
+            to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+            least(lit(9L), floor(col("value") / 50).cast(LongType))
+              .as("bin"))
+        Analytics.distributionDriftTV(ev, "day", "bin").orderBy("day")
+      },
+      Some("""
+        |WITH t AS (SELECT CAST(ts AS DATE) AS day,
+        |    LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT day, bin, count(*) AS c FROM t GROUP BY 1, 2),
+        |g AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |b AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM c),
+        |s AS (SELECT c.day,
+        |    CAST(sum(abs(c.c * tot.nt - b.cb * g.n)) AS BIGINT) AS sp,
+        |    CAST(sum(b.cb) AS BIGINT) AS cbp
+        |  FROM c JOIN b USING (bin) JOIN g USING (day) CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT g.day, g.n,
+        |  (1000 * (s.sp + (tot.nt - s.cbp) * g.n) + g.n * tot.nt)
+        |    // (2 * g.n * tot.nt) AS tv_milli
+        |FROM s JOIN g USING (day) CROSS JOIN tot ORDER BY day
+        |""".stripMargin.trim)),
+
     // ---- integer-exact PageRank (5 iterations) ----------------------
     // Influence scores over the symmetric customer<->supplier purchase
     // graph (supplier ids offset by 1e6 — disjoint from customer keys

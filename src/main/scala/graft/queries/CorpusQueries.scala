@@ -123,6 +123,30 @@ object CorpusQueries {
         |WHERE sample_rank <= 40 ORDER BY source, sample_rank
         |""".stripMargin.trim)),
 
+    // ---- weight-proportional doc sampling (priority sampling) ---------
+    // Duffield–Lund–Thorup priority sampling, weighted by document
+    // length: q = w/u with u a dyadic md5-derived uniform, keep the
+    // 100 largest — length-proportional selection without replacement,
+    // the token-budget-biased cousin of the uniform md5-rank gates.
+    // Ranking is by the 1/1000-quantized priority (+ id tie-break) so
+    // both engines rank on the same integer grid; the priority itself
+    // is one IEEE multiply+divide — no libm anywhere.
+    Q("q_weighted_sample",
+      (s, d) => Corpus.prioritySample(
+          documents(s, d).select("doc_id", "source", "n_chars")
+            .filter(col("n_chars") > 0),
+          idCol = "doc_id", weightCol = "n_chars", k = 100)
+        .orderBy(col("prio_milli").desc, col("doc_id").asc),
+      Some(s"""
+        |WITH h AS (SELECT doc_id, source, n_chars,
+        |    ${Corpus.priorityHashSql("CAST(doc_id AS VARCHAR)")} AS v
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, source, n_chars,
+        |  CAST(floor(n_chars * 131072.0 / (2 * v + 1) * 1000.0 + 0.5)
+        |    AS BIGINT) AS prio_milli
+        |FROM h ORDER BY prio_milli DESC, doc_id ASC LIMIT 100
+        |""".stripMargin.trim)),
+
     // ---- token-budget packing into 1000-token bins, 8 shards ----------
     // (greedy sequential fill per shard; bin = tokens-before div budget
     // — exact integer math, shards give the parallelism)

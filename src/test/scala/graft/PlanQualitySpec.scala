@@ -182,6 +182,23 @@ class PlanQualitySpec extends SparkSpec {
       s"reservoir must partial-aggregate map-side:\n$p")
   }
 
+  test("q_weighted_sample: priority top-k plans as " +
+      "TakeOrderedAndProject — no global sort, no window") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"priority sampling must use the bounded heap:\n$p")
+    assert(!p.contains("Window"),
+      s"no rank window in the sampling path:\n$p")
+  }
+
+  test("q_drift_tv: scalar baseline rides hash joins — no cartesian, " +
+      "no nested-loop join") {
+    val p = plan("q_drift_tv")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"constant-key totals join must stay a hash join:\n$p")
+  }
+
   test("q_inverted_index: single partial-aggregable shuffle, no Expand") {
     val p = plan("q_inverted_index")
     assert(!p.contains("Expand"),

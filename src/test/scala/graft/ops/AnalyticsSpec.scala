@@ -93,6 +93,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.find(_._1 == 99L).exists(_._2 == false)) // solo group
   }
 
+  test("distributionDriftTV: hand-computed TV, absent bins counted, " +
+      "self-baseline is zero") {
+    // g1: bins 0,0,1,1 (n=4); g2: bins 0,0,0,0 (n=4)
+    // baseline: bin0 C=6, bin1 C=2, N=8
+    // TV(g1) = 1/2(|2/4-6/8| + |2/4-2/8|) = 1/4; TV(g2) likewise 1/4
+    // (bin1 is ABSENT from g2 — its 2/8 must still contribute)
+    val rows = Seq(("g1", 0L), ("g1", 0L), ("g1", 1L), ("g1", 1L),
+      ("g2", 0L), ("g2", 0L), ("g2", 0L), ("g2", 0L))
+      .toDF("grp", "bin")
+    val out = Analytics.distributionDriftTV(rows, "grp", "bin")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // floor(250.5) = 250 on the milli grid
+    assert(out.toSeq == Seq(("g1", 4L, 250L), ("g2", 4L, 250L)))
+
+    // a lone group IS the baseline: distance exactly zero
+    val solo = Analytics.distributionDriftTV(
+      rows.filter(col("grp") === "g1"), "grp", "bin").collect()
+    assert(solo.map(_.getLong(2)).toSeq == Seq(0L))
+  }
+
   test("funnel plan: one exchange, one sort for all three stages") {
     val ev = Seq((1L, 10L, 1L, "view")).toDF("u", "t", "eid", "kind")
     val plan = Analytics.funnel(ev, "u", col("t"), col("eid"),

@@ -41,6 +41,28 @@ class CorpusSpec extends SparkSpec {
     assert(s2.filter(_._1 == "b") == s1.filter(_._1 == "b"))
   }
 
+  test("prioritySample favors heavy weights and is growth-consistent " +
+      "(survivors of growth were already sampled)") {
+    val light = (1L to 100L).map(i => (i, 1L))
+    val heavy = (101L to 200L).map(i => (i, 100L))
+    val df = (light ++ heavy).toDF("doc_id", "w")
+    val picked = Corpus.prioritySample(df, "doc_id", "w", k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.size == 50)
+    // q = w/u: a weight-1 doc outranks a weight-100 doc only when its
+    // uniform is ~100x smaller — expect the sample to be almost
+    // entirely heavy docs
+    assert(picked.count(_ > 100L) >= 45,
+      s"only ${picked.count(_ > 100L)} heavy docs of 50")
+    // growth consistency: priorities never change, so new docs can
+    // evict but never promote — survivors were in the smaller sample
+    val grown = (light ++ heavy ++ (201L to 260L).map(i => (i, 100L)))
+      .toDF("doc_id", "w")
+    val picked2 = Corpus.prioritySample(grown, "doc_id", "w", k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked2.filter(_ <= 200L).subsetOf(picked))
+  }
+
   test("packByTokenBudget fills bins greedily and exactly") {
     val docs = Seq(
       (1L, 0L, 400L), (2L, 0L, 500L), (3L, 0L, 300L), (4L, 0L, 900L),
