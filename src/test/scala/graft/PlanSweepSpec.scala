@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.Registry
+
+/** Whole-registry structural audit: the two physical join shapes that
+  * silently become O(n²·shuffle) at 100 TB — CartesianProduct (both
+  * sides shuffled, all pairs) and BroadcastNestedLoopJoin (per-row
+  * scan of the broadcast side) — may not appear in ANY gate's plan
+  * except where a side is BOUNDED BY CONSTRUCTION and the pairing is
+  * the algorithm. Those exceptions are enumerated below with their
+  * bound; a new gate that trips this sweep either gets an equi-join
+  * shape or earns an allowlist entry with a written justification.
+  *
+  * Streaming gates are excluded: invoking them executes a real
+  * micro-batch stream (their plans are pinned in their own specs). */
+class PlanSweepSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Gates whose BroadcastNestedLoopJoin is a deliberate
+    * bounded-broadcast pairing (the broadcast side is KB-sized by
+    * contract — codebooks, hyperplanes, query batches, 1-row bounds —
+    * never corpus-sized): the brute/probe sides of the ANN family,
+    * retrieval query-term fan-out, PassJoin segment combos, and
+    * scalar-bounds attachment. */
+  private val bnljByDesign: Set[String] = Set(
+    "q_ann_cosine_topk",   // brute-force baseline: corpus × broadcast query batch
+    "q_ann_ivf_persisted", // probe: broadcast codebook (k centroids)
+    "q_ann_ivf_recall",    // exact side is the brute baseline above
+    "q_ann_ivf_topk",
+    "q_ann_lsh_multiprobe", // broadcast hyperplanes (k×d floats)
+    "q_ann_lsh_persisted",
+    "q_ann_lsh_topk",
+    "q_ann_pq_recall",      // brute exact side + broadcast codebooks
+    "q_ann_pq_topk",
+    "q_bm25_from_store",    // broadcast query-term set (handful of terms)
+    "q_bm25_topk",
+    "q_editdist_join",      // broadcast segment-combo index (PassJoin, ~L·τ rows)
+    "q_embed_neardup",      // broadcast hyperplanes
+    "q_knn_classify",       // corpus × broadcast labeled queries
+    "q_text_length_trim"    // broadcast 1-row percentile bounds
+  )
+
+  test("no gate plans a CartesianProduct; BroadcastNestedLoopJoin " +
+      "only where the broadcast side is bounded by construction") {
+    val gates = Registry.all.map(_.name)
+      .filterNot(_.startsWith("q_stream_")).sorted
+    val offenders = gates.flatMap { name =>
+      val p = Registry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") &&
+        !bnljByDesign.contains(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unallowlisted BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
+  }
+
+  test("the BNLJ allowlist carries no stale entries (every listed " +
+      "gate still exists)") {
+    val names = Registry.all.map(_.name).toSet
+    val stale = bnljByDesign.diff(names)
+    assert(stale.isEmpty, s"allowlisted gates no longer registered: $stale")
+  }
+}
