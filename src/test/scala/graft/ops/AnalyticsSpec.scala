@@ -114,6 +114,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(solo.map(_.getLong(2)).toSeq == Seq(0L))
   }
 
+  test("distributionDriftTV equals the brute-force densified TV on " +
+      "seeded random histograms") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val nGroups = 2 + rnd.nextInt(5)
+      val nBins = 2 + rnd.nextInt(6)
+      // skewed sizes + deliberately absent bins per group
+      val rows = (0 until nGroups).flatMap { g =>
+        (0 until nBins).filter(_ => rnd.nextDouble() > 0.3).flatMap { b =>
+          Seq.fill(1 + rnd.nextInt(20))((s"g$g", b.toLong))
+        }
+      }
+      val out = Analytics.distributionDriftTV(
+          rows.toDF("grp", "bin"), "grp", "bin")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      // brute force: densify over ALL bins, exact rational arithmetic
+      val counts = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap
+      val groups = rows.map(_._1).distinct
+      val bins = rows.map(_._2).distinct
+      val nOf = groups.map(g =>
+        g -> rows.count(_._1 == g).toLong).toMap
+      val cOf = bins.map(b => b -> rows.count(_._2 == b).toLong).toMap
+      val bigN = rows.size.toLong
+      val brute = groups.map { g =>
+        val s = bins.map { b =>
+          val c = counts.getOrElse((g, b), 0L)
+          math.abs(c * bigN - cOf(b) * nOf(g))
+        }.sum
+        g -> (1000L * s + nOf(g) * bigN) / (2L * nOf(g) * bigN)
+      }.toMap
+      assert(out == brute, s"round $round: $out vs $brute")
+    }
+  }
+
   test("funnel plan: one exchange, one sort for all three stages") {
     val ev = Seq((1L, 10L, 1L, "view")).toDF("u", "t", "eid", "kind")
     val plan = Analytics.funnel(ev, "u", col("t"), col("eid"),
