@@ -199,8 +199,20 @@ object Analytics {
     * constant-fold into a nested-loop cross join); one final groupBy
     * on g. No driver collect. */
   def distributionDriftTV(rows: DataFrame, groupCol: String,
-                          binCol: String): DataFrame = {
-    val c = rows.groupBy(groupCol, binCol).agg(count(lit(1)).as("__c"))
+                          binCol: String): DataFrame =
+    driftFromCounts(
+      rows.groupBy(groupCol, binCol).agg(count(lit(1)).as("__c")),
+      groupCol, binCol, "__c")
+
+  /** [[distributionDriftTV]]'s finalize stage over an already-
+    * maintained (group, bin, count) histogram — the form a streaming
+    * deployment uses: the stream keeps the histogram as its ONLY
+    * state (bounded by groups×bins, not by data), and this batch
+    * finalize prices each read of the monitor at the cost of the tiny
+    * aggregate (see StreamingOps.driftHistogram). */
+  def driftFromCounts(counts: DataFrame, groupCol: String,
+                      binCol: String, countCol: String): DataFrame = {
+    val c = counts.withColumnRenamed(countCol, "__c")
     val g = c.groupBy(groupCol).agg(sum("__c").as("n"))
     val b = c.groupBy(binCol).agg(sum("__c").as("__cb"))
       .withColumn("__nt", sum("__cb").over(Window.partitionBy()))

@@ -67,6 +67,28 @@ object AnalyticsQueries {
     "purchase_graph_edges" -> ((s, d) => { purchaseGraphEdges(s, d); () }),
     "copurchase_edges_stored90" -> ((s, d) => { storedEdges90(s, d); () }))
 
+  /** Shared by q_drift_tv and its streaming twin q_stream_drift_tv —
+    * the stream-maintained histogram plus batch finalize must equal
+    * the all-batch computation row for row. */
+  private[queries] val driftOracle: String = """
+    |WITH t AS (SELECT CAST(ts AS DATE) AS day,
+    |    LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin
+    |  FROM events WHERE value IS NOT NULL),
+    |c AS (SELECT day, bin, count(*) AS c FROM t GROUP BY 1, 2),
+    |g AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    |b AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM c GROUP BY 1),
+    |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM c),
+    |s AS (SELECT c.day,
+    |    CAST(sum(abs(c.c * tot.nt - b.cb * g.n)) AS BIGINT) AS sp,
+    |    CAST(sum(b.cb) AS BIGINT) AS cbp
+    |  FROM c JOIN b USING (bin) JOIN g USING (day) CROSS JOIN tot
+    |  GROUP BY 1)
+    |SELECT g.day, g.n,
+    |  (1000 * (s.sp + (tot.nt - s.cbp) * g.n) + g.n * tot.nt)
+    |    // (2 * g.n * tot.nt) AS tv_milli
+    |FROM s JOIN g USING (day) CROSS JOIN tot ORDER BY day
+    |""".stripMargin.trim
+
   def all: Seq[Q] = Seq(
 
     // ---- ordered funnel: view -> click -> purchase ------------------
@@ -208,24 +230,7 @@ object AnalyticsQueries {
               .as("bin"))
         Analytics.distributionDriftTV(ev, "day", "bin").orderBy("day")
       },
-      Some("""
-        |WITH t AS (SELECT CAST(ts AS DATE) AS day,
-        |    LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin
-        |  FROM events WHERE value IS NOT NULL),
-        |c AS (SELECT day, bin, count(*) AS c FROM t GROUP BY 1, 2),
-        |g AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
-        |b AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM c GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM c),
-        |s AS (SELECT c.day,
-        |    CAST(sum(abs(c.c * tot.nt - b.cb * g.n)) AS BIGINT) AS sp,
-        |    CAST(sum(b.cb) AS BIGINT) AS cbp
-        |  FROM c JOIN b USING (bin) JOIN g USING (day) CROSS JOIN tot
-        |  GROUP BY 1)
-        |SELECT g.day, g.n,
-        |  (1000 * (s.sp + (tot.nt - s.cbp) * g.n) + g.n * tot.nt)
-        |    // (2 * g.n * tot.nt) AS tv_milli
-        |FROM s JOIN g USING (day) CROSS JOIN tot ORDER BY day
-        |""".stripMargin.trim)),
+      Some(driftOracle)),
 
     // ---- integer-exact PageRank (5 iterations) ----------------------
     // Influence scores over the symmetric customer<->supplier purchase

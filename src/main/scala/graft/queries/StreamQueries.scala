@@ -230,6 +230,27 @@ object StreamQueries {
         |GROUP BY user_id ORDER BY user_id
         |""".stripMargin.trim)),
 
+    // Streaming drift monitor: the stream maintains ONLY the (day,
+    // bin) histogram (state bounded by days×bins); the TV-vs-baseline
+    // finalize runs as a batch query over the materialized histogram.
+    // Shares q_drift_tv's oracle — stream-maintained + finalize must
+    // equal the all-batch computation row for row.
+    Q("q_stream_drift_tv",
+      (s, d) => {
+        val counts = StreamingOps.runToTable(
+          StreamingOps.driftHistogram(
+            StreamingOps.eventsStream(streamSession(s), d)),
+          OutputMode.Complete())
+          // snapshot the (tiny) histogram out of the memory sink: the
+          // finalize self-joins it, and MemoryPlan leaves cannot
+          // re-instance attribute ids (conflicting-references error);
+          // a LogicalRDD can
+          .localCheckpoint()
+        graft.ops.Analytics.driftFromCounts(counts, "day", "bin", "__c")
+          .orderBy("day")
+      },
+      Some(AnalyticsQueries.driftOracle)),
+
     // transformWithState (arbitrary-state v2) sessionization: per-user
     // ListState of candidate sessions + event-time timers; a session
     // emits only once the watermark proves it closed. Bounded run ⇒

@@ -346,6 +346,24 @@ object StreamingOps {
     * .finalizeView]]): per-user cnt, sum_value_c, exact milli mean.
     * At scale the state lives in a bucketed table keyed by user_id
     * and each fold is one co-partitioned merge — no history rescan. */
+  /** The STREAMING side of the drift monitor: maintain the per-(day,
+    * bin) value histogram as a single streaming aggregation — the
+    * monitor's ONLY state, bounded by days×bins (a few hundred rows),
+    * never by stream volume. Complete output mode because the whole
+    * histogram is re-emitted per trigger (it IS the state, and it is
+    * tiny); the TV finalize ([[graft.ops.Analytics.driftFromCounts]])
+    * then runs as a batch query over the materialized histogram at
+    * each read of the monitor — drift needs the corpus-wide baseline,
+    * so it belongs at read time, not inside the stream. */
+  def driftHistogram(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        least(lit(9L), floor(col("value") / 50).cast(LongType))
+          .as("bin"))
+      .groupBy("day", "bin")
+      .agg(count(lit(1)).as("__c"))
+
   def streamingAggMaintain(events: DataFrame): DataFrame = {
     import graft.ops.IncrementalAgg
     val keys = Seq("user_id")
