@@ -58,10 +58,40 @@ class PlanSweepSpec extends SparkSpec {
       s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
   }
 
-  test("the BNLJ allowlist carries no stale entries (every listed " +
-      "gate still exists)") {
+  /** Gates whose unpartitioned Window runs over an input BOUNDED BY
+    * CONSTRUCTION — a limit(k) output or an aggregate of bounded
+    * cardinality — where the single-partition exchange moves k or
+    * group-count rows, never the corpus. */
+  private val globalWindowByDesign: Set[String] = Set(
+    "q_agg_monthly_lag",  // lag over the MONTHLY aggregate (≤ months rows)
+    "q_bm25_topk",        // rank over the limit(k) output (Retrieval.rankTopK)
+    "q_bm25_from_store",  // same shared rankTopK
+    "q_drift_tv"          // grand total over the BIN aggregate (≤ bins rows)
+  )
+
+  test("no unpartitioned window over unbounded input — the " +
+      "single-partition sort cliff") {
+    val gates = Registry.all.map(_.name)
+      .filterNot(_.startsWith("q_stream_")).sorted
+    val offenders = gates.flatMap { name =>
+      val lp = Registry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty && !globalWindowByDesign.contains(name))
+        Some(s"$name: ${bad.size} unpartitioned Window node(s)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows:\n${offenders.mkString("\n")}")
+  }
+
+  test("the allowlists carry no stale entries (every listed gate " +
+      "still exists)") {
     val names = Registry.all.map(_.name).toSet
-    val stale = bnljByDesign.diff(names)
+    val stale = (bnljByDesign ++ globalWindowByDesign).diff(names)
     assert(stale.isEmpty, s"allowlisted gates no longer registered: $stale")
   }
 }
