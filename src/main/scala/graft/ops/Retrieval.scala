@@ -110,6 +110,54 @@ object Retrieval {
       k)
   }
 
+  /** Top-k docs by summed tf-rarity ([[Corpus.tfRarityMilli]]) over
+    * the query terms — the lexical scorer RRF pairs with BM25: a
+    * deliberately different ranking signal (pure rarity ratio, no
+    * length normalization) from the same token stream. Returns
+    * (rank, id, score_milli); same [[rankTopK]] bounded-heap shape. */
+  def tfRarityTopK(docs: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[String], k: Int): DataFrame = {
+    val qt = docs.select(col(idCol).as("id"),
+        explode(toks(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = qt.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    rankTopK(
+      tf.join(broadcast(df), "term")
+        .withColumn("term_score",
+          Corpus.tfRarityMilli(col("tf"), col("df"))),
+      k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009):
+    * fuse the rankings of heterogeneous retrievers —
+    * score(d) = Σ_lists 1/(c + rank_list(d)), c = 60 — the standard
+    * hybrid-retrieval combiner (lexical + semantic) because it needs
+    * only RANKS, never the incomparable scores. Integer-exact here:
+    * each contribution is 1000000 div (c + rank) — pure integer
+    * division, engine-identical — so the fused ordering carries no
+    * float at all. Inputs are (rank, id, ...) frames already
+    * truncated to their own top-k (rank-k truncation is part of RRF's
+    * definition); output (rank, id, rrf_milli, n_lists), ties to the
+    * smaller id.
+    *
+    * Scale shape: inputs are k-bounded, so the union + groupBy is
+    * trivially small per query; with many queries the same plan runs
+    * partitioned by query id. The final rank window runs over the
+    * limit(k) output — bounded, like [[rankTopK]]. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    val parts = rankings.map(_.select(col("id"),
+      expr(s"1000000 div ($c + rank)").as("__part")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_milli").desc, col("id").asc)
+    parts.reduce(_.unionByName(_))
+      .groupBy("id")
+      .agg(sum("__part").as("rrf_milli"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_milli").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "id", "rrf_milli", "n_lists")
+  }
+
   /** The DuckDB twin of [[bm25TopK]]'s per-term score expression —
     * generated beside the Spark formula so the two can never drift.
     * Operand names: integer columns/values `tf, df, dl, n_docs,

@@ -396,6 +396,63 @@ object CorpusQueries {
         |  SELECT *, row_number() OVER (
         |    ORDER BY score_milli DESC, id ASC) AS rank FROM agg)
         |WHERE rank <= 20 ORDER BY rank
+        |""".stripMargin.trim)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion ---------------------
+    // RRF (c=60) of two heterogeneous lexical rankings over the same
+    // query — BM25 and summed tf-rarity — the standard hybrid-search
+    // combiner, integer-exact because each contribution is
+    // 1000000 div (60 + rank): ranks only, no score normalization,
+    // no floats. Each input list is rank-30-truncated (part of RRF's
+    // definition); fused top-20.
+    Q("q_rrf_fusion",
+      (s, d) => {
+        val terms = Seq("batch", "join", "filter")
+        val docs = documents(s, d)
+        graft.ops.Retrieval.rrfFuse(Seq(
+            graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+              terms, 30),
+            graft.ops.Retrieval.tfRarityTopK(docs, "doc_id", "text",
+              terms, 30)), k = 20)
+          .orderBy("rank")
+      },
+      Some(s"""
+        |WITH tok AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+')) AS term
+        |  FROM documents),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+        |sc AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    (SELECT count(*) FROM t) AS total_tokens),
+        |qt AS (SELECT * FROM t
+        |  WHERE term IN ('batch', 'join', 'filter')),
+        |tf AS (SELECT id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT id) AS df FROM qt GROUP BY 1),
+        |ts AS (SELECT tf.id,
+        |    ${graft.ops.Retrieval.scoreSql("tf.tf", "dfq.df", "dl.dl",
+                 "sc.n_docs", "sc.total_tokens")} AS term_score
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.id = tf.id, sc),
+        |agg AS (SELECT id, CAST(sum(term_score) AS BIGINT)
+        |    AS score_milli FROM ts GROUP BY id),
+        |r1 AS (SELECT id, row_number() OVER (
+        |    ORDER BY score_milli DESC, id ASC) AS rank FROM agg),
+        |w2 AS (SELECT tf.id,
+        |    CAST(floor(1000.0 * tf.tf / dfq.df + 0.5) AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (term)),
+        |t2 AS (SELECT id, CAST(sum(w) AS BIGINT) AS s2
+        |  FROM w2 GROUP BY id),
+        |r2 AS (SELECT id, row_number() OVER (
+        |    ORDER BY s2 DESC, id ASC) AS rank FROM t2),
+        |u AS (SELECT id, 1000000 // (60 + rank) AS part
+        |    FROM r1 WHERE rank <= 30
+        |  UNION ALL SELECT id, 1000000 // (60 + rank) AS part
+        |    FROM r2 WHERE rank <= 30),
+        |f AS (SELECT id, CAST(sum(part) AS BIGINT) AS rrf_milli,
+        |    CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY id)
+        |SELECT rank, id, rrf_milli, n_lists FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY rrf_milli DESC, id ASC) AS rank FROM f)
+        |WHERE rank <= 20 ORDER BY rank
         |""".stripMargin.trim))
   )
 }

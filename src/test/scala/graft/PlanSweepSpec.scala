@@ -34,6 +34,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_ann_pq_topk",
     "q_bm25_from_store",    // broadcast query-term set (handful of terms)
     "q_bm25_topk",
+    "q_rrf_fusion",         // composes bm25TopK: same 1-row scalar broadcast
     "q_editdist_join",      // broadcast segment-combo index (PassJoin, ~L·τ rows)
     "q_embed_neardup",      // broadcast hyperplanes
     "q_knn_classify",       // corpus × broadcast labeled queries
@@ -66,7 +67,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_agg_monthly_lag",  // lag over the MONTHLY aggregate (≤ months rows)
     "q_bm25_topk",        // rank over the limit(k) output (Retrieval.rankTopK)
     "q_bm25_from_store",  // same shared rankTopK
-    "q_drift_tv"          // grand total over the BIN aggregate (≤ bins rows)
+    "q_drift_tv",         // grand total over the BIN aggregate (≤ bins rows)
+    "q_rrf_fusion"        // ranks over limit(k) outputs (rankTopK + fusion)
   )
 
   test("no unpartitioned window over unbounded input — the " +

@@ -48,4 +48,18 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(out.toSeq == Seq(1L, 2L))
   }
+
+  test("rrfFuse: presence in both lists dominates one good rank; " +
+      "exact integer parts; list-count reported") {
+    import spark.implicits._
+    // parts at c=60: rank1 → 16393, rank2 → 16129, rank3 → 15873
+    val r1 = Seq((1, 10L), (2, 20L), (3, 30L)).toDF("rank", "id")
+    val r2 = Seq((1, 20L), (2, 40L)).toDF("rank", "id")
+    val out = Retrieval.rrfFuse(Seq(r1, r2), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // doc 20 (rank2 + rank1 = 32522) beats doc 10's solo rank1
+    assert(out == Seq((1, 20L, 32522L, 2L), (2, 10L, 16393L, 1L),
+      (3, 40L, 16129L, 1L), (4, 30L, 15873L, 1L)))
+  }
 }
