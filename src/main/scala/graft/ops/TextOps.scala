@@ -288,4 +288,113 @@ object TextOps {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         expr("1000 * coalesce(n_dup, 0) div n_spans").as("dup_milli"))
   }
+
+  // ---- cross-document duplicated-span excision ------------------------
+
+  /** Rewrite each document with every duplicated CDC chunk excised
+    * except its single canonical occurrence — the span-level exact
+    * deduplication of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed chunk-wise: CDC
+    * boundaries ([[cdcBounds]]) are content-defined, so a paragraph
+    * pasted into many pages yields byte-identical interior chunks at
+    * any offset, and keeping the global first occurrence
+    * (min (doc, idx)) removes the repeats while [[dupSpanFraction]]
+    * merely measures them. Chunks shorter than `minLen` are always
+    * kept (short spans collide by chance, and excising them shreds
+    * text — the same length floor the paper applies).
+    *
+    * Output: (idCol, n_chunks, n_kept, text_clean) where text_clean is
+    * the in-order concatenation of kept chunks; with no duplication it
+    * is byte-identical to the input (chunks partition the text).
+    *
+    * Scale shape: one shuffle keyed on the 16-byte chunk fingerprint
+    * (the canonical-occurrence aggregate is min/count — partial-
+    * aggregable, heavy-hitter-safe; no per-fingerprint doc lists), a
+    * ≤1-row-per-key join back, then one per-document regroup whose
+    * group size is bounded by chunks-per-doc. The chunked frame is
+    * localCheckpoint'd: the aggregate and the probe side would
+    * otherwise each recompute the per-char chunking scan. */
+  def exciseDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 20): DataFrame = {
+    val s = docs.sparkSession
+    val nPart = s.sessionState.conf.numShufflePartitions
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(s)
+    val coded = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        GraftFunctions.charCodes(col(textCol)).as("codes"))
+      .repartition(nPart, col("id"))
+    val withBounds = coded
+      .select(col("id"), col("text"),
+        GraftFunctions.cdcBounds(col("codes")).as("bounds"))
+      .repartition(nPart, col("id"))
+    val occ = withBounds
+      .select(col("id"), col("text"),
+        posexplode(cdcSpans(col("bounds"))))
+      .select(col("id"), col("pos").as("idx"),
+        expr("substring(text, col.start + 1, col.end - col.start)")
+          .as("chunk"))
+      .withColumn("fp", md5(col("chunk")))
+      .localCheckpoint()
+    // canonical occurrence per duplicated long-enough fingerprint;
+    // fp determines the chunk bytes, so the length filter keeps or
+    // drops ALL occurrences of an fp together
+    val canon = occ.filter(length(col("chunk")) >= minLen)
+      .groupBy("fp")
+      .agg(min(struct(col("id"), col("idx"))).as("first"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("fp", "first")
+    val keep = col("first").isNull ||
+      (col("first.id") === col("id") && col("first.idx") === col("idx"))
+    occ.join(canon, Seq("fp"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls the `when` leaves for excised
+        // chunks; sort on (idx, chunk) restores document order
+        array_join(transform(
+          array_sort(collect_list(when(keep,
+            struct(col("idx"), col("chunk"))))),
+          _.getField("chunk")), "").as("text_clean"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_kept"),
+        col("text_clean"))
+  }
+
+  /** DuckDB twin of [[exciseDupSpans]] over a relation exposing
+    * (id-col, text) — generated beside the Spark form so the keep rule
+    * (`len < minLen OR first occurrence`) can never drift. The window
+    * `row_number() PARTITION BY fp ORDER BY doc, idx` is the oracle's
+    * small-data stand-in for the min-struct aggregate. */
+  def exciseOracleSql(rel: String, idCol: String = "doc_id",
+                      minLen: Int = 20): String = {
+    val w = 8
+    val winHash = (0 until w).map { j =>
+      s"CAST(ord(substr(text, i - $j, 1)) AS BIGINT)" +
+        s" * ${math.pow(31, j).toLong}"
+    }.mkString(" + ")
+    s"""
+    |WITH exc_t AS (SELECT $idCol, text, length(text) AS n FROM $rel),
+    |exc_c AS (SELECT $idCol, text, n,
+    |    list_filter(range($w, n + 1), i -> ($winHash) % 64 = 0) AS cuts
+    |  FROM exc_t),
+    |exc_b AS (SELECT $idCol, text,
+    |    list_concat(list_concat([0], cuts), [n]) AS bounds FROM exc_c),
+    |exc_s AS (SELECT $idCol, text, bounds,
+    |    unnest(range(0, len(bounds) - 1)) AS k FROM exc_b),
+    |exc_o AS (SELECT $idCol, k AS idx,
+    |    substr(text, bounds[k + 1] + 1, bounds[k + 2] - bounds[k + 1])
+    |      AS chunk
+    |  FROM exc_s),
+    |exc_r AS (SELECT $idCol, idx, chunk,
+    |    row_number() OVER (PARTITION BY md5(chunk)
+    |      ORDER BY $idCol, idx) AS rn
+    |  FROM exc_o)
+    |SELECT $idCol, count(*) AS n_chunks,
+    |  CAST(sum(CASE WHEN length(chunk) < $minLen OR rn = 1
+    |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    |  coalesce(string_agg(CASE WHEN length(chunk) < $minLen OR rn = 1
+    |    THEN chunk END, '' ORDER BY idx), '') AS text_clean
+    |FROM exc_r GROUP BY $idCol""".stripMargin.trim
+  }
 }

@@ -133,6 +133,18 @@ object TextQueries {
       },
       Some(TextOps.cdcOracleSql("documents") + "\nORDER BY doc_id, chunk_idx")),
 
+    // ---- cross-document duplicated-span excision -----------------------
+    // Lee et al. 2022-style span-level dedup: every duplicated CDC
+    // chunk (≥ 20 chars) is excised except its global first
+    // occurrence, and the documents are REWRITTEN — the byte-exact
+    // text_clean is hash-compared, not just the counts. Scale shape:
+    // fingerprint-keyed min/count aggregate + ≤1-row-per-key join +
+    // bounded per-doc regroup; no per-fingerprint doc lists.
+    Q("q_text_span_excise",
+      (s, d) => TextOps.exciseDupSpans(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.exciseOracleSql("documents") + "\nORDER BY doc_id")),
+
     // ---- distinct word-3-gram (shingle) count per doc -----------------
     Q("q_text_shingles",
       (s, d) => documents(s, d)

@@ -84,6 +84,44 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("exciseDupSpans: unique docs round-trip byte-identical; a " +
+      "planted shared paragraph survives in exactly one document") {
+    import spark.implicits._
+    // long enough that CDC yields interior chunks ≥ minLen shared
+    // byte-identically across carriers regardless of surrounding text
+    val para = (0 until 40).map(i => s"shared$i").mkString(" ")
+    val docs = (0 until 30).map { i =>
+      val text =
+        if (i % 3 == 0) s"head${i}x $para tail${i}y"
+        else (0 until 30).map(j => s"u${i}w$j").mkString(" ")
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val out = TextOps.exciseDupSpans(docs, "id", "text")
+    val got = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 30)
+    // unique docs: nothing excised, reassembly is byte-identical
+    (0 until 30).filter(_ % 3 != 0).foreach { i =>
+      val (nc, nk, clean) = got(i.toLong)
+      assert(nc == nk && clean == orig(i.toLong), s"doc $i")
+    }
+    // carriers: doc 0 (global min id) keeps everything; later carriers
+    // lose the paragraph's interior chunks but keep their unique rims
+    val (c0, k0, clean0) = got(0L)
+    assert(c0 == k0 && clean0 == orig(0L))
+    (3 until 30 by 3).foreach { i =>
+      val (nc, nk, clean) = got(i.toLong)
+      assert(nk < nc, s"doc $i excised nothing")
+      assert(clean.length < orig(i.toLong).length)
+      assert(clean.startsWith(s"head${i}x") && clean.endsWith(s"tail${i}y"))
+    }
+    // global guarantee: a mid-paragraph token survives in exactly ONE
+    // document (interior chunks are byte-shared across carriers, so
+    // every non-canonical copy is excised)
+    assert(got.values.count(_._3.contains("shared20")) == 1)
+  }
+
   test("chunkStarts/chunkAt: full coverage, overlap, short tail") {
     val toks = TextOps.tokens(col("v"))
     val starts = TextOps.chunkStarts(toks, 3)
