@@ -855,6 +855,65 @@ object SimQueries {
         |WHERE vr = 1 ORDER BY q_id
         |""".stripMargin.trim)),
 
+    // ---- semi-hard negative mining (contrastive training data) --------
+    // For each anchor, the 5 most-similar DIFFERENT-label vectors whose
+    // similarity is still below the anchor's best same-label match —
+    // FaceNet-style semi-hard negatives: hard enough to carry gradient,
+    // bounded by the positive so likely-mislabeled near-duplicates are
+    // excluded. Scale shape: scan 1 computes best-positive per anchor
+    // (partial-aggregable max against the broadcast anchor set); the
+    // thresholds fold INTO the broadcast for scan 2, which filters and
+    // ranks per anchor — two streamed corpus passes, nothing n×k ever
+    // materialized or shuffled.
+    Q("q_hard_negatives",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d).select("vec_id", "embedding", "label")
+        val corpus = emb.filter(col("vec_id") >= 20)
+        val anchors = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("label").as("q_label"))
+        val bestPos = corpus.crossJoin(broadcast(anchors))
+          .filter(col("label") === col("q_label"))
+          .withColumn("cos_milli",
+            GraftFunctions.cosineMilli(col("qv"), col("embedding")))
+          .groupBy("q_id")
+          .agg(max(col("cos_milli")).as("best_pos_milli"))
+        val armed = anchors.join(bestPos, "q_id") // 20 rows, re-broadcast
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("cos_milli").desc, col("vec_id").asc)
+        corpus.crossJoin(broadcast(armed))
+          .filter(col("label") =!= col("q_label"))
+          .withColumn("cos_milli",
+            GraftFunctions.cosineMilli(col("qv"), col("embedding")))
+          .filter(col("cos_milli") < col("best_pos_milli"))
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"),
+            col("cos_milli"), col("best_pos_milli"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        |WITH corpus AS (SELECT vec_id, embedding, label
+        |    FROM embeddings WHERE vec_id >= 20),
+        |anchors AS (SELECT vec_id AS q_id, embedding AS qv,
+        |    label AS q_label FROM embeddings WHERE vec_id < 20),
+        |pos AS (SELECT a.q_id,
+        |    max(${cosSql("a.qv", "c.embedding")}) AS best_pos_milli
+        |  FROM anchors a JOIN corpus c ON c.label = a.q_label
+        |  GROUP BY a.q_id),
+        |neg AS (SELECT a.q_id, c.vec_id,
+        |    ${cosSql("a.qv", "c.embedding")} AS cos_milli,
+        |    p.best_pos_milli
+        |  FROM anchors a JOIN pos p ON p.q_id = a.q_id, corpus c
+        |  WHERE c.label <> a.q_label),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_milli DESC, vec_id ASC) AS rank
+        |  FROM neg WHERE cos_milli < best_pos_milli)
+        |SELECT q_id, rank, vec_id AS neg_id, cos_milli, best_pos_milli
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
     // ---- IVF-style ANN: assign to nearest centroid, probe top-2 -------
     // The 100 TB path: codebook broadcast, one pass to assign, search
     // restricted to probed clusters instead of the full corpus.

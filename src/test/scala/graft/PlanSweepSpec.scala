@@ -37,6 +37,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_rrf_fusion",         // composes bm25TopK: same 1-row scalar broadcast
     "q_editdist_join",      // broadcast segment-combo index (PassJoin, ~L·τ rows)
     "q_embed_neardup",      // broadcast hyperplanes
+    "q_hard_negatives",     // corpus × broadcast armed anchor set
     "q_knn_classify",       // corpus × broadcast labeled queries
     "q_text_length_trim"    // broadcast 1-row percentile bounds
   )
