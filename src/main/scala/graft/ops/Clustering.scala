@@ -135,6 +135,55 @@ object Clustering {
     out
   }
 
+  /** Greedy k-center (farthest-point-first) selection — the maxmin
+    * DIVERSITY-SAMPLING primitive a curation pipeline runs to pick a
+    * small spread-out subset (coreset seeds, eval probes, labeling
+    * batches): Gonzalez's 2-approximation to the k-center objective.
+    * Seed = the smallest id; each round the point FARTHEST from its
+    * nearest already-chosen center joins the set (ties to the smaller
+    * id). Same integer-milli discipline as the Lloyd loop, so a SQL
+    * oracle pins every round.
+    *
+    * Scale shape (100 TB corpus): the center set is ≤ k·dim longs —
+    * KB-sized — so each round is ONE codegen'd projection (min over
+    * the literal center set, the [[assignCol]] fold) feeding a global
+    * top-1 (TakeOrderedAndProject): k−1 streamed passes over the
+    * persisted quantized input, one row collected per pass, no
+    * shuffle wider than a size-1 take, nothing n×k materialized. */
+  private def greedyCenters(in: DataFrame, k: Int): Seq[(Long, Seq[Long])] = {
+    val seed = in.orderBy(col("id").asc).limit(1).collect().head
+    var cents = Seq(seed.getLong(0) -> seed.getSeq[Long](1))
+    for (_ <- 2 to k) {
+      val dmin = assignCol(cents).getField("d")
+      val next = in.select(col("id"), col("qv"), dmin.as("dm"))
+        .orderBy(col("dm").desc, col("id").asc).limit(1).collect().head
+      cents = cents :+ (next.getLong(0) -> next.getSeq[Long](1))
+    }
+    cents
+  }
+
+  /** (id, center, dist_sq): every row of `df(idCol, qvCol:
+    * array<long>)` assigned to its nearest of the k greedily-selected
+    * centers ([[greedyCenters]]), `center` being the chosen row's
+    * ORIGINAL id and `dist_sq` the exact integer squared-L2 — the
+    * k-center clustering induced by the diversity sample. Ties go to
+    * the smaller center id. DuckDB twin: [[kCenterOracleCtes]]. */
+  def kCenterAssign(df: DataFrame, idCol: String, qvCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "kCenterAssign needs k >= 1")
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(qvCol).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = greedyCenters(in, k)
+    val best = assignCol(cents)
+    val out = in.select(col("id"),
+      best.getField("cid").as("center"),
+      best.getField("d").as("dist_sq"))
+      .localCheckpoint()
+    in.unpersist()
+    out
+  }
+
   private def distSql(dim: Int)(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> " +
       s"($a[i] - $b[i]) * ($a[i] - $b[i])))"
@@ -196,4 +245,44 @@ object Clustering {
   def oracleSql(vecsSql: String, k: Int, iters: Int, dim: Int): String =
     s"WITH ${oracleCtes(vecsSql, k, iters, dim)}\n" +
       "SELECT id, cluster, dist_sq FROM asg ORDER BY id"
+
+  /** The CTE chain replaying [[kCenterAssign]] in DuckDB, unrolled
+    * one CTE pair per greedy round (`<p>s<i>` = the i-th selected
+    * center, `<p>d<i>` = each point's running min distance to the
+    * first i centers). Ends with `<p>kasg(id, center, dist_sq)` —
+    * the induced k-center assignment. Generated by the same object
+    * that runs the greedy loop so the two can never drift. */
+  def kCenterOracleCtes(vecsSql: String, k: Int, dim: Int,
+                        p: String = ""): String = {
+    val d = distSql(dim) _
+    val base =
+      s"""${p}v AS ($vecsSql),
+         |${p}s1 AS (SELECT id, qv FROM ${p}v ORDER BY id ASC LIMIT 1),
+         |${p}d1 AS (SELECT v.id, v.qv,
+         |  CAST(${d("v.qv", "s.qv")} AS BIGINT) AS dmin
+         |  FROM ${p}v v, ${p}s1 s)""".stripMargin
+    val steps = (2 to k).flatMap { i =>
+      val pd = s"${p}d${i - 1}"
+      val sel =
+        s"""${p}s$i AS (SELECT id, qv FROM $pd
+           |  ORDER BY dmin DESC, id ASC LIMIT 1)""".stripMargin
+      // the last round's dmin refresh feeds nothing: skip it
+      if (i == k) Seq(sel) else Seq(sel,
+        s"""${p}d$i AS (SELECT d.id, d.qv,
+           |  least(d.dmin, CAST(${d("d.qv", "s.qv")} AS BIGINT)) AS dmin
+           |  FROM $pd d, ${p}s$i s)""".stripMargin)
+    }
+    val centUnion = (1 to k).map(i =>
+      s"SELECT id AS cid, qv AS cv FROM ${p}s$i").mkString(
+      "\n  UNION ALL ")
+    val fin =
+      s"""${p}cent AS ($centUnion),
+         |${p}kasg AS (SELECT id, center, dist_sq FROM (
+         |  SELECT v.id, c.cid AS center,
+         |    CAST(${d("v.qv", "c.cv")} AS BIGINT) AS dist_sq,
+         |    row_number() OVER (PARTITION BY v.id
+         |      ORDER BY ${d("v.qv", "c.cv")}, c.cid) AS rn
+         |  FROM ${p}v v, ${p}cent c) WHERE rn = 1)""".stripMargin
+    (base +: steps :+ fin).mkString(",\n")
+  }
 }

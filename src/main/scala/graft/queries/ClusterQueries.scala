@@ -169,6 +169,30 @@ object ClusterQueries {
           "AS qv FROM embeddings",
         k = 8, iters = 3, dim = 64))),
 
+    // ---- greedy k-center diversity sample (farthest-point-first) -----
+    // Maxmin selection of 8 spread-out representatives (Gonzalez
+    // 2-approx) + the induced assignment — the diversity-sampling step
+    // a curation pipeline uses for coreset seeds / eval probes /
+    // labeling batches, where uniform sampling oversamples dense modes.
+    // Each greedy round is one codegen'd projection against the
+    // KB-sized literal center set feeding a global top-1
+    // (TakeOrderedAndProject) — k−1 streamed passes, one collected row
+    // each, nothing n×k materialized. The oracle replays every round
+    // unrolled on the same integer-milli grid.
+    Q("q_diversity_kcenter",
+      (s, d) => {
+        val qv = embeddings(s, d)
+          .select(col("vec_id").as("id"),
+            Clustering.quantizeMilli(col("embedding")).as("qv"))
+        Clustering.kCenterAssign(qv, "id", "qv", k = 8)
+          .orderBy("id")
+      },
+      Some("WITH " + Clustering.kCenterOracleCtes(
+        s"SELECT vec_id AS id, ${OracleSql.quantMilli("embedding", 64)} " +
+          "AS qv FROM embeddings",
+        k = 8, dim = 64) +
+        "\nSELECT id, center, dist_sq FROM kasg ORDER BY id")),
+
     // ---- SemDeDup: within-cluster cosine dedup ------------------------
     // Cluster the corpus (k-means on quantized vectors), then flag every
     // vector that has a within-cluster partner with smaller id and

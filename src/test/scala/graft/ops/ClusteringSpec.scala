@@ -83,6 +83,40 @@ class ClusteringSpec extends SparkSpec {
       s"assignment must not join:\n$plan")
   }
 
+  test("greedy k-center picks farthest-point-first with id tie-breaks") {
+    // line: 0,2,4,98,100,96,50. seed = id 0 (pos 0); round 2 picks the
+    // farthest point (pos 100 = id 4); round 3 the point maximizing
+    // min-dist to {0,100} (pos 50 = id 6, dmin 2500).
+    val data: Seq[(Long, Seq[Long])] = Seq(
+      0L -> Seq(0L), 1L -> Seq(2L), 2L -> Seq(4L), 3L -> Seq(98L),
+      4L -> Seq(100L), 5L -> Seq(96L), 6L -> Seq(50L))
+    val out = Clustering.kCenterAssign(data.toDF("id", "qv"),
+        "id", "qv", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L),        // center itself
+      (1L, 0L, 4L),        // 2 → nearest center 0
+      (2L, 0L, 16L),       // 4 → center 0 (dist 16 < 46² to 50)
+      (3L, 4L, 4L),        // 98 → center at 100
+      (4L, 4L, 0L),
+      (5L, 4L, 16L),
+      (6L, 6L, 0L)))       // 50 selected round 3
+  }
+
+  test("k-center maxmin tie goes to the smaller id") {
+    // seed id 0 at 0; ids 1 and 2 both at distance 10 → round 2 must
+    // select id 1; id 2 then ties between centers 0 and 1 (dist 100
+    // both) → assigned to the smaller center id 0.
+    val data: Seq[(Long, Seq[Long])] = Seq(
+      0L -> Seq(0L), 1L -> Seq(10L), 2L -> Seq(-10L))
+    val out = Clustering.kCenterAssign(data.toDF("id", "qv"),
+        "id", "qv", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 100L)))
+  }
+
   test("quantizeMilli rounds half-up on exact binary fractions") {
     val out = Seq((Seq(0.0015f, -0.001f, 0.25f)))
       .toDF("v")
