@@ -250,4 +250,85 @@ object Corpus {
     }.mkString(" ")
     s"CASE $whens ELSE '${splits.last._1}' END"
   }
+
+  /** Per-stratum COST-budget cap: walk each stratum's rows in md5-rank
+    * order (the repo's deterministic, growth-stable curation order) and
+    * admit a row only if the budget was not already exhausted BEFORE it
+    * — so every stratum contributes at most `budget` cost units (chars,
+    * tokens, bytes) plus one straddling row, the knob that caps a
+    * domain's TOKEN share of a training mix rather than its doc count
+    * ([[stratifiedHashSample]] caps count; this caps volume). Appends
+    * `cum_cost`, the running within-stratum total INCLUDING the row.
+    *
+    * Scale shape: one shuffle on the stratum key + a streaming
+    * rows-frame window — same shape as [[packByTokenBudget]]; no
+    * global sort, no driver state. */
+  def costBudgetCap(df0: DataFrame, strataCol: String, idCol: String,
+                    costCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df0.withColumn("cum_cost",
+        sum(col(costCol).cast("long")).over(w))
+      .filter(col("cum_cost") - col(costCol) < budget)
+  }
+
+  /** Exact integer square root, engine-portable: IEEE-754 specifies
+    * `sqrt` as CORRECTLY ROUNDED (unlike ln/pow/exp, which libm only
+    * approximates), and the ±1 correction steps make the result the
+    * true floor-sqrt even if an engine's sqrt were off by an ulp —
+    * exact for any n ≤ 2⁵². SQL twin: [[isqrtSql]]. */
+  def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast(LongType)
+    val s1 = when(s0 * s0 > n, s0 - 1L).otherwise(s0)
+    when((s1 + 1L) * (s1 + 1L) <= n, s1 + 1L).otherwise(s1)
+  }
+
+  /** DuckDB twin of [[isqrt]] (same correction chain). */
+  def isqrtSql(n: String): String = {
+    val s0 = s"CAST(floor(sqrt(CAST(($n) AS DOUBLE))) AS BIGINT)"
+    val s1 = s"(CASE WHEN $s0 * $s0 > ($n) THEN $s0 - 1 ELSE $s0 END)"
+    s"(CASE WHEN ($s1 + 1) * ($s1 + 1) <= ($n) " +
+      s"THEN $s1 + 1 ELSE $s1 END)"
+  }
+
+  /** TEMPERATURE-rebalanced mixture: allocate a total of `totalK` doc
+    * slots across strata proportionally to √n (temperature-2
+    * upsampling of the tail — the standard multilingual rebalance,
+    * cf. mBERT/XLM-R exponent-smoothed sampling), then fill each
+    * stratum's quota by md5 rank. Quotas are integer-exact largest-
+    * remainder apportionment (floor(√nᵢ·K/Σ√n) + 1 for the largest
+    * remainders, ties to the lexicographically smaller stratum), so
+    * they sum to exactly `totalK` and both engines derive the same
+    * integers — no float shares anywhere ([[isqrt]] keeps even the
+    * square root exact). A stratum with fewer rows than its quota
+    * contributes what it has.
+    *
+    * Scale shape: stratum counts are one partial-aggregable pass; the
+    * apportionment windows run over the #strata-row AGGREGATE (bounded
+    * domain — the sanctioned unpartitioned-window case); quotas ride
+    * back as a broadcast join onto the md5-rank window. No collect,
+    * no driver math — the whole allocation stays on the cluster. */
+  def temperatureRebalance(df0: DataFrame, strataCol: String,
+                           idCol: String, totalK: Int): DataFrame = {
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.orderBy(col("rem").desc, col(strataCol).asc)
+    val quotas = df0.groupBy(strataCol)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wt", isqrt(col("n")))
+      .withColumn("s", sum(col("wt")).over(wAll))
+      .withColumn("base", expr(s"wt * $totalK div s"))
+      .withColumn("rem", expr(s"(wt * $totalK) % s"))
+      .withColumn("deficit", lit(totalK) - sum(col("base")).over(wAll))
+      .withColumn("rr", row_number().over(wRem))
+      .withColumn("quota",
+        col("base") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
+      .select(col(strataCol), col("quota"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df0.join(broadcast(quotas), strataCol)
+      .withColumn("samp_rank", row_number().over(w))
+      .filter(col("samp_rank") <= col("quota"))
+  }
 }

@@ -123,6 +123,63 @@ object CorpusQueries {
         |WHERE sample_rank <= 40 ORDER BY source, sample_rank
         |""".stripMargin.trim)),
 
+    // ---- per-source TOKEN-budget cap (volume, not count) --------------
+    // Admit each source's docs in md5-rank order until the source has
+    // spent its 3000-char budget (one straddling doc allowed) — caps a
+    // domain's VOLUME share of the mix where q_source_quota caps its
+    // doc count. One stratum shuffle + streaming rows-frame window.
+    Q("q_token_quota",
+      (s, d) => Corpus.costBudgetCap(
+          documents(s, d).select("doc_id", "source", "n_chars"),
+          strataCol = "source", idCol = "doc_id", costCol = "n_chars",
+          budget = 3000L)
+        .orderBy("source", "cum_cost", "doc_id"),
+      Some("""
+        |WITH c AS (SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cost
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, cum_cost FROM c
+        |WHERE cum_cost - n_chars < 3000
+        |ORDER BY source, cum_cost, doc_id
+        |""".stripMargin.trim)),
+
+    // ---- temperature-rebalanced multilingual mixture ------------------
+    // 200 slots apportioned across languages ∝ √n (temperature-2
+    // tail-upsampling, the mBERT/XLM-R rebalance), largest-remainder
+    // integer apportionment (quotas sum to exactly 200), md5-rank fill.
+    // isqrt + integer shares keep both engines on the same grid; the
+    // apportionment windows run over the 5-row language aggregate.
+    Q("q_lang_rebalance",
+      (s, d) => Corpus.temperatureRebalance(
+          documents(s, d).select("doc_id", "lang"),
+          strataCol = "lang", idCol = "doc_id", totalK = 200)
+        .orderBy("lang", "samp_rank"),
+      Some(s"""
+        |WITH cnt AS (SELECT lang, count(*) AS n FROM documents
+        |  GROUP BY lang),
+        |wt AS (SELECT lang, n, ${Corpus.isqrtSql("n")} AS wt FROM cnt),
+        |tot AS (SELECT lang, n, wt,
+        |    CAST(sum(wt) OVER () AS BIGINT) AS s FROM wt),
+        |app AS (SELECT lang, wt * 200 // s AS base, (wt * 200) % s AS rem,
+        |    200 - CAST(sum(wt * 200 // s) OVER () AS BIGINT) AS deficit,
+        |    row_number() OVER (ORDER BY (wt * 200) % s DESC, lang ASC)
+        |      AS rr
+        |  FROM tot),
+        |q AS (SELECT lang, CAST(base
+        |    + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |      AS quota FROM app),
+        |r AS (SELECT d.doc_id, d.lang,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC)
+        |      AS samp_rank, q.quota
+        |  FROM documents d JOIN q ON q.lang = d.lang)
+        |SELECT doc_id, lang, samp_rank, quota FROM r
+        |WHERE samp_rank <= quota ORDER BY lang, samp_rank
+        |""".stripMargin.trim)),
+
     // ---- weight-proportional doc sampling (priority sampling) ---------
     // Duffield–Lund–Thorup priority sampling, weighted by document
     // length: q = w/u with u a dyadic md5-derived uniform, keep the

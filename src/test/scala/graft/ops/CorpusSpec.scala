@@ -114,4 +114,58 @@ class CorpusSpec extends SparkSpec {
       .select("split").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("test"))
   }
+
+  test("isqrt is the exact floor square root near perfect squares") {
+    import org.apache.spark.sql.functions.col
+    // n², n²−1, n²+1 are the cases a naive floor(sqrt) can miss
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 99L, 100L, 101L,
+      (1L << 26) * (1L << 26) - 1, (1L << 26) * (1L << 26))
+    val out = ns.toDF("n")
+      .select(col("n"), Corpus.isqrt(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val s = out(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n,
+        s"isqrt($n) = $s is not the floor sqrt")
+    }
+  }
+
+  test("costBudgetCap admits at most budget-plus-one-straddler per " +
+      "stratum and keeps the md5-order prefix") {
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val df = Seq.tabulate(40)(i =>
+      (i.toLong, s"s${i % 2}", 100L + i)).toDF("id", "src", "cost")
+    val out = Corpus.costBudgetCap(df, "src", "id", "cost", budget = 500L)
+    // spent-before-last-admitted < budget for every stratum
+    val spent = out.groupBy("src")
+      .agg(max(col("cum_cost")).as("cum"), sum(col("cost")).as("tot"))
+      .collect()
+    assert(spent.nonEmpty)
+    spent.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "cum must equal sum of admitted")
+      // dropping the straddler must land under budget
+      val under = out.filter(col("src") === r.getString(0))
+        .orderBy(col("cum_cost").desc).collect()
+      assert(under.length >= 1)
+      val last = under.head
+      assert(last.getAs[Long]("cum_cost") -
+        last.getAs[Long]("cost") < 500L)
+    }
+  }
+
+  test("temperatureRebalance quotas sum to exactly totalK and " +
+      "upsample the tail vs proportional") {
+    import org.apache.spark.sql.functions.col
+    // 360 "en", 60 "fr": proportional 200-slot shares are ~171/29;
+    // √-weights 18/7 → quotas 144/56 — the tail is upsampled (both
+    // strata hold at least their quota, so availability never caps).
+    val df = (0 until 360).map(i => (i.toLong, "en")) ++
+      (1000 until 1060).map(i => (i.toLong, "fr"))
+    val out = Corpus.temperatureRebalance(
+      df.toDF("id", "lang"), "lang", "id", totalK = 200)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.sum == 200L)
+    assert(byLang("fr") == 56L && byLang("en") == 144L)
+  }
 }
