@@ -185,4 +185,27 @@ object Dedup {
         .as("__row"))
       .select(counted.map(c => col(s"__row.$c").as(c)): _*)
   }
+
+  /** [[exactDedup]] that PRESERVES multiplicity: one representative
+    * per content fingerprint plus `weight` = how many copies it stood
+    * for — the count-aware variant a training pipeline uses when
+    * duplicates should be collapsed for storage but their frequency
+    * kept as a sampling/loss weight (or for a dedup-impact report)
+    * rather than discarded. Same single partial-aggregable shuffle;
+    * the count rides the existing aggregate for free. */
+  def exactDedupWeighted(df: DataFrame, contentCols: Seq[String],
+                         tiebreak: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val fp = sha2(to_json(struct(contentCols.map(col): _*)), 256)
+    val counted = df.columns.toIndexedSeq
+    df.withColumn("__fp", fp)
+      .withColumn("__packed", struct(counted.map(col): _*))
+      .withColumn("__ord", struct(tiebreak.map(col): _*))
+      .groupBy(col("__fp"))
+      .agg(call_function("min_by_obj", col("__packed"), col("__ord"))
+        .as("__row"),
+        count(lit(1)).as("weight"))
+      .select(counted.map(c => col(s"__row.$c").as(c)) :+
+        col("weight"): _*)
+  }
 }

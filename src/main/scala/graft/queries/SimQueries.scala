@@ -266,6 +266,38 @@ object SimQueries {
         |FROM documents GROUP BY text ORDER BY id
         |""".stripMargin.trim)),
 
+    // ---- exact dedup preserving multiplicity as a weight --------------
+    // Collapse planted duplicate copies (every doc_id % 5 == 0 doc
+    // appears three times) to one representative but KEEP the copy
+    // count — the dedup-aware-training form where frequency becomes a
+    // sampling/loss weight instead of being thrown away. Same single
+    // fingerprint shuffle as q_docs_exact_dedup; the count rides the
+    // aggregate for free.
+    Q("q_dedup_weighted",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id").as("id"),
+          col("text"))
+        val dup = docs.filter(pmod(col("id"), lit(5L)) === 0L)
+        val corpus = docs
+          .unionByName(dup.select((col("id") + 2000000L).as("id"),
+            col("text")))
+          .unionByName(dup.select((col("id") + 4000000L).as("id"),
+            col("text")))
+        graft.ops.Dedup.exactDedupWeighted(corpus, Seq("text"), Seq("id"))
+          .select(col("id"), col("weight"))
+          .orderBy("id")
+      },
+      Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+        |    WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 4000000, text FROM documents
+        |    WHERE doc_id % 5 = 0)
+        |SELECT min(id) AS id, CAST(count(*) AS BIGINT) AS weight
+        |FROM corpus GROUP BY text ORDER BY id
+        |""".stripMargin.trim)),
+
     // ---- Unicode-canonical exact dedup (NFC + casefold) ---------------
     // Planted NFC/NFD twins (composed U+00E9 vs e+combining U+0301) and
     // case twins are byte-different but visually identical — raw-byte
@@ -912,6 +944,53 @@ object SimQueries {
         |  FROM neg WHERE cos_milli < best_pos_milli)
         |SELECT q_id, rank, vec_id AS neg_id, cos_milli, best_pos_milli
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
+    // ---- semantic decontamination (embedding-level) -------------------
+    // The EMBEDDING twin of q_text_decontaminate/q_decontaminate_bloom:
+    // flag every training vector whose best cosine against the eval
+    // set clears 950 — catching paraphrases and re-encodings that
+    // n-gram overlap misses. The eval set is bounded by nature (it is
+    // an eval set), so it broadcasts and the corpus streams through
+    // one partial-aggregable max — a single pass at any corpus size.
+    Q("q_semantic_decontaminate",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        val eval = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("e_id"), col("embedding").as("ev"))
+        // plant paraphrase-like contamination: perturbed eval copies
+        // (first component +2⁻⁵ — binary-exact, cos ≈ 999) that an
+        // n-gram decontaminator would treat as novel text
+        val planted = emb.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            concat(
+              array((element_at(col("embedding"), 1).cast(DoubleType)
+                + 0.03125).cast(FloatType)),
+              slice(col("embedding"), 2, 63)).as("embedding"))
+        emb.filter(col("vec_id") >= 20).unionByName(planted)
+          .crossJoin(broadcast(eval))
+          .withColumn("cos_milli",
+            GraftFunctions.cosineMilli(col("embedding"), col("ev")))
+          .groupBy("vec_id")
+          .agg(max(col("cos_milli")).as("max_cos_milli"))
+          .withColumn("is_contam", col("max_cos_milli") >= 950)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        |WITH ev AS (SELECT embedding AS ev FROM embeddings
+        |    WHERE vec_id < 20),
+        |pl AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(CAST(CAST(embedding[1] AS DOUBLE)
+        |        + CAST(0.03125 AS DOUBLE) AS REAL),
+        |      embedding[2:64]) AS embedding
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding FROM embeddings
+        |    WHERE vec_id >= 20 UNION ALL SELECT * FROM pl)
+        |SELECT c.vec_id,
+        |  max(${cosSql("c.embedding", "e.ev")}) AS max_cos_milli,
+        |  max(${cosSql("c.embedding", "e.ev")}) >= 950 AS is_contam
+        |FROM c, ev e GROUP BY c.vec_id ORDER BY c.vec_id
         |""".stripMargin.trim)),
 
     // ---- IVF-style ANN: assign to nearest centroid, probe top-2 -------

@@ -164,6 +164,42 @@ object TextQueries {
         |FROM t ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- per-source n-gram diversity (boilerplate score) --------------
+    // distinct-3-gram fraction across each source's docs: a source
+    // whose documents repeat each other (templated pages, mirrored
+    // boilerplate) scores low even when q_text_repetition's WITHIN-doc
+    // score is clean. Partial-aggregable two-phase distinct on
+    // (source, shingle); at 100 TB swap count_distinct for
+    // approx_count_distinct — the ranking, not the 4th digit, is the
+    // signal.
+    Q("q_source_diversity",
+      (s, d) => {
+        val sh = documents(s, d)
+          .select(col("source"),
+            explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+        sh.groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            count_distinct(col("sh")).as("n_distinct"))
+          .withColumn("diversity_milli",
+            expr("n_distinct * 1000 div n_total"))
+          .orderBy("source")
+      },
+      Some("""
+        |WITH t AS (SELECT source,
+        |    string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT source,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |      AS sh
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+        |  CAST(count(DISTINCT sh) * 1000 // count(*) AS BIGINT)
+        |    AS diversity_milli
+        |FROM sh GROUP BY source ORDER BY source
+        |""".stripMargin.trim)),
+
     // ---- structural PII redaction -------------------------------------
     // Deterministic PII is injected per doc (the synthetic corpus has
     // none), then scrubbed; both engines build and scrub the same

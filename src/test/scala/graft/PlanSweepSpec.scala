@@ -38,6 +38,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_editdist_join",      // broadcast segment-combo index (PassJoin, ~L·τ rows)
     "q_embed_neardup",      // broadcast hyperplanes
     "q_hard_negatives",     // corpus × broadcast armed anchor set
+    "q_semantic_decontaminate", // corpus × broadcast bounded eval set
     "q_knn_classify",       // corpus × broadcast labeled queries
     "q_text_length_trim"    // broadcast 1-row percentile bounds
   )
