@@ -292,6 +292,52 @@ object Corpus {
       s"THEN $s1 + 1 ELSE $s1 END)"
   }
 
+  /** Cross-stratum OVERLAP matrix from k-minimum-values sketches: for
+    * every stratum pair, the KMV Jaccard estimate over distinct
+    * `itemCol` values (shingles, URLs, fingerprints) — the
+    * mixture-design question "how much of domain A is also in domain
+    * B", answered from k hashes per stratum instead of a full
+    * cross-stratum distinct join. Estimator: rank the md5 hashes per
+    * stratum, keep the k smallest (the KMV sketch); for a pair, take
+    * the k smallest of the sketch UNION and count members present in
+    * both sketches — m/k is the standard KMV Jaccard estimate
+    * (Beyer et al. 2007), reported as floor-milli. Hex-string order
+    * is plain ASCII on both engines, so the whole estimate is
+    * hash-pinnable.
+    *
+    * Scale shape: the per-stratum sketch is a rank-window over
+    * distinct (stratum, hash) — group-limit pushdown, same shape as
+    * [[stratifiedHashSample]]; at extreme stratum cardinality swap in
+    * a bounded k-smallest aggregate (the [[reservoirSample]]
+    * ReservoirAgg shape — KMV is order-statistics mergeable). Pair
+    * work is #strata²·k rows — sketch-sized, never corpus-sized. */
+  def kmvOverlap(df0: DataFrame, strataCol: String, itemCol: String,
+                 k: Int): DataFrame = {
+    val wSk = Window.partitionBy(col(strataCol)).orderBy(col("h").asc)
+    val sk = df0.select(col(strataCol), md5(col(itemCol)).as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(wSk))
+      .filter(col("r") <= k).drop("r")
+    val srcs = sk.select(col(strataCol)).distinct()
+    val pairs = srcs.select(col(strataCol).as("sa"))
+      .crossJoin(srcs.select(col(strataCol).as("sb")))
+      .filter(col("sa") < col("sb"))
+    val ua = pairs.join(sk.withColumnRenamed(strataCol, "sa"), "sa")
+      .withColumn("ina", lit(1)).withColumn("inb", lit(0))
+    val ub = pairs.join(sk.withColumnRenamed(strataCol, "sb"), "sb")
+      .withColumn("ina", lit(0)).withColumn("inb", lit(1))
+    val wU = Window.partitionBy("sa", "sb").orderBy(col("h").asc)
+    ua.unionByName(ub.select(ua.columns.map(col): _*))
+      .groupBy("sa", "sb", "h")
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+      .withColumn("r", row_number().over(wU))
+      .filter(col("r") <= k)
+      .groupBy("sa", "sb")
+      .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1L)
+        .otherwise(0L)).as("m"))
+      .withColumn("jaccard_milli", expr(s"m * 1000 div $k"))
+  }
+
   /** TEMPERATURE-rebalanced mixture: allocate a total of `totalK` doc
     * slots across strata proportionally to √n (temperature-2
     * upsampling of the tail — the standard multilingual rebalance,

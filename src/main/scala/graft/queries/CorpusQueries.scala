@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.Corpus
+import graft.ops.{Corpus, TextOps}
 
 /** Corpus-curation queries over the documents table: term weighting,
   * deterministic stratified sampling, and token-budget packing — the
@@ -178,6 +178,52 @@ object CorpusQueries {
         |  FROM documents d JOIN q ON q.lang = d.lang)
         |SELECT doc_id, lang, samp_rank, quota FROM r
         |WHERE samp_rank <= quota ORDER BY lang, samp_rank
+        |""".stripMargin.trim)),
+
+    // ---- cross-source overlap matrix (KMV sketch Jaccard) -------------
+    // For every source pair, the KMV-estimated Jaccard of their
+    // distinct 3-gram sets — the mixture-design diagnostic for "domain
+    // A largely mirrors domain B" — from 64 hashes per source instead
+    // of a cross-source distinct join. Pair work is #sources²·k rows:
+    // sketch-sized, never corpus-sized.
+    Q("q_source_overlap",
+      (s, d) => Corpus.kmvOverlap(
+          documents(s, d).select(col("source"),
+            explode(TextOps.wordShingles(col("text"), 3)).as("sh")),
+          strataCol = "source", itemCol = "sh", k = 64)
+        .orderBy("sa", "sb"),
+      Some("""
+        |WITH t AS (SELECT source,
+        |    string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source, md5(sh) AS h FROM (
+        |    SELECT source,
+        |      unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |        AS sh
+        |    FROM t WHERE len(toks) >= 3)),
+        |sk AS (SELECT source, h FROM (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h ASC) AS r
+        |  FROM sh) WHERE r <= 64),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM srcs a, srcs b WHERE a.source < b.source),
+        |u AS (SELECT sa, sb, h, max(ina) AS ina, max(inb) AS inb FROM (
+        |    SELECT p.sa, p.sb, s.h, 1 AS ina, 0 AS inb
+        |    FROM pairs p JOIN sk s ON s.source = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, s.h, 0 AS ina, 1 AS inb
+        |    FROM pairs p JOIN sk s ON s.source = p.sb)
+        |  GROUP BY sa, sb, h),
+        |ru AS (SELECT sa, sb, ina, inb,
+        |    row_number() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS r
+        |  FROM u)
+        |SELECT sa, sb,
+        |  CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m,
+        |  CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+        |    * 1000 // 64 AS BIGINT) AS jaccard_milli
+        |FROM ru WHERE r <= 64 GROUP BY sa, sb ORDER BY sa, sb
         |""".stripMargin.trim)),
 
     // ---- weight-proportional doc sampling (priority sampling) ---------

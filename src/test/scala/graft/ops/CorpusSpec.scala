@@ -115,6 +115,25 @@ class CorpusSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("test"))
   }
 
+  test("kmvOverlap: identical strata estimate 1000, disjoint 0, " +
+      "partial lands near truth") {
+    import org.apache.spark.sql.functions.col
+    val rows =
+      (0 until 100).map(i => ("a", s"item$i")) ++     // a = 0..99
+      (0 until 100).map(i => ("b", s"item$i")) ++     // b identical to a
+      (50 until 150).map(i => ("c", s"item$i")) ++    // c: J(a,c)=50/150
+      (500 until 600).map(i => ("d", s"item$i"))      // d disjoint from a
+    val out = Corpus.kmvOverlap(rows.toDF("src", "item"),
+        "src", "item", k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("a", "b")) == 1000L, "identical sets must estimate 1000")
+    assert(out(("a", "d")) == 0L, "disjoint sets must estimate 0")
+    val est = out(("a", "c")) // truth 333; KMV with k=64 is coarse
+    assert(est > 150L && est < 550L,
+      s"partial-overlap estimate $est too far from 333")
+  }
+
   test("isqrt is the exact floor square root near perfect squares") {
     import org.apache.spark.sql.functions.col
     // n², n²−1, n²+1 are the cases a naive floor(sqrt) can miss
