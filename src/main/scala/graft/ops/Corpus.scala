@@ -273,6 +273,62 @@ object Corpus {
       .filter(col("cum_cost") - col(costCol) < budget)
   }
 
+  /** Per-stratum EXACT quantile threshold filter without a
+    * per-stratum sort of the data: keep each stratum's rows whose
+    * integer score is ≥ the stratum's pctMilli/1000-quantile. The
+    * quantile is computed from the (stratum, score) HISTOGRAM — a
+    * partial-aggregable count groupBy — and the cumulative/threshold
+    * windows run over histogram BINS (bounded by the quantized score
+    * domain, never by row count). The thresholds table is
+    * strata-sized, so it broadcasts back onto the stream.
+    *
+    * This is the adaptive per-source quality-cutoff shape from C4 /
+    * Gopher-style curation: a fixed global threshold over-prunes
+    * clean-but-informal sources and under-prunes boilerplate farms;
+    * a per-source quantile adapts. Exactness: scores are integer
+    * milli-units, so the histogram quantile IS the true quantile —
+    * no approx sketch needed (at 100 TB the same shape holds:
+    * #bins ≤ 1001 per stratum).
+    *
+    * Threshold definition: the smallest score whose ascending
+    * cumulative count reaches ⌈pctMilli·n/1000⌉ — i.e. at most
+    * pctMilli/1000 of rows fall strictly below it. Output: input
+    * rows with `thr_milli` attached, bottom tail removed. */
+  def quantileCutoff(df0: DataFrame, strataCol: String,
+                     scoreCol: String, pctMilli: Long): DataFrame = {
+    val hist = df0.groupBy(col(strataCol), col(scoreCol))
+      .agg(count(lit(1)).as("bin_n"))
+    val wCum = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(strataCol))
+    val thr = hist
+      .withColumn("cum_n", sum(col("bin_n")).over(wCum))
+      .withColumn("n", sum(col("bin_n")).over(wAll))
+      .filter(col("cum_n") * 1000L >= lit(pctMilli) * col("n"))
+      .groupBy(col(strataCol))
+      .agg(min(col(scoreCol)).as("thr_milli"))
+    df0.join(broadcast(thr), Seq(strataCol))
+      .filter(col(scoreCol) >= col("thr_milli"))
+  }
+
+  /** DuckDB twin of [[quantileCutoff]]: CTEs `qc_hist`/`qc_thr` over
+    * relation `rel`; join `qc_thr` on the stratum and filter
+    * `score >= thr_milli` in the consuming query. */
+  def quantileCutoffSql(rel: String, strataCol: String,
+                        scoreCol: String, pctMilli: Long): String =
+    s"""qc_hist AS (SELECT $strataCol, $scoreCol, count(*) AS bin_n
+    |  FROM $rel GROUP BY 1, 2),
+    |qc_thr AS (SELECT $strataCol, min($scoreCol) AS thr_milli
+    |  FROM (SELECT $strataCol, $scoreCol,
+    |      sum(bin_n) OVER (PARTITION BY $strataCol
+    |        ORDER BY $scoreCol ASC
+    |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    |        AS cum_n,
+    |      sum(bin_n) OVER (PARTITION BY $strataCol) AS n
+    |    FROM qc_hist)
+    |  WHERE cum_n * 1000 >= $pctMilli * n GROUP BY 1)""".stripMargin
+
   /** Exact integer square root, engine-portable: IEEE-754 specifies
     * `sqrt` as CORRECTLY ROUNDED (unlike ln/pow/exp, which libm only
     * approximates), and the ±1 correction steps make the result the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
-import graft.ops.TextOps
+import graft.ops.{Corpus, TextOps}
 
 /** Text-analysis queries over the `documents` table — the operations a
   * large-scale training-data pipeline needs (language ID, quality
@@ -198,6 +198,44 @@ object TextQueries {
         |  CAST(count(DISTINCT sh) * 1000 // count(*) AS BIGINT)
         |    AS diversity_milli
         |FROM sh GROUP BY source ORDER BY source
+        |""".stripMargin.trim)),
+
+    // ---- per-source adaptive quality cutoff ---------------------------
+    // Drop each source's bottom quartile by stopword-ratio score — the
+    // C4/Gopher-style ADAPTIVE threshold (a fixed global cutoff
+    // over-prunes clean-but-informal sources and under-prunes
+    // boilerplate farms). The quantile is EXACT but computed from the
+    // (source, score) histogram: counts are partial-aggregable, the
+    // quantile windows run over score BINS (≤1001/source at any corpus
+    // size), and the strata-sized threshold table broadcasts back —
+    // no per-source sort of the data anywhere.
+    Q("q_quality_cutoff",
+      (s, d) => {
+        val scored = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextOps.stopwordCount(col("text")).as("n_stop"),
+            TextOps.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("score_milli",
+            floor(lit(1000.0) * col("n_stop") / col("n_tokens") + 0.5)
+              .cast(LongType))
+          .select("doc_id", "source", "score_milli")
+        Corpus.quantileCutoff(scored, "source", "score_milli",
+            pctMilli = 250L)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH sc AS (SELECT doc_id, source,
+        |    CAST(floor(1000.0 *
+        |        len(list_filter(string_split_regex(lower(text),
+        |          '[ \\t\\n\\r\\f]+'), w -> w IN (${TextOps.stopwordsSql})))
+        |      / len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))
+        |      + 0.5) AS BIGINT) AS score_milli
+        |  FROM documents),
+        |${Corpus.quantileCutoffSql("sc", "source", "score_milli", 250L)}
+        |SELECT doc_id, source, score_milli, thr_milli
+        |FROM sc JOIN qc_thr USING (source)
+        |WHERE score_milli >= thr_milli
+        |ORDER BY doc_id
         |""".stripMargin.trim)),
 
     // ---- structural PII redaction -------------------------------------

@@ -187,4 +187,25 @@ class CorpusSpec extends SparkSpec {
     assert(byLang.values.sum == 200L)
     assert(byLang("fr") == 56L && byLang("en") == 144L)
   }
+
+  test("quantileCutoff keeps rows at/above each stratum's exact " +
+      "histogram quantile, independently per stratum") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("a", 5L, 40L), ("a", 6L, 40L), ("a", 7L, 50L), ("a", 8L, 60L),
+      ("b", 9L, 5L), ("b", 10L, 500L)
+    ).toDF("source", "doc_id", "score_milli")
+    val out = Corpus.quantileCutoff(df, "source", "score_milli",
+      pctMilli = 500L).collect()
+    // stratum a: n=8, median threshold lands on bin 30 (cum 4 of 8);
+    // the whole threshold bin and everything above survives — ties at
+    // the cut are kept together, never split
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(1)).sorted.toSeq == Seq(4L, 5L, 6L, 7L, 8L))
+    assert(a.forall(_.getAs[Long]("thr_milli") == 30L))
+    // stratum b: n=2, cum(5)=1 → 1000 ≥ 500·2 → thr=5: both kept —
+    // a's threshold never leaks into b
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.length == 2 && b.forall(_.getAs[Long]("thr_milli") == 5L))
+  }
 }
