@@ -230,4 +230,59 @@ object Analytics {
         expr("(1000 * __S + n * __nt) div (2 * n * __nt)")
           .as("tv_milli"))
   }
+
+  /** Per-group two-sided winsorization (clip to the group's
+    * [loMilli, hiMilli] EXACT quantiles) over an integer-quantized
+    * score — the outlier-clipping step a feature/reward pipeline runs
+    * before normalization, where a global clip miscalibrates
+    * heavy-tailed groups. Same scale shape as
+    * [[Corpus.quantileCutoff]]: the quantiles come from the
+    * (group, score) histogram (partial-aggregable counts; windows
+    * over BINS, bounded by the quantized domain, never row count) and
+    * both thresholds fall out of ONE aggregate over the cumulated
+    * histogram; the group-sized threshold table broadcasts back.
+    * Each threshold is the smallest score whose ascending cumulative
+    * count reaches pct·n/1000 (inverse-CDF quantile). Output: input
+    * rows + lo/hi thresholds + the clipped score. */
+  def winsorize(rows: DataFrame, groupCol: String, scoreCol: String,
+                loMilli: Long, hiMilli: Long): DataFrame = {
+    val hist = rows.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("bin_n"))
+    val wCum = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum_n", sum(col("bin_n")).over(wCum))
+      .withColumn("n", sum(col("bin_n")).over(wAll))
+    val thr = cum.groupBy(col(groupCol))
+      .agg(
+        min(when(col("cum_n") * 1000L >= lit(loMilli) * col("n"),
+          col(scoreCol))).as("lo_thr"),
+        min(when(col("cum_n") * 1000L >= lit(hiMilli) * col("n"),
+          col(scoreCol))).as("hi_thr"))
+    rows.join(broadcast(thr), Seq(groupCol))
+      .withColumn(s"${scoreCol}_wins",
+        greatest(least(col(scoreCol), col("hi_thr")), col("lo_thr")))
+  }
+
+  /** DuckDB twin of [[winsorize]]: CTEs `wz_hist`/`wz_thr` over
+    * relation `rel`; join `wz_thr` on the group and clip with
+    * greatest/least in the consuming query. */
+  def winsorizeSql(rel: String, groupCol: String, scoreCol: String,
+                   loMilli: Long, hiMilli: Long): String =
+    s"""wz_hist AS (SELECT $groupCol, $scoreCol, count(*) AS bin_n
+    |  FROM $rel GROUP BY 1, 2),
+    |wz_cum AS (SELECT $groupCol, $scoreCol,
+    |    sum(bin_n) OVER (PARTITION BY $groupCol
+    |      ORDER BY $scoreCol ASC
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+    |    sum(bin_n) OVER (PARTITION BY $groupCol) AS n
+    |  FROM wz_hist),
+    |wz_thr AS (SELECT $groupCol,
+    |    min(CASE WHEN cum_n * 1000 >= $loMilli * n
+    |      THEN $scoreCol END) AS lo_thr,
+    |    min(CASE WHEN cum_n * 1000 >= $hiMilli * n
+    |      THEN $scoreCol END) AS hi_thr
+    |  FROM wz_cum GROUP BY 1)""".stripMargin
 }

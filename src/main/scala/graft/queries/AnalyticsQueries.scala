@@ -232,6 +232,40 @@ object AnalyticsQueries {
       },
       Some(driftOracle)),
 
+    // ---- per-group winsorization at exact histogram quantiles -------
+    // Clip each event type's value to its own [p05, p95] — the
+    // outlier-clipping step before feature/reward normalization, where
+    // a global clip miscalibrates heavy-tailed groups. Values are
+    // cent-quantized so the histogram quantile is EXACT and
+    // engine-portable; both thresholds come from one aggregate over
+    // the cumulated (type, cent) histogram; windows run over bins,
+    // never rows (see Analytics.winsorize).
+    Q("q_winsorize",
+      (s, d) => {
+        val ev = events(s, d).filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast(LongType)
+              .as("value_cent"))
+        Analytics.winsorize(ev, "event_type", "value_cent",
+            loMilli = 50L, hiMilli = 950L)
+          .select(col("event_id"), col("event_type"), col("value_cent"),
+            col("lo_thr").as("lo_cent"), col("hi_thr").as("hi_cent"),
+            col("value_cent_wins").as("wins_cent"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        |WITH ev AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cent
+        |  FROM events WHERE value IS NOT NULL),
+        |${Analytics.winsorizeSql("ev", "event_type", "value_cent",
+             50L, 950L)}
+        |SELECT event_id, event_type, value_cent,
+        |  lo_thr AS lo_cent, hi_thr AS hi_cent,
+        |  greatest(least(value_cent, hi_thr), lo_thr) AS wins_cent
+        |FROM ev JOIN wz_thr USING (event_type)
+        |ORDER BY event_id
+        |""".stripMargin.trim)),
+
     // ---- integer-exact PageRank (5 iterations) ----------------------
     // Influence scores over the symmetric customer<->supplier purchase
     // graph (supplier ids offset by 1e6 — disjoint from customer keys

@@ -149,6 +149,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips to per-group exact histogram quantiles; " +
+      "middle rows pass through untouched") {
+    // group a: 20 values 1..20 → p05 lands on 1 (cum 1/20 = 5%),
+    // p95 on 19 (cum 19/20 = 95%); group b is constant → lo = hi,
+    // everything maps to the constant
+    val rows = ((1L to 20L).map(v => ("a", v, v)) ++
+      Seq(("b", 100L, 7L), ("b", 101L, 7L)))
+      .toDF("grp", "id", "score")
+    val out = Analytics.winsorize(rows, "grp", "score", 50L, 950L)
+      .collect()
+    val a = out.filter(_.getString(0) == "a")
+      .map(r => r.getLong(2) -> r.getAs[Long]("score_wins")).toMap
+    assert(a(1L) == 1L && a(19L) == 19L && a(10L) == 10L)
+    assert(a(20L) == 19L, "above-p95 value must clip down to p95")
+    val aThr = out.filter(_.getString(0) == "a").head
+    assert(aThr.getAs[Long]("lo_thr") == 1L &&
+      aThr.getAs[Long]("hi_thr") == 19L)
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.forall(_.getAs[Long]("score_wins") == 7L))
+  }
+
   test("funnel plan: one exchange, one sort for all three stages") {
     val ev = Seq((1L, 10L, 1L, "view")).toDF("u", "t", "eid", "kind")
     val plan = Analytics.funnel(ev, "u", col("t"), col("eid"),
