@@ -273,6 +273,47 @@ object Corpus {
       .filter(col("cum_cost") - col(costCol) < budget)
   }
 
+  /** Epoch-repeat expansion toward a per-stratum doc target with a
+    * repeat CAP — the pretraining-mixture step where undersized
+    * sources are repeated across epochs (up to maxEpochs) to fill
+    * their share of the token budget, and sources at the cap are
+    * left underfilled rather than over-repeated (the LLaMA-style
+    * repeat-cap discipline; complements [[temperatureRebalance]],
+    * which SELECTS slots, by EXPANDING what was selected). Every doc
+    * gets `full = min(maxEpochs, target div n)` epochs; the
+    * remainder `target − full·n` (< n) is filled by one extra epoch
+    * for the stratum's md5-rank prefix — deterministic and
+    * growth-stable like every md5-rank gate. Output: one row per
+    * (doc, epoch).
+    *
+    * Scale shape: stratum sizes are a partial-aggregable count that
+    * broadcasts back; the expansion is a per-row
+    * explode(sequence(1, epochs)) — output-sized, never materializing
+    * more than the emitted rows; the md5 rank is the
+    * [[stratifiedHashSample]] group-limit window. */
+  def epochRepeat(df0: DataFrame, strataCol: String, idCol: String,
+                  targetPerStratum: Long, maxEpochs: Int): DataFrame = {
+    val n = df0.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .withColumn("full_e",
+        least(lit(maxEpochs.toLong),
+          expr(s"${targetPerStratum}L div n")))
+      .withColumn("rem",
+        when(col("full_e") < maxEpochs.toLong,
+          lit(targetPerStratum) - col("full_e") * col("n"))
+          .otherwise(lit(0L)))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df0.withColumn("samp_rank", row_number().over(w))
+      .join(broadcast(n), Seq(strataCol))
+      .withColumn("n_epochs",
+        (col("full_e") +
+          when(col("samp_rank") <= col("rem"), 1L).otherwise(0L))
+          .cast("int"))
+      .filter(col("n_epochs") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col("n_epochs"))))
+      .drop("samp_rank", "n", "full_e", "rem", "n_epochs")
+  }
+
   /** Per-stratum EXACT quantile threshold filter without a
     * per-stratum sort of the data: keep each stratum's rows whose
     * integer score is ≥ the stratum's pctMilli/1000-quantile. The

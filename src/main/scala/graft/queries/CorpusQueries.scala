@@ -180,6 +180,43 @@ object CorpusQueries {
         |WHERE samp_rank <= quota ORDER BY lang, samp_rank
         |""".stripMargin.trim)),
 
+    // ---- epoch-repeat expansion with repeat cap -----------------------
+    // Fill each language toward 250 docs by REPEATING its corpus
+    // across epochs, capped at 3 — the pretraining repeat-cap
+    // discipline (rare languages repeat, but never more than the cap;
+    // capped languages stay underfilled). At sf0.01: en (218) takes 1
+    // full epoch + a 32-doc md5-prefix partial; zh/es/de/fr all hit
+    // the 3-epoch cap. Stratum params broadcast; the expansion is an
+    // output-sized explode(sequence).
+    Q("q_epoch_repeat",
+      (s, d) => Corpus.epochRepeat(
+          documents(s, d).select("doc_id", "lang"),
+          strataCol = "lang", idCol = "doc_id",
+          targetPerStratum = 250L, maxEpochs = 3)
+        .orderBy("lang", "doc_id", "epoch"),
+      Some("""
+        |WITH cnt AS (SELECT lang, count(*) AS n FROM documents
+        |  GROUP BY lang),
+        |par AS (SELECT lang, n, least(3, 250 // n) AS full_e,
+        |    CASE WHEN least(3, 250 // n) < 3
+        |      THEN 250 - least(3, 250 // n) * n ELSE 0 END AS rem
+        |  FROM cnt),
+        |r AS (SELECT d.doc_id, d.lang,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC)
+        |      AS rk,
+        |    p.full_e, p.rem
+        |  FROM documents d JOIN par p ON p.lang = d.lang),
+        |e AS (SELECT doc_id, lang,
+        |    full_e + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS n_epochs
+        |  FROM r)
+        |SELECT doc_id, lang, CAST(epoch AS INTEGER) AS epoch
+        |FROM (SELECT doc_id, lang,
+        |    unnest(range(1, n_epochs + 1)) AS epoch
+        |  FROM e WHERE n_epochs >= 1)
+        |ORDER BY lang, doc_id, epoch
+        |""".stripMargin.trim)),
+
     // ---- cross-source overlap matrix (KMV sketch Jaccard) -------------
     // For every source pair, the KMV-estimated Jaccard of their
     // distinct 3-gram sets — the mixture-design diagnostic for "domain

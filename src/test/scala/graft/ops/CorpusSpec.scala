@@ -188,6 +188,30 @@ class CorpusSpec extends SparkSpec {
     assert(byLang("fr") == 56L && byLang("en") == 144L)
   }
 
+  test("epochRepeat fills toward the target, caps repeats, and gives " +
+      "the remainder to the md5-prefix") {
+    // a: 4 docs, target 10, cap 3 → full=2, rem=2: two docs get a
+    // 3rd epoch → exactly 10 rows. b: 1 doc, target 10 → cap binds:
+    // 3 rows, underfilled. c: 20 docs → full=0, rem=10: 10 singles.
+    val df = ((1L to 4L).map(i => (i, "a")) ++ Seq((100L, "b")) ++
+      (200L until 220L).map(i => (i, "c"))).toDF("doc_id", "lang")
+    val out = Corpus.epochRepeat(df, "lang", "doc_id",
+      targetPerStratum = 10L, maxEpochs = 3)
+      .select("lang", "doc_id", "epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byLang = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang == Map("a" -> 10, "b" -> 3, "c" -> 10))
+    // every a-doc appears at least twice (full epochs), exactly two
+    // of them three times
+    val aCounts = out.filter(_._1 == "a").groupBy(_._2)
+      .view.mapValues(_.length).toMap
+    assert(aCounts.values.forall(c => c == 2 || c == 3))
+    assert(aCounts.values.count(_ == 3) == 2)
+    // epochs are dense 1..k per doc
+    assert(out.filter(t => t._1 == "b").map(_._3).sorted.toSeq ==
+      Seq(1, 2, 3))
+  }
+
   test("quantileCutoff keeps rows at/above each stratum's exact " +
       "histogram quantile, independently per stratum") {
     val df = Seq(
