@@ -273,6 +273,74 @@ object Corpus {
       .filter(col("cum_cost") - col(costCol) < budget)
   }
 
+  /** DSIR-flavored targeted-domain relevance scoring (Xie et al.
+    * 2023's hashed-n-gram importance idea, additive/integer form):
+    * hash every token into one of `buckets` buckets, learn each
+    * bucket's milli relevance ratio
+    * `(target share) / (corpus share)` from the rows marked
+    * `isTarget`, then score every document by its mean per-token
+    * bucket relevance. Docs whose token distribution matches the
+    * target domain score ~1000+; off-domain docs score low — the
+    * "select corpus docs most like my target domain" curation step.
+    * Additive mean instead of DSIR's log-likelihood product keeps
+    * the whole computation in exact integer milli arithmetic (no
+    * libm, engine-portable); both are monotone in per-bucket
+    * relevance.
+    *
+    * Scale shape: two streamed passes over the corpus — one
+    * partial-aggregable count pass to learn the bucket table
+    * (bounded: `buckets` rows; its totals fold on via an
+    * unpartitioned window over that AGGREGATE, the driftFromCounts
+    * discipline), one scoring pass joining the broadcast relevance
+    * table and reducing per doc. Nothing doc×bucket is ever
+    * materialized; the estimation/scoring split is exactly DSIR's. */
+  def domainRelevance(docs: DataFrame, idCol: String, textCol: String,
+                      isTarget: Column, buckets: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), isTarget.as("is_t"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 4), 16, 10)
+          .cast(LongType) % buckets)
+    val bt = toks.groupBy("b").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val rel = bt
+      .withColumn("t_r", sum(col("c_r")).over(Window.partitionBy()))
+      .withColumn("t_t", sum(col("c_t")).over(Window.partitionBy()))
+      .withColumn("rel_milli",
+        expr("(c_t * t_r * 1000) div (c_r * t_t)"))
+      .select("b", "rel_milli")
+    toks.join(broadcast(rel), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("rel_milli")).as("rel_sum"))
+      .select(col("id").as(idCol), col("n_toks"),
+        expr("rel_sum div n_toks").as("score_milli"))
+  }
+
+  /** DuckDB twin of [[domainRelevance]]: CTEs `dr_tok`/`dr_rel`
+    * over relation `rel`; `targetPred` is a boolean SQL expression
+    * over the relation's columns. Consume by joining `dr_tok` with
+    * `dr_rel` on `b` and grouping by doc. */
+  def domainRelevanceSql(rel: String, idCol: String, textCol: String,
+                         targetPred: String, buckets: Int): String =
+    s"""dr_tok AS (SELECT id, is_t,
+    |    ${priorityHashSql("tok")} % $buckets AS b
+    |  FROM (SELECT $idCol AS id, ($targetPred) AS is_t,
+    |      unnest(string_split_regex(trim(lower($textCol)),
+    |        '[ \\t\\n\\r\\f]+')) AS tok
+    |    FROM $rel) WHERE tok <> ''),
+    |dr_bt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+    |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+    |  FROM dr_tok GROUP BY b),
+    |dr_rel AS (SELECT b,
+    |    CAST((c_t * (SELECT sum(c_r) FROM dr_bt) * 1000)
+    |      // (c_r * (SELECT sum(c_t) FROM dr_bt)) AS BIGINT)
+    |      AS rel_milli
+    |  FROM dr_bt)""".stripMargin
+
   /** Epoch-repeat expansion toward a per-stratum doc target with a
     * repeat CAP — the pretraining-mixture step where undersized
     * sources are repeated across epochs (up to maxEpochs) to fill

@@ -217,6 +217,29 @@ object CorpusQueries {
         |ORDER BY lang, doc_id, epoch
         |""".stripMargin.trim)),
 
+    // ---- targeted domain-relevance scoring (DSIR-flavored) ------------
+    // Treat src0's docs as the target domain; score EVERY doc by the
+    // mean hashed-token-bucket relevance ratio (target share / corpus
+    // share, integer milli) — the "select corpus docs most like my
+    // target domain" curation step. Two streamed passes (learn the
+    // 64-row bucket table, then score against its broadcast); the
+    // additive-mean form keeps DSIR's estimation/scoring split in
+    // exact integer arithmetic.
+    Q("q_domain_relevance",
+      (s, d) => Corpus.domainRelevance(
+          documents(s, d).select("doc_id", "source", "text"),
+          idCol = "doc_id", textCol = "text",
+          isTarget = col("source") === "src0", buckets = 64)
+        .orderBy("doc_id"),
+      Some(s"""
+        |WITH ${Corpus.domainRelevanceSql("documents", "doc_id",
+             "text", "source = 'src0'", 64)}
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(rel_milli) // count(*) AS BIGINT) AS score_milli
+        |FROM dr_tok JOIN dr_rel USING (b)
+        |GROUP BY id ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // ---- cross-source overlap matrix (KMV sketch Jaccard) -------------
     // For every source pair, the KMV-estimated Jaccard of their
     // distinct 3-gram sets — the mixture-design diagnostic for "domain

@@ -188,6 +188,32 @@ class CorpusSpec extends SparkSpec {
     assert(byLang("fr") == 56L && byLang("en") == 144L)
   }
 
+  test("domainRelevance scores target-like docs above off-domain docs " +
+      "and is mean-of-buckets exact") {
+    // target vocabulary {alpha beta}; off-domain {gamma delta}.
+    // Docs 1-2 are the target; doc 3 mirrors the target vocabulary,
+    // doc 4 is pure off-domain, doc 5 mixes both.
+    val docs = Seq(
+      (1L, true, "alpha beta alpha"),
+      (2L, true, "beta alpha beta"),
+      (3L, false, "alpha beta beta"),
+      (4L, false, "gamma delta gamma"),
+      (5L, false, "alpha gamma")
+    ).toDF("doc_id", "is_t", "text")
+    val out = Corpus.domainRelevance(docs, "doc_id", "text",
+      col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // every alpha/beta token has corpus count split target/corpus =
+    // 6 target hits of 15 total tokens overall; a target-vocab doc
+    // scores strictly above the off-domain doc, and doc 4 scores 0
+    // (its buckets have zero target mass)
+    assert(out(4L)._2 == 0L)
+    assert(out(3L)._2 > out(5L)._2 && out(5L)._2 > out(4L)._2)
+    assert(out(1L)._2 == out(2L)._2, "same-vocab docs score equal")
+    assert(out(1L)._1 == 3L && out(5L)._1 == 2L, "n_toks exact")
+  }
+
   test("epochRepeat fills toward the target, caps repeats, and gives " +
       "the remainder to the md5-prefix") {
     // a: 4 docs, target 10, cap 3 → full=2, rem=2: two docs get a
