@@ -240,6 +240,40 @@ object CorpusQueries {
         |GROUP BY id ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- DSIR loop closed: importance-resample by domain relevance ----
+    // The full Xie et al. shape composed from owned operators:
+    // domainRelevance learns per-doc importance, prioritySample
+    // (Duffield-Lund-Thorup) draws k docs weight-proportionally
+    // without replacement. +1 smoothing keeps zero-score docs
+    // sampleable (DSIR's regularized weights); every step stays on
+    // the engine-exact integer/dyadic grid.
+    Q("q_dsir_sample",
+      (s, d) => {
+        val scored = Corpus.domainRelevance(
+            documents(s, d).select("doc_id", "source", "text"),
+            idCol = "doc_id", textCol = "text",
+            isTarget = col("source") === "src0", buckets = 64)
+          .withColumn("w", col("score_milli") + 1L)
+        Corpus.prioritySample(scored, idCol = "doc_id",
+            weightCol = "w", k = 100)
+          .orderBy(col("prio_milli").desc, col("doc_id").asc)
+      },
+      Some(s"""
+        |WITH ${Corpus.domainRelevanceSql("documents", "doc_id",
+             "text", "source = 'src0'", 64)},
+        |sc AS (SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    CAST(sum(rel_milli) // count(*) AS BIGINT) AS score_milli
+        |  FROM dr_tok JOIN dr_rel USING (b) GROUP BY id),
+        |h AS (SELECT doc_id, n_toks, score_milli,
+        |    score_milli + 1 AS w,
+        |    ${Corpus.priorityHashSql("CAST(doc_id AS VARCHAR)")} AS v
+        |  FROM sc)
+        |SELECT doc_id, n_toks, score_milli, CAST(w AS BIGINT) AS w,
+        |  CAST(floor(w * 131072.0 / (2 * v + 1) * 1000.0 + 0.5)
+        |    AS BIGINT) AS prio_milli
+        |FROM h ORDER BY prio_milli DESC, doc_id ASC LIMIT 100
+        |""".stripMargin.trim)),
+
     // ---- cross-source overlap matrix (KMV sketch Jaccard) -------------
     // For every source pair, the KMV-estimated Jaccard of their
     // distinct 3-gram sets — the mixture-design diagnostic for "domain

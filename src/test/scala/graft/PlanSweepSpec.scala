@@ -72,6 +72,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_bm25_from_store",  // same shared rankTopK
     "q_drift_tv",         // grand total over the BIN aggregate (≤ bins rows)
     "q_domain_relevance", // totals over the BUCKET aggregate (64 rows)
+    "q_dsir_sample",      // composes domainRelevance (same 64-row window)
     "q_lang_rebalance",   // apportionment over the LANG aggregate (≤ langs rows)
     "q_rrf_fusion"        // ranks over limit(k) outputs (rankTopK + fusion)
   )
