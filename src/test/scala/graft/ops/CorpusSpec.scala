@@ -214,6 +214,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L)._1 == 3L && out(5L)._1 == 2L, "n_toks exact")
   }
 
+  test("domainRelevance plan: scoring joins the broadcast bucket " +
+      "table, never sort-merge; quantileCutoff windows run over the " +
+      "histogram aggregate, not raw rows") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val docs = Seq((1L, true, "a b"), (2L, false, "c d"))
+      .toDF("doc_id", "is_t", "text")
+    val dr = Corpus.domainRelevance(docs, "doc_id", "text",
+      col("is_t"), 64)
+    dr.collect() // finalize the AQE plan before inspecting it
+    val drPlan = dr.queryExecution.executedPlan.toString
+    assert(drPlan.contains("BroadcastHashJoin") &&
+      !drPlan.contains("SortMergeJoin"),
+      s"relevance table must broadcast onto the scoring pass:\n$drPlan")
+    // the quantile windows must consume the (strata, score) aggregate
+    // — every logical Window sits over an Aggregate subtree, so the
+    // sorted exchange moves bins, not data rows
+    val qcLogical = Corpus.quantileCutoff(
+      Seq(("a", 1L, 5L)).toDF("source", "doc_id", "score_milli"),
+      "source", "score_milli", 250L).queryExecution.optimizedPlan
+    val wins = qcLogical.collect { case w: logical.Window => w }
+    assert(wins.nonEmpty && wins.forall(w =>
+        w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty),
+      s"quantile windows must run over the histogram:\n$qcLogical")
+  }
+
   test("epochRepeat fills toward the target, caps repeats, and gives " +
       "the remainder to the md5-prefix") {
     // a: 4 docs, target 10, cap 3 → full=2, rem=2: two docs get a
