@@ -8,6 +8,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ObjectHashAggregate (min_by_obj dedup) falls back to
       // sort-based at 128 map entries by default — sized for
@@ -47,6 +48,7 @@ object Bench {
     // stable ordering + GC between queries: keeps one query's garbage
     // from being charged to the next and makes runs comparable
     val failed = scala.collection.mutable.ListBuffer[String]()
+    val failMsgs = scala.collection.mutable.LinkedHashMap[String, String]()
     // local-iteration filter (comma-separated names); the driver never
     // sets it, so the per-round contract is unchanged
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -68,6 +70,7 @@ object Bench {
           // would still read as "faster" in bench_compare.py) and
           // surfaced in failed[] / n_failed instead
           failed += name
+          failMsgs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
         }
@@ -85,10 +88,26 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
     val failedJson = failed.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // error strings travel in the JSON itself — a bare failed[] list
+    // forced a round of repro detective work once
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errsJson = failMsgs.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // never clobber the driver's artifact: honor an explicit override,
+    // else write a timestamp-keyed file (a judge/builder repro once
+    // overwrote bench_full.json and lost ~136 gates' timings)
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_full_${System.currentTimeMillis() / 1000}.json")
     try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      val w = new java.io.PrintWriter(outName)
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     val topQs = fullQs.take(25).mkString("{", ",", "}")

@@ -347,7 +347,7 @@ object AggQueries {
 
     // ---- sessionization over the events stream table ------------------
     // (gap > 30 min ⇒ new session; lag + running conditional sum;
-    // ts handled as exact epoch-nanos longs — see Tables.events)
+    // ts arrives as exact epoch-micros longs — see Tables.events)
     Q("q_events_sessionize",
       (s, d) => {
         // micros throughout: duckdb timestamps are micro-precision, so
@@ -355,7 +355,7 @@ object AggQueries {
         val byUser = Window.partitionBy("user_id")
           .orderBy("ts_us", "event_id")
         val gapped = events(s, d)
-          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_us", col("ts"))
           .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
           .withColumn("new_session",
             when(col("prev_ts").isNull ||
@@ -646,7 +646,7 @@ object AggQueries {
     // IGNORE NULLS last_value, so semantics incl. ≤-ties match exactly.
     Q("q_asof_view_click",
       (s, d) => {
-        val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val ev = events(s, d).withColumn("ts_us", col("ts"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts_us"),
             col("event_id").as("click_id"))
@@ -690,7 +690,7 @@ object AggQueries {
     // row-identical to the declarative union-window form at sf scale.
     Q("q_asof_broadcast",
       (s, d) => {
-        val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val ev = events(s, d).withColumn("ts_us", col("ts"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts_us"),
             col("event_id").as("click_id"))
@@ -962,7 +962,7 @@ object AggQueries {
     // integer micros.
     Q("q_events_session_window",
       (s, d) => events(s, d)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("event_time", timestamp_micros(col("ts")))
         .groupBy(col("user_id"),
           session_window(col("event_time"), "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"))

@@ -98,7 +98,7 @@ object AnalyticsQueries {
     Q("q_funnel_stages",
       (s, d) => {
         val ev = events(s, d).select(col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("event_id"),
+          col("ts").as("ts_us"), col("event_id"),
           col("event_type"))
         Analytics.funnel(ev, "user_id", col("ts_us"), col("event_id"),
             col("event_type"), Seq("view", "click", "purchase"))
@@ -134,7 +134,7 @@ object AnalyticsQueries {
     Q("q_cohort_retention",
       (s, d) => {
         val ev = events(s, d).select(col("user_id"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+          to_date(timestamp_micros(col("ts"))).as("day"))
         Analytics.cohortRetention(ev, "user_id", col("day"))
           .orderBy("cohort_d", "offset_days")
       },
@@ -225,7 +225,7 @@ object AnalyticsQueries {
       (s, d) => {
         val ev = events(s, d).filter(col("value").isNotNull)
           .select(
-            to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+            to_date(timestamp_micros(col("ts"))).as("day"),
             least(lit(9L), floor(col("value") / 50).cast(LongType))
               .as("bin"))
         Analytics.distributionDriftTV(ev, "day", "bin").orderBy("day")
@@ -365,7 +365,7 @@ object AnalyticsQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts_us", "event_id")
         events(s, d)
-          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          .select(col("user_id"), col("ts").as("ts_us"),
             col("event_id"), col("event_type"))
           .withColumn("next_type",
             coalesce(lead(col("event_type"), 1).over(w), lit("END")))
@@ -491,7 +491,7 @@ object AnalyticsQueries {
       (s, d) => {
         val act = events(s, d)
           .select(col("user_id"),
-            to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+            to_date(timestamp_micros(col("ts"))).as("day"))
           .distinct()
         val first = act.groupBy("user_id")
           .agg(min(col("day")).as("first_day"))

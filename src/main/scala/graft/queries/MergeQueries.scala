@@ -10,8 +10,8 @@ import graft.ops.Merge
   * snapshot daily (merge_dedup.py:31-41); these are the operators that
   * replace full rewrites once the data outgrows them.
   *
-  * events.ts is epoch-NANOS int64 on both sides (Tables.events +
-  * DuckDB epoch_ns) — exact, no timestamp-precision drift. */
+  * events.ts is canonical epoch-MICROS int64 on both sides
+  * (Tables.events + DuckDB epoch_us) — exact, no precision drift. */
 object MergeQueries {
 
   private def cents(c: org.apache.spark.sql.Column) =
@@ -59,7 +59,7 @@ object MergeQueries {
         val ev = events(s, d)
         val snap = ev.filter(col("event_type") === "signup")
           .groupBy("user_id")
-          .agg(min(struct(expr("ts div 1000").as("ts_us"),
+          .agg(min(struct(col("ts").as("ts_us"),
             col("event_id"),
             cents(col("value")).as("value_c"))).as("f"))
           .select(col("user_id"), col("f.event_id").as("event_id"),
@@ -71,7 +71,7 @@ object MergeQueries {
           .filter(col("event_type").isin("purchase", "error"))
           .select(col("user_id"), col("event_id"),
             cents(col("value")).as("value_c"),
-            expr("ts div 1000").as("ts_us"),
+            col("ts").as("ts_us"),
             when(col("event_type") === "error", lit("D"))
               .otherwise(lit("U")).as("op"))
         Merge.applyCdc(snap, changes, keys = Seq("user_id"),
@@ -111,7 +111,7 @@ object MergeQueries {
           events(s, d).filter(col("event_type") === "purchase")
             .select(col("user_id"), col("event_id"),
               cents(col("value")).as("value_c"),
-              expr("ts div 1000").as("ts_us")),
+              col("ts").as("ts_us")),
           keys = Seq("user_id"), effCol = "ts_us",
           tiebreak = Seq("event_id"))
         .drop("ts_us")
@@ -235,13 +235,13 @@ object MergeQueries {
             events(s, d).filter(col("event_type") === "purchase")
               .select(col("user_id"), col("event_id"),
                 cents(col("value")).as("value_c"),
-                expr("ts div 1000").as("ts_us")),
+                col("ts").as("ts_us")),
             keys = Seq("user_id"), effCol = "ts_us",
             tiebreak = Seq("event_id"))
           .select(col("user_id"), col("valid_from").as("ts_us"),
             col("event_id"), col("value_c"))
         val clicks = events(s, d).filter(col("event_type") === "click")
-          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          .select(col("user_id"), col("ts").as("ts_us"),
             col("event_id").as("click_id"))
         graft.ops.Joins.asofJoinBroadcast(clicks, versions,
             key = "user_id", time = "ts_us",

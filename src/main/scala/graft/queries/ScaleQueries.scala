@@ -216,7 +216,7 @@ object ScaleQueries {
       (s, d) => {
         val act = events(s, d)
           .select(col("user_id"),
-            to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+            to_date(timestamp_micros(col("ts"))).as("day"))
           .distinct()
           .withColumn("day_ord",
             datediff(col("day"), lit("1990-01-01")).cast(LongType))

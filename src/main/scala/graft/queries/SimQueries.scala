@@ -539,18 +539,18 @@ object SimQueries {
     Q("q_cdc_chunk_dedup",
       (s, d) => {
         GraftFunctions.ensureRegistered(s)
-        val nPart = s.sessionState.conf.numShufflePartitions
         // native kernels (functions.CharCodes/CdcBounds): fused loops,
-        // bit-identical bounds — see NativeHashSpec/TextKernels
-        val coded = corpus(s, d)
+        // bit-identical bounds — see NativeHashSpec/TextKernels.
+        // charCodes → cdcBounds → posexplode is a straight projection
+        // chain with no partitioning requirement: NO repartition before
+        // the fp aggregate (an id-keyed exchange here shuffles the
+        // int-array codes payload, ~4 B/char — larger than the text
+        // itself, and measured 3.3× on the whole gate)
+        corpus(s, d)
           .select(col("id"), col("text"),
             GraftFunctions.charCodes(col("text")).as("codes"))
-          .repartition(nPart, col("id"))
-        val withBounds = coded
           .select(col("id"), col("text"),
             GraftFunctions.cdcBounds(col("codes")).as("bounds"))
-          .repartition(nPart, col("id"))
-        withBounds
           .select(col("id"), col("text"),
             posexplode(TextOps.cdcSpans(col("bounds"))))
           .select(col("id"),

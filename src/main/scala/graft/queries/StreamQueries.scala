@@ -128,7 +128,13 @@ object StreamQueries {
         // across sf dirs (or same-length same-mtime regenerations) and
         // silently verify against a stale sink.
         val src = new java.io.File(s"$d/events.parquet")
-        val keyStr = s"$d|${src.length}|${src.lastModified}"
+        // sinkVer: the sink's CONTENT also depends on the writer's code
+        // (a ts-contract bug once wrote wrong day partitions under an
+        // unchanged source key, and the checkpoint made every re-run a
+        // no-op against the poisoned sink) — bump on any change to what
+        // streamToPartitionedParquet writes
+        val sinkVer = "v2-tsus"
+        val keyStr = s"$d|${src.length}|${src.lastModified}|$sinkVer"
         val key = java.security.MessageDigest.getInstance("MD5")
           .digest(keyStr.getBytes("UTF-8"))
           .map(b => f"$b%02x").mkString
@@ -167,7 +173,7 @@ object StreamQueries {
         val enriched = StreamingOps.eventsStream(s2, d)
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("ts_us"))
+            col("ts").as("ts_us"))
           .join(dim, "user_id")
         StreamingOps.runToTable(enriched, OutputMode.Append())
           .orderBy("event_id")

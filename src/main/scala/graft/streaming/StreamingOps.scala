@@ -24,19 +24,27 @@ object StreamingOps {
 
   private val runId = new AtomicLong(0)
 
-  /** Events source as a bounded stream: schema'd (never inferred),
-    * ts as exact epoch-nano longs (see graft.Tables.events). */
+  /** Events source as a bounded stream with `ts` NORMALIZED to exact
+    * epoch-micros longs — the same contract as [[graft.Tables.events]].
+    * File streams need an explicit schema, so peek at the static
+    * parquet footer to learn what the fixture stores and dispatch
+    * through [[graft.Tables.tsToMicros]], which REFUSES unrecognized
+    * types: a forced LongType read of a TIMESTAMP(MICROS) column once
+    * silently compressed every event time 1000× (micros read as
+    * "nanos"), wrong-answering all eight stateful streaming gates. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // harmless when ts is MICROS; keeps a NANOS fixture readable
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inferred = spark.read.parquet(s"$dir/events.parquet").schema
+    // same explicit-schema pinning as the batch boundary: a stored
+    // timestamp loads as TimestampType (raw epoch-us internal value),
+    // anything unrecognized throws here rather than coercing
+    val schema = graft.Tables.eventsReadSchema(inferred).getOrElse(inferred)
     // file-stream sources monitor a DIRECTORY; select just the events
     // table out of the sf dir with a glob filter
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", graft.Tables.tsToMicros(schema("ts").dataType))
   }
 
   /** Run a streaming transform to completion (AvailableNow) into a
@@ -54,7 +62,7 @@ object StreamingOps {
     * epoch-micros window start. */
   def windowedCounts(events: DataFrame): DataFrame = {
     val withTime = events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts")))
     withTime
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour").as("w"),
@@ -83,7 +91,7 @@ object StreamingOps {
     * exact/approximate global counts. */
   def dedupUserCounts(events: DataFrame): DataFrame = {
     val withTime = events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts")))
     withTime
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -114,7 +122,7 @@ object StreamingOps {
   private def viewClickPairs(events: DataFrame, withinUs: Long,
                              how: String): DataFrame = {
     val withTime = events
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", col("ts"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
     val views = withTime.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
@@ -150,7 +158,7 @@ object StreamingOps {
     * sink path for read-back verification. */
   def streamToPartitionedParquet(events: DataFrame, outDir: String): String = {
     val withDay = events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(col("ts")))
       .withColumn("day", to_date(col("event_time")))
     val q = withDay.writeStream.format("parquet")
       .option("path", outDir)
@@ -182,11 +190,10 @@ object StreamingOps {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     var snapshot: Option[DataFrame] = None
     val fold = (batch: Dataset[Row], _: Long) => {
-      // micro-precision ordering (ts div 1000): the raw nanos exceed
-      // what timestamp-typed consumers (and the DuckDB oracle) can
-      // represent — "latest" must mean the same thing everywhere
+      // ts is canonical epoch-micros (Tables.tsToMicros) — "latest"
+      // means the same thing here, in batch, and in the DuckDB oracle
       val b = batch.select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"), col("event_id"),
+        col("ts").as("ts_us"), col("event_id"),
         floor(col("value") * 100 + 0.5).cast(LongType).as("value_c"))
       val unioned = snapshot.map(_.unionByName(b)).getOrElse(b)
       val compacted = unioned
@@ -318,7 +325,7 @@ object StreamingOps {
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", col("ts"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "1 hour")
       .select(col("user_id"), col("ts_us"), col("event_time"))
@@ -358,7 +365,7 @@ object StreamingOps {
   def driftHistogram(events: DataFrame): DataFrame =
     events.filter(col("value").isNotNull)
       .select(
-        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        to_date(timestamp_micros(col("ts"))).as("day"),
         least(lit(9L), floor(col("value") / 50).cast(LongType))
           .as("bin"))
       .groupBy("day", "bin")

@@ -13,9 +13,9 @@ import org.apache.spark.sql.streaming.Trigger
   * the query's own state-store metrics, not asserted on faith). */
 class DriftStreamSpec extends SparkSpec {
 
-  private val DayNs = 86400L * 1000000000L
-  private val BaseNs = // 2024-01-01 as epoch nanos
-    java.time.LocalDate.of(2024, 1, 1).toEpochDay * DayNs
+  private val DayUs = 86400L * 1000000L
+  private val BaseUs = // 2024-01-01 as epoch micros
+    java.time.LocalDate.of(2024, 1, 1).toEpochDay * DayUs
 
   test("histogram equals batch recompute per trigger; state rows " +
       "bounded by days×bins; finalize equals all-batch drift") {
@@ -28,8 +28,8 @@ class DriftStreamSpec extends SparkSpec {
       .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
     try {
       // batch 1: day 1 values in bins 0,0,1; day 2 in bin 9 (clamped)
-      in.addData((1L, BaseNs, 10.0), (2L, BaseNs + 1L, 20.0),
-        (3L, BaseNs + 2L, 60.0), (4L, BaseNs + DayNs, 9999.0))
+      in.addData((1L, BaseUs, 10.0), (2L, BaseUs + 1L, 20.0),
+        (3L, BaseUs + 2L, 60.0), (4L, BaseUs + DayUs, 9999.0))
       q.processAllAvailable()
       def hist() = spark.table("drift_hist_test")
         .collect().map(r => (r.getDate(0).toString, r.getLong(1),
@@ -38,8 +38,8 @@ class DriftStreamSpec extends SparkSpec {
         ("2024-01-02", 9L, 1L)))
 
       // batch 2: more day-1 bin-0, a new day 3 — counts accumulate
-      in.addData((5L, BaseNs + 3L, 30.0),
-        (6L, BaseNs + 2 * DayNs, 120.0))
+      in.addData((5L, BaseUs + 3L, 30.0),
+        (6L, BaseUs + 2 * DayUs, 120.0))
       q.processAllAvailable()
       assert(hist() == Set(("2024-01-01", 0L, 3L), ("2024-01-01", 1L, 1L),
         ("2024-01-02", 9L, 1L), ("2024-01-03", 2L, 1L)))

@@ -18,9 +18,7 @@ import org.apache.spark.sql.streaming.Trigger
   * always far above epoch 0). */
 class SessionStateSpec extends SparkSpec {
 
-  private val MinNs = 60L * 1000000000L // one minute in nanos
-  private val MinUs = 60L * 1000000L    // one minute in micros
-  private val BaseNs = 24L * 60L * MinNs
+  private val MinUs = 60L * 1000000L // one minute in micros
   private val BaseUs = 24L * 60L * MinUs
   private val GapUs = 30L * MinUs       // 30-minute session gap
 
@@ -33,7 +31,7 @@ class SessionStateSpec extends SparkSpec {
     try {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
-      val in = MemoryStream[(Long, Long)] // (user_id, ts nanos)
+      val in = MemoryStream[(Long, Long)] // (user_id, ts micros)
       val events = in.toDF().toDF("user_id", "ts")
       val out = StreamingOps.sessionState(events, GapUs).toDF()
       val q = out.writeStream.format("memory")
@@ -48,8 +46,8 @@ class SessionStateSpec extends SparkSpec {
         // +40min after the batch, so the extra timer batch closes the
         // first session MID-STREAM. user 2: candidates at +50min and
         // +90min, both close times beyond +40min — still open.
-        in.addData((1L, BaseNs), (1L, BaseNs + 100L * MinNs),
-          (2L, BaseNs + 50L * MinNs), (2L, BaseNs + 90L * MinNs))
+        in.addData((1L, BaseUs), (1L, BaseUs + 100L * MinUs),
+          (2L, BaseUs + 50L * MinUs), (2L, BaseUs + 90L * MinUs))
         q.processAllAvailable()
         assert(table() == Seq((1L, BaseUs, BaseUs, 1L)))
         // batch 2 — user 2's +70min bridges 50..50 and 90..90 into ONE
@@ -57,7 +55,7 @@ class SessionStateSpec extends SparkSpec {
         // it — the exact bug the watermark-close rule prevents);
         // user 3's +200min pushes the watermark to +140min, closing
         // user 1's second session and user 2's bridged one.
-        in.addData((2L, BaseNs + 70L * MinNs), (3L, BaseNs + 200L * MinNs))
+        in.addData((2L, BaseUs + 70L * MinUs), (3L, BaseUs + 200L * MinUs))
         q.processAllAvailable()
         assert(table() == Seq(
           (1L, BaseUs, BaseUs, 1L),
@@ -79,12 +77,12 @@ class SessionStateSpec extends SparkSpec {
   /** Reference model: batch gaps-islands sessionization, keeping the
     * sessions closed before the final watermark — the same recipe the
     * DuckDB oracle runs, in Scala, on data the processor never saw. */
-  private def expectedSessions(evts: Seq[(Long, Long)]) // (user, ts ns)
+  private def expectedSessions(evts: Seq[(Long, Long)]) // (user, ts us)
       : Seq[(Long, Long, Long, Long)] = {
-    val maxUs = evts.map(_._2 / 1000).max
+    val maxUs = evts.map(_._2).max
     val wmUs = (maxUs / 1000 - 3600000L) * 1000L
     evts.groupBy(_._1).toSeq.flatMap { case (u, es) =>
-      val ts = es.map(_._2 / 1000).sorted
+      val ts = es.map(_._2).sorted
       val sessions = ts.tail.foldLeft(
         List((ts.head, ts.head, 1L))) { case (acc, t) =>
         val (st, en, n) = acc.head
@@ -113,7 +111,7 @@ class SessionStateSpec extends SparkSpec {
         // time equals the final watermark exactly - pinning the
         // <=-boundary and the ceil-division timer registration
         val evts = Seq.fill(200)((1L + rnd.nextInt(8),
-          BaseNs + rnd.nextInt(12 * 60) * MinNs))
+          BaseUs + rnd.nextInt(12 * 60) * MinUs))
         // two batches split at the time median: batch 2's rows all sit
         // above batch 1's watermark, so none are late-dropped and the
         // batch reference model stays exact
