@@ -124,13 +124,16 @@ object Similarity {
     * bands/r so it is negligible at the target J. */
   def nearDupPairs(docs: DataFrame, k: Int = 32, bands: Int = 16,
                    thresholdMilli: Int = 800): DataFrame = {
-    // EAGER shingle materialization: three consumers (the banding
-    // pipeline and both verify payload sides) and two of them are
-    // broadcast/build-side subtrees exchange reuse cannot serve —
-    // same rationale as [[setSimilarityPairsExact]]'s checkpoint
+    // LAZY shingle reuse, deliberately: the three consumers (banding
+    // pipeline + both verify payload sides) recompute the shingle
+    // projection, which measures CHEAPER than materializing it — an
+    // id-keyed exchange + localCheckpoint of the shingle-array payload
+    // (A/B at sf0.1, 3 runs each, standalone protocol: lazy 6.0-6.9 s,
+    // repartition+checkpoint 6.2-7.2 s, repartition-only 6.7-7.2 s).
+    // At 100 TB the shingle table IS a stored table (the LSH store
+    // path); in-query eager materialization only pays when a fourth
+    // consumer appears.
     val mat = docs.select(col("id"), col("shingles"))
-      .repartition(barrierPartitions(docs), col("id"))
-      .localCheckpoint()
     val cands = lshCandidatePairs(mat, k, bands)
     val sa = mat.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = mat.select(col("id").as("id_b"), col("shingles").as("sh_b"))
