@@ -111,6 +111,8 @@ object GraftFunctions {
         es => DotDouble(es.head, es(1))),
       ("jaccard_milli", classOf[JaccardMilli],
         es => JaccardMilli(es.head, es(1))),
+      ("containment_milli", classOf[ContainmentMilli],
+        es => ContainmentMilli(es.head, es(1))),
       ("char_codes", classOf[CharCodes],
         es => CharCodes(es.head)),
       ("rolling_hash", classOf[RollingHash],
@@ -153,6 +155,8 @@ object GraftFunctions {
     call_function("dot_double", a, b)
   def jaccardMilli(a: Column, b: Column): Column =
     call_function("jaccard_milli", a, b)
+  def containmentMilli(a: Column, b: Column): Column =
+    call_function("containment_milli", a, b)
   def charCodes(c: Column): Column =
     call_function("char_codes", c)
   def rollingHash(codes: Column): Column =

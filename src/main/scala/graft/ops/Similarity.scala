@@ -248,6 +248,76 @@ object Similarity {
       .select("id_a", "id_b", "jaccard_milli")
   }
 
+  /** EXACT containment join (asymmetric near-dup): pairs (a, b) where
+    * the smaller shingle set a is (near-)contained in b —
+    * C(a,b) = |a∩b| / |a| ≥ t. Catches prefix/suffix-truncated and
+    * quoted-subset duplicates whose SYMMETRIC Jaccard falls under any
+    * usable threshold once sizes diverge (|a|=50 ⊂ |b|=500 has
+    * J ≈ 0.1 but C = 1.0) — the same reason symmetric MinHash banding
+    * under-recalls exactly these size-skewed pairs.
+    *
+    * Same rare-first total order as [[setSimilarityPairsExact]], with
+    * the ASYMMETRIC prefix lemma: C(a,b) ≥ t needs overlap ≥
+    * ceil(t·|a|), so a must share one of its first
+    * |a| − ceil(t·|a|) + 1 rare-first tokens with b's FULL token set —
+    * the contained-side prefix joins the container-side full token
+    * list and the candidate set is provably COMPLETE. Scale shape:
+    * the join is bounded by rare-prefix collision lists on the a-side
+    * (≈(1−t)·|a|+1 tokens/doc) times container token lists; id-pair
+    * candidates then one candidate-sized verify — no all-pairs
+    * anywhere. Equal-size pairs keep id_a < id_b so each emits once.
+    * Sets are `array_distinct`ed defensively (duplicate elements
+    * would inflate |a| and silently drop true containments). */
+  def containmentPairs(docs: DataFrame, thresholdMilli: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // EAGER materialization here, unlike [[nearDupPairs]] (measured
+    // lazy-wins there): this plan reads the distinct-shingle table
+    // FIVE ways — freq/packed/prefixes chain, the container-side
+    // explode, and both verify payload sides — and the upstream
+    // corpus→tokenize→shingle→distinct chain is the expensive part
+    // (gate 15.0 → ~8 s at sf0.1 with the checkpoint)
+    val mat = docs.select(col("id"),
+        array_distinct(col("shingles")).as("shingles"))
+      .localCheckpoint()
+    val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))
+    val packed = toks.join(freq, "t")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("t")))).as("st"))
+      .withColumn("n", size(col("st")))
+      .withColumn("plen",
+        greatest(lit(1), (col("n")
+          - ceil(col("n") * thresholdMilli / 1000.0) + 1).cast("int")))
+    val prefixes = packed
+      .select(col("id"), col("n"),
+        explode(slice(col("st"), lit(1), col("plen"))).as("s"))
+      .select(col("id"), col("n"), col("s.t").as("t"))
+    // container side needs NO rare-first packing — only (id, |set|,
+    // token), straight off the shingle explode: the freq join +
+    // per-doc sort pipeline is paid once, on the (much smaller)
+    // prefix side only (measured 15.7 → ~7 s at sf0.1)
+    val fullToks = mat
+      .select(col("id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("t"))
+    val cands = prefixes.as("a")
+      .join(fullToks.as("b"),
+        col("a.t") === col("b.t") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.id") < col("b.id"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(mat.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(mat.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("containment_milli",
+        graft.functions.GraftFunctions.containmentMilli(
+          col("sh_a"), col("sh_b")))
+      .filter(col("containment_milli") >= thresholdMilli)
+      .select("id_a", "id_b", "containment_milli")
+  }
+
   /** Incremental near-dup against PRECOMPUTED corpus artifacts — the
     * daily path: `corpusBuckets` is the stored [[bucketize]] output
     * and `corpusShingles` the stored (id, shingles) table, so each

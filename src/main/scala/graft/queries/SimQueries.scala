@@ -451,6 +451,39 @@ object SimQueries {
       },
       Some(bruteForcePairsSql)),
 
+    // ---- EXACT containment join (asymmetric near-dup) -----------------
+    // Pairs where the smaller shingle set is ≥90% contained in the
+    // larger — truncated/quoted-subset duplicates whose SYMMETRIC
+    // Jaccard is low at any size skew (a 50-shingle doc inside a
+    // 500-shingle doc has J≈0.1, C=1.0). The oracle is the all-pairs
+    // ground truth over the same corpus; the engine path must find
+    // exactly the same pairs through the asymmetric prefix filter.
+    Q("q_containment_dedup",
+      (s, d) => {
+        val docs = corpus(s, d)
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        Similarity.containmentPairs(docs, thresholdMilli = 900)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        |WITH $corpusSql,
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM (SELECT id, unnest(shingles) AS s, len(shingles) AS n
+        |        FROM sh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s, len(shingles) AS n
+        |        FROM sh) b
+        |    ON a.s = b.s AND (a.n < b.n OR (a.n = b.n AND a.id < b.id))),
+        |c AS (SELECT id_a, id_b,
+        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
+        |      / len(sa.shingles) + 0.5) AS BIGINT) AS containment_milli
+        |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a
+        |             JOIN sh sb ON sb.id = pairs.id_b)
+        |SELECT id_a, id_b, containment_milli FROM c
+        |WHERE containment_milli >= 900 ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
     // ---- near-dup clusters: pairs → connected components --------------
     // The stage after pair detection that an actual dedup needs: pairs
     // form clusters (A~B, B~C ⇒ {A,B,C}); each doc maps to the min id

@@ -259,6 +259,65 @@ object TextQueries {
         |FROM documents ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- per-source PII incidence rate --------------------------------
+    // The audit BEFORE the redaction pass: which sources leak
+    // structural PII, and how much — the per-domain scrub-priority /
+    // compliance report of a training-data pipeline. Detection reuses
+    // the exact RE2-compatible patterns the redaction gate already
+    // pins cross-engine; PII is planted on deterministic doc_id
+    // residue classes so every flag branch (email/ssn/phone, overlaps
+    // included) is exercised on any fixture. Pure per-row flags into
+    // one partial-aggregable source rollup — scan speed at 100 TB.
+    Q("q_pii_rate",
+      (s, d) => documents(s, d)
+        .select(col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" reach me at user"),
+                col("doc_id").cast(StringType), lit("@mail.test")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" ssn 123-45-6789"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" call 555.867.5309"))
+              .otherwise(lit(""))).as("text"))
+        .select(col("source"),
+          col("text").rlike(TextOps.emailRe).cast(LongType).as("e"),
+          col("text").rlike(TextOps.ssnRe).cast(LongType).as("n"),
+          col("text").rlike(TextOps.phoneRe).cast(LongType).as("p"))
+        .withColumn("a", greatest(col("e"), col("n"), col("p")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("e")).as("n_email"),
+          sum(col("n")).as("n_ssn"), sum(col("p")).as("n_phone"),
+          sum(col("a")).as("n_any"))
+        .withColumn("pii_rate_milli", expr("(n_any * 1000) div n_docs"))
+        .orderBy("source"),
+      Some(s"""
+        |WITH p AS (SELECT source, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user'
+        |         || CAST(doc_id AS VARCHAR) || '@mail.test' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' call 555.867.5309'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    CASE WHEN regexp_matches(text, '${TextOps.emailRe}')
+        |      THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN regexp_matches(text, '${TextOps.ssnRe}')
+        |      THEN 1 ELSE 0 END AS n,
+        |    CASE WHEN regexp_matches(text, '${TextOps.phoneRe}')
+        |      THEN 1 ELSE 0 END AS p
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS n_email,
+        |  CAST(sum(n) AS BIGINT) AS n_ssn,
+        |  CAST(sum(p) AS BIGINT) AS n_phone,
+        |  CAST(sum(greatest(e, n, p)) AS BIGINT) AS n_any,
+        |  CAST((sum(greatest(e, n, p)) * 1000) // count(*) AS BIGINT)
+        |    AS pii_rate_milli
+        |FROM f GROUP BY source ORDER BY source
+        |""".stripMargin.trim)),
+
     // ---- overlapping token-window chunking ----------------------------
     // 32-token windows every 24 tokens (8-token overlap) — the
     // context-window chunking of an embedding/pretraining pipeline.

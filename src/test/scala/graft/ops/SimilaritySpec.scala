@@ -37,6 +37,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containmentMilli kernel ≡ built-in form, duplicates and " +
+      "empties included") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'j').map(_.toString)
+    val cases = Seq.fill(200)(
+      (Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))),
+       Seq.fill(rnd.nextInt(8) + 1)(vocab(rnd.nextInt(vocab.size))))
+    ) ++ Seq(
+      (Seq("a", "a", "b"), Seq("a", "c")), // duplicates in one side
+      (Seq("x"), Seq("y")),                // disjoint → 0
+      (Seq("x", "y"), Seq("x", "y")),      // identical → 1000
+      (Seq.empty[String], Seq("x")))       // empty left → null
+    val df = cases.toDF("x", "y")
+    val rows = df.select(
+      when(size(col("x")) > 0,
+        floor(lit(1000.0)
+          * size(array_intersect(col("x"), col("y")))
+          / size(col("x")) + 0.5).cast("long")).as("builtin"),
+      graft.functions.GraftFunctions.containmentMilli(col("x"), col("y"))
+        .as("kernel"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"kernel diverged: $r")
+    }
+  }
+
   test("cosineMilli: identical vectors → 1000, orthogonal → 0") {
     val df = Seq(
       (Seq(1f, 0f), Seq(1f, 0f)),
@@ -73,6 +102,25 @@ class SimilaritySpec extends SparkSpec {
         thresholdMilli = 800)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((0L, 100L, 900L))) // 27/30 = 0.9
+  }
+
+  test("containmentPairs finds size-skewed containment symmetric " +
+      "Jaccard misses, exactly once, smaller side first") {
+    // doc 1 (5 shingles) fully inside doc 2 (50): J = 5/50 = 0.1 —
+    // invisible to any symmetric threshold — but C = 1.0. doc 3
+    // shares only 3 of its 5 (C = 0.6, below 900). doc 4 == doc 1's
+    // set (equal size: pair must emit once, smaller id first).
+    val big = (0 until 50).map(j => s"s_$j")
+    val df = Seq(
+      (1L, (0 until 5).map(j => s"s_$j")),
+      (2L, big),
+      (3L, Seq("s_0", "s_1", "s_2", "x_1", "x_2")),
+      (4L, (0 until 5).map(j => s"s_$j"))
+    ).toDF("id", "shingles")
+    val got = Similarity.containmentPairs(df, thresholdMilli = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got == Seq((1L, 2L, 1000L), (1L, 4L, 1000L), (4L, 2L, 1000L)))
   }
 
   test("simhash64: near-identical docs have small hamming distance") {
