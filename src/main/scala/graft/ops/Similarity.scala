@@ -318,6 +318,63 @@ object Similarity {
       .select("id_a", "id_b", "containment_milli")
   }
 
+  /** Incremental containment against PRECOMPUTED corpus artifacts —
+    * the daily path of [[containmentPairs]] with direction fixed:
+    * which NEW docs are (near-)contained in an existing corpus doc
+    * (incoming quotes/truncations of content already held).
+    * `corpusTokens` is the stored (id, t) exploded-shingle index and
+    * `corpusFreq` the stored (t, f) frequency table — the increment
+    * pays shingling over the BATCH only, one batch-tokens ⋈ freq
+    * join, the prefix ⋈ token-index equi-join, and a candidate-sized
+    * verify; nothing corpus-sized is recomputed. At 100 TB both
+    * stored tables are bucketed by `t` so the probes co-locate.
+    *
+    * Completeness needs NO particular prefix order here: C(a,B) ≥ t
+    * forces fewer than |a| − ceil(t·|a|) + 1 tokens of a to miss B,
+    * so ANY subset of that size must intersect B. Corpus-frequency
+    * rare-first ordering is purely a SELECTIVITY lever — and a batch
+    * token the corpus has never seen (left-join f → 0) sorts first
+    * AND collides with nothing, the cheapest possible prefix. */
+  def containmentAgainstTokens(batch: DataFrame, corpusTokens: DataFrame,
+                               corpusShingles: DataFrame,
+                               corpusFreq: DataFrame,
+                               thresholdMilli: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    // the batch shingle table feeds the prefix chain AND the verify
+    // payload side; the upstream tokenize→shingle projection costs
+    // more than materializing the batch-sized (by definition small)
+    // result once — the checkpoint-wins side of the A/B rule
+    val mat = batch.select(col("id"),
+        array_distinct(col("shingles")).as("shingles"))
+      .localCheckpoint()
+    val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
+    val withF = toks.join(corpusFreq, Seq("t"), "left")
+      .select(col("id"), col("t"), coalesce(col("f"), lit(0L)).as("f"))
+    val packed = withF.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("t")))).as("st"))
+      .withColumn("n", size(col("st")))
+      .withColumn("plen",
+        greatest(lit(1), (col("n")
+          - ceil(col("n") * thresholdMilli / 1000.0) + 1).cast("int")))
+    val prefixes = packed
+      .select(col("id").as("id_new"),
+        explode(slice(col("st"), lit(1), col("plen"))).as("s"))
+      .select(col("id_new"), col("s.t").as("t"))
+    val cands = prefixes
+      .join(corpusTokens.select(col("id").as("id_corpus"), col("t")), "t")
+      .select("id_new", "id_corpus").distinct()
+    cands
+      .join(mat.select(col("id").as("id_new"), col("shingles").as("sh_a")),
+        "id_new")
+      .join(corpusShingles.select(col("id").as("id_corpus"),
+        col("shingles").as("sh_b")), "id_corpus")
+      .withColumn("containment_milli",
+        graft.functions.GraftFunctions.containmentMilli(
+          col("sh_a"), col("sh_b")))
+      .filter(col("containment_milli") >= thresholdMilli)
+      .select("id_new", "id_corpus", "containment_milli")
+  }
+
   /** Incremental near-dup against PRECOMPUTED corpus artifacts — the
     * daily path: `corpusBuckets` is the stored [[bucketize]] output
     * and `corpusShingles` the stored (id, shingles) table, so each
