@@ -102,10 +102,12 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     // never clobber the driver's artifact: honor an explicit override,
-    // else write a timestamp-keyed file (a judge/builder repro once
-    // overwrote bench_full.json and lost ~136 gates' timings)
+    // else write a (millis, pid)-keyed file (a judge/builder repro once
+    // overwrote bench_full.json and lost ~136 gates' timings; pid
+    // guards the parallel-runs-same-instant case)
     val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"bench_full_${System.currentTimeMillis() / 1000}.json")
+      s"bench_full_${System.currentTimeMillis()}_" +
+        s"${ProcessHandle.current().pid()}.json")
     try {
       val w = new java.io.PrintWriter(outName)
       try w.println(full) finally w.close()

@@ -59,6 +59,22 @@ object Tables {
           "TIMESTAMP(MICROS) or int64 nanos")
     }
 
+  /** Footer-read memo keyed by (path, length, mtime): the inferred
+    * events schema is needed on every [[events]]/eventsStream call
+    * (~25 gates), and the file listing + footer parse would otherwise
+    * repeat on each; a regenerated fixture changes the stat key, so
+    * staleness is bounded to same-content rewrites. */
+  private val eventsSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private[graft] def eventsInferredSchema(s: SparkSession,
+                                          path: String): StructType = {
+    val f = new java.io.File(path)
+    eventsSchemaMemo.computeIfAbsent(
+      s"$path|${f.length}|${f.lastModified}",
+      _ => s.read.parquet(path).schema)
+  }
+
   /** Events table with `ts` NORMALIZED to epoch-micros LongType at the
     * read boundary ([[tsToMicros]]) — every consumer treats `ts` as
     * exact epoch-microseconds and the DuckDB oracle matches with
@@ -67,7 +83,7 @@ object Tables {
     // harmless when ts is MICROS; keeps a NANOS fixture readable
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
-    val inferred = s.read.parquet(path).schema
+    val inferred = eventsInferredSchema(s, path)
     val raw = eventsReadSchema(inferred) match {
       case Some(sch) => s.read.schema(sch).parquet(path)
       case None      => s.read.parquet(path)

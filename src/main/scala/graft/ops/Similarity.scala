@@ -61,6 +61,20 @@ object Similarity {
   private def barrierPartitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Smallest integer overlap o passing the HALF-UP-rounded milli
+    * filter `floor(1000·o/den + 0.5) >= t`: that inequality is
+    * `2000·o >= (2t−1)·den`, so o_min = ceil(den·(2t−1)/2000). The
+    * naive un-rounded lemma bound ceil(den·t/1000) is one too HIGH
+    * for den >= 2000 at the boundary — a prefix sized from it is one
+    * token short and silently drops pairs the verify (and the
+    * all-pairs oracle) admit. All prefix-length and length/positional
+    * filter arithmetic in this file must derive from THIS bound.
+    * (Double division is safe here: integer-valued quotients are
+    * exactly representable, and non-integer true quotients sit >=
+    * 1/2000 from any integer — far beyond one ulp.) */
+  private def minOverlap(den: Column, thresholdMilli: Int): Column =
+    ceil(den * (2L * thresholdMilli - 1) / lit(2000.0))
+
   /** (id, __bucket) banding table of a shingled corpus — the SHARED
     * bucketize pipeline behind both the self-join
     * ([[lshCandidatePairs]]) and the incremental
@@ -204,9 +218,13 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("f"), col("t"))))
         .as("st"))
       .withColumn("n", size(col("st")))
+      // J >= t (rounded) forces overlap >= minOverlap(n): o/(n_a+n_b−o)
+      // >= t−½ and n_b >= o give 2000·o >= (2t−1)·n_a — so the prefix
+      // must reach past the n − o_min rarest tokens
       .withColumn("plen",
-        greatest(lit(1), (col("n")
-          - ceil(col("n") * thresholdMilli / 1000.0) + 1).cast("int")))
+        greatest(lit(1),
+          (col("n") - minOverlap(col("n"), thresholdMilli) + 1)
+            .cast("int")))
     val prefixes = packed
       .select(col("id"), col("n"),
         posexplode(slice(col("st"), lit(1), col("plen"))))
@@ -217,25 +235,27 @@ object Similarity {
       // narrow (id, n, t, i) rows, stored once, read by both join
       // sides — see the materialization note on `mat`
       .localCheckpoint()
-    // length filter (PPJoin): J(A,B) >= t forces t·|B| <= |A| (and
-    // symmetrically), so size-mismatched collisions die before the
-    // distinct and the verify joins. Positional filter (Xiao et al.
-    // PPJoin): a collision at positions (i, j) can contribute at most
-    // ubound = 1 + min(|A|-i, |B|-j) overlapping tokens (everything
-    // before the shared token in each prefix is disjoint by the total
-    // order), while J >= t needs overlap >= α = ceil(t(|A|+|B|)/(1+t));
-    // collisions with ubound < α are pruned BEFORE the distinct. All
-    // integer arithmetic (ubound·(1000+t_milli) >= t_milli·(|A|+|B|)
-    // ⟺ ubound >= α for integer ubound), so the filter is exact and
-    // the candidate set stays provably complete.
+    // length filter (PPJoin): max overlap is min(|A|,|B|), and the
+    // ROUNDED J >= t filter needs 2000·o >= (2t−1)(|A|+|B|−o), i.e.
+    // o(1999+2t) >= (2t−1)(|A|+|B|) — size-mismatched collisions die
+    // before the distinct and the verify joins. Positional filter
+    // (Xiao et al. PPJoin): a collision at positions (i, j) can
+    // contribute at most ubound = 1 + min(|A|-i, |B|-j) overlapping
+    // tokens (everything before the shared token in each prefix is
+    // disjoint by the total order); collisions with
+    // ubound·(1999+2t) < (2t−1)(|A|+|B|) are pruned BEFORE the
+    // distinct. All integer arithmetic derived from the SAME rounded
+    // bound as minOverlap — exact, and the candidate set stays
+    // provably complete for the milli verify.
+    val lenSum = col("a.n") + col("b.n")
     val cands = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
-          col("a.n") * 1000 >= col("b.n") * thresholdMilli &&
-          col("b.n") * 1000 >= col("a.n") * thresholdMilli &&
+          least(col("a.n"), col("b.n")) * (1999 + 2 * thresholdMilli) >=
+            lenSum * (2 * thresholdMilli - 1) &&
           (lit(1) + least(col("a.n") - col("a.i"),
-            col("b.n") - col("b.i"))) * (1000 + thresholdMilli) >=
-            (col("a.n") + col("b.n")) * thresholdMilli)
+            col("b.n") - col("b.i"))) * (1999 + 2 * thresholdMilli) >=
+            lenSum * (2 * thresholdMilli - 1))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
@@ -257,9 +277,10 @@ object Similarity {
     * under-recalls exactly these size-skewed pairs.
     *
     * Same rare-first total order as [[setSimilarityPairsExact]], with
-    * the ASYMMETRIC prefix lemma: C(a,b) ≥ t needs overlap ≥
-    * ceil(t·|a|), so a must share one of its first
-    * |a| − ceil(t·|a|) + 1 rare-first tokens with b's FULL token set —
+    * the ASYMMETRIC prefix lemma: the rounded C(a,b) ≥ t filter
+    * needs overlap ≥ ceil((2t−1)·|a|/2000) ([[minOverlap]]), so a
+    * must share one of its first |a| − o_min + 1 rare-first tokens
+    * with b's FULL token set —
     * the contained-side prefix joins the container-side full token
     * list and the candidate set is provably COMPLETE. Scale shape:
     * the join is bounded by rare-prefix collision lists on the a-side
@@ -285,9 +306,12 @@ object Similarity {
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("f"), col("t")))).as("st"))
       .withColumn("n", size(col("st")))
+      // C >= t (rounded) forces overlap >= minOverlap(n) — see the
+      // helper's boundary note (ceil(t·n/1000) is one short at n>=2000)
       .withColumn("plen",
-        greatest(lit(1), (col("n")
-          - ceil(col("n") * thresholdMilli / 1000.0) + 1).cast("int")))
+        greatest(lit(1),
+          (col("n") - minOverlap(col("n"), thresholdMilli) + 1)
+            .cast("int")))
     val prefixes = packed
       .select(col("id"), col("n"),
         explode(slice(col("st"), lit(1), col("plen"))).as("s"))
@@ -329,9 +353,10 @@ object Similarity {
     * verify; nothing corpus-sized is recomputed. At 100 TB both
     * stored tables are bucketed by `t` so the probes co-locate.
     *
-    * Completeness needs NO particular prefix order here: C(a,B) ≥ t
-    * forces fewer than |a| − ceil(t·|a|) + 1 tokens of a to miss B,
-    * so ANY subset of that size must intersect B. Corpus-frequency
+    * Completeness needs NO particular prefix order here: the rounded
+    * C(a,B) ≥ t filter forces fewer than |a| − o_min + 1 tokens of a
+    * to miss B (o_min = [[minOverlap]]), so ANY subset of that size
+    * must intersect B. Corpus-frequency
     * rare-first ordering is purely a SELECTIVITY lever — and a batch
     * token the corpus has never seen (left-join f → 0) sorts first
     * AND collides with nothing, the cheapest possible prefix. */
@@ -353,9 +378,11 @@ object Similarity {
     val packed = withF.groupBy("id")
       .agg(sort_array(collect_list(struct(col("f"), col("t")))).as("st"))
       .withColumn("n", size(col("st")))
+      // same rounded-filter bound as containmentPairs — minOverlap
       .withColumn("plen",
-        greatest(lit(1), (col("n")
-          - ceil(col("n") * thresholdMilli / 1000.0) + 1).cast("int")))
+        greatest(lit(1),
+          (col("n") - minOverlap(col("n"), thresholdMilli) + 1)
+            .cast("int")))
     val prefixes = packed
       .select(col("id").as("id_new"),
         explode(slice(col("st"), lit(1), col("plen"))).as("s"))

@@ -35,7 +35,8 @@ object StreamingOps {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // harmless when ts is MICROS; keeps a NANOS fixture readable
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val inferred = spark.read.parquet(s"$dir/events.parquet").schema
+    val inferred =
+      graft.Tables.eventsInferredSchema(spark, s"$dir/events.parquet")
     // same explicit-schema pinning as the batch boundary: a stored
     // timestamp loads as TimestampType (raw epoch-us internal value),
     // anything unrecognized throws here rather than coercing

@@ -37,6 +37,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs keeps the half-up rounding boundary pair at " +
+      "n=2000 (prefix sized from the ROUNDED filter bound)") {
+    // a has 2000 distinct shingles, exactly 1799 of them in the larger
+    // b: containment_milli = floor(1000*1799/2000 + 0.5) = 900 — the
+    // verify (and the all-pairs oracle) ADMIT the pair. a's 201 rarest
+    // tokens (f=1, only in a) are precisely the ones b lacks, so a
+    // prefix sized from the un-rounded bound ceil(0.9*2000) = 1800
+    // (plen 201) would never collide with b and silently drop the
+    // pair; the rounded bound ceil(1799*2000/2000) = 1799 (plen 202)
+    // reaches the first shared token.
+    val aSh = (0 until 2000).map(j => f"s_$j%04d")
+    val bSh = (201 until 2000).map(j => f"s_$j%04d") ++
+      (0 until 300).map(j => f"x_$j%04d")
+    val df = Seq((1L, aSh), (2L, bSh)).toDF("id", "shingles")
+    val got = Similarity.containmentPairs(df, thresholdMilli = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 900L)))
+  }
+
   test("containmentMilli kernel ≡ built-in form, duplicates and " +
       "empties included") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
