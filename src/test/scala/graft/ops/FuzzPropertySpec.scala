@@ -82,6 +82,42 @@ class FuzzPropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs == brute force on seeded random shingle " +
+      "corpora (subset plants, overlapping vocab, threshold sweep)") {
+    for (seed <- Seq(3L, 17L); t <- Seq(700, 900)) {
+      val rnd = new Random(seed)
+      val vocab = (0 until 60).map(i => f"v_$i%02d")
+      // half random sets, half subsets/supersets of earlier ones so
+      // true containments exist at varied C values
+      val base = (0 until 25).map { i =>
+        (i.toLong,
+          rnd.shuffle(vocab).take(5 + rnd.nextInt(20)).toIndexedSeq)
+      }
+      val derived = (0 until 25).map { j =>
+        val (_, src) = base(rnd.nextInt(base.size))
+        val kept = src.filter(_ => rnd.nextDouble() > 0.15)
+        val extra = rnd.shuffle(vocab).take(rnd.nextInt(10))
+        ((100 + j).toLong, (kept ++ extra).distinct.toIndexedSeq)
+      }
+      val rows = (base ++ derived).filter(_._2.nonEmpty)
+      val expected = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+        inter = sa.toSet.intersect(sb.toSet).size
+        cm = math.floor(1000.0 * inter / sa.size + 0.5).toLong
+        if cm >= t
+      } yield (ia, ib, cm)).toSet
+      val got = Similarity.containmentPairs(
+          rows.map { case (i, sh) => (i, sh) }.toDF("id", "shingles"),
+          thresholdMilli = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == expected,
+        s"seed=$seed t=$t: missing=${expected -- got} " +
+          s"extra=${got -- expected}")
+    }
+  }
+
   test("checksumDiff finds every seeded random drift and nothing else") {
     val rnd = new Random(123L)
     val base = (1L to 500L).map(i => (i, rnd.nextLong())).toSeq
