@@ -162,11 +162,12 @@ object Similarity {
     * literature): the deterministic complement to the probabilistic
     * [[nearDupPairs]]. Tokens get a global rare-first total order
     * (ascending document frequency); each set keeps only its first
-    * `n - ceil(t·n) + 1` tokens as its PREFIX, and the prefix lemma
-    * guarantees any pair with Jaccard ≥ t shares a prefix token — so
-    * the prefix equi-join is a provably COMPLETE candidate set (no
-    * LSH false-negative probability), and the exact-Jaccard verify
-    * makes the result exact.
+    * `n − o_min + 1` tokens as its PREFIX (o_min = [[minOverlap]],
+    * the bound for the HALF-UP-rounded milli filter), and the prefix
+    * lemma guarantees any pair the rounded Jaccard filter admits
+    * shares a prefix token — so the prefix equi-join is a provably
+    * COMPLETE candidate set (no LSH false-negative probability), and
+    * the exact-Jaccard verify makes the result exact.
     *
     * Scale shape: one vocab-sized frequency aggregate, one shuffle to
     * attach frequencies, one per-doc sort (array-local, not a global

@@ -57,6 +57,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 900L)))
   }
 
+  test("setSimilarityPairsExact keeps the half-up rounding boundary " +
+      "pair the un-rounded length filter would reject") {
+    // a (2000 shingles) fully inside b (2501): J = 2000/2501 = 0.7997,
+    // jaccard_milli = floor(799.68 + 0.5) = 800 — admitted by the
+    // verify and the all-pairs oracle. The un-rounded length filter
+    // (min·1000 >= max·t: 2,000,000 >= 2,000,800) rejects the pair
+    // before candidates; the rounded form (min·(1999+2t) >=
+    // (2t−1)·(sum): 7,198,000 >= 7,197,099) keeps it.
+    val aSh = (0 until 2000).map(j => f"s_$j%04d")
+    val bSh = aSh ++ (0 until 501).map(j => f"x_$j%04d")
+    val df = Seq((1L, aSh), (2L, bSh)).toDF("id", "shingles")
+    val got = Similarity.setSimilarityPairsExact(df, thresholdMilli = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 800L)))
+  }
+
   test("containmentMilli kernel ≡ built-in form, duplicates and " +
       "empties included") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
