@@ -206,6 +206,57 @@ object TextOps {
   def wordShingles(c: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(c), n)
 
+  // ---- per-source boilerplate-line excision --------------------------
+
+  /** Strip per-source boilerplate LINES: a line appearing in at least
+    * `minRatioMilli`/1000 of a source's documents (site headers,
+    * footers, nav chrome, cookie banners — the per-domain template
+    * residue of web extraction) is excised from every document of
+    * that source; everything else passes through byte-identical, in
+    * original line order.
+    *
+    * Scale shape: one partial-aggregable doc-frequency count over
+    * DISTINCT (source, line, doc) rows, one tiny per-source count,
+    * and a boilerplate-lines-per-source table that is #sources ×
+    * few-lines — broadcast back for a per-row array filter at scan
+    * speed. Line membership is exact string equality; near-boilerplate
+    * (timestamps inside footers) belongs to the dup-span family
+    * ([[dupSpanFraction]]/[[exciseDupSpans]]), not here.
+    *
+    * A source with fewer than `minDocs` documents is never stripped:
+    * at tiny support every line clears a ratio cutoff (2 docs → any
+    * unique line is at 500‰), which would shred exactly the sources
+    * that carry no real template — the same minimum-support guard web
+    * pipelines apply before per-domain boilerplate removal.
+    *
+    * Output: input columns with `textCol` rewritten. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, srcCol: String,
+                       textCol: String, minRatioMilli: Int,
+                       minDocs: Int = 1): DataFrame = {
+    val ls = split(col(textCol), "\n")
+    val lines = docs
+      .select(col(idCol), col(srcCol), explode(ls).as("__line"))
+      .distinct()
+    val nDocs = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__n_docs"))
+    val boiler = lines.groupBy(col(srcCol), col("__line"))
+      .agg(count(lit(1)).as("__df"))
+      .join(nDocs, srcCol)
+      .filter(col("__n_docs") >= minDocs &&
+        col("__df") * 1000 >= col("__n_docs") * minRatioMilli)
+      .groupBy(col(srcCol))
+      .agg(collect_list(col("__line")).as("__bl"))
+    docs.join(broadcast(boiler), Seq(srcCol), "left")
+      .withColumn(textCol,
+        when(col("__bl").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(ls, l => !array_contains(col("__bl"), l)), "\n")))
+      // the using-column join hoists srcCol to the front; restore the
+      // caller's column order (the contract: input columns, textCol
+      // rewritten)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   // ---- PII redaction -------------------------------------------------
   // Patterns are deliberately RE2-compatible (no lookaround): they must
   // run identically under Java regex (Spark) and RE2 (DuckDB oracle,

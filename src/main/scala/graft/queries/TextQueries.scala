@@ -318,6 +318,51 @@ object TextQueries {
         |FROM f GROUP BY source ORDER BY source
         |""".stripMargin.trim)),
 
+    // ---- per-source boilerplate-line excision -------------------------
+    // The per-domain template residue of web extraction: headers,
+    // footers, cookie banners shared across a source's documents.
+    // Planted deterministically (the fixture is single-line): every
+    // doc gets a per-source header and a global footer (both above the
+    // 30% doc-frequency cutoff → stripped), docs on one residue class
+    // get a RARE line (20% < cutoff → kept) — every branch exercised,
+    // and stripped docs must round-trip their body byte-identically.
+    Q("q_boilerplate_strip",
+      (s, d) => TextOps.stripBoilerplate(
+          documents(s, d).select(col("doc_id"), col("source"),
+            concat(
+              lit("HDR "), col("source"), lit("\n"),
+              when(col("doc_id") % 5 === 0, lit("RARE line\n"))
+                .otherwise(lit("")),
+              col("text"),
+              lit("\nFTR common tail")).as("text")),
+          idCol = "doc_id", srcCol = "source", textCol = "text",
+          minRatioMilli = 300)
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id"),
+      Some("""
+        |WITH p AS (SELECT doc_id, source,
+        |    'HDR ' || source || chr(10)
+        |    || CASE WHEN doc_id % 5 = 0 THEN 'RARE line' || chr(10)
+        |         ELSE '' END
+        |    || text || chr(10) || 'FTR common tail' AS text
+        |  FROM documents),
+        |x AS (SELECT doc_id, source,
+        |    string_split(text, chr(10)) AS ls FROM p),
+        |lf AS (SELECT source, line, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, source, unnest(ls) AS line
+        |        FROM x)
+        |  GROUP BY source, line),
+        |nd AS (SELECT source, count(*) AS n_docs FROM p GROUP BY source),
+        |blt AS (SELECT lf.source, list(line) AS bl
+        |  FROM lf JOIN nd ON lf.source = nd.source
+        |  WHERE df * 1000 >= n_docs * 300 GROUP BY lf.source)
+        |SELECT doc_id, x.source,
+        |  array_to_string(list_filter(ls,
+        |    ln -> NOT list_contains(bl, ln)), chr(10)) AS text
+        |FROM x JOIN blt ON x.source = blt.source
+        |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // ---- overlapping token-window chunking ----------------------------
     // 32-token windows every 24 tokens (8-token overlap) — the
     // context-window chunking of an embedding/pretraining pipeline.

@@ -84,6 +84,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplate: frequent lines excised per source, rare " +
+      "lines kept, boilerplate-free sources untouched") {
+    import spark.implicits._
+    // srcA: 4 docs sharing a header (100% >= 30%); one doc also has a
+    // RARE line (25% < 30% — kept). srcB: 2 docs sharing a line that
+    // clears the ratio at tiny support (100% of 2 docs) — the minDocs
+    // guard must leave it alone; without the guard it would be
+    // shredded (the 2-doc no-template source case).
+    val docs = Seq(
+      (1L, "srcA", "HDR A\nbody one"),
+      (2L, "srcA", "HDR A\nbody two"),
+      (3L, "srcA", "HDR A\nRARE\nbody three"),
+      (4L, "srcA", "HDR A\nbody four"),
+      (5L, "srcB", "shared small\nbody five"),
+      (6L, "srcB", "shared small\nbody six")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.stripBoilerplate(docs, "doc_id", "source",
+        "text", minRatioMilli = 300, minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "body one" && got(2L) == "body two")
+    assert(got(3L) == "RARE\nbody three")
+    assert(got(4L) == "body four")
+    assert(got(5L) == "shared small\nbody five")
+    assert(got(6L) == "shared small\nbody six")
+  }
+
   test("exciseDupSpans: unique docs round-trip byte-identical; a " +
       "planted shared paragraph survives in exactly one document") {
     import spark.implicits._
