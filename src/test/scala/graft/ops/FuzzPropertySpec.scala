@@ -118,6 +118,44 @@ class FuzzPropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentAgainstTokens == brute force (batch-in-corpus " +
+      "direction, unseen-token batches included)") {
+    for (seed <- Seq(5L, 29L)) {
+      val rnd = new Random(seed)
+      val vocab = (0 until 50).map(i => f"w_$i%02d")
+      val corpus = (0 until 20).map { i =>
+        (i.toLong,
+          rnd.shuffle(vocab).take(8 + rnd.nextInt(15)).toIndexedSeq)
+      }
+      // batch: subsets of corpus docs (true containments), noisy
+      // variants, and one doc of tokens the corpus has never seen
+      // (exercises the freq left-join f→0 path; must emit nothing)
+      val batch = corpus.take(8).zipWithIndex.map { case ((_, src), j) =>
+        ((100 + j).toLong,
+          (src.filter(_ => rnd.nextDouble() > 0.1) ++
+            rnd.shuffle(vocab).take(rnd.nextInt(4))).distinct
+            .toIndexedSeq)
+      } :+ ((200L, (0 until 10).map(i => f"unseen_$i%02d")))
+      val expected = (for {
+        (ib, sb) <- batch; (ic, sc) <- corpus
+        inter = sb.toSet.intersect(sc.toSet).size
+        cm = math.floor(1000.0 * inter / sb.size + 0.5).toLong
+        if cm >= 800
+      } yield (ib, ic, cm)).toSet
+      val corpusDf = corpus.toDF("id", "shingles")
+      val toks = corpusDf.select(col("id"),
+        explode(col("shingles")).as("t"))
+      val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))
+      val got = Similarity.containmentAgainstTokens(
+          batch.toDF("id", "shingles"), toks, corpusDf, freq,
+          thresholdMilli = 800)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == expected,
+        s"seed=$seed: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("checksumDiff finds every seeded random drift and nothing else") {
     val rnd = new Random(123L)
     val base = (1L to 500L).map(i => (i, rnd.nextLong())).toSeq
