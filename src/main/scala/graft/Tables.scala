@@ -63,16 +63,23 @@ object Tables {
     * events schema is needed on every [[events]]/eventsStream call
     * (~25 gates), and the file listing + footer parse would otherwise
     * repeat on each; a regenerated fixture changes the stat key, so
-    * staleness is bounded to same-content rewrites. */
+    * staleness is bounded to a rewrite landing with identical byte
+    * length in the same mtime millisecond. ONLY local files the JVM
+    * can stat are memoized — for a path java.io.File cannot see
+    * (object stores, momentarily missing files) the stat key would be
+    * a frozen `0|0` that never invalidates, so those read the footer
+    * each time instead. */
   private val eventsSchemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   private[graft] def eventsInferredSchema(s: SparkSession,
                                           path: String): StructType = {
     val f = new java.io.File(path)
-    eventsSchemaMemo.computeIfAbsent(
-      s"$path|${f.length}|${f.lastModified}",
-      _ => s.read.parquet(path).schema)
+    if (f.isFile)
+      eventsSchemaMemo.computeIfAbsent(
+        s"$path|${f.length}|${f.lastModified}",
+        _ => s.read.parquet(path).schema)
+    else s.read.parquet(path).schema
   }
 
   /** Events table with `ts` NORMALIZED to epoch-micros LongType at the

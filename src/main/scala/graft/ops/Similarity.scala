@@ -75,6 +75,25 @@ object Similarity {
   private def minOverlap(den: Column, thresholdMilli: Int): Column =
     ceil(den * (2L * thresholdMilli - 1) / lit(2000.0))
 
+  /** Rare-first prefix rows (id, n, t) from (id, t, f) token rows:
+    * per-doc ascending (f, t) sort inside one hash aggregate, keeping
+    * the first n − o_min + 1 tokens (o_min = [[minOverlap]]) — the
+    * contained-side candidate surface shared by BOTH containment
+    * paths, so the prefix-length arithmetic lives in exactly one
+    * audited place. */
+  private def rareFirstPrefixes(withF: DataFrame,
+                                thresholdMilli: Int): DataFrame =
+    withF.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("t")))).as("st"))
+      .withColumn("n", size(col("st")))
+      .withColumn("plen",
+        greatest(lit(1),
+          (col("n") - minOverlap(col("n"), thresholdMilli) + 1)
+            .cast("int")))
+      .select(col("id"), col("n"),
+        explode(slice(col("st"), lit(1), col("plen"))).as("s"))
+      .select(col("id"), col("n"), col("s.t").as("t"))
+
   /** (id, __bucket) banding table of a shingled corpus — the SHARED
     * bucketize pipeline behind both the self-join
     * ([[lshCandidatePairs]]) and the incremental
@@ -247,15 +266,21 @@ object Similarity {
     // ubound·(1999+2t) < (2t−1)(|A|+|B|) are pruned BEFORE the
     // distinct. All integer arithmetic derived from the SAME rounded
     // bound as minOverlap — exact, and the candidate set stays
-    // provably complete for the milli verify.
-    val lenSum = col("a.n") + col("b.n")
+    // provably complete for the milli verify. LONG arithmetic: n is
+    // IntegerType from size(), and the ~3799× multipliers would hit
+    // ANSI ARITHMETIC_OVERFLOW at n ≈ 565k where the old ×1000 form
+    // survived to ~2.1M — same headroom discipline as simhash64's
+    // shift-or packing.
+    val lenSum = col("a.n").cast(LongType) + col("b.n")
     val cands = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
-          least(col("a.n"), col("b.n")) * (1999 + 2 * thresholdMilli) >=
+          least(col("a.n"), col("b.n")).cast(LongType) *
+            (1999 + 2 * thresholdMilli) >=
             lenSum * (2 * thresholdMilli - 1) &&
-          (lit(1) + least(col("a.n") - col("a.i"),
-            col("b.n") - col("b.i"))) * (1999 + 2 * thresholdMilli) >=
+          (lit(1L) + least(col("a.n") - col("a.i"),
+            col("b.n") - col("b.i")).cast(LongType)) *
+            (1999 + 2 * thresholdMilli) >=
             lenSum * (2 * thresholdMilli - 1))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -303,20 +328,9 @@ object Similarity {
       .localCheckpoint()
     val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))
-    val packed = toks.join(freq, "t")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("f"), col("t")))).as("st"))
-      .withColumn("n", size(col("st")))
-      // C >= t (rounded) forces overlap >= minOverlap(n) — see the
-      // helper's boundary note (ceil(t·n/1000) is one short at n>=2000)
-      .withColumn("plen",
-        greatest(lit(1),
-          (col("n") - minOverlap(col("n"), thresholdMilli) + 1)
-            .cast("int")))
-    val prefixes = packed
-      .select(col("id"), col("n"),
-        explode(slice(col("st"), lit(1), col("plen"))).as("s"))
-      .select(col("id"), col("n"), col("s.t").as("t"))
+    // C >= t (rounded) forces overlap >= minOverlap(n) — prefix
+    // sizing lives in the shared rareFirstPrefixes helper
+    val prefixes = rareFirstPrefixes(toks.join(freq, "t"), thresholdMilli)
     // container side needs NO rare-first packing — only (id, |set|,
     // token), straight off the shingle explode: the freq join +
     // per-doc sort pipeline is paid once, on the (much smaller)
@@ -376,18 +390,8 @@ object Similarity {
     val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
     val withF = toks.join(corpusFreq, Seq("t"), "left")
       .select(col("id"), col("t"), coalesce(col("f"), lit(0L)).as("f"))
-    val packed = withF.groupBy("id")
-      .agg(sort_array(collect_list(struct(col("f"), col("t")))).as("st"))
-      .withColumn("n", size(col("st")))
-      // same rounded-filter bound as containmentPairs — minOverlap
-      .withColumn("plen",
-        greatest(lit(1),
-          (col("n") - minOverlap(col("n"), thresholdMilli) + 1)
-            .cast("int")))
-    val prefixes = packed
-      .select(col("id").as("id_new"),
-        explode(slice(col("st"), lit(1), col("plen"))).as("s"))
-      .select(col("id_new"), col("s.t").as("t"))
+    val prefixes = rareFirstPrefixes(withF, thresholdMilli)
+      .select(col("id").as("id_new"), col("t"))
     val cands = prefixes
       .join(corpusTokens.select(col("id").as("id_corpus"), col("t")), "t")
       .select("id_new", "id_corpus").distinct()

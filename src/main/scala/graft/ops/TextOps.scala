@@ -234,11 +234,20 @@ object TextOps {
                        textCol: String, minRatioMilli: Int,
                        minDocs: Int = 1): DataFrame = {
     val ls = split(col(textCol), "\n")
+    // EMPTY lines are never boilerplate candidates: blank paragraph
+    // separators are frequent in every multi-paragraph source, and
+    // stripping them would collapse paragraph structure corpus-wide —
+    // the opposite of the "non-template content passes through
+    // byte-identical" contract
     val lines = docs
       .select(col(idCol), col(srcCol), explode(ls).as("__line"))
+      .filter(length(col("__line")) > 0)
       .distinct()
+    // countDistinct, matching the dedup on the doc-frequency side: a
+    // caller with duplicated doc rows (upstream fan-out join) would
+    // otherwise double the denominator and silently under-strip
     val nDocs = docs.groupBy(col(srcCol))
-      .agg(count(lit(1)).as("__n_docs"))
+      .agg(countDistinct(col(idCol)).as("__n_docs"))
     val boiler = lines.groupBy(col(srcCol), col("__line"))
       .agg(count(lit(1)).as("__df"))
       .join(nDocs, srcCol)

@@ -351,15 +351,18 @@ object TextQueries {
         |lf AS (SELECT source, line, count(*) AS df
         |  FROM (SELECT DISTINCT doc_id, source, unnest(ls) AS line
         |        FROM x)
+        |  WHERE length(line) > 0
         |  GROUP BY source, line),
-        |nd AS (SELECT source, count(*) AS n_docs FROM p GROUP BY source),
+        |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        |  FROM p GROUP BY source),
         |blt AS (SELECT lf.source, list(line) AS bl
         |  FROM lf JOIN nd ON lf.source = nd.source
         |  WHERE df * 1000 >= n_docs * 300 GROUP BY lf.source)
         |SELECT doc_id, x.source,
         |  array_to_string(list_filter(ls,
-        |    ln -> NOT list_contains(bl, ln)), chr(10)) AS text
-        |FROM x JOIN blt ON x.source = blt.source
+        |    ln -> NOT list_contains(coalesce(bl, []), ln)), chr(10))
+        |    AS text
+        |FROM x LEFT JOIN blt ON x.source = blt.source
         |ORDER BY doc_id
         |""".stripMargin.trim)),
 

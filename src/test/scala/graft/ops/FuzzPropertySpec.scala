@@ -108,8 +108,7 @@ class FuzzPropertySpec extends SparkSpec {
         if cm >= t
       } yield (ia, ib, cm)).toSet
       val got = Similarity.containmentPairs(
-          rows.map { case (i, sh) => (i, sh) }.toDF("id", "shingles"),
-          thresholdMilli = t)
+          rows.toDF("id", "shingles"), thresholdMilli = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet
       assert(got == expected,

@@ -92,20 +92,25 @@ class TextOpsSpec extends SparkSpec {
     // clears the ratio at tiny support (100% of 2 docs) — the minDocs
     // guard must leave it alone; without the guard it would be
     // shredded (the 2-doc no-template source case).
+    // every srcA doc also carries a blank paragraph separator — at
+    // 100% doc-frequency it would be "boilerplate" by ratio, but
+    // empty lines are excluded from candidacy (stripping them would
+    // collapse paragraph structure corpus-wide)
     val docs = Seq(
-      (1L, "srcA", "HDR A\nbody one"),
-      (2L, "srcA", "HDR A\nbody two"),
-      (3L, "srcA", "HDR A\nRARE\nbody three"),
-      (4L, "srcA", "HDR A\nbody four"),
+      (1L, "srcA", "HDR A\nbody one\n\npara two"),
+      (2L, "srcA", "HDR A\nbody two\n\npara two b"),
+      (3L, "srcA", "HDR A\nRARE\nbody three\n\npara three"),
+      (4L, "srcA", "HDR A\nbody four\n\npara four"),
       (5L, "srcB", "shared small\nbody five"),
       (6L, "srcB", "shared small\nbody six")
     ).toDF("doc_id", "source", "text")
     val got = TextOps.stripBoilerplate(docs, "doc_id", "source",
         "text", minRatioMilli = 300, minDocs = 4)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(got(1L) == "body one" && got(2L) == "body two")
-    assert(got(3L) == "RARE\nbody three")
-    assert(got(4L) == "body four")
+    assert(got(1L) == "body one\n\npara two")
+    assert(got(2L) == "body two\n\npara two b")
+    assert(got(3L) == "RARE\nbody three\n\npara three")
+    assert(got(4L) == "body four\n\npara four")
     assert(got(5L) == "shared small\nbody five")
     assert(got(6L) == "shared small\nbody six")
   }
