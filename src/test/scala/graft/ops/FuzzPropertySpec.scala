@@ -117,6 +117,43 @@ class FuzzPropertySpec extends SparkSpec {
     }
   }
 
+  test("setSimilarityPairsExact == brute force on seeded random " +
+      "shingle corpora (rewritten length/positional filters, " +
+      "threshold sweep)") {
+    for (seed <- Seq(13L, 47L); t <- Seq(700, 800)) {
+      val rnd = new Random(seed)
+      val vocab = (0 until 40).map(i => f"v_$i%02d")
+      val base = (0 until 20).map { i =>
+        (i.toLong,
+          rnd.shuffle(vocab).take(6 + rnd.nextInt(18)).toIndexedSeq)
+      }
+      // near-copies at varied mutation rates so true pairs span the
+      // threshold; sizes vary so the length filter is exercised
+      val near = (0 until 20).map { j =>
+        val (_, src) = base(rnd.nextInt(base.size))
+        val kept = src.filter(_ => rnd.nextDouble() > 0.12)
+        val extra = rnd.shuffle(vocab).take(rnd.nextInt(5))
+        ((100 + j).toLong, (kept ++ extra).distinct.toIndexedSeq)
+      }
+      val rows = (base ++ near).filter(_._2.nonEmpty)
+      val expected = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        inter = sa.toSet.intersect(sb.toSet).size
+        union = sa.size + sb.size - inter
+        jm = math.floor(1000.0 * inter / union + 0.5).toLong
+        if jm >= t
+      } yield (ia, ib, jm)).toSet
+      val got = Similarity.setSimilarityPairsExact(
+          rows.toDF("id", "shingles"), thresholdMilli = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == expected,
+        s"seed=$seed t=$t: missing=${expected -- got} " +
+          s"extra=${got -- expected}")
+    }
+  }
+
   test("containmentAgainstTokens == brute force (batch-in-corpus " +
       "direction, unseen-token batches included)") {
     for (seed <- Seq(5L, 29L)) {
