@@ -145,20 +145,66 @@ object Clustering {
     * oracle pins every round.
     *
     * Scale shape (100 TB corpus): the center set is ≤ k·dim longs —
-    * KB-sized — so each round is ONE codegen'd projection (min over
-    * the literal center set, the [[assignCol]] fold) feeding a global
-    * top-1 (TakeOrderedAndProject): k−1 streamed passes over the
-    * persisted quantized input, one row collected per pass, no
-    * shuffle wider than a size-1 take, nothing n×k materialized. */
+    * KB-sized — and each row's min-distance-to-the-chosen-set is
+    * carried FORWARD between rounds (`dmin' = min(dmin, dist to the
+    * newest center)` — the standard incremental Gonzalez state), so a
+    * round is ONE O(dim)-per-row pass feeding a global max: one row
+    * returned per round, no shuffle, nothing n×k materialized.
+    *
+    * The loop runs at RDD level (the same move MLlib's KMeans makes
+    * for ITS Lloyd loop): a k-round driver-barrier loop through the
+    * DataFrame API re-plans and re-codegens a fresh Catalyst plan
+    * every round, and that fixed driver cost — not data — dominated
+    * the gate (measured on 2k rows × 64 dims, k=8: 3.3 s as k
+    * re-planned TakeOrdered passes, 2.9 s as per-round
+    * localCheckpoint'ed least()-chains, ~1.3 s as this closure loop;
+    * in a long shared session the re-planning forms inflated 4×
+    * further — BENCH r7→r8 — while closure jobs are immune). Long
+    * arithmetic in the closure is bit-identical to [[l2sqLong]], so
+    * the SQL oracle pins the selection unchanged. */
   private def greedyCenters(in: DataFrame, k: Int): Seq[(Long, Seq[Long])] = {
-    val seed = in.orderBy(col("id").asc).limit(1).collect().head
-    var cents = Seq(seed.getLong(0) -> seed.getSeq[Long](1))
-    for (_ <- 2 to k) {
-      val dmin = assignCol(cents).getField("d")
-      val next = in.select(col("id"), col("qv"), dmin.as("dm"))
-        .orderBy(col("dm").desc, col("id").asc).limit(1).collect().head
-      cents = cents :+ (next.getLong(0) -> next.getSeq[Long](1))
+    val sc = in.sparkSession.sparkContext
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
+    // (id, qv) off the caller's persisted frame; one closure pass each
+    val base = in.rdd.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val seed = base.min()(Ordering.by[(Long, Array[Long]), Long](_._1))
+    var cents = Seq(seed._1 -> (seed._2.toSeq: Seq[Long]))
+    if (k == 1) return cents
+    // farthest point, ties to the smaller id
+    val pick = new Ordering[(Long, Array[Long], Long)] {
+      def compare(x: (Long, Array[Long], Long),
+                  y: (Long, Array[Long], Long)): Int = {
+        val c = java.lang.Long.compare(x._3, y._3)
+        if (c != 0) c else java.lang.Long.compare(y._1, x._1)
+      }
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bcSeed = sc.broadcast(seed._2)
+    var state = base.map { case (id, qv) => (id, qv, d2(qv, bcSeed.value)) }
+      .persist(lvl)
+    var retired: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (i <- 2 to k) {
+      // this max() is the round's ONE job; it also materializes the
+      // round's state into the cache, so only then is the PREVIOUS
+      // round's cache safe to drop (unpersisting earlier would force
+      // the lineage to recompute from `base`)
+      val next = state.max()(pick)
+      retired.foreach(_.unpersist(false))
+      cents = cents :+ (next._1 -> (next._2.toSeq: Seq[Long]))
+      // the last round's dmin refresh feeds nothing: skip it
+      if (i < k) {
+        val bc = sc.broadcast(next._2)
+        val ns = state.map { case (id, qv, dm) =>
+          (id, qv, math.min(dm, d2(qv, bc.value))) }.persist(lvl)
+        retired = Some(state); state = ns
+      }
+    }
+    state.unpersist(false)
+    retired.foreach(_.unpersist(false))
     cents
   }
 
