@@ -617,7 +617,15 @@ object Similarity {
         col("wstart") + col("slen") - 1 <= col("lb"))
       .select(col("id"), col("src_l"), col("i"),
         substring(col("text"), col("wstart"), col("slen")).as("seg"))
-      .dropDuplicates("id", "src_l", "i", "seg")
+    // NO dropDuplicates here: distinct (id, src_l, i, seg) windows
+    // can only collide when a string repeats the same segment content
+    // at two shifts, and the candidate `.distinct()` below collapses
+    // whatever pair duplication that causes — while the standalone
+    // dedup is a FULL shuffle of the (2d+1)²·(d+1)-expanded window
+    // rows on a key the join can't reuse (measured: it removed 0 of
+    // 549k rows on the sf0.1 gate and cost ~1 s of its 2.4 s).
+    // Pathologically repetitive corpora trade some join fanout for
+    // that saved shuffle; the verify step bounds the damage.
 
     // id-only candidate pairs; texts rejoin by id for the verify
     val cands = segs.as("a")
