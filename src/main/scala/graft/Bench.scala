@@ -111,6 +111,17 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(outName)
       try w.println(full) finally w.close()
+      // keep a predictable handle on the latest run for external
+      // collectors and the close-out regression diff
+      // (scripts/bench_compare.py) without ever clobbering a prior
+      // run's artifact: bench_latest.json is a symlink refreshed to
+      // whatever file this run just wrote
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+        val link = java.nio.file.Paths.get("bench_latest.json")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(outName))
+      }
     } catch { case _: Throwable => () }
     val topQs = fullQs.take(25).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"queries":$topQs,"sf":"$sfDir"}""")
