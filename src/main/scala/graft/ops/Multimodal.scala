@@ -8,13 +8,21 @@ import org.apache.spark.sql.types._
   * metadata, decoded/feature-extracted via typed `mapPartitions` (the
   * Scala analogue of `mapInPandas` batch UDFs).
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB — this container has no
-  * image/audio codecs, so `decodeStub` derives "features" from raw
-  * bytes. The Spark-side plumbing is real and is what's under test:
-  * binary column schema, per-partition batched decode (one
-  * iterator pass per partition — exactly how a JNI/codec call would be
-  * amortized), typed output schema, and frame-sampling explode.
-  * Swapping `decodeStub` for a real codec changes no plan shape. */
+  * Two payload families live here. [[renderPngCorpus]] +
+  * [[pHashDecoded]] carry REAL images end to end: a deterministic
+  * grayscale render of each document, encoded to PNG and decoded back
+  * with `javax.imageio` (public JDK — the one codec every container
+  * has), with the perceptual hash computed over genuinely decoded
+  * pixels. Because the render is a pure function of the text and PNG
+  * is lossless, a SQL oracle can pin the whole
+  * render→encode→decode→hash chain bit-for-bit — a hash mismatch
+  * would surface any decode deviation. The byte-level paths
+  * (`decodeStub`, `resizeStub`) remain for formats with no codec in
+  * the JDK (audio/video): there the signature and per-partition
+  * batching are the contract and the byte arithmetic is a documented
+  * stand-in; [[pHashDecoded]] also falls back to the byte-sampling
+  * hash for payloads ImageIO cannot decode, so a mixed corpus
+  * degrades per row, not per job. */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
@@ -80,7 +88,113 @@ object Multimodal {
       }
   }
 
+  /** Render geometry for [[renderPngCorpus]]: 20×15 = 300 pixels, a
+    * multiple of the 60 hash samples so sample k lands exactly on
+    * pixel 5k and the double floor collapses —
+    * `(5k·len)/300 = (k·len)/60` — letting the text-side oracle
+    * replay the pixel-side hash with one division. */
+  val RenderW = 20
+  val RenderH = 15
+  private val RenderN = RenderW * RenderH
+
+  final case class MediaPng(doc_id: Long, payload: Array[Byte])
+
+  /** (doc_id, payload, media_meta): each document rendered as a REAL
+    * 8-bit grayscale PNG — pixel p (row-major) is the text byte at
+    * `(p·len)/300` — via `javax.imageio`. Deterministic by
+    * construction: the render is a pure function of the text and PNG
+    * round-trips 8-bit gray losslessly, so downstream decoded-pixel
+    * features are SQL-oracle-checkable. Runs as the same batched
+    * per-partition pattern as [[extractFeatures]] (one encoder setup
+    * per partition). Documents shorter than 1 byte are dropped. */
+  def renderPngCorpus(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast(LongType),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaPng]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
+        rows.flatMap { r =>
+          val b = r.payload
+          if (b.isEmpty) None
+          else {
+            val img = new java.awt.image.BufferedImage(
+              RenderW, RenderH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var p = 0
+            while (p < RenderN) {
+              val v = b(((p.toLong * b.length) / RenderN).toInt) & 0xff
+              raster.setSample(p % RenderW, p / RenderW, 0, v)
+              p += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Some(MediaPng(r.doc_id, bos.toByteArray))
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("payload"),
+        struct(lit("image/png").as("media_type"),
+          lit(RenderW).as("width"), lit(RenderH).as("height"))
+          .as("media_meta"))
+  }
+
   final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** The 60-bit average-hash over a linear sample grid: bit k set when
+    * sample k exceeds the grid mean (integer cross-multiplied — no
+    * division, no float). Shared by the decoded-pixel and raw-byte
+    * paths so the two hash spaces are directly comparable. */
+  private def aHash60(sampleAt: Int => Int, n: Int): Long = {
+    val samples = Array.tabulate(60)(k => sampleAt(((k.toLong * n) / 60).toInt))
+    val sum = samples.sum
+    var h = 0L
+    var k = 0
+    while (k < 60) {
+      if (samples(k) * 60 > sum) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** Perceptual hash over GENUINELY DECODED pixels: `ImageIO.read` the
+    * payload, flatten the first raster band row-major, and average-hash
+    * 60 evenly-spaced pixels ([[aHash60]]). Payloads ImageIO cannot
+    * decode (no codec, corrupt) fall back to the raw-byte sampling of
+    * [[pHashStub]] — per row, so one bad payload cannot fail the job —
+    * and images with fewer than 60 pixels (or undecodable payloads
+    * shorter than 60 bytes) are dropped, mirroring the stub's
+    * no-stable-grid rule. For [[renderPngCorpus]] images the result
+    * equals the text-side arithmetic exactly (see [[RenderW]]), which
+    * is what lets a SQL oracle certify the decode. */
+  def pHashDecoded(binary: DataFrame): Dataset[MediaHash] = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
+            val w = img.getWidth; val h = img.getHeight
+            val n = w * h
+            if (n < 60) None
+            else {
+              val raster = img.getRaster
+              Some(MediaHash(r.doc_id,
+                aHash60(q => raster.getSample(q % w, q / w, 0), n)))
+            }
+          } else if (r.payload.length < 60) None
+          else Some(MediaHash(r.doc_id,
+            aHash60(q => r.payload(q) & 0xff, r.payload.length)))
+        }
+      }
+  }
 
   /** Average-hash perceptual fingerprint over the binary payload — the
     * aHash family (public literature: 60 evenly-sampled "pixels",
@@ -100,19 +214,8 @@ object Multimodal {
         rows.flatMap { r =>
           val n = r.payload.length
           if (n < 60) None
-          else {
-            val samples = Array.tabulate(60) { k =>
-              r.payload(((k.toLong * n) / 60).toInt) & 0xff
-            }
-            val sum = samples.sum
-            var h = 0L
-            var k = 0
-            while (k < 60) {
-              if (samples(k) * 60 > sum) h |= 1L << k
-              k += 1
-            }
-            Some(MediaHash(r.doc_id, h))
-          }
+          else Some(MediaHash(r.doc_id,
+            aHash60(q => r.payload(q) & 0xff, n)))
         }
       }
   }

@@ -4,12 +4,31 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.Multimodal
 
-/** Multimodal binary-column queries. The decode is a deterministic
-  * byte-level stub (no codecs in this container — see
-  * graft.ops.Multimodal); because the payload is the UTF-8 bytes of
-  * ASCII text, the DuckDB oracle can recompute the same features from
-  * the text column, verifying the whole binary pipeline end to end. */
+/** Multimodal binary-column queries. The perceptual-hash gates carry
+  * REAL images: each document rendered as an 8-bit grayscale PNG and
+  * decoded back with `javax.imageio`, the hash computed over decoded
+  * pixels (graft.ops.Multimodal.renderPngCorpus / pHashDecoded). The
+  * render is a pure function of the (ASCII) text and PNG is lossless,
+  * so the DuckDB oracle recomputes the expected hash from the text
+  * column — a hash-green gate certifies the encode→decode roundtrip
+  * pixel-for-pixel. The features/resize/frames gates keep byte-level
+  * payloads (UTF-8 bytes of the text) exercising the binary plumbing
+  * for formats with no JDK codec. */
 object MultimodalQueries {
+
+  /** DuckDB CTE pair computing the 60-bit average-hash of `textExpr`
+    * — the same arithmetic the decoded-pixel path lands on (see
+    * Multimodal.RenderW: 300 pixels, sample k = pixel 5k = text char
+    * (k·len)/60). Emits `<p>s(doc_id, bs)` and `<p>h(doc_id, <hcol>)`. */
+  private def phashCtes(src: String, textExpr: String, p: String,
+                        hcol: String): String =
+    s"""${p}s AS (SELECT doc_id, list_transform(range(0, 60),
+       |    k -> ord(substr(t, 1 + (k * length(t)) // 60, 1))) AS bs
+       |  FROM (SELECT doc_id, $textExpr AS t FROM $src)),
+       |${p}h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+       |    k -> CASE WHEN bs[k + 1] * 60 > list_sum(bs)
+       |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+       |    AS BIGINT) AS $hcol FROM ${p}s)""".stripMargin
 
   def all: Seq[Q] = Seq(
 
@@ -61,13 +80,15 @@ object MultimodalQueries {
         |WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
         |""".stripMargin.trim)),
 
-    // ---- perceptual-hash near-dup over binary payloads --------------
-    // Planted twins (one byte spliced at a fixed offset, length
-    // preserved) against a 60-bit average-hash: banded candidate join
-    // (complete for hamming <= 3) + exact bit_count verify. The oracle
-    // recomputes the hash from the text (payload = ASCII bytes) and
-    // does the all-pairs compare the banded form avoids — pinning
-    // completeness, not just precision.
+    // ---- perceptual-hash near-dup over REAL decoded images ----------
+    // Planted twins (one char spliced at a fixed offset, length
+    // preserved), rendered to grayscale PNGs, DECODED back with
+    // javax.imageio, and average-hashed over the decoded pixels;
+    // banded candidate join (complete for hamming <= 3) + exact
+    // bit_count verify. The oracle recomputes the expected hash from
+    // the text (the render is a pure text function and PNG is
+    // lossless) and does the all-pairs compare the banded form avoids
+    // — pinning BOTH candidate completeness and the codec roundtrip.
     Q("q_multimodal_phash_neardup",
       (s, d) => {
         val base = documents(s, d).filter(length(col("text")) >= 60)
@@ -76,32 +97,62 @@ object MultimodalQueries {
           (col("doc_id") + 3000000L).as("doc_id"),
           concat(substring(col("text"), 1, 9), lit("Z"),
             expr("substring(text, 11)")).as("text")))
-        val hashes = Multimodal.pHashStub(
-          Multimodal.binaryCorpus(corpus)).toDF()
+        val hashes = Multimodal.pHashDecoded(
+          Multimodal.renderPngCorpus(corpus)).toDF()
         Multimodal.phashNearDup(hashes, maxHamming = 3)
           .orderBy("id_a", "id_b")
       },
-      Some("""
+      Some(s"""
         |WITH base AS (SELECT doc_id, text FROM documents
         |  WHERE length(text) >= 60),
         |corpus AS (SELECT doc_id, text FROM base
         |  UNION ALL SELECT doc_id + 3000000,
         |    concat(substr(text, 1, 9), 'Z', substr(text, 11))
         |  FROM base),
-        |ph AS (SELECT doc_id,
-        |    list_transform(range(0, 60),
-        |      k -> ord(substr(text, 1 + (k * length(text)) // 60, 1)))
-        |      AS bs
-        |  FROM corpus),
-        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
-        |    k -> CASE WHEN bs[k + 1] * 60 > list_sum(bs)
-        |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
-        |    AS BIGINT) AS phash FROM ph)
+        |${phashCtes("corpus", "text", "p", "phash")}
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |  AND bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
+    // ---- decode-recall companion: every planted twin, directly ------
+    // For EVERY planted pair (base, Z-spliced twin), both sides go
+    // through the full render -> PNG encode -> ImageIO decode -> hash
+    // chain and the pair's exact hamming is emitted with its
+    // detected-at-3 verdict — the planted-transform recall gate
+    // (q_simhash_detected's role for the image path). One bad decode
+    // on either side flips a hash bit somewhere and the oracle's
+    // text-derived hamming stops matching.
+    Q("q_multimodal_decode_recall",
+      (s, d) => {
+        val base = documents(s, d).filter(length(col("text")) >= 60)
+          .select("doc_id", "text")
+        val twin = base.select(col("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text"))
+        val hb = Multimodal.pHashDecoded(Multimodal.renderPngCorpus(base))
+          .toDF().select(col("doc_id"), col("phash").as("h_a"))
+        val ht = Multimodal.pHashDecoded(Multimodal.renderPngCorpus(twin))
+          .toDF().select(col("doc_id"), col("phash").as("h_b"))
+        hb.join(ht, "doc_id")
+          .withColumn("hamming", bit_count(expr("h_a ^ h_b")).cast("long"))
+          .withColumn("detected", col("hamming") <= 3)
+          .select("doc_id", "hamming", "detected")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 60),
+        |${phashCtes("base", "text", "ta", "h_a")},
+        |${phashCtes(
+              "base", "concat(substr(text, 1, 9), 'Z', substr(text, 11))",
+              "tb", "h_b")}
+        |SELECT a.doc_id,
+        |  CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming,
+        |  bit_count(xor(h_a, h_b)) <= 3 AS detected
+        |FROM tah a JOIN tbh b USING (doc_id) ORDER BY doc_id
         |""".stripMargin.trim))
   )
 }

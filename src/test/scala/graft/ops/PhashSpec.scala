@@ -50,4 +50,52 @@ class PhashSpec extends SparkSpec {
       .toDF("doc_id", "phash")
     assert(Multimodal.phashNearDup(hashes).count() == 0)
   }
+
+  test("pHashDecoded over renderPngCorpus equals the text-byte hash: " +
+      "the PNG encode/decode roundtrip is pixel-exact") {
+    // ASCII texts across the length regimes: shorter than the 300-pixel
+    // grid (bytes repeat), exactly on it, and longer (bytes skipped)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 2),
+      (2L, ("abcdefgh" * 38).take(300)),
+      (3L, "A scale-out engine renders what it cannot decode. " * 20))
+    val df = texts.toDF("doc_id", "text")
+    val decoded = Multimodal.pHashDecoded(Multimodal.renderPngCorpus(df))
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    val stub = Multimodal.pHashStub(Multimodal.binaryCorpus(df))
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    // sample k of the decoded path = pixel 5k = text byte (k*len)/60 =
+    // sample k of the byte path, for every length
+    assert(decoded == stub)
+  }
+
+  test("renderPngCorpus emits genuine PNGs with the declared geometry") {
+    val df = Seq((7L, "payloads are real portable network graphics " * 3))
+      .toDF("doc_id", "text")
+    val row = Multimodal.renderPngCorpus(df).collect().head
+    val bytes = row.getAs[Array[Byte]]("payload")
+    // PNG magic
+    assert(bytes.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == Multimodal.RenderW &&
+      img.getHeight == Multimodal.RenderH)
+    val meta = row.getStruct(row.fieldIndex("media_meta"))
+    assert(meta.getAs[String]("media_type") == "image/png")
+  }
+
+  test("pHashDecoded falls back to byte sampling for undecodable " +
+      "payloads and drops short ones") {
+    val garbageLong = Array.tabulate[Byte](120)(i => (i * 7 + 1).toByte)
+    val garbageShort = Array.tabulate[Byte](10)(i => i.toByte)
+    val binary = Seq((1L, garbageLong), (2L, garbageShort))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.pHashDecoded(binary)
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(out.keySet == Set(1L)) // short undecodable payload dropped
+    val viaStub = Multimodal.pHashStub(binary)
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(out(1L) == viaStub(1L))
+  }
 }
