@@ -102,4 +102,57 @@ class PlanSweepSpec extends SparkSpec {
     val stale = (bnljByDesign ++ globalWindowByDesign).diff(names)
     assert(stale.isEmpty, s"allowlisted gates no longer registered: $stale")
   }
+
+  /** Every driver-side `.collect()` in the MAIN sources, with its
+    * bound — the audit VERDICT r8 ran by hand, now a regression gate.
+    * A collect is admissible only when its row count is bounded by
+    * CONSTRUCTION (k centroids, partition counts, warm-up scalars),
+    * never corpus-sized. Adding a `.collect()` anywhere under
+    * src/main/scala/graft fails this sweep until the site is entered
+    * here with its written bound. */
+  private val boundedCollects: Map[String, Int] = Map(
+    "ops/Clustering.scala" -> 2, // k-row codebook seed; k·dim centroid sums
+    "ops/GlobalOrder.scala" -> 2, // per-partition offset maps (≤ #partitions)
+    "ops/AnnIndex.scala" -> 1,    // k-row trained codebook
+    "Bench.scala" -> 1,           // warm-up scalar (sum over range)
+    "tools/DedupAB.scala" -> 1    // warm-up scalar (A/B harness main)
+  )
+
+  test("every main-source collect() is allowlisted with a documented " +
+      "bound; no driver-unbounded materialization APIs appear") {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"main source root not found from ${System.getProperty("user.dir")}")
+    import scala.jdk.CollectionConverters._
+    val scalaFiles = {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".scala")).toVector
+      finally s.close()
+    }
+    val collectRe = """\.collect\(\)""".r
+    val found = scalaFiles.flatMap { p =>
+      val n = collectRe.findAllIn(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).size
+      if (n > 0) Some(root.relativize(p).toString -> n) else None
+    }.toMap
+    val unlisted = found.filterNot { case (f, n) =>
+      boundedCollects.get(f).contains(n)
+    }
+    assert(unlisted.isEmpty,
+      "collect() sites not matching the bounded allowlist (file -> " +
+        s"count): $unlisted — document the bound in boundedCollects " +
+        "or remove the driver-side materialization")
+    val stale = boundedCollects.keySet.diff(found.keySet)
+    assert(stale.isEmpty, s"allowlisted files no longer collect: $stale")
+    // APIs that pull an UNBOUNDED result to the driver with no
+    // k-argument anywhere in the call: banned outright in main sources
+    val banned = Seq("collectAsList", "toLocalIterator")
+    val bannedHits = scalaFiles.flatMap { p =>
+      val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      banned.filter(src.contains).map(b => s"${root.relativize(p)}: $b")
+    }
+    assert(bannedHits.isEmpty,
+      s"driver-unbounded materialization APIs: $bannedHits")
+  }
 }
