@@ -59,16 +59,16 @@ object Tables {
           "TIMESTAMP(MICROS) or int64 nanos")
     }
 
-  /** Footer-read memo keyed by (path, length, mtime): the inferred
-    * events schema is needed on every [[events]]/eventsStream call
-    * (~25 gates), and the file listing + footer parse would otherwise
-    * repeat on each; a regenerated fixture changes the stat key, so
-    * staleness is bounded to a rewrite landing with identical byte
-    * length in the same mtime millisecond. ONLY local files the JVM
-    * can stat are memoized — for a path java.io.File cannot see
-    * (object stores, momentarily missing files) the stat key would be
-    * a frozen `0|0` that never invalidates, so those read the footer
-    * each time instead. */
+  /** Footer-read memo keyed by the fixture's CONTENT hash
+    * ([[graft.queries.Sinks.fileContentHash]] — the same bytes-MD5
+    * discipline as every content-keyed store, so a regeneration that
+    * preserves byte length within mtime granularity still re-reads
+    * the footer on the next session): the inferred events schema is
+    * needed on every [[events]]/eventsStream call (~25 gates), and
+    * the file listing + footer parse would otherwise repeat on each.
+    * ONLY local files the JVM can stat-and-hash are memoized — paths
+    * java.io.File cannot see (object stores, momentarily missing
+    * files) read the footer each time instead. */
   private val eventsSchemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
@@ -77,7 +77,7 @@ object Tables {
     val f = new java.io.File(path)
     if (f.isFile)
       eventsSchemaMemo.computeIfAbsent(
-        s"$path|${f.length}|${f.lastModified}",
+        s"$path|${graft.queries.Sinks.fileContentHash(f)}",
         _ => s.read.parquet(path).schema)
     else s.read.parquet(path).schema
   }

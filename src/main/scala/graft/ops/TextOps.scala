@@ -227,12 +227,15 @@ object TextOps {
     * at tiny support every line clears a ratio cutoff (2 docs → any
     * unique line is at 500‰), which would shred exactly the sources
     * that carry no real template — the same minimum-support guard web
-    * pipelines apply before per-domain boilerplate removal.
+    * pipelines apply before per-domain boilerplate removal. The guard
+    * is ON by default (minDocs = 3, the smallest support where a
+    * non-shared line cannot clear a ≥500‰ cutoff); pass minDocs = 1
+    * only when every source is known template-bearing.
     *
     * Output: input columns with `textCol` rewritten. */
   def stripBoilerplate(docs: DataFrame, idCol: String, srcCol: String,
                        textCol: String, minRatioMilli: Int,
-                       minDocs: Int = 1): DataFrame = {
+                       minDocs: Int = 3): DataFrame = {
     val ls = split(col(textCol), "\n")
     // EMPTY lines are never boilerplate candidates: blank paragraph
     // separators are frequent in every multi-paragraph source, and

@@ -53,6 +53,15 @@ object Sinks {
   private val hashMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
 
+  /** The memoized content hash of a local file — the same bytes-MD5
+    * (and the same per-JVM (path, length, mtime) re-hash policy)
+    * backing [[contentKey]], exposed so other content-keyed memos
+    * (Tables' events schema memo) share one discipline instead of
+    * inventing weaker stat keys. */
+  private[graft] def fileContentHash(f: java.io.File): String =
+    hashMemo.computeIfAbsent(
+      (f.getAbsolutePath, f.length, f.lastModified), _ => hashFile(f))
+
   private def hashFile(f: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     if (f.isFile) {

@@ -357,7 +357,8 @@ object TextQueries {
         |  FROM p GROUP BY source),
         |blt AS (SELECT lf.source, list(line) AS bl
         |  FROM lf JOIN nd ON lf.source = nd.source
-        |  WHERE df * 1000 >= n_docs * 300 GROUP BY lf.source)
+        |  WHERE n_docs >= 3 AND df * 1000 >= n_docs * 300
+        |  GROUP BY lf.source)
         |SELECT doc_id, x.source,
         |  array_to_string(list_filter(ls,
         |    ln -> NOT list_contains(coalesce(bl, []), ln)), chr(10))
