@@ -143,21 +143,28 @@ object Multimodal {
 
   final case class MediaHash(doc_id: Long, phash: Long)
 
-  /** The 60-bit average-hash over a linear sample grid: bit k set when
-    * sample k exceeds the grid mean (integer cross-multiplied — no
-    * division, no float). Shared by the decoded-pixel and raw-byte
-    * paths so the two hash spaces are directly comparable. */
-  private def aHash60(sampleAt: Int => Int, n: Int): Long = {
-    val samples = Array.tabulate(60)(k => sampleAt(((k.toLong * n) / 60).toInt))
-    val sum = samples.sum
+  /** Bit k set when value k exceeds the mean of all 60 (integer
+    * cross-multiplied — no division, no float). The shared bit rule
+    * under every 60-bit fingerprint here (pixel samples, byte
+    * samples, audio frame energies), so the hash spaces stay
+    * directly comparable and one banding path serves all. */
+  private def bitsAboveMean(vals: Array[Long]): Long = {
+    val sum = vals.sum
     var h = 0L
     var k = 0
     while (k < 60) {
-      if (samples(k) * 60 > sum) h |= 1L << k
+      if (vals(k) * 60 > sum) h |= 1L << k
       k += 1
     }
     h
   }
+
+  /** The 60-bit average-hash over a linear sample grid: sample k is
+    * the value at index (k·n)/60. Shared by the decoded-pixel and
+    * raw-byte paths. */
+  private def aHash60(sampleAt: Int => Int, n: Int): Long =
+    bitsAboveMean(
+      Array.tabulate(60)(k => sampleAt(((k.toLong * n) / 60).toInt).toLong))
 
   /** Perceptual hash over GENUINELY DECODED pixels: `ImageIO.read` the
     * payload, flatten the first raster band row-major, and average-hash
@@ -253,6 +260,123 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
+  }
+
+  /** Audio render geometry: 600 16-bit PCM samples per document — 60
+    * fingerprint frames of 10 samples — so frame k covers samples
+    * [10k, 10k+10) exactly and the text-side oracle replays the
+    * energies with one integer sum per frame. */
+  val AudioSamples = 600
+  val AudioFrames = 60
+  private val AudioFrameLen = AudioSamples / AudioFrames
+  private val AudioFormat8k = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
+
+  /** PCM sample j of a document: the text byte at (j·len)/600,
+    * centered and scaled to 16-bit range — (b − 128)·256. One
+    * definition serves the render, the decoded-side expectation in
+    * specs, and the SQL oracle's arithmetic. */
+  private def pcmSample(b: Array[Byte], j: Int): Int =
+    (((b(((j.toLong * b.length) / AudioSamples).toInt) & 0xff) - 128) * 256)
+
+  /** (doc_id, payload, media_meta): each document rendered as a REAL
+    * 16-bit PCM WAV (RIFF container written by
+    * `javax.sound.sampled.AudioSystem` — the audio twin of
+    * [[renderPngCorpus]]). PCM is lossless, so decoded samples equal
+    * [[pcmSample]] exactly and downstream fingerprints are
+    * SQL-oracle-checkable. Empty documents are dropped. */
+  def renderWavCorpus(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast(LongType),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaPng]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.payload.isEmpty) None
+          else {
+            val pcm = new Array[Byte](AudioSamples * 2)
+            var j = 0
+            while (j < AudioSamples) {
+              val v = pcmSample(r.payload, j)
+              pcm(2 * j) = (v & 0xff).toByte        // little-endian
+              pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+              j += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), AudioFormat8k,
+              AudioSamples.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Some(MediaPng(r.doc_id, bos.toByteArray))
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("payload"),
+        struct(lit("audio/wav").as("media_type"),
+          lit(8000).as("sample_rate"),
+          lit(AudioSamples).as("n_samples")).as("media_meta"))
+  }
+
+  final case class AudioFp(doc_id: Long, afp: Long)
+
+  /** 60-bit audio fingerprint over GENUINELY DECODED samples:
+    * `AudioSystem.getAudioInputStream` parses the container, the PCM
+    * frames are read back, and bit k is frame k's energy
+    * (Σ |sample| over its [[AudioFrameLen]] samples) against the mean
+    * frame energy ([[bitsAboveMean]]) — the spectral-free skeleton of
+    * an acoustic fingerprint, integer-exact so the SQL oracle pins
+    * the whole render→encode→decode→energy chain. Non-audio payloads
+    * fall back to the raw-byte average-hash (same 60-bit space, per
+    * row); payloads under 60 bytes are dropped. Only whole frames
+    * with the render geometry fingerprint via energies — a decoded
+    * stream with a different sample count hashes by bytes too, so a
+    * truncated container cannot silently alias a healthy one. */
+  def audioFingerprint(binary: DataFrame): Dataset[AudioFp] = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val decoded: Option[Array[Int]] =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              try {
+                val f = ais.getFormat
+                val ok = f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+                  !f.isBigEndian && f.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                if (!ok) None
+                else {
+                  val bytes = ais.readAllBytes()
+                  val n = bytes.length / 2
+                  if (n != AudioSamples) None
+                  else Some(Array.tabulate(n)(j =>
+                    ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff))))
+                }
+              } finally ais.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          decoded match {
+            case Some(samples) =>
+              val energies = Array.tabulate(AudioFrames) { k =>
+                var s = 0L; var j = k * AudioFrameLen
+                val end = j + AudioFrameLen
+                while (j < end) { s += math.abs(samples(j)); j += 1 }
+                s
+              }
+              Some(AudioFp(r.doc_id, bitsAboveMean(energies)))
+            case None if r.payload.length < 60 => None
+            case None => Some(AudioFp(r.doc_id,
+              aHash60(q => r.payload(q) & 0xff, r.payload.length)))
+          }
+        }
+      }
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" and

@@ -16,6 +16,24 @@ import graft.ops.Multimodal
   * for formats with no JDK codec. */
 object MultimodalQueries {
 
+  /** DuckDB CTE pair computing the 60-bit audio-energy fingerprint of
+    * `textExpr` — the arithmetic the decoded-PCM path lands on
+    * (Multimodal.AudioSamples: sample j = (char at (j·len)/600 − 128)
+    * ·256, frame k = Σ|sample| over [10k, 10k+10), bit k = frame
+    * energy above the mean). Emits `<p>e(doc_id, es)` and
+    * `<p>h(doc_id, <hcol>)`. */
+  private def audioFpCtes(src: String, textExpr: String, p: String,
+                          hcol: String): String =
+    s"""${p}e AS (SELECT doc_id, list_transform(range(0, 60),
+       |    k -> CAST(list_sum(list_transform(range(10 * k, 10 * k + 10),
+       |      j -> abs((ord(substr(t, 1 + (j * length(t)) // 600, 1))
+       |           - 128) * 256))) AS BIGINT)) AS es
+       |  FROM (SELECT doc_id, $textExpr AS t FROM $src)),
+       |${p}h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+       |    k -> CASE WHEN es[k + 1] * 60 > list_sum(es)
+       |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+       |    AS BIGINT) AS $hcol FROM ${p}e)""".stripMargin
+
   /** DuckDB CTE pair computing the 60-bit average-hash of `textExpr`
     * — the same arithmetic the decoded-pixel path lands on (see
     * Multimodal.RenderW: 300 pixels, sample k = pixel 5k = text char
@@ -153,6 +171,62 @@ object MultimodalQueries {
         |  CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming,
         |  bit_count(xor(h_a, h_b)) <= 3 AS detected
         |FROM tah a JOIN tbh b USING (doc_id) ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- audio fingerprint over REAL decoded WAVs -------------------
+    // The audio twin of the PNG chain: each document rendered as a
+    // genuine 16-bit PCM WAV, parsed back through
+    // javax.sound.sampled.AudioSystem, and fingerprinted by decoded
+    // frame energies. PCM is lossless and the render is a pure text
+    // function, so the oracle pins the whole container roundtrip —
+    // a mis-parsed header or sample misalignment flips energy bits
+    // and the hash stops matching.
+    Q("q_multimodal_audio_fp",
+      (s, d) => {
+        val base = documents(s, d).filter(length(col("text")) >= 1)
+          .select("doc_id", "text")
+        Multimodal.audioFingerprint(Multimodal.renderWavCorpus(base))
+          .toDF().orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |${audioFpCtes("base", "text", "w", "afp")}
+        |SELECT doc_id, afp FROM wh ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- audio near-dup: banded join over decoded fingerprints ------
+    // Planted one-char splice twins through the full WAV
+    // render/decode/energy chain, then the SAME 4x15 banded candidate
+    // join as the image path (one 60-bit hash space, one banding
+    // proof). Oracle does the all-pairs compare.
+    Q("q_multimodal_audio_neardup",
+      (s, d) => {
+        val base = documents(s, d).filter(length(col("text")) >= 60)
+          .select("doc_id", "text")
+        val corpus = base.unionByName(base.select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text")))
+        val hashes = Multimodal.audioFingerprint(
+            Multimodal.renderWavCorpus(corpus))
+          .toDF().select(col("doc_id"), col("afp").as("phash"))
+        Multimodal.phashNearDup(hashes, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 60),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 3000000,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11))
+        |  FROM base),
+        |${audioFpCtes("corpus", "text", "w", "afp")}
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |FROM wh a JOIN wh b ON a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.afp, b.afp)) <= 3
+        |ORDER BY id_a, id_b
         |""".stripMargin.trim))
   )
 }

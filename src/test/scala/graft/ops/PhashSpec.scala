@@ -85,6 +85,61 @@ class PhashSpec extends SparkSpec {
     assert(meta.getAs[String]("media_type") == "image/png")
   }
 
+  test("audioFingerprint over renderWavCorpus equals the text-side " +
+      "energy arithmetic: the WAV encode/decode roundtrip is " +
+      "sample-exact") {
+    val texts = Seq(
+      (1L, "a short one"),
+      (2L, "the quick brown fox jumps over the lazy dog " * 5),
+      (3L, ("abcdefgh" * 75).take(600)))
+    val df = texts.toDF("doc_id", "text")
+    val got = Multimodal.audioFingerprint(Multimodal.renderWavCorpus(df))
+      .collect().map(h => h.doc_id -> h.afp).toMap
+    // expected: replay the render arithmetic straight from the text
+    val want = texts.map { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val energies = Array.tabulate(60) { k =>
+        (10 * k until 10 * k + 10).map { j =>
+          math.abs((((b(((j.toLong * b.length) / 600).toInt) & 0xff)
+            - 128) * 256).toLong)
+        }.sum
+      }
+      val total = energies.sum
+      id -> (0 until 60).foldLeft(0L)((h, k) =>
+        if (energies(k) * 60 > total) h | (1L << k) else h)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("renderWavCorpus emits genuine RIFF/WAVE containers") {
+    val df = Seq((9L, "pulse code modulation round trip"))
+      .toDF("doc_id", "text")
+    val row = Multimodal.renderWavCorpus(df).collect().head
+    val bytes = row.getAs[Array[Byte]]("payload")
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == Multimodal.AudioSamples.toLong)
+    val meta = row.getStruct(row.fieldIndex("media_meta"))
+    assert(meta.getAs[String]("media_type") == "audio/wav")
+  }
+
+  test("audioFingerprint falls back to byte sampling for non-audio " +
+      "payloads and drops short ones") {
+    val garbageLong = Array.tabulate[Byte](120)(i => (i * 13 + 5).toByte)
+    val garbageShort = Array.tabulate[Byte](10)(i => i.toByte)
+    val binary = Seq((1L, garbageLong), (2L, garbageShort))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.audioFingerprint(binary)
+      .collect().map(h => h.doc_id -> h.afp).toMap
+    assert(out.keySet == Set(1L))
+    val viaStub = Multimodal.pHashStub(binary)
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(out(1L) == viaStub(1L)) // same 60-bit byte-hash space
+  }
+
   test("pHashDecoded falls back to byte sampling for undecodable " +
       "payloads and drops short ones") {
     val garbageLong = Array.tabulate[Byte](120)(i => (i * 7 + 1).toByte)
