@@ -115,6 +115,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got(6L) == "shared small\nbody six")
   }
 
+  test("stripBoilerplate: the minimum-support guard is ON by default " +
+      "— a 2-doc source is untouched, a 3-doc template is stripped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny", "only shared line\nbody one"),
+      (2L, "tiny", "only shared line\nbody two"),
+      (3L, "tpl", "TPL HDR\nalpha"),
+      (4L, "tpl", "TPL HDR\nbeta"),
+      (5L, "tpl", "TPL HDR\ngamma")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.stripBoilerplate(docs, "doc_id", "source",
+        "text", minRatioMilli = 500) // defaults: minDocs = 3
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "only shared line\nbody one") // guarded
+    assert(got(2L) == "only shared line\nbody two")
+    assert(got(3L) == "alpha") // 3 docs: template stripped
+    assert(got(4L) == "beta")
+    assert(got(5L) == "gamma")
+  }
+
   test("exciseDupSpans: unique docs round-trip byte-identical; a " +
       "planted shared paragraph survives in exactly one document") {
     import spark.implicits._
