@@ -16,13 +16,15 @@ import org.apache.spark.sql.types._
   * pixels. Because the render is a pure function of the text and PNG
   * is lossless, a SQL oracle can pin the whole
   * render→encode→decode→hash chain bit-for-bit — a hash mismatch
-  * would surface any decode deviation. The byte-level paths
-  * (`decodeStub`, `resizeStub`) remain for formats with no codec in
-  * the JDK (audio/video): there the signature and per-partition
-  * batching are the contract and the byte arithmetic is a documented
-  * stand-in; [[pHashDecoded]] also falls back to the byte-sampling
-  * hash for payloads ImageIO cannot decode, so a mixed corpus
-  * degrades per row, not per job. */
+  * would surface any decode deviation. [[renderWavCorpus]] + [[audioFingerprint]] are
+  * the audio twin — 16-bit PCM in a RIFF/WAVE container, decoded
+  * back through `javax.sound.sampled.AudioSystem`, fingerprinted by
+  * decoded frame energies. The byte-level paths (`decodeStub`,
+  * `resizeStub`) remain for formats with no JDK codec (video): there
+  * the signature and per-partition batching are the contract and the
+  * byte arithmetic is a documented stand-in; both decoded paths also
+  * fall back to the byte-sampling hash for payloads their codec
+  * cannot parse, so a mixed corpus degrades per row, not per job. */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
@@ -97,7 +99,7 @@ object Multimodal {
   val RenderH = 15
   private val RenderN = RenderW * RenderH
 
-  final case class MediaPng(doc_id: Long, payload: Array[Byte])
+  final case class MediaBlob(doc_id: Long, payload: Array[Byte])
 
   /** (doc_id, payload, media_meta): each document rendered as a REAL
     * 8-bit grayscale PNG — pixel p (row-major) is the text byte at
@@ -112,7 +114,7 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id").cast(LongType),
         encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaPng]
+      .as[MediaBlob]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
         rows.flatMap { r =>
@@ -130,7 +132,7 @@ object Multimodal {
             }
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", bos)
-            Some(MediaPng(r.doc_id, bos.toByteArray))
+            Some(MediaBlob(r.doc_id, bos.toByteArray))
           }
         }
       }
@@ -290,7 +292,7 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id").cast(LongType),
         encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaPng]
+      .as[MediaBlob]
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.payload.isEmpty) None
@@ -309,7 +311,7 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.sound.sampled.AudioSystem.write(ais,
               javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-            Some(MediaPng(r.doc_id, bos.toByteArray))
+            Some(MediaBlob(r.doc_id, bos.toByteArray))
           }
         }
       }
