@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   * would surface any decode deviation. [[renderWavCorpus]] + [[audioFingerprint]] are
   * the audio twin — 16-bit PCM in a RIFF/WAVE container, decoded
   * back through `javax.sound.sampled.AudioSystem`, fingerprinted by
-  * decoded frame energies. The byte-level paths (`decodeStub`,
+  * decoded frame energies. [[resizeDecoded]] closes the loop on the
+  * image side: decode → integer pixel-area downscale → PNG re-encode,
+  * oracle-pinned end to end. The byte-level paths (`decodeStub`,
   * `resizeStub`) remain for formats with no JDK codec (video): there
   * the signature and per-partition batching are the contract and the
   * byte arithmetic is a documented stand-in; both decoded paths also
@@ -86,6 +88,103 @@ object Multimodal {
           val md = java.security.MessageDigest.getInstance("MD5")
           val fp = md.digest(out).map("%02x".format(_)).mkString
           ResizedMedia(r.doc_id, r.payload.length, out.length, fp)
+        }
+      }
+  }
+
+  final case class ResizedDecoded(doc_id: Long, w_in: Int, h_in: Int,
+                                  w_out: Int, h_out: Int,
+                                  payload: Array[Byte], fp_resized: String)
+
+  /** REAL pixel resize: decode the payload with `javax.imageio`,
+    * downscale to `outW`×`outH` by integer pixel-area averaging —
+    * output pixel (x, y) is the floor-mean of the source block
+    * `[x·W/outW, (x+1)·W/outW) × [y·H/outH, (y+1)·H/outH)` — and
+    * re-encode the result as an 8-bit grayscale PNG. All arithmetic is
+    * integer (sum, floor division), so for [[renderPngCorpus]] images
+    * a SQL oracle can replay the decode→resize chain from the source
+    * text exactly; `fp_resized` = md5 over the comma-joined output
+    * pixels is the cross-engine fingerprint. Same batched
+    * per-partition pattern as [[extractFeatures]] (one codec setup per
+    * partition). Payloads ImageIO cannot decode fall back to byte-block
+    * averaging over the raw payload (a 1×n "image", per row — one bad
+    * payload degrades, not fails); payloads with fewer source pixels
+    * (or fallback bytes) than output pixels are dropped — no
+    * well-defined area mapping. */
+  def resizeDecoded(binary: DataFrame, outW: Int, outH: Int): Dataset[ResizedDecoded] = {
+    require(outW > 0 && outH > 0, "output geometry must be positive")
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        // 2-D pixel-area block means of a wIn×hIn image (requires
+        // wIn >= outW and hIn >= outH so every block is non-empty)
+        def areaMeans(wIn: Int, hIn: Int, srcAt: Int => Int): Array[Int] = {
+          val means = new Array[Int](outW * outH)
+          var q = 0
+          while (q < means.length) {
+            val x = q % outW; val y = q / outW
+            val x0 = x * wIn / outW; val x1 = (x + 1) * wIn / outW
+            val y0 = y * hIn / outH; val y1 = (y + 1) * hIn / outH
+            var sum = 0L
+            var j = y0
+            while (j < y1) {
+              var i = x0
+              while (i < x1) { sum += srcAt(j * wIn + i); i += 1 }
+              j += 1
+            }
+            means(q) = (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+            q += 1
+          }
+          means
+        }
+        // 1-D block means over n raw bytes (fallback; requires
+        // n >= outW·outH): block q covers [q·n/N, (q+1)·n/N)
+        def blockMeans1d(n: Int, srcAt: Int => Int): Array[Int] = {
+          val nOut = outW * outH
+          Array.tabulate(nOut) { q =>
+            val b0 = (q.toLong * n / nOut).toInt
+            val b1 = ((q + 1).toLong * n / nOut).toInt
+            var sum = 0L
+            var i = b0
+            while (i < b1) { sum += srcAt(i); i += 1 }
+            (sum / (b1 - b0)).toInt
+          }
+        }
+        def emit(docId: Long, wIn: Int, hIn: Int,
+                 means: Array[Int]): ResizedDecoded = {
+          val img = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var p = 0
+          while (p < means.length) {
+            raster.setSample(p % outW, p / outW, 0, means(p))
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val fp = md.digest(means.mkString(",").getBytes("US-ASCII"))
+            .map("%02x".format(_)).mkString
+          ResizedDecoded(docId, wIn, hIn, outW, outH, bos.toByteArray, fp)
+        }
+        rows.flatMap { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
+            val w = img.getWidth; val h = img.getHeight
+            if (w < outW || h < outH) None
+            else {
+              val raster = img.getRaster
+              Some(emit(r.doc_id, w, h,
+                areaMeans(w, h, p => raster.getSample(p % w, p / w, 0))))
+            }
+          } else if (r.payload.length < outW * outH) None
+          else Some(emit(r.doc_id, r.payload.length, 1,
+            blockMeans1d(r.payload.length, p => r.payload(p) & 0xff)))
         }
       }
   }

@@ -11,9 +11,11 @@ import graft.ops.Multimodal
   * render is a pure function of the (ASCII) text and PNG is lossless,
   * so the DuckDB oracle recomputes the expected hash from the text
   * column — a hash-green gate certifies the encode→decode roundtrip
-  * pixel-for-pixel. The features/resize/frames gates keep byte-level
-  * payloads (UTF-8 bytes of the text) exercising the binary plumbing
-  * for formats with no JDK codec. */
+  * pixel-for-pixel, and the decoded-resize gate extends it to a real
+  * decode → pixel-area downscale → re-encode chain. The
+  * features/resize/frames gates keep byte-level payloads (UTF-8 bytes
+  * of the text) exercising the binary plumbing for formats with no
+  * JDK codec. */
 object MultimodalQueries {
 
   /** DuckDB CTE pair computing the 60-bit audio-energy fingerprint of
@@ -96,6 +98,40 @@ object MultimodalQueries {
         |  least(32, len - i * 32) AS frame_bytes
         |FROM n, LATERAL (SELECT unnest(range(0, n_frames)) AS i)
         |WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
+        |""".stripMargin.trim)),
+
+    // ---- REAL pixel resize over decoded images ----------------------
+    // Each document's rendered 20x15 PNG is DECODED back with
+    // javax.imageio and downscaled to 5x5 by integer pixel-area
+    // averaging (blocks of 4x3, floor mean), then re-encoded. Every
+    // step is integer arithmetic over decoded pixels, so the oracle
+    // replays decode->resize straight from the text (pixel p = char at
+    // (p*len)//300) and the md5 over the comma-joined output pixels
+    // pins the whole chain — a one-pixel decode or block-mapping
+    // deviation changes the fingerprint.
+    Q("q_multimodal_resize_decoded",
+      (s, d) => {
+        val base = documents(s, d).filter(length(col("text")) >= 1)
+          .select("doc_id", "text")
+        Multimodal.resizeDecoded(
+            Multimodal.renderPngCorpus(base), outW = 5, outH = 5)
+          .toDF()
+          .select("doc_id", "w_in", "h_in", "w_out", "h_out", "fp_resized")
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |px AS (SELECT doc_id, list_transform(range(0, 300),
+        |    p -> ord(substr(text, 1 + (p * length(text)) // 300, 1))) AS ps
+        |  FROM base),
+        |r AS (SELECT doc_id, list_transform(range(0, 25), q ->
+        |    list_sum(list_transform(range(0, 12), b ->
+        |      ps[1 + ((q // 5) * 3 + b // 4) * 20 + (q % 5) * 4 + b % 4]))
+        |    // 12) AS ms FROM px)
+        |SELECT doc_id, 20 AS w_in, 15 AS h_in, 5 AS w_out, 5 AS h_out,
+        |  md5(array_to_string(ms, ',')) AS fp_resized
+        |FROM r ORDER BY doc_id
         |""".stripMargin.trim)),
 
     // ---- perceptual-hash near-dup over REAL decoded images ----------

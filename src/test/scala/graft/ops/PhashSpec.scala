@@ -85,6 +85,67 @@ class PhashSpec extends SparkSpec {
     assert(meta.getAs[String]("media_type") == "image/png")
   }
 
+  test("resizeDecoded over renderPngCorpus: block means equal the " +
+      "text-side arithmetic, the re-encoded PNG round-trips to exactly " +
+      "those pixels, fingerprint matches") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 2),
+      (2L, ("abcdefgh" * 38).take(300)),
+      (3L, "tiny"))
+    val df = texts.toDF("doc_id", "text")
+    val out = Multimodal.resizeDecoded(
+        Multimodal.renderPngCorpus(df), outW = 5, outH = 5)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    texts.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      def pixel(p: Int): Int = b(((p.toLong * b.length) / 300).toInt) & 0xff
+      val want = Array.tabulate(25) { q =>
+        val x = q % 5; val y = q / 5
+        val sum = (for (j <- y * 3 until (y + 1) * 3;
+                        i <- x * 4 until (x + 1) * 4)
+          yield pixel(j * 20 + i).toLong).sum
+        (sum / 12).toInt
+      }
+      val r = out(id)
+      assert((r.w_in, r.h_in, r.w_out, r.h_out) == (20, 15, 5, 5))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val wantFp = md.digest(want.mkString(",").getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString
+      assert(r.fp_resized == wantFp, s"doc $id fingerprint")
+      // the emitted payload is a real PNG decoding back to the means
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == 5 && img.getHeight == 5)
+      val got = Array.tabulate(25)(p =>
+        img.getRaster.getSample(p % 5, p / 5, 0))
+      assert(got.toSeq == want.toSeq, s"doc $id roundtrip pixels")
+    }
+  }
+
+  test("resizeDecoded falls back to 1-D byte-block averaging for " +
+      "undecodable payloads and drops payloads smaller than the " +
+      "output grid") {
+    val garbage = Array.tabulate[Byte](100)(i => (i * 31 + 7).toByte)
+    val tiny = Array.tabulate[Byte](10)(i => i.toByte)
+    val binary = Seq((1L, garbage), (2L, tiny)).toDF("doc_id", "payload")
+    val out = Multimodal.resizeDecoded(binary, outW = 5, outH = 5)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.keySet == Set(1L))
+    val r = out(1L)
+    assert((r.w_in, r.h_in) == (100, 1))
+    val want = Array.tabulate(25) { q =>
+      val b0 = q * 100 / 25; val b1 = (q + 1) * 100 / 25
+      ((b0 until b1).map(i => (garbage(i) & 0xff).toLong).sum
+        / (b1 - b0)).toInt
+    }
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    val got = Array.tabulate(25)(p =>
+      img.getRaster.getSample(p % 5, p / 5, 0))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("audioFingerprint over renderWavCorpus equals the text-side " +
       "energy arithmetic: the WAV encode/decode roundtrip is " +
       "sample-exact") {
