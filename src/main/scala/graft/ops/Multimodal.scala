@@ -328,6 +328,48 @@ object Multimodal {
       }
   }
 
+  /** The 4×15-bit banding of a (doc_id, phash) frame —
+    * (doc_id, phash, band, key) with band ∈ [0,4) and key = bits
+    * [15·band, 15·band+15). With ≤ 3 differing bits at least one band
+    * is untouched (pigeonhole), so a (band, key) equi-join over two
+    * banded sides is a COMPLETE candidate set for hamming ≤ 3. Shared
+    * by the self-join ([[phashNearDup]]), the cross-side probe
+    * ([[phashNearDupAgainst]]), and the persisted index layout (store
+    * this output; at corpus scale, partitioned/bucketed by
+    * (band, key)). */
+  def bandedPhash(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("phash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> " +
+            "struct(b AS band, shiftright(phash, 15 * b) & 32767 AS key))"))
+          .as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Incremental media near-dup: probe a NEW batch of fingerprints
+    * against a STORED banded corpus index ([[bandedPhash]] rows) —
+    * the daily path, where the increment pays hashing + banding over
+    * the batch only and the corpus side is read, never recomputed.
+    * Same completeness argument and verify as [[phashNearDup]];
+    * cross-side, so no ordering constraint — output
+    * (id_new, id_corpus, hamming). */
+  def phashNearDupAgainst(batchHashes: DataFrame, corpusBanded: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x15 banding is only complete for hamming <= 3")
+    bandedPhash(batchHashes).as("n")
+      .join(corpusBanded.as("c"),
+        col("n.band") === col("c.band") && col("n.key") === col("c.key"))
+      .select(col("n.doc_id").as("id_new"), col("c.doc_id").as("id_corpus"),
+        col("n.phash").as("h_n"), col("c.phash").as("h_c"))
+      // verify BEFORE distinct, as in phashNearDup: only true near-dup
+      // rows reach the distinct's exchange
+      .withColumn("hamming", bit_count(expr("h_n ^ h_c")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_new", "id_corpus", "hamming")
+      .distinct()
+  }
+
   /** Perceptual-hash near-dup pairs with Hamming distance ≤
     * `maxHamming` (≤ 3): band the 60-bit hash into 4×15-bit keys —
     * with ≤ 3 differing bits at least one band is untouched
@@ -339,13 +381,7 @@ object Multimodal {
   def phashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4x15 banding is only complete for hamming <= 3")
-    val banded = hashes.select(col("doc_id"), col("phash"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> " +
-            "struct(b AS band, shiftright(phash, 15 * b) & 32767 AS key))"))
-          .as("bk"))
-      .select(col("doc_id"), col("phash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedPhash(hashes)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.Multimodal
@@ -49,6 +50,51 @@ object MultimodalQueries {
        |    k -> CASE WHEN bs[k + 1] * 60 > list_sum(bs)
        |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
        |    AS BIGINT) AS $hcol FROM ${p}s)""".stripMargin
+
+  /** Corpus/batch split for the incremental media path: docs < 400
+    * (with a stable 60-byte hash grid) are the existing corpus; the
+    * batch is everything >= 400 plus planted one-char splice twins of
+    * docs < 50 (id + 5000000) — the arriving duplicates the probe
+    * must catch. */
+  private def mediaCorpus(s: SparkSession, d: String) =
+    documents(s, d)
+      .filter(length(col("text")) >= 60 && col("doc_id") < 400)
+      .select("doc_id", "text")
+
+  private def mediaBatch(s: SparkSession, d: String) = {
+    val docs = documents(s, d).filter(length(col("text")) >= 60)
+    docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 50).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 9), lit("Z"),
+          expr("substring(text, 11)")).as("text")))
+  }
+
+  /** Persisted banded phash index over the media corpus — the stored
+    * side of the incremental near-dup probe: (doc_id, phash, band,
+    * key) rows from the full render→decode→hash chain, content-keyed
+    * on the fixture (single CTAS, so the catalog entry is its own
+    * completion marker). At corpus scale this table is
+    * partitioned/bucketed by (band, key) so probes prune to touched
+    * buckets; batches append their banded rows — appending IS the
+    * index merge, as in the inverted-index store. */
+  private def phashIndexTable(s: SparkSession, d: String): String = {
+    val tbl = "phash_idx_" +
+      Sinks.contentKey(d, "documents.parquet", "phashix|v1")
+    if (!s.catalog.tableExists(tbl)) {
+      Multimodal.bandedPhash(
+          Multimodal.pHashDecoded(
+            Multimodal.renderPngCorpus(mediaCorpus(s, d))).toDF())
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** One-time content-addressed store builds (untimed in the bench
+    * harness via [[Registry.prepares]] — paid per corpus refresh, not
+    * per session). */
+  def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "phash_index" -> ((s, d) => { phashIndexTable(s, d); () }))
 
   def all: Seq[Q] = Seq(
 
@@ -263,6 +309,42 @@ object MultimodalQueries {
         |FROM wh a JOIN wh b ON a.doc_id < b.doc_id
         |  AND bit_count(xor(a.afp, b.afp)) <= 3
         |ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
+    // ---- incremental media near-dup against the stored index --------
+    // The daily path for the media family: the corpus's banded phash
+    // index is READ from the persisted store (built once, untimed);
+    // the increment pays render+decode+hash+banding over the BATCH
+    // only, then one (band, key) equi-join + exact bit_count verify.
+    // Planted splice twins of corpus docs arrive in the batch and must
+    // be caught. Oracle = all-pairs cross-side hamming over the
+    // text-derived hashes — pinning candidate completeness, the codec
+    // chain on both sides, and that the stored index still matches
+    // its corpus.
+    Q("q_incr_phash_neardup",
+      (s, d) => {
+        val idxT = phashIndexTable(s, d)
+        val batchHashes = Multimodal.pHashDecoded(
+          Multimodal.renderPngCorpus(mediaBatch(s, d))).toDF()
+        Multimodal.phashNearDupAgainst(batchHashes, s.table(idxT),
+            maxHamming = 3)
+          .orderBy("id_new", "id_corpus")
+      },
+      Some(s"""
+        |WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 60 AND doc_id < 400),
+        |batch AS (SELECT doc_id, text FROM documents
+        |    WHERE length(text) >= 60 AND doc_id >= 400
+        |  UNION ALL SELECT doc_id + 5000000,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11))
+        |  FROM documents WHERE length(text) >= 60 AND doc_id < 50),
+        |${phashCtes("corpus", "text", "c", "ph_c")},
+        |${phashCtes("batch", "text", "b", "ph_b")}
+        |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+        |  CAST(bit_count(xor(ph_b, ph_c)) AS BIGINT) AS hamming
+        |FROM bh n JOIN ch c
+        |  ON bit_count(xor(ph_b, ph_c)) <= 3
+        |ORDER BY id_new, id_corpus
         |""".stripMargin.trim))
   )
 }

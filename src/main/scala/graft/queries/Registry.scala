@@ -35,5 +35,5 @@ object Registry {
   def prepares: Seq[(String, (SparkSession, String) => Unit)] =
     SimQueries.prepares ++ AnalyticsQueries.prepares ++
       CorpusQueries.prepares ++ ClusterQueries.prepares ++
-      EvalArtifacts.prepares
+      EvalArtifacts.prepares ++ MultimodalQueries.prepares
 }

@@ -43,6 +43,27 @@ class PhashSpec extends SparkSpec {
     assert(out.find(t => t._1 == 1L && t._2 == 3L).get._3 == 3L)
   }
 
+  test("phashNearDupAgainst: batch probes the stored banded index " +
+      "cross-side — catches <=3-bit twins, rejects 4 bits, no " +
+      "duplicate pairs, corpus side never self-pairs") {
+    val h0 = 0x0F0F0F0F0F0F0FL
+    val corpus = Seq((1L, h0), (2L, h0 ^ 0xFFFFL))
+      .toDF("doc_id", "phash")
+    val banded = Multimodal.bandedPhash(corpus)
+    val batch = Seq(
+      (10L, h0),                 // hamming 0 vs 1
+      (11L, h0 ^ 0x7L),          // 3 bits vs 1, all in band 0
+      (12L, h0 ^ 0xF000000000L)  // 4 bits vs 1 -> excluded
+    ).toDF("doc_id", "phash")
+    val out = Multimodal.phashNearDupAgainst(batch, banded, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(out.length == pairs.size, "duplicate pairs emitted")
+    assert(pairs == Set((10L, 1L), (11L, 1L)))
+    assert(out.find(_._1 == 10L).get._3 == 0L)
+    assert(out.find(_._1 == 11L).get._3 == 3L)
+  }
+
   test("banded candidate join emits no all-pairs explosion for " +
       "far-apart hashes") {
     // hashes differing in every band collide in no bucket at all
