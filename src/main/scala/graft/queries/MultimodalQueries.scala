@@ -311,6 +311,56 @@ object MultimodalQueries {
         |ORDER BY id_a, id_b
         |""".stripMargin.trim)),
 
+    // ---- media dedup end-to-end: pairs -> clusters -> keep-one ------
+    // The stage that turns detected image near-dups back into a
+    // deduplicated media corpus: banded pair detection over decoded
+    // pixels, distributed min-label connected components (A~B, B~C =>
+    // {A,B,C}), one representative per cluster (min doc_id — the
+    // original wins over its planted +3000000 twin). Pure composition
+    // of owned ops; the oracle replays hashes from the text, resolves
+    // components with a recursive CTE, and picks the same
+    // representative.
+    Q("q_multimodal_dedup",
+      (s, d) => {
+        val base = documents(s, d).filter(length(col("text")) >= 60)
+          .select("doc_id", "text")
+        val corpus = base.unionByName(base.select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text")))
+        val hashes = Multimodal.pHashDecoded(
+          Multimodal.renderPngCorpus(corpus)).toDF()
+        val pairs = Multimodal.phashNearDup(hashes, maxHamming = 3)
+        val comps = graft.ops.Components.connectedComponents(
+          pairs.select("id_a", "id_b"))
+        val scored = corpus.select(col("doc_id").as("id"),
+          col("doc_id").as("score"))
+        graft.ops.Components.representatives(comps, scored, "id", "score")
+          .orderBy("component")
+      },
+      Some(s"""
+        |WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 60),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 3000000,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11))
+        |  FROM base),
+        |${phashCtes("corpus", "text", "p", "phash")},
+        |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.phash, b.phash)) <= 3),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+        |        UNION ALL SELECT id_b AS src, id_a AS dst FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component, min(id) AS rep_id, count(*) AS members
+        |FROM comp GROUP BY component ORDER BY component
+        |""".stripMargin.trim)),
+
     // ---- incremental media near-dup against the stored index --------
     // The daily path for the media family: the corpus's banded phash
     // index is READ from the persisted store (built once, untimed);
