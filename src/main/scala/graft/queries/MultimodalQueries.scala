@@ -82,6 +82,10 @@ object MultimodalQueries {
     val tbl = "phash_idx_" +
       Sinks.contentKey(d, "documents.parquet", "phashix|v1")
     if (!s.catalog.tableExists(tbl)) {
+      // a previous session's warehouse directory may survive without
+      // the catalog entry (fresh in-memory catalog, shared cwd) — the
+      // CTAS would then throw locationAlreadyExists
+      graft.ops.Compaction.dropManagedTable(s, tbl)
       Multimodal.bandedPhash(
           Multimodal.pHashDecoded(
             Multimodal.renderPngCorpus(mediaCorpus(s, d))).toDF())
