@@ -13,7 +13,11 @@ import graft.ops.Multimodal
   * so the DuckDB oracle recomputes the expected hash from the text
   * column — a hash-green gate certifies the encode→decode roundtrip
   * pixel-for-pixel, and the decoded-resize gate extends it to a real
-  * decode → pixel-area downscale → re-encode chain. The
+  * decode → pixel-area downscale → re-encode chain. Rendered payloads
+  * live in persisted content-keyed media stores ([[mediaStore]]) built
+  * untimed with the other store builds: in a real pipeline the binary
+  * payloads ARE the source data, so the gates read stored bytes and
+  * pay decode — the actual operator — not synthesis. The
   * features/resize/frames gates keep byte-level payloads (UTF-8 bytes
   * of the text) exercising the binary plumbing for formats with no
   * JDK codec. */
@@ -51,44 +55,67 @@ object MultimodalQueries {
        |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
        |    AS BIGINT) AS $hcol FROM ${p}s)""".stripMargin
 
-  /** Corpus/batch split for the incremental media path: docs < 400
-    * (with a stable 60-byte hash grid) are the existing corpus; the
-    * batch is everything >= 400 plus planted one-char splice twins of
-    * docs < 50 (id + 5000000) — the arriving duplicates the probe
-    * must catch. */
-  private def mediaCorpus(s: SparkSession, d: String) =
-    documents(s, d)
-      .filter(length(col("text")) >= 60 && col("doc_id") < 400)
-      .select("doc_id", "text")
+  /** Planted-twin id offset shared by the media gates and every
+    * oracle's id arithmetic. */
+  private val TwinOffset = 3000000L
 
-  private def mediaBatch(s: SparkSession, d: String) = {
-    val docs = documents(s, d).filter(length(col("text")) >= 60)
-    docs.filter(col("doc_id") >= 400).select("doc_id", "text")
-      .unionByName(docs.filter(col("doc_id") < 50).select(
-        (col("doc_id") + 5000000L).as("doc_id"),
-        concat(substring(col("text"), 1, 9), lit("Z"),
-          expr("substring(text, 11)")).as("text")))
-  }
-
-  /** Persisted banded phash index over the media corpus — the stored
-    * side of the incremental near-dup probe: (doc_id, phash, band,
-    * key) rows from the full render→decode→hash chain, content-keyed
-    * on the fixture (single CTAS, so the catalog entry is its own
-    * completion marker). At corpus scale this table is
-    * partitioned/bucketed by (band, key) so probes prune to touched
-    * buckets; batches append their banded rows — appending IS the
-    * index merge, as in the inverted-index store. */
-  private def phashIndexTable(s: SparkSession, d: String): String = {
-    val tbl = "phash_idx_" +
-      Sinks.contentKey(d, "documents.parquet", "phashix|v1")
+  /** The stored media lake: rendered payloads persisted ONCE per
+    * fixture as a content-keyed CTAS — in a real pipeline the binary
+    * payloads ARE the source data, so queries read stored bytes and
+    * pay DECODE (the actual operator), not synthesis; the render here
+    * is fixture manufacturing and runs untimed with the other store
+    * builds. Originals (every doc with ≥1 byte) keep their doc_id;
+    * planted one-char splice twins — built only for docs with a
+    * stable 60-byte hash grid — are stored at doc_id + 3000000.
+    * `n_chars` carries the source text length for downstream grid
+    * filters. */
+  private def mediaStore(s: SparkSession, d: String, kind: String,
+      render: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): String = {
+    val tbl = s"media_${kind}_" +
+      Sinks.contentKey(d, "documents.parquet", s"media$kind|v1")
     if (!s.catalog.tableExists(tbl)) {
       // a previous session's warehouse directory may survive without
       // the catalog entry (fresh in-memory catalog, shared cwd) — the
       // CTAS would then throw locationAlreadyExists
       graft.ops.Compaction.dropManagedTable(s, tbl)
+      val base = documents(s, d).filter(length(col("text")) >= 1)
+        .select("doc_id", "text")
+      val twins = documents(s, d).filter(length(col("text")) >= 60)
+        .select((col("doc_id") + TwinOffset).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text"))
+      val all = base.unionByName(twins)
+      render(all).select("doc_id", "payload")
+        .join(all.select(col("doc_id"),
+          length(col("text")).cast("int").as("n_chars")), "doc_id")
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  private def mediaPngTable(s: SparkSession, d: String): String =
+    mediaStore(s, d, "png", Multimodal.renderPngCorpus)
+  private def mediaWavTable(s: SparkSession, d: String): String =
+    mediaStore(s, d, "wav", Multimodal.renderWavCorpus)
+
+  /** Persisted banded phash index over the media corpus (originals
+    * with doc_id < 400 — the "existing corpus" of the incremental
+    * path): (doc_id, phash, band, key) rows from decoded stored
+    * payloads, content-keyed (single CTAS — the catalog entry is its
+    * own completion marker). At corpus scale this table is
+    * partitioned/bucketed by (band, key) so probes prune to touched
+    * buckets; batches append their banded rows — appending IS the
+    * index merge, as in the inverted-index store. */
+  private def phashIndexTable(s: SparkSession, d: String): String = {
+    val srcT = mediaPngTable(s, d)
+    val tbl = "phash_idx_" +
+      Sinks.contentKey(d, "documents.parquet", "phashix|v2")
+    if (!s.catalog.tableExists(tbl)) {
+      graft.ops.Compaction.dropManagedTable(s, tbl)
       Multimodal.bandedPhash(
-          Multimodal.pHashDecoded(
-            Multimodal.renderPngCorpus(mediaCorpus(s, d))).toDF())
+          Multimodal.pHashDecoded(s.table(srcT)
+            .filter(col("doc_id") < 400 && col("n_chars") >= 60)).toDF())
         .write.format("parquet").mode("overwrite").saveAsTable(tbl)
     }
     tbl
@@ -98,6 +125,8 @@ object MultimodalQueries {
     * harness via [[Registry.prepares]] — paid per corpus refresh, not
     * per session). */
   def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "media_png_store" -> ((s, d) => { mediaPngTable(s, d); () }),
+    "media_wav_store" -> ((s, d) => { mediaWavTable(s, d); () }),
     "phash_index" -> ((s, d) => { phashIndexTable(s, d); () }))
 
   def all: Seq[Q] = Seq(
@@ -161,10 +190,9 @@ object MultimodalQueries {
     // deviation changes the fingerprint.
     Q("q_multimodal_resize_decoded",
       (s, d) => {
-        val base = documents(s, d).filter(length(col("text")) >= 1)
-          .select("doc_id", "text")
-        Multimodal.resizeDecoded(
-            Multimodal.renderPngCorpus(base), outW = 5, outH = 5)
+        val pngs = s.table(mediaPngTable(s, d))
+          .filter(col("doc_id") < TwinOffset)
+        Multimodal.resizeDecoded(pngs, outW = 5, outH = 5)
           .toDF()
           .select("doc_id", "w_in", "h_in", "w_out", "h_out", "fp_resized")
           .orderBy("doc_id")
@@ -195,14 +223,9 @@ object MultimodalQueries {
     // — pinning BOTH candidate completeness and the codec roundtrip.
     Q("q_multimodal_phash_neardup",
       (s, d) => {
-        val base = documents(s, d).filter(length(col("text")) >= 60)
-          .select("doc_id", "text")
-        val corpus = base.unionByName(base.select(
-          (col("doc_id") + 3000000L).as("doc_id"),
-          concat(substring(col("text"), 1, 9), lit("Z"),
-            expr("substring(text, 11)")).as("text")))
-        val hashes = Multimodal.pHashDecoded(
-          Multimodal.renderPngCorpus(corpus)).toDF()
+        val pngs = s.table(mediaPngTable(s, d))
+          .filter(col("n_chars") >= 60)
+        val hashes = Multimodal.pHashDecoded(pngs).toDF()
         Multimodal.phashNearDup(hashes, maxHamming = 3)
           .orderBy("id_a", "id_b")
       },
@@ -231,15 +254,15 @@ object MultimodalQueries {
     // text-derived hamming stops matching.
     Q("q_multimodal_decode_recall",
       (s, d) => {
-        val base = documents(s, d).filter(length(col("text")) >= 60)
-          .select("doc_id", "text")
-        val twin = base.select(col("doc_id"),
-          concat(substring(col("text"), 1, 9), lit("Z"),
-            expr("substring(text, 11)")).as("text"))
-        val hb = Multimodal.pHashDecoded(Multimodal.renderPngCorpus(base))
+        val store = s.table(mediaPngTable(s, d))
+          .filter(col("n_chars") >= 60)
+        val hb = Multimodal.pHashDecoded(
+            store.filter(col("doc_id") < TwinOffset))
           .toDF().select(col("doc_id"), col("phash").as("h_a"))
-        val ht = Multimodal.pHashDecoded(Multimodal.renderPngCorpus(twin))
-          .toDF().select(col("doc_id"), col("phash").as("h_b"))
+        val ht = Multimodal.pHashDecoded(
+            store.filter(col("doc_id") >= TwinOffset))
+          .toDF().select((col("doc_id") - TwinOffset).as("doc_id"),
+            col("phash").as("h_b"))
         hb.join(ht, "doc_id")
           .withColumn("hamming", bit_count(expr("h_a ^ h_b")).cast("long"))
           .withColumn("detected", col("hamming") <= 3)
@@ -269,10 +292,9 @@ object MultimodalQueries {
     // and the hash stops matching.
     Q("q_multimodal_audio_fp",
       (s, d) => {
-        val base = documents(s, d).filter(length(col("text")) >= 1)
-          .select("doc_id", "text")
-        Multimodal.audioFingerprint(Multimodal.renderWavCorpus(base))
-          .toDF().orderBy("doc_id")
+        val wavs = s.table(mediaWavTable(s, d))
+          .filter(col("doc_id") < TwinOffset)
+        Multimodal.audioFingerprint(wavs).toDF().orderBy("doc_id")
       },
       Some(s"""
         |WITH base AS (SELECT doc_id, text FROM documents
@@ -288,14 +310,9 @@ object MultimodalQueries {
     // proof). Oracle does the all-pairs compare.
     Q("q_multimodal_audio_neardup",
       (s, d) => {
-        val base = documents(s, d).filter(length(col("text")) >= 60)
-          .select("doc_id", "text")
-        val corpus = base.unionByName(base.select(
-          (col("doc_id") + 3000000L).as("doc_id"),
-          concat(substring(col("text"), 1, 9), lit("Z"),
-            expr("substring(text, 11)")).as("text")))
-        val hashes = Multimodal.audioFingerprint(
-            Multimodal.renderWavCorpus(corpus))
+        val wavs = s.table(mediaWavTable(s, d))
+          .filter(col("n_chars") >= 60)
+        val hashes = Multimodal.audioFingerprint(wavs)
           .toDF().select(col("doc_id"), col("afp").as("phash"))
         Multimodal.phashNearDup(hashes, maxHamming = 3)
           .orderBy("id_a", "id_b")
@@ -326,18 +343,13 @@ object MultimodalQueries {
     // representative.
     Q("q_multimodal_dedup",
       (s, d) => {
-        val base = documents(s, d).filter(length(col("text")) >= 60)
-          .select("doc_id", "text")
-        val corpus = base.unionByName(base.select(
-          (col("doc_id") + 3000000L).as("doc_id"),
-          concat(substring(col("text"), 1, 9), lit("Z"),
-            expr("substring(text, 11)")).as("text")))
-        val hashes = Multimodal.pHashDecoded(
-          Multimodal.renderPngCorpus(corpus)).toDF()
+        val pngs = s.table(mediaPngTable(s, d))
+          .filter(col("n_chars") >= 60)
+        val hashes = Multimodal.pHashDecoded(pngs).toDF()
         val pairs = Multimodal.phashNearDup(hashes, maxHamming = 3)
         val comps = graft.ops.Components.connectedComponents(
           pairs.select("id_a", "id_b"))
-        val scored = corpus.select(col("doc_id").as("id"),
+        val scored = pngs.select(col("doc_id").as("id"),
           col("doc_id").as("score"))
         graft.ops.Components.representatives(comps, scored, "id", "score")
           .orderBy("component")
@@ -378,8 +390,19 @@ object MultimodalQueries {
     Q("q_incr_phash_neardup",
       (s, d) => {
         val idxT = phashIndexTable(s, d)
-        val batchHashes = Multimodal.pHashDecoded(
-          Multimodal.renderPngCorpus(mediaBatch(s, d))).toDF()
+        val store = s.table(mediaPngTable(s, d))
+          .filter(col("n_chars") >= 60)
+        // the arriving batch: stored originals >= 400 plus the splice
+        // twins of corpus docs < 50, re-keyed to the batch id space
+        val batchPayloads = store
+          .filter(col("doc_id") >= 400 && col("doc_id") < TwinOffset)
+          .select("doc_id", "payload")
+          .unionByName(store
+            .filter(col("doc_id") >= TwinOffset &&
+              col("doc_id") - TwinOffset < 50)
+            .select((col("doc_id") - TwinOffset + 5000000L).as("doc_id"),
+              col("payload")))
+        val batchHashes = Multimodal.pHashDecoded(batchPayloads).toDF()
         Multimodal.phashNearDupAgainst(batchHashes, s.table(idxT),
             maxHamming = 3)
           .orderBy("id_new", "id_corpus")
