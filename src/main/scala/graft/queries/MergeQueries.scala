@@ -220,6 +220,35 @@ object MergeQueries {
         |FROM orders ORDER BY o_orderkey
         |""".stripMargin.trim)),
 
+    // ---- ORC round-trip: the second columnar format ------------------
+    // Spark's built-in ORC source beside parquet: a projection of
+    // orders written once (content-keyed dir), read back from ORC, and
+    // aggregated — hash-compared against the same aggregate computed
+    // from the parquet table, pinning value fidelity across the
+    // format boundary (long keys, strings, cent-quantized money).
+    Q("q_orc_roundtrip",
+      (s, d) => {
+        val root = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_orc_" + Sinks.contentKey(d, "orders.parquet", "orc|v1"))
+        val done = new java.io.File(root, "_SUCCESS")
+        if (!done.exists()) {
+          orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              cents(col("o_totalprice")).as("price_c"))
+            .write.mode("overwrite").orc(root.getAbsolutePath)
+        }
+        s.read.orc(root.getAbsolutePath)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c
+        |FROM orders GROUP BY 1 ORDER BY 1
+        |""".stripMargin.trim)),
+
     // ---- SCD2 point-in-time join (the native as-of exec's natural
     // use): enrich each click with the purchase-value VERSION valid at
     // the click instant. SCD2 intervals are contiguous per key, so
