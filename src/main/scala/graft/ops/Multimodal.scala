@@ -92,6 +92,49 @@ object Multimodal {
       }
   }
 
+  final case class DecodedFeatures(doc_id: Long, width: Int, height: Int,
+                                   n_pixels: Int, pixel_sum: Long,
+                                   mean_pixel: Int)
+
+  /** Feature extraction over GENUINELY DECODED images: `ImageIO.read`
+    * the payload and report real geometry plus first-band pixel
+    * statistics (sum and floor-mean) — integer arithmetic only, so
+    * for [[renderPngCorpus]] payloads a SQL oracle replays the
+    * decode from the source text exactly. Same batched per-partition
+    * pattern as [[extractFeatures]]. Undecodable payloads fall back
+    * to raw-byte statistics as a 1×n "image" (per row); empty
+    * payloads are dropped. */
+  def extractFeaturesDecoded(binary: DataFrame): Dataset[DecodedFeatures] = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def stats(docId: Long, w: Int, h: Int,
+                  srcAt: Int => Int): DecodedFeatures = {
+          val n = w * h
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += srcAt(i); i += 1 }
+          DecodedFeatures(docId, w, h, n, sum, (sum / n).toInt)
+        }
+        rows.flatMap { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
+            val w = img.getWidth; val h = img.getHeight
+            val raster = img.getRaster
+            Some(stats(r.doc_id, w, h,
+              p => raster.getSample(p % w, p / w, 0)))
+          } else if (r.payload.isEmpty) None
+          else Some(stats(r.doc_id, r.payload.length, 1,
+            p => r.payload(p) & 0xff))
+        }
+      }
+  }
+
   final case class ResizedDecoded(doc_id: Long, w_in: Int, h_in: Int,
                                   w_out: Int, h_out: Int,
                                   payload: Array[Byte], fp_resized: String)

@@ -179,6 +179,30 @@ object MultimodalQueries {
         |WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
         |""".stripMargin.trim)),
 
+    // ---- REAL decoded features --------------------------------------
+    // Feature extraction over genuinely decoded images: geometry and
+    // first-band pixel statistics from ImageIO rasters of the stored
+    // PNGs. The oracle replays the decode from the text (pixel p =
+    // char at (p*len)//300), so width/height/sum/mean pin the codec
+    // chain value-for-value.
+    Q("q_multimodal_features_decoded",
+      (s, d) => {
+        val pngs = s.table(mediaPngTable(s, d))
+          .filter(col("doc_id") < TwinOffset)
+        Multimodal.extractFeaturesDecoded(pngs).toDF().orderBy("doc_id")
+      },
+      Some("""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |px AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 300),
+        |    p -> ord(substr(text, 1 + (p * length(text)) // 300, 1))))
+        |    AS BIGINT) AS pixel_sum
+        |  FROM base)
+        |SELECT doc_id, 20 AS width, 15 AS height, 300 AS n_pixels,
+        |  pixel_sum, CAST(pixel_sum // 300 AS INTEGER) AS mean_pixel
+        |FROM px ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // ---- REAL pixel resize over decoded images ----------------------
     // Each document's rendered 20x15 PNG is DECODED back with
     // javax.imageio and downscaled to 5x5 by integer pixel-area

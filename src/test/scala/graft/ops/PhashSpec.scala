@@ -144,6 +144,28 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("extractFeaturesDecoded reports real geometry and pixel stats; " +
+      "byte fallback for undecodable payloads; empty dropped") {
+    val text = "decoded features over genuine rasters " * 3
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Multimodal.extractFeaturesDecoded(
+      Multimodal.renderPngCorpus(df)).collect().head
+    val b = text.getBytes("UTF-8")
+    val wantSum = (0 until 300).map(p =>
+      (b(((p.toLong * b.length) / 300).toInt) & 0xff).toLong).sum
+    assert(out == Multimodal.DecodedFeatures(1L, 20, 15, 300, wantSum,
+      (wantSum / 300).toInt))
+    val garbage = Array.tabulate[Byte](50)(i => (i * 3 + 2).toByte)
+    val fb = Multimodal.extractFeaturesDecoded(
+        Seq((2L, garbage), (3L, Array.empty[Byte]))
+          .toDF("doc_id", "payload"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(fb.keySet == Set(2L))
+    val gSum = garbage.map(x => (x & 0xff).toLong).sum
+    assert(fb(2L) == Multimodal.DecodedFeatures(2L, 50, 1, 50, gSum,
+      (gSum / 50).toInt))
+  }
+
   test("resizeDecoded falls back to 1-D byte-block averaging for " +
       "undecodable payloads and drops payloads smaller than the " +
       "output grid") {
