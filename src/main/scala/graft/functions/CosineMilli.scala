@@ -121,6 +121,8 @@ object GraftFunctions {
         es => CdcBounds(es.head, es(1))),
       ("unicode_nfc", classOf[UnicodeNfc],
         es => UnicodeNfc(es.head)),
+      ("subword_stats", classOf[SubwordStats],
+        es => SubwordStats(es.head, es(1))),
       // aggregates: the analyzer wraps a bare AggregateFunction returned
       // by a registry builder into an AggregateExpression
       ("min_by_obj", classOf[MinByObj],
@@ -166,4 +168,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(mask))
   def unicodeNfc(c: Column): Column =
     call_function("unicode_nfc", c)
+  def subwordStats(text: Column, vocab: Seq[String]): Column =
+    call_function("subword_stats", text,
+      org.apache.spark.sql.functions.array(
+        vocab.map(org.apache.spark.sql.functions.lit): _*))
 }

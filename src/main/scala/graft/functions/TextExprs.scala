@@ -192,3 +192,102 @@ case class CdcBounds(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CdcBounds =
     copy(left = newLeft, right = newRight)
 }
+
+/** Greedy longest-match subword matcher over a fixed vocabulary — the
+  * WordPiece/BPE-apply access pattern: at each position take the
+  * longest vocabulary entry matching there; if none matches, emit one
+  * UNK character and advance. Built once per expression instance
+  * (length-indexed hash sets) and shipped to executors as a codegen
+  * reference object, so the per-row cost is a handful of hash probes
+  * per position. Positions are UTF-16 code units (= characters for
+  * the ASCII corpora the oracle replays). */
+final class SubwordMatcher(vocab: Seq[String]) extends Serializable {
+  require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
+    "subword vocabulary must be non-empty strings")
+  private val maxLen = vocab.map(_.length).max
+  private val byLen: Array[java.util.HashSet[String]] = {
+    val a = Array.fill(maxLen + 1)(new java.util.HashSet[String]())
+    vocab.foreach(v => a(v.length).add(v))
+    a
+  }
+  /** Packed counts: (n_subwords << 32) | n_unk. Every emitted token —
+    * vocabulary hit or UNK — counts toward n_subwords. */
+  def stats(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    var pos = 0; var nTok = 0; var nUnk = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var matched = 0
+      while (l >= 1 && matched == 0) {
+        if (!byLen(l).isEmpty &&
+            byLen(l).contains(str.substring(pos, pos + l))) matched = l
+        l -= 1
+      }
+      if (matched == 0) { nUnk += 1; pos += 1 } else pos += matched
+      nTok += 1
+    }
+    (nTok.toLong << 32) | (nUnk.toLong & 0xFFFFFFFFL)
+  }
+}
+
+/** `subword_stats(text, vocab)` → `[n_subwords, n_unk]` under greedy
+  * longest-match tokenization ([[SubwordMatcher]]). `vocab` must be a
+  * foldable array of non-null string literals (the broadcast-merges
+  * shape: the vocabulary is plan-time data, so the matcher builds once
+  * and rides codegen as a reference object). */
+case class SubwordStats(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  @transient private lazy val matcher: SubwordMatcher = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    new SubwordMatcher((0 until arr.numElements())
+      .map(i => arr.getUTF8String(i).toString))
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "subword_stats"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val l = KernelCheck.isString(left, "subword_stats input")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else if (!right.foldable ||
+        !(right.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }))
+      TypeCheckResult.TypeCheckFailure(
+        "subword_stats vocab must be a foldable array of strings")
+    else {
+      val arr = right.eval()
+      if (arr == null) TypeCheckResult.TypeCheckFailure(
+        "subword_stats vocab must not be null")
+      else {
+        val a = arr.asInstanceOf[ArrayData]
+        if (a.numElements() == 0 || TextKernels.hasNullElement(a))
+          TypeCheckResult.TypeCheckFailure(
+            "subword_stats vocab must be non-empty with no null entries")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
+  override def nullSafeEval(s: Any, v: Any): Any = {
+    val packed = matcher.stats(s.asInstanceOf[UTF8String])
+    new GenericArrayData(
+      Array((packed >>> 32).toInt, packed.toInt))
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("subwordMatcher", matcher,
+      classOf[SubwordMatcher].getName)
+    val packed = ctx.freshName("packed")
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"""
+         |long $packed = $m.stats($s);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new int[] {(int) ($packed >>> 32), (int) $packed});
+         |""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubwordStats =
+    copy(left = newLeft, right = newRight)
+}

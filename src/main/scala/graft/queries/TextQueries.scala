@@ -12,7 +12,58 @@ import graft.ops.{Corpus, TextOps}
   * 100 TB these run at scan speed. */
 object TextQueries {
 
+  /** Fixed subword vocabulary for the greedy tokenizer gate — ONE
+    * definition feeds both the Spark kernel and the oracle's VALUES
+    * list. Multi-char merges plus lowercase letters and space;
+    * anything else (uppercase, digits, punctuation) is an UNK. */
+  private val SubwordVocab: Seq[String] =
+    Seq("tion", "the", "and", "ing", "ent", "ion", "for",
+      "er", "an", "re", "on", "at", "en", "nd", "ti", "es", "or",
+      "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt",
+      " ") ++ ('a' to 'z').map(_.toString)
+
   def all: Seq[Q] = Seq(
+
+    // ---- greedy subword tokenization (WordPiece/BPE-apply shape) ------
+    // Tokenizer-grade token counting: at each position take the longest
+    // vocabulary entry (native codegen kernel, vocabulary shipped as a
+    // plan-time reference object — the broadcast-merges shape); no
+    // match emits one UNK char. Counted over the first 400 chars (the
+    // per-doc sampling a tokenizer-cost estimator uses). The oracle
+    // replays the greedy walk with a recursive CTE over the SAME
+    // vocabulary literal, so every match-length decision is pinned.
+    Q("q_text_subword_tokens",
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val stats = graft.functions.GraftFunctions.subwordStats(
+          substring(col("text"), 1, 400), SubwordVocab)
+        documents(s, d)
+          .select(col("doc_id"), stats.as("sw"))
+          .select(col("doc_id"),
+            col("sw").getItem(0).as("n_subwords"),
+            col("sw").getItem(1).as("n_unk"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH RECURSIVE v(t) AS (VALUES
+        |  ${SubwordVocab.map(w => s"('${w.replace("'", "''")}')")
+             .mkString(", ")}),
+        |docs AS (SELECT doc_id, substr(text, 1, 400) AS text
+        |  FROM documents),
+        |tok(doc_id, pos, n_tok, n_unk) AS (
+        |  SELECT doc_id, 1, 0, 0 FROM docs
+        |  UNION ALL
+        |  SELECT t.doc_id, t.pos + coalesce(m.l, 1), t.n_tok + 1,
+        |    t.n_unk + CASE WHEN m.l IS NULL THEN 1 ELSE 0 END
+        |  FROM tok t JOIN docs d ON d.doc_id = t.doc_id
+        |  CROSS JOIN LATERAL (SELECT max(length(v.t)) AS l FROM v
+        |    WHERE substr(d.text, t.pos, length(v.t)) = v.t) m
+        |  WHERE t.pos <= length(d.text))
+        |SELECT t.doc_id, t.n_tok AS n_subwords, t.n_unk
+        |FROM tok t JOIN docs d ON d.doc_id = t.doc_id
+        |WHERE t.pos = length(d.text) + 1
+        |ORDER BY t.doc_id
+        |""".stripMargin.trim)),
 
     // ---- token / char statistics --------------------------------------
     Q("q_text_token_stats",
