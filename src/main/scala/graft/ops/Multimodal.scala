@@ -559,6 +559,130 @@ object Multimodal {
       }
   }
 
+  /** Frames per rendered GIF "video" — frame f samples the text's f-th
+    * quarter-window: pixel p of frame f is the byte at
+    * `((f·300 + p)·len) / 1200`, so the per-frame hash grid stays on
+    * the one-division arithmetic a SQL oracle can replay (sample k of
+    * frame f = byte at ((f·300 + 5k)·len) // 1200). */
+  val VideoFrames = 4
+
+  /** (doc_id, payload, media_meta): each document rendered as a REAL
+    * multi-frame animated GIF (`ImageIO` sequence writer) — the
+    * video-container twin of [[renderPngCorpus]]: [[VideoFrames]]
+    * grayscale 20×15 frames, each a window render of the text. GIF's
+    * 256-entry palette holds every 8-bit gray level, so the roundtrip
+    * is pixel-exact (pinned in PhashSpec) and frame features stay
+    * SQL-oracle-checkable. Empty documents are dropped. */
+  def renderGifCorpus(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val nf = VideoFrames
+    documents.select(col("doc_id").cast(LongType),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaBlob]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val b = r.payload
+          if (b.isEmpty) None
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val w = javax.imageio.ImageIO
+              .getImageWritersByFormatName("gif").next()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            w.setOutput(ios)
+            w.prepareWriteSequence(null)
+            var f = 0
+            while (f < nf) {
+              val img = new java.awt.image.BufferedImage(RenderW,
+                RenderH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var p = 0
+              while (p < RenderN) {
+                val v = b((((f * RenderN + p).toLong * b.length)
+                  / (nf * RenderN)).toInt) & 0xff
+                raster.setSample(p % RenderW, p / RenderW, 0, v)
+                p += 1
+              }
+              w.writeToSequence(new javax.imageio.IIOImage(img, null,
+                w.getDefaultImageMetadata(
+                  new javax.imageio.ImageTypeSpecifier(img),
+                  w.getDefaultWriteParam)), w.getDefaultWriteParam)
+              f += 1
+            }
+            w.endWriteSequence()
+            ios.close()
+            w.dispose()
+            Some(MediaBlob(r.doc_id, bos.toByteArray))
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("payload"),
+        struct(lit("image/gif").as("media_type"),
+          lit(nf).as("n_frames"), lit(RenderW).as("width"),
+          lit(RenderH).as("height")).as("media_meta"))
+  }
+
+  final case class FrameHash(doc_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Frame sampling + fingerprinting over GENUINELY DECODED video
+    * frames: parse the container with an `ImageReader` sequence, keep
+    * every `everyK`-th frame, and average-hash each kept frame's
+    * pixels ([[aHash60]] over the decoded raster, palette resolved
+    * through getRGB so indexed formats land on true gray values) —
+    * the scene-fingerprint access pattern. Undecodable payloads fall
+    * back to hashing [[VideoFrames]] equal byte chunks (per row;
+    * chunks under 60 bytes, or frames under 60 pixels, are dropped —
+    * no stable grid). */
+  def frameHashes(binary: DataFrame, everyK: Int = 1): Dataset[FrameHash] = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    val nf = VideoFrames
+    binary.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val decoded: Seq[(Int, Option[Long])] =
+            try {
+              val rd = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              try {
+                rd.setInput(iis)
+                val n = rd.getNumImages(true)
+                (0 until n).map { f =>
+                  val img = rd.read(f)
+                  val w = img.getWidth; val h = img.getHeight
+                  val np = w * h
+                  f -> (if (np < 60) None
+                  else Some(aHash60(
+                    q => img.getRGB(q % w, q / w) & 0xff, np)))
+                }
+              } finally { rd.dispose(); iis.close() }
+            } catch { case _: Exception => Seq.empty }
+          val frames: Seq[(Int, Option[Long])] =
+            if (decoded.nonEmpty) decoded
+            else {
+              // byte fallback: nf equal chunks of the raw payload
+              // (a zero-frame parse is as undecodable as a throw)
+              val n = r.payload.length
+              (0 until nf).map { f =>
+                val c0 = (f.toLong * n / nf).toInt
+                val c1 = ((f + 1).toLong * n / nf).toInt
+                f -> (if (c1 - c0 < 60) None
+                else Some(aHash60(
+                  q => r.payload(c0 + q) & 0xff, c1 - c0)))
+              }
+            }
+          frames.collect {
+            case (f, Some(h)) if f % everyK == 0 => FrameHash(r.doc_id, f, h)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: split the payload into fixed-size "frames" and
     * keep every k-th — the video-frame-sample access pattern, done with
     * built-ins so it stays codegen'd and explode-parallel. */

@@ -98,6 +98,8 @@ object MultimodalQueries {
     mediaStore(s, d, "png", Multimodal.renderPngCorpus)
   private def mediaWavTable(s: SparkSession, d: String): String =
     mediaStore(s, d, "wav", Multimodal.renderWavCorpus)
+  private def mediaGifTable(s: SparkSession, d: String): String =
+    mediaStore(s, d, "gif", Multimodal.renderGifCorpus)
 
   /** Persisted banded phash index over the media corpus (originals
     * with doc_id < 400 — the "existing corpus" of the incremental
@@ -127,6 +129,7 @@ object MultimodalQueries {
   def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "media_png_store" -> ((s, d) => { mediaPngTable(s, d); () }),
     "media_wav_store" -> ((s, d) => { mediaWavTable(s, d); () }),
+    "media_gif_store" -> ((s, d) => { mediaGifTable(s, d); () }),
     "phash_index" -> ((s, d) => { phashIndexTable(s, d); () }))
 
   def all: Seq[Q] = Seq(
@@ -399,6 +402,38 @@ object MultimodalQueries {
         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
         |SELECT component, min(id) AS rep_id, count(*) AS members
         |FROM comp GROUP BY component ORDER BY component
+        |""".stripMargin.trim)),
+
+    // ---- video frame sampling over REAL multi-frame containers ------
+    // Each document stored as a genuine 4-frame animated GIF (frame f
+    // renders the text's f-th quarter-window); the gate parses the
+    // container with an ImageReader sequence, keeps every 2nd frame,
+    // and fingerprints each kept frame's DECODED pixels — the
+    // frame-sample + scene-fingerprint access pattern on a real video
+    // container. GIF's gray palette makes the roundtrip pixel-exact,
+    // so the oracle replays every kept frame's hash from the text
+    // windows — a mis-parsed frame boundary or palette deviation
+    // flips bits and the hash stops matching.
+    Q("q_multimodal_video_frames",
+      (s, d) => {
+        val gifs = s.table(mediaGifTable(s, d))
+          .filter(col("doc_id") < TwinOffset)
+        Multimodal.frameHashes(gifs, everyK = 2).toDF()
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |fe AS (SELECT doc_id, f, list_transform(range(0, 60),
+        |    k -> ord(substr(text,
+        |      1 + ((f * 300 + 5 * k) * length(text)) // 1200, 1))) AS bs
+        |  FROM base, (VALUES (0), (2)) frames(f)),
+        |fh AS (SELECT doc_id, f, CAST(list_sum(list_transform(range(0, 60),
+        |    k -> CASE WHEN bs[k + 1] * 60 > list_sum(bs)
+        |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS fhash FROM fe)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, fhash FROM fh
+        |ORDER BY doc_id, frame_idx
         |""".stripMargin.trim)),
 
     // ---- incremental media near-dup against the stored index --------

@@ -189,6 +189,51 @@ class PhashSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("renderGifCorpus emits genuine multi-frame GIFs; frameHashes " +
+      "over decoded frames equals the text-window arithmetic") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 3),
+      (2L, ("abcdefgh" * 150).take(1200)),
+      (3L, "short"))
+    val df = texts.toDF("doc_id", "text")
+    val rendered = Multimodal.renderGifCorpus(df).collect()
+    val bytes = rendered.find(_.getLong(0) == 1L).get
+      .getAs[Array[Byte]]("payload")
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a")
+    val got = Multimodal.frameHashes(Multimodal.renderGifCorpus(df))
+      .collect().map(h => (h.doc_id, h.frame_idx) -> h.fhash).toMap
+    // every doc yields all 4 frames (everyK = 1)
+    assert(got.keySet == texts.flatMap(t =>
+      (0 until 4).map(f => (t._1, f))).toSet)
+    texts.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      (0 until 4).foreach { f =>
+        val vals = Array.tabulate(60)(k =>
+          (b((((f * 300 + 5 * k).toLong * b.length) / 1200).toInt)
+            & 0xff).toLong)
+        val sum = vals.sum
+        val want = (0 until 60).foldLeft(0L)((h, k) =>
+          if (vals(k) * 60 > sum) h | (1L << k) else h)
+        assert(got((id, f)) == want, s"doc $id frame $f")
+      }
+    }
+    // everyK = 2 keeps frames 0 and 2 only
+    val sampled = Multimodal.frameHashes(
+        Multimodal.renderGifCorpus(df), everyK = 2)
+      .collect().map(_.frame_idx).toSet
+    assert(sampled == Set(0, 2))
+  }
+
+  test("frameHashes falls back to byte chunks for undecodable " +
+      "payloads and drops chunks without a stable grid") {
+    val garbage = Array.tabulate[Byte](300)(i => (i * 17 + 3).toByte)
+    val small = Array.tabulate[Byte](100)(i => i.toByte) // 25-byte chunks
+    val binary = Seq((1L, garbage), (2L, small)).toDF("doc_id", "payload")
+    val out = Multimodal.frameHashes(binary)
+      .collect().map(h => (h.doc_id, h.frame_idx)).toSet
+    assert(out == (0 until 4).map(f => (1L, f)).toSet)
+  }
+
   test("audioFingerprint over renderWavCorpus equals the text-side " +
       "energy arithmetic: the WAV encode/decode roundtrip is " +
       "sample-exact") {
