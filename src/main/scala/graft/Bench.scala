@@ -115,13 +115,13 @@ object Bench {
       // collectors and the close-out regression diff
       // (scripts/bench_compare.py) without ever clobbering a prior
       // run's artifact: bench_latest.json is a symlink refreshed to
-      // whatever file this run just wrote
-      if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
-        val link = java.nio.file.Paths.get("bench_latest.json")
-        java.nio.file.Files.deleteIfExists(link)
-        java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(outName))
-      }
+      // whatever file this run just wrote — custom SPARK_GRAFT_BENCH_OUT
+      // runs included (a symlink refresh clobbers no artifact, and the
+      // verify skill promises the link always tracks the newest run)
+      val link = java.nio.file.Paths.get("bench_latest.json")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(outName).toAbsolutePath)
     } catch { case _: Throwable => () }
     val topQs = fullQs.take(25).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"queries":$topQs,"sf":"$sfDir"}""")
