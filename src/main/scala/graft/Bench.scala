@@ -119,9 +119,13 @@ object Bench {
       // runs included (a symlink refresh clobbers no artifact, and the
       // verify skill promises the link always tracks the newest run)
       val link = java.nio.file.Paths.get("bench_latest.json")
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(outName).toAbsolutePath)
+      val target = java.nio.file.Paths.get(outName).toAbsolutePath
+      // SPARK_GRAFT_BENCH_OUT=bench_latest.json would otherwise delete
+      // the just-written artifact and leave a self-referential symlink
+      if (link.toAbsolutePath.normalize != target.normalize) {
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(link, target)
+      }
     } catch { case _: Throwable => () }
     val topQs = fullQs.take(25).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"queries":$topQs,"sf":"$sfDir"}""")

@@ -263,9 +263,14 @@ case class SubwordStats(left: Expression, right: Expression)
         "subword_stats vocab must not be null")
       else {
         val a = arr.asInstanceOf[ArrayData]
-        if (a.numElements() == 0 || TextKernels.hasNullElement(a))
+        val hasEmptyEntry = !TextKernels.hasNullElement(a) &&
+          (0 until a.numElements())
+            .exists(i => a.getUTF8String(i).numChars() == 0)
+        if (a.numElements() == 0 || TextKernels.hasNullElement(a) ||
+            hasEmptyEntry)
           TypeCheckResult.TypeCheckFailure(
-            "subword_stats vocab must be non-empty with no null entries")
+            "subword_stats vocab must be non-empty strings with no " +
+              "null or empty entries")
         else TypeCheckResult.TypeCheckSuccess
       }
     }

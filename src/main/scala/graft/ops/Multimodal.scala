@@ -119,11 +119,14 @@ object Multimodal {
           DecodedFeatures(docId, w, h, n, sum, (sum / n).toInt)
         }
         rows.flatMap { r =>
+          // corrupt-but-recognized payloads make image plugins throw
+          // unchecked exceptions too — any decode failure degrades to
+          // the byte path per row, never fails the task
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.payload))
-            catch { case _: java.io.IOException => null }
-          if (img != null) {
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
             val w = img.getWidth; val h = img.getHeight
             val raster = img.getRaster
             Some(stats(r.doc_id, w, h,
@@ -216,7 +219,7 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img != null) {
             val w = img.getWidth; val h = img.getHeight
             if (w < outW || h < outH) None
@@ -330,7 +333,7 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img != null) {
             val w = img.getWidth; val h = img.getHeight
             val n = w * h
@@ -653,12 +656,17 @@ object Multimodal {
                 rd.setInput(iis)
                 val n = rd.getNumImages(true)
                 (0 until n).map { f =>
-                  val img = rd.read(f)
-                  val w = img.getWidth; val h = img.getHeight
-                  val np = w * h
-                  f -> (if (np < 60) None
-                  else Some(aHash60(
-                    q => img.getRGB(q % w, q / w) & 0xff, np)))
+                  // sampling happens BEFORE the read: skipped frames
+                  // are never decoded (the point of frame sampling)
+                  f -> (if (f % everyK != 0) None
+                  else {
+                    val img = rd.read(f)
+                    val w = img.getWidth; val h = img.getHeight
+                    val np = w * h
+                    if (np < 60) None
+                    else Some(aHash60(
+                      q => img.getRGB(q % w, q / w) & 0xff, np))
+                  })
                 }
               } finally { rd.dispose(); iis.close() }
             } catch { case _: Exception => Seq.empty }
@@ -671,7 +679,7 @@ object Multimodal {
               (0 until nf).map { f =>
                 val c0 = (f.toLong * n / nf).toInt
                 val c1 = ((f + 1).toLong * n / nf).toInt
-                f -> (if (c1 - c0 < 60) None
+                f -> (if (f % everyK != 0 || c1 - c0 < 60) None
                 else Some(aHash60(
                   q => r.payload(c0 + q) & 0xff, c1 - c0)))
               }

@@ -18,6 +18,27 @@ object MergeQueries {
     floor(c * 100 + 0.5).cast(LongType)
   private val centsSql = OracleSql.cents
 
+  /** Content-keyed managed ORC table over an orders projection — the
+    * q_orc_roundtrip store (single CTAS: the catalog entry is its own
+    * completion marker). */
+  private def orcOrdersTable(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    val tbl = "orc_orders_" +
+      Sinks.contentKey(d, "orders.parquet", "orc|v2")
+    if (!s.catalog.tableExists(tbl)) {
+      graft.ops.Compaction.dropManagedTable(s, tbl)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_c"))
+        .write.format("orc").mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  def prepares: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
+    "orc_orders_store" -> ((s, d) => { orcOrdersTable(s, d); () }))
+
   def all: Seq[Q] = Seq(
 
     // ---- upsert: delta batch replaces/extends the snapshot ------------
@@ -222,23 +243,15 @@ object MergeQueries {
 
     // ---- ORC round-trip: the second columnar format ------------------
     // Spark's built-in ORC source beside parquet: a projection of
-    // orders written once (content-keyed dir), read back from ORC, and
-    // aggregated — hash-compared against the same aggregate computed
-    // from the parquet table, pinning value fidelity across the
-    // format boundary (long keys, strings, cent-quantized money).
+    // orders written once as a content-keyed managed ORC table (built
+    // untimed with the other stores — same discipline, no hand-rolled
+    // tmpdir guards), read back from ORC, and aggregated —
+    // hash-compared against the same aggregate computed from the
+    // parquet table, pinning value fidelity across the format boundary
+    // (long keys, strings, cent-quantized money).
     Q("q_orc_roundtrip",
       (s, d) => {
-        val root = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          "graft_orc_" + Sinks.contentKey(d, "orders.parquet", "orc|v1"))
-        val done = new java.io.File(root, "_SUCCESS")
-        if (!done.exists()) {
-          orders(s, d)
-            .select(col("o_orderkey"), col("o_orderpriority"),
-              cents(col("o_totalprice")).as("price_c"))
-            .write.mode("overwrite").orc(root.getAbsolutePath)
-        }
-        s.read.orc(root.getAbsolutePath)
+        s.table(orcOrdersTable(s, d))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
           .orderBy("o_orderpriority")

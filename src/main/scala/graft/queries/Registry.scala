@@ -35,5 +35,6 @@ object Registry {
   def prepares: Seq[(String, (SparkSession, String) => Unit)] =
     SimQueries.prepares ++ AnalyticsQueries.prepares ++
       CorpusQueries.prepares ++ ClusterQueries.prepares ++
-      EvalArtifacts.prepares ++ MultimodalQueries.prepares
+      EvalArtifacts.prepares ++ MultimodalQueries.prepares ++
+      MergeQueries.prepares
 }

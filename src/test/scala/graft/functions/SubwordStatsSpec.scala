@@ -65,5 +65,9 @@ class SubwordStatsSpec extends SparkSpec {
       // non-foldable vocab: built from a column
       df.select(expr("subword_stats(text, array(text))")).collect()
     }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      // empty-string entry must fail ANALYSIS, not per-row mid-job
+      df.select(expr("subword_stats(text, array('a', ''))")).collect()
+    }
   }
 }
