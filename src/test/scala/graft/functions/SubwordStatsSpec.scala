@@ -55,6 +55,35 @@ class SubwordStatsSpec extends SparkSpec {
     assert(got.toIntArray().toSeq == Seq(7, 2))
   }
 
+  test("fuzz: kernel agrees with an independent greedy reference on " +
+      "300 seeded random strings; count invariants hold") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz THE!0"
+    // independent reference: scan vocab list per position, no hash sets
+    def reference(s: String): (Int, Int) = {
+      var pos = 0; var nTok = 0; var nUnk = 0
+      while (pos < s.length) {
+        val ms = vocab.filter(v =>
+          v.length <= s.length - pos && s.startsWith(v, pos))
+        if (ms.isEmpty) { nUnk += 1; pos += 1 }
+        else pos += ms.map(_.length).max
+        nTok += 1
+      }
+      (nTok, nUnk)
+    }
+    val texts = (0 until 300).map { i =>
+      val l = rnd.nextInt(80)
+      (i.toLong, Seq.fill(l)(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    }
+    val got = statsOf(texts)
+    texts.foreach { case (id, t) =>
+      val (wTok, wUnk) = reference(t)
+      assert(got(id) == Seq(wTok, wUnk), s"string $id: '$t'")
+      assert(wUnk <= wTok && wTok <= t.length)
+    }
+  }
+
   test("vocab must be a foldable non-empty string array") {
     GraftFunctions.ensureRegistered(spark)
     val df = Seq((1L, "x")).toDF("id", "text")
