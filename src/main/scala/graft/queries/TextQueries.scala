@@ -22,7 +22,45 @@ object TextQueries {
       "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt",
       " ") ++ ('a' to 'z').map(_.toString)
 
+  /** Synthetic markup wrap for the HTML-strip gate — ONE definition
+    * feeds the Spark wrap and the oracle's literal (both quote styles,
+    * a comment, entities incl. double-encoded &amp;amp; and
+    * post-decode angle brackets). */
+  private val HtmlPrefix =
+    "<html><body >\n<h1>Title</h1>\n<p class=\"d\" id='x'>"
+  private val HtmlSuffix =
+    "</p>\n<!-- footer -->\n<div>&amp;amp; &lt;raw&gt; " +
+      "&quot;q&quot; &#39;s&#39;&nbsp;end</div>\n</body></html>"
+
+  /** DuckDB single-quoted literal of `s` (quotes doubled, newlines as
+    * chr(10) so the JSON-escaped oracle stays single-line-safe). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
   def all: Seq[Q] = Seq(
+
+    // ---- HTML stripping (web-corpus extraction) -----------------------
+    // Each document wrapped in synthetic markup (tags with both quote
+    // styles, a comment, entities incl. a double-encoded &amp;amp; and
+    // post-decode angle brackets), then stripped back to text: tag
+    // removal, entity decode AFTER (so decoded <raw> is not
+    // re-stripped), whitespace squeeze. The oracle replays the same
+    // wrap + the same regexp chain, so every ordering decision is
+    // pinned cross-engine.
+    Q("q_text_strip_html",
+      (s, d) => {
+        val html = concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix))
+        documents(s, d)
+          .select(col("doc_id"), TextOps.stripHtml(html).as("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |SELECT doc_id,
+        |  ${TextOps.stripHtmlSql(
+             s"${sqlLit(HtmlPrefix)} || text || ${sqlLit(HtmlSuffix)}")}
+        |    AS text_clean
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
 
     // ---- greedy subword tokenization (WordPiece/BPE-apply shape) ------
     // Tokenizer-grade token counting: at each position take the longest

@@ -182,4 +182,19 @@ class TextOpsSpec extends SparkSpec {
     assert(one(TextOps.chunkAt(toks, lit(7), 4), text) == "t7") // short tail
     assert(one(starts, "solo") == Seq(1))
   }
+
+  test("stripHtml: tags and comments removed, entities decoded AFTER " +
+      "(decoded markup survives), double-encoded stays single-decoded, " +
+      "whitespace squeezed") {
+    val c = TextOps.stripHtml(col("value"))
+    assert(one(c, "<p class=\"x\">hello   <b>world</b></p>")
+      == "hello world")
+    assert(one(c, "a<!-- hidden -->b") == "a b")
+    // entities decode after tag strip: <raw> is text, not markup
+    assert(one(c, "say &lt;raw&gt; &amp; &quot;hi&quot; &#39;s&#39;")
+      == "say <raw> & \"hi\" 's'")
+    // double-encoded decodes exactly once
+    assert(one(c, "&amp;amp;") == "&amp;")
+    assert(one(c, "  \n\t spaced \r\n out ") == "spaced out")
+  }
 }
