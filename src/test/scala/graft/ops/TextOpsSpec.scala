@@ -186,7 +186,7 @@ class TextOpsSpec extends SparkSpec {
   test("stripHtml: tags and comments removed, entities decoded AFTER " +
       "(decoded markup survives), double-encoded stays single-decoded, " +
       "whitespace squeezed") {
-    val c = TextOps.stripHtml(col("value"))
+    val c = TextOps.stripHtml(col("v"))
     assert(one(c, "<p class=\"x\">hello   <b>world</b></p>")
       == "hello world")
     assert(one(c, "a<!-- hidden -->b") == "a b")
