@@ -51,6 +51,23 @@ class FixtureContractSpec extends SparkSpec {
           "(Tables.scala read boundaries first), then re-pin here")
     }
 
+  test("documents.text is pure ASCII — the media/subword oracles' " +
+      "character==byte assumption") {
+    // Every decoded-media oracle indexes text by CHARACTER (DuckDB
+    // ord/substr) while the render samples BYTES; the greedy-subword
+    // kernel walks UTF-16 code units while its oracle walks
+    // characters. Both equivalences hold only for ASCII text. A
+    // regeneration that introduces multi-byte characters must fail
+    // HERE, loudly, not as cryptic hash mismatches in the driver.
+    val nonAscii = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text — the media render/" +
+        "oracle arithmetic and subword position math need an audit " +
+        "(Multimodal render grids, MultimodalQueries phashCtes, " +
+        "TextQueries subword oracle) before re-pinning")
+  }
+
   test("Tables.events normalizes ts to epoch-micros long in a sane range") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts").dataType == LongType)
