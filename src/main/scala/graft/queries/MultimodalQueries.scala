@@ -436,6 +436,43 @@ object MultimodalQueries {
         |ORDER BY doc_id, frame_idx
         |""".stripMargin.trim)),
 
+    // ---- streaming media ingest: decode + fingerprint in-stream -----
+    // The media lake's arrival path: new payloads land as files and
+    // are decoded + fingerprinted AS A STREAM (readStream over the
+    // stored PNG layout, the typed mapPartitions decode running
+    // unchanged — it is a stateless projection, so batch semantics
+    // carry over verbatim; Append mode, AvailableNow to completion).
+    // Oracle = the batch fingerprint arithmetic from the text, so
+    // stream ≡ batch is hash-pinned.
+    Q("q_stream_media_fp",
+      (s, d) => {
+        val tbl = mediaPngTable(s, d)
+        val loc = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+          .location.toString
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.IntegerType)))
+        val stream = s2.readStream.schema(schema).parquet(loc)
+          .filter(col("doc_id") < TwinOffset)
+        graft.streaming.StreamingOps.runToTable(
+            Multimodal.pHashDecoded(stream).toDF(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |${phashCtes("base", "text", "p", "phash")}
+        |SELECT doc_id, phash FROM ph ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // ---- incremental media near-dup against the stored index --------
     // The daily path for the media family: the corpus's banded phash
     // index is READ from the persisted store (built once, untimed);
