@@ -60,10 +60,15 @@ object Tables {
     }
 
   /** Footer-read memo keyed by the fixture's CONTENT hash
-    * ([[graft.queries.Sinks.fileContentHash]] — the same bytes-MD5
-    * discipline as every content-keyed store, so a regeneration that
-    * preserves byte length within mtime granularity still re-reads
-    * the footer on the next session): the inferred events schema is
+    * ([[graft.queries.Sinks.fileContentHash]]) — the value is ONE
+    * discipline with the content-keyed stores (identifiers derive
+    * from bytes), NOT stronger in-session staleness detection:
+    * fileContentHash itself memoizes per (path, length, mtime), so a
+    * same-session regeneration preserving both still serves the old
+    * hash — the documented residual risk, closed structurally by a
+    * fresh JVM (empty memo) and practically by any length/mtime
+    * change. Costs one full file read per session per fixture.
+    * The inferred events schema is
     * needed on every [[events]]/eventsStream call (~25 gates), and
     * the file listing + footer parse would otherwise repeat on each.
     * ONLY local files the JVM can stat-and-hash are memoized — paths

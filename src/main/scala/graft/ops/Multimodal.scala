@@ -244,8 +244,6 @@ object Multimodal {
   val RenderH = 15
   private val RenderN = RenderW * RenderH
 
-  final case class MediaBlob(doc_id: Long, payload: Array[Byte])
-
   /** (doc_id, payload, media_meta): each document rendered as a REAL
     * 8-bit grayscale PNG — pixel p (row-major) is the text byte at
     * `(p·len)/300` — via `javax.imageio`. Deterministic by
@@ -259,7 +257,7 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id").cast(LongType),
         encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaBlob]
+      .as[MediaRow]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
         rows.flatMap { r =>
@@ -277,7 +275,7 @@ object Multimodal {
             }
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", bos)
-            Some(MediaBlob(r.doc_id, bos.toByteArray))
+            Some(MediaRow(r.doc_id, bos.toByteArray))
           }
         }
       }
@@ -473,7 +471,7 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id").cast(LongType),
         encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaBlob]
+      .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.payload.isEmpty) None
@@ -492,7 +490,7 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.sound.sampled.AudioSystem.write(ais,
               javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-            Some(MediaBlob(r.doc_id, bos.toByteArray))
+            Some(MediaRow(r.doc_id, bos.toByteArray))
           }
         }
       }
@@ -542,8 +540,9 @@ object Multimodal {
                 }
               } finally ais.close()
             } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
+              // corrupt-but-recognized containers throw unchecked from
+              // javax.sound plugins too — degrade per row, never the task
+              case scala.util.control.NonFatal(_) => None
             }
           decoded match {
             case Some(samples) =>
@@ -582,7 +581,7 @@ object Multimodal {
     val nf = VideoFrames
     documents.select(col("doc_id").cast(LongType),
         encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaBlob]
+      .as[MediaRow]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { r =>
@@ -616,7 +615,7 @@ object Multimodal {
             w.endWriteSequence()
             ios.close()
             w.dispose()
-            Some(MediaBlob(r.doc_id, bos.toByteArray))
+            Some(MediaRow(r.doc_id, bos.toByteArray))
           }
         }
       }
