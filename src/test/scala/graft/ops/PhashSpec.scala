@@ -166,6 +166,45 @@ class PhashSpec extends SparkSpec {
       (gSum / 50).toInt))
   }
 
+  test("fuzz: resizeDecoded area mapping matches a reference " +
+      "implementation on 20 random non-divisible geometries") {
+    val rnd = new scala.util.Random(424242L)
+    val cases = (0 until 20).map { i =>
+      val w = 5 + rnd.nextInt(40); val h = 5 + rnd.nextInt(30)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      (i.toLong, w, h, px)
+    }
+    val payloads = cases.map { case (id, w, h, px) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      px.indices.foreach(p =>
+        img.getRaster.setSample(p % w, p / w, 0, px(p)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }
+    val out = Multimodal.resizeDecoded(
+        payloads.toDF("doc_id", "payload"), outW = 4, outH = 3)
+      .collect().map(r => r.doc_id -> r).toMap
+    cases.foreach { case (id, w, h, px) =>
+      val want = Array.tabulate(12) { q =>
+        val x = q % 4; val y = q / 4
+        val (x0, x1) = (x * w / 4, (x + 1) * w / 4)
+        val (y0, y1) = (y * h / 3, (y + 1) * h / 3)
+        val cells = for (j <- y0 until y1; i <- x0 until x1)
+          yield px(j * w + i).toLong
+        (cells.sum / cells.length).toInt
+      }
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          out(id).payload))
+      val got = Array.tabulate(12)(p =>
+        img.getRaster.getSample(p % 4, p / 4, 0))
+      assert(got.toSeq == want.toSeq, s"case $id geometry ${w}x$h")
+      assert((out(id).w_in, out(id).h_in) == (w, h))
+    }
+  }
+
   test("resizeDecoded falls back to 1-D byte-block averaging for " +
       "undecodable payloads and drops payloads smaller than the " +
       "output grid") {
