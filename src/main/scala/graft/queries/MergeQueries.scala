@@ -35,9 +35,34 @@ object MergeQueries {
     tbl
   }
 
+  /** Content-keyed WARC archive of the documents corpus, written by
+    * the distributed [[graft.sources.WarcSink]] (4 members, one per
+    * task; marker after the full set so a death mid-write re-runs the
+    * sink, whose per-file atomic renames make that a cheap no-op). */
+  private def warcDir(s: org.apache.spark.sql.SparkSession,
+                      d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_warc_" + Sinks.contentKey(d, "documents.parquet", "warc|v1"))
+    val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
+    if (!marker.exists()) {
+      graft.sources.WarcSink.write(
+        documents(s, d).repartition(4, col("doc_id"))
+          .select(
+            concat(lit("http://corpus.local/doc/"), col("doc_id"))
+              .as("uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            concat(lit("urn:graft:"), col("doc_id")).as("rid"),
+            encode(col("text"), "UTF-8").as("payload")),
+        dir.getAbsolutePath)
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
   def prepares: Seq[(String,
       (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
-    "orc_orders_store" -> ((s, d) => { orcOrdersTable(s, d); () }))
+    "orc_orders_store" -> ((s, d) => { orcOrdersTable(s, d); () }),
+    "warc_store" -> ((s, d) => { warcDir(s, d); () }))
 
   def all: Seq[Q] = Seq(
 
@@ -260,6 +285,46 @@ object MergeQueries {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c
         |FROM orders GROUP BY 1 ORDER BY 1
+        |""".stripMargin.trim)),
+
+    // ---- WARC ingestion round-trip (DataSourceV2) --------------------
+    // The web-archive front door: the corpus written as WARC/1.0
+    // members by the distributed sink, read back through the custom
+    // DataSourceV2 (one input partition per member, record framing
+    // parsed, payload bytes read only when `content` is projected).
+    // Full-fidelity read — every record's uri-derived id, declared
+    // Content-Length, and payload hash-compared against the source
+    // table.
+    Q("q_warc_roundtrip",
+      (s, d) => {
+        val dir = warcDir(s, d)
+        s.read.format("graft.sources.WarcSource").load(dir)
+          .select(
+            expr("CAST(substring(rid, 11) AS BIGINT)").as("doc_id"),
+            col("n_bytes"), col("content"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |SELECT doc_id, length(text) AS n_bytes, text AS content
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- WARC header-only scan (pruned: payloads never read) ---------
+    // The archive-inventory query: only header-derived columns are
+    // projected, so the reader SKIPs every record's payload via its
+    // Content-Length (column pruning reaching the byte level — pinned
+    // structurally in WarcSpec). Totals still must be exact.
+    Q("q_warc_pruned_scan",
+      (s, d) => {
+        val dir = warcDir(s, d)
+        s.read.format("graft.sources.WarcSource").load(dir)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bytes")).cast("long").as("total_bytes"))
+      },
+      Some("""
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_bytes
+        |FROM documents
         |""".stripMargin.trim)),
 
     // ---- SCD2 point-in-time join (the native as-of exec's natural

@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC-subset ingestion — the web-archive record framing a 100 TB
+  * pretraining pipeline reads at the front door, as a full
+  * DataSourceV2: `spark.read.format("graft.sources.WarcSource")
+  * .load(dir)` scans every `*.warc` file in parallel (one input
+  * partition per file — at archive scale, per member/offset-range),
+  * parses the record headers, and materializes ONLY the projected
+  * columns. Column pruning is structural, not cosmetic: when
+  * `content` is pruned away the reader `skip`s each record's
+  * Content-Length payload bytes instead of reading them — header-only
+  * scans touch a few hundred bytes per record regardless of payload
+  * size (pinned in WarcSpec).
+  *
+  * The write side ([[WarcSink]]) is a distributed binary sink: each
+  * task frames its partition's rows into one `.warc` file
+  * (temp + atomic rename, so a re-run or a dying task never leaves a
+  * half-written member visible).
+  *
+  * Record framing (the WARC/1.0 skeleton, public ISO 28500):
+  * {{{
+  * WARC/1.0\r\n
+  * WARC-Type: response\r\n
+  * WARC-Target-URI: <uri>\r\n
+  * WARC-Date: <date>\r\n
+  * WARC-Record-ID: <rid>\r\n
+  * Content-Length: <n>\r\n
+  * \r\n
+  * <n payload bytes>\r\n\r\n
+  * }}} */
+object WarcFormat {
+
+  /** The source's full schema; pruning selects a subset. `n_bytes` is
+    * the record's Content-Length — available without reading the
+    * payload. */
+  val schema: StructType = StructType(Seq(
+    StructField("uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("rid", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("content", StringType)))
+
+  def frame(uri: String, date: String, rid: String,
+            payload: Array[Byte]): Array[Byte] = {
+    val header = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append("WARC-Type: response\r\n")
+      .append(s"WARC-Target-URI: $uri\r\n")
+      .append(s"WARC-Date: $date\r\n")
+      .append(s"WARC-Record-ID: $rid\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n")
+      .append("\r\n")
+      .toString.getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + payload.length + 4)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(payload, 0, out, header.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+}
+
+/** Distributed WARC writer: `df` must carry (uri string, warc_date
+  * string, rid string, payload binary); each partition frames its rows
+  * into `dir/part-<pid>.warc` via temp + atomic rename. */
+object WarcSink {
+  def write(df: DataFrame, dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    df.select("uri", "warc_date", "rid", "payload")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val dst = java.nio.file.Paths.get(dir, f"part-$pid%05d.warc")
+        if (!java.nio.file.Files.exists(dst)) {
+          val tmp = java.nio.file.Files.createTempFile(
+            java.nio.file.Paths.get(dir), s".part-$pid.", ".tmp")
+          val out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(tmp))
+          try rows.foreach { r =>
+            out.write(WarcFormat.frame(r.getString(0), r.getString(1),
+              r.getString(2), r.getAs[Array[Byte]](3)))
+          } finally out.close()
+          try java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(tmp)
+          }
+        } else rows.size // drain: file already complete from a prior run
+        ()
+      }
+  }
+}
+
+/** The DataSourceV2 entry point:
+  * `spark.read.format("graft.sources.WarcSource").load(dir)`. */
+class WarcSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcFormat.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new WarcTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[sources] class WarcTable(path: String) extends Table
+    with SupportsRead {
+  require(path != null, "graft.sources.WarcSource requires .load(path)")
+  override def name(): String = s"warc($path)"
+  override def schema(): StructType = WarcFormat.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+private[sources] class WarcScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcFormat.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Catalyst hands back a subset of our schema in our field order
+    required = requiredSchema
+  }
+  override def build(): Scan = new WarcScan(path, required)
+}
+
+private[sources] class WarcScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".warc"))
+      .sortBy(_.getPath.getName)
+      .map(st => WarcFilePartition(st.getPath.toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required)
+}
+
+private[sources] case class WarcFilePartition(file: String)
+    extends InputPartition
+
+private[sources] class WarcReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(
+      partition.asInstanceOf[WarcFilePartition].file, required)
+}
+
+/** Streams one `.warc` file record by record. The `content` column is
+  * read only when projected — otherwise the payload is `skip`ped via
+  * its Content-Length, so header-only scans never touch record
+  * bodies. */
+private[sources] class WarcPartitionReader(file: String,
+                                           required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val needContent = required.fieldNames.contains("content")
+  private val in: java.io.DataInputStream = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new Path(file)
+    new java.io.DataInputStream(new java.io.BufferedInputStream(
+      p.getFileSystem(conf).open(p), 1 << 16))
+  }
+  private var row: InternalRow = _
+
+  // reads a CRLF-terminated ASCII line; null at EOF
+  private def readLine(): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def skipFully(n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) {
+        if (in.read() < 0) return // EOF
+        left -= 1
+      } else left -= s
+    }
+  }
+
+  override def next(): Boolean = {
+    // scan to the next record header
+    var line = readLine()
+    while (line != null && !line.startsWith("WARC/")) line = readLine()
+    if (line == null) return false
+    var uri: String = null; var date: String = null; var rid: String = null
+    var len = -1L
+    var h = readLine()
+    while (h != null && h.nonEmpty) {
+      val i = h.indexOf(':')
+      if (i > 0) {
+        val k = h.substring(0, i).toLowerCase
+        val v = h.substring(i + 1).trim
+        k match {
+          case "warc-target-uri" => uri = v
+          case "warc-date" => date = v
+          case "warc-record-id" => rid = v
+          case "content-length" => len = v.toLong
+          case _ => ()
+        }
+      }
+      h = readLine()
+    }
+    if (h == null || len < 0) return false // truncated header
+    val content: UTF8String =
+      if (needContent) {
+        val b = new Array[Byte](len.toInt)
+        in.readFully(b)
+        UTF8String.fromBytes(b)
+      } else { skipFully(len); null }
+    val full = Map[String, Any](
+      "uri" -> UTF8String.fromString(uri),
+      "warc_date" -> UTF8String.fromString(date),
+      "rid" -> UTF8String.fromString(rid),
+      "n_bytes" -> len.toInt,
+      "content" -> content)
+    row = new GenericInternalRow(
+      required.fieldNames.map(full(_)).toArray[Any])
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
