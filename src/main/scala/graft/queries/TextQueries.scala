@@ -37,6 +37,40 @@ object TextQueries {
   private def sqlLit(s: String): String =
     "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
 
+  /** Content-keyed WARC archive of the documents corpus AS CRAWLED
+    * HTML — every payload is the markup-wrapped text, and docs < 25
+    * arrive twice (rid + 7000000), the recrawl duplicates a real
+    * archive carries. The raw-material store for the end-to-end
+    * curation gate. */
+  private def warcHtmlDir(s: org.apache.spark.sql.SparkSession,
+                          d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_warchtml_" +
+        Sinks.contentKey(d, "documents.parquet", "warchtml|v1"))
+    val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
+    if (!marker.exists()) {
+      val docs = documents(s, d).select("doc_id", "text")
+      val crawled = docs.unionByName(docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      graft.sources.WarcSink.write(
+        crawled.repartition(4, col("doc_id"))
+          .select(
+            concat(lit("http://corpus.local/page/"), col("doc_id"))
+              .as("uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            concat(lit("urn:graft:"), col("doc_id")).as("rid"),
+            encode(concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)),
+              "UTF-8").as("payload")),
+        dir.getAbsolutePath)
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
+  def prepares: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
+    "warc_html_store" -> ((s, d) => { warcHtmlDir(s, d); () }))
+
   def all: Seq[Q] = Seq(
 
     // ---- HTML stripping (web-corpus extraction) -----------------------
@@ -60,6 +94,51 @@ object TextQueries {
              s"${sqlLit(HtmlPrefix)} || text || ${sqlLit(HtmlSuffix)}")}
         |    AS text_clean
         |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- end-to-end web curation: WARC -> text -> filter -> dedup -----
+    // The canonical ingestion chain, one pipeline: read the crawled
+    // archive through the DataSourceV2, strip the markup, drop docs
+    // under 10 tokens, collapse exact duplicates (recrawls planted for
+    // docs < 25) keeping the first-seen id with its copy count. One
+    // shuffle (the dedup group-by); everything upstream is scan-speed
+    // projection. The oracle replays the whole chain from the source
+    // table — wrap, strip, tokenize, dedup — so every stage is pinned
+    // through the composition.
+    Q("q_warc_curation_pipeline",
+      (s, d) => {
+        val dir = warcHtmlDir(s, d)
+        val raw = s.read.format("graft.sources.WarcSource").load(dir)
+          .select(
+            expr("CAST(substring(rid, 11) AS BIGINT)").as("doc_id"),
+            TextOps.stripHtml(col("content")).as("clean"))
+        raw
+          .withColumn("n_tokens", TextOps.tokenCount(col("clean")))
+          .filter(col("n_tokens") >= 10)
+          .groupBy(col("clean"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min(col("n_tokens")).as("n_tokens"),
+            count(lit(1)).as("copies"))
+          .select("doc_id", "n_tokens", "copies")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH crawled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 7000000, text FROM documents
+        |  WHERE doc_id < 25),
+        |c AS (SELECT doc_id,
+        |  ${TextOps.stripHtmlSql(
+             s"${sqlLit(HtmlPrefix)} || text || ${sqlLit(HtmlSuffix)}")}
+        |    AS clean FROM crawled),
+        |t AS (SELECT doc_id, clean,
+        |    len(string_split_regex(trim(clean), '[ \\t\\n\\r\\f]+'))
+        |      AS n_tokens
+        |  FROM c),
+        |f AS (SELECT * FROM t WHERE n_tokens >= 10)
+        |SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+        |  count(*) AS copies
+        |FROM f GROUP BY clean ORDER BY doc_id
         |""".stripMargin.trim)),
 
     // ---- greedy subword tokenization (WordPiece/BPE-apply shape) ------
