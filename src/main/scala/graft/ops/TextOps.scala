@@ -497,4 +497,136 @@ object TextOps {
     |    THEN chunk END, '' ORDER BY idx), '') AS text_clean
     |FROM exc_r GROUP BY $idCol""".stripMargin.trim
   }
+
+  // ------------------------------------------------------------------
+  // BPE merge training — learn a subword merge table FROM the corpus
+  // (the training half of the tokenizer story; the greedy APPLY kernel
+  // is functions/TextExprs.SubwordMatcher). Reference scope: the
+  // reference has no tokenizer; this is part of the LLM-pipeline brief.
+  // ------------------------------------------------------------------
+
+  /** One learned merge: at `rank` the pair (`lhs`,`rhs`) had the
+    * highest corpus pair count `cnt` (ties to the lexicographically
+    * smaller pair) and was fused into symbol `merged`. */
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String,
+                            merged: String, cnt: Long)
+
+  /** [[bpeTrain]] output: the learned merge table, the final
+    * (word, n, sym) vocabulary frame, and `release` dropping the
+    * persisted word table backing `vocab` — call it after `vocab` has
+    * been materialized (written / localCheckpointed) or discarded. */
+  final case class BpeResult(merges: Seq[BpeMerge], vocab: DataFrame,
+                             release: () => Unit)
+
+  /** Word-frequency table of lowercase `[a-z]+` runs — the ONE
+    * corpus-sized pass of BPE training. Everything after operates on
+    * this Zipf-collapsed distinct-word table (vocabulary-sized, orders
+    * of magnitude below the corpus at 100 TB), which is exactly how
+    * production BPE trainers stay tractable: counting a pair once per
+    * DISTINCT word weighted by its frequency is identical to counting
+    * it per occurrence. */
+  def bpeWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast(LongType).as("n"))
+
+  /** The space-joined symbol representation both engines share: word
+    * "the" → " t h e " (single-space-joined symbols, one padding space
+    * each side). A merge of (a,b) is then `replace(sym, " a b ",
+    * " ab ")` — and because both Spark's `StringReplace` and DuckDB's
+    * `replace` scan leftmost-first non-overlapping, " a a a " →
+    * " aa a ", which IS greedy left-to-right BPE merge application.
+    * The padding spaces double as word boundaries so a merge can never
+    * fuse across words. */
+  private def symInit: Column =
+    concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+
+  /** Train `rounds` BPE merges over `docs(textCol)`. Per round: ONE
+    * vocabulary-sized partial-agg shuffle (adjacent symbol pairs of
+    * each distinct word, weighted by word frequency) feeding a 1-row
+    * argmax collect, then the merge applied as a codegen'd `replace`
+    * on the persisted word table. Returns the learned merge table and
+    * the final (word, n, sym) vocabulary frame — the caller decides
+    * whether to store the vocabulary (see the gate's content-keyed
+    * table) and MUST materialize it before this method's persisted
+    * base would be dropped. Deterministic: exact long counts, ties on
+    * the pair string (ASCII, same total order both engines).
+    * DuckDB twin: [[bpeOracleCtes]]. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int)
+      : BpeResult = {
+    require(rounds >= 1, "bpeTrain needs rounds >= 1")
+    val base = bpeWords(docs, textCol).withColumn("sym", symInit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = base
+    val out = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val sy = split(trim(col("sym")), " ")
+      val pairs = when(size(sy) >= 2,
+        zip_with(slice(sy, lit(1), size(sy) - 1),
+          slice(sy, lit(2), size(sy) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))
+      // the round's ONE job: vocab-sized pair count, 1-row argmax
+      val top = cur.select(explode(pairs).as("pair"), col("n"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val pair = top(0).getString(0)
+        val Array(l, rt) = pair.split(" ", 2)
+        out += BpeMerge(r, l, rt, l + rt, top(0).getLong(1))
+        cur = cur.withColumn("sym",
+          expr(s"replace(sym, ' $l $rt ', ' ${l + rt} ')"))
+        r += 1
+      }
+    }
+    BpeResult(out.result(), cur, () => { base.unpersist(); () })
+  }
+
+  /** The CTE chain replaying [[bpeTrain]] in DuckDB, UNROLLED like
+    * Clustering.oracleCtes (each round aggregates over the previous
+    * round's table). `docsSql` must produce a `text` column. Ends with
+    * `bpe_s<rounds>(word, n, sym)` — the trained vocabulary — and
+    * `bpe_m1..bpe_m<rounds>` (rank, pair, cnt), so both the merge-table
+    * gate and the apply gate build on one chain. Generated beside the
+    * Spark loop so the pair count, tie-break, and replace semantics
+    * can never drift. */
+  def bpeOracleCtes(docsSql: String, rounds: Int): String = {
+    val base =
+      s"""bpe_w AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM ($docsSql)) GROUP BY word),
+         |bpe_s0 AS (SELECT word, n,
+         |  ' ' || array_to_string(str_split(word, ''), ' ') || ' ' AS sym
+         |  FROM bpe_w)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val prev = s"bpe_s${r - 1}"
+      s"""bpe_p$r AS (SELECT sy[i] || ' ' || sy[i + 1] AS pair,
+         |    CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, str_split(trim(sym), ' ') AS sy FROM $prev) t
+         |  CROSS JOIN LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
+         |  GROUP BY 1),
+         |bpe_m$r AS (SELECT CAST($r AS INTEGER) AS rank, pair, cnt
+         |  FROM bpe_p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |bpe_s$r AS (SELECT word, n,
+         |  replace(sym, ' ' || pair || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' ') AS sym
+         |  FROM $prev, bpe_m$r)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** The oracle's final SELECT over [[bpeOracleCtes]] reproducing the
+    * merge-table gate output (rank, lhs, rhs, merged, cnt). */
+  def bpeMergesSelectSql(rounds: Int): String = {
+    val union = (1 to rounds).map(r => s"SELECT * FROM bpe_m$r")
+      .mkString(" UNION ALL ")
+    s"""SELECT rank, split_part(pair, ' ', 1) AS lhs,
+       |  split_part(pair, ' ', 2) AS rhs,
+       |  replace(pair, ' ', '') AS merged, cnt
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
 }

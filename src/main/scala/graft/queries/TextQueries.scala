@@ -67,9 +67,31 @@ object TextQueries {
     dir.getAbsolutePath
   }
 
+  /** Rounds the BPE gates train/apply — ONE constant feeding the Spark
+    * loop, the store key, and both oracles. */
+  private val BpeRounds = 10
+
+  /** Content-keyed trained-BPE vocabulary store (word, n, sym): the
+    * artifact a tokenizer-training pipeline persists once per corpus
+    * refresh; the apply gate reads it instead of retraining. */
+  private def bpeVocabTable(s: org.apache.spark.sql.SparkSession,
+                            d: String): String = {
+    val tbl = "bpe_vocab_" +
+      Sinks.contentKey(d, "documents.parquet", s"bpe|r$BpeRounds|v1")
+    if (!s.catalog.tableExists(tbl)) {
+      graft.ops.Compaction.dropManagedTable(s, tbl)
+      val res = TextOps.bpeTrain(documents(s, d), "text", BpeRounds)
+      res.vocab.select("word", "n", "sym")
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+      res.release()
+    }
+    tbl
+  }
+
   def prepares: Seq[(String,
       (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
-    "warc_html_store" -> ((s, d) => { warcHtmlDir(s, d); () }))
+    "warc_html_store" -> ((s, d) => { warcHtmlDir(s, d); () }),
+    "bpe_vocab_store" -> ((s, d) => { bpeVocabTable(s, d); () }))
 
   def all: Seq[Q] = Seq(
 
@@ -739,6 +761,59 @@ object TextQueries {
         |  (1000 * coalesce(d.n_dup, 0)) // t.n_spans AS dup_milli
         |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
         |ORDER BY t.doc_id
+        |""".stripMargin.trim)),
+
+    // ---- BPE merge training ------------------------------------------
+    // Learn the subword merge table FROM the corpus — the training half
+    // of the tokenizer story (q_text_subword_tokens is the apply
+    // kernel over a fixed vocab). Scale shape: ONE corpus-sized shuffle
+    // (the word count); every round after runs on the Zipf-collapsed
+    // distinct-word table — vocabulary-sized at any corpus size — as a
+    // partial-agg pair count feeding a 1-row argmax, with the merge
+    // applied as a codegen'd replace. The oracle replays all rounds
+    // unrolled (pair counts, tie-break, greedy leftmost merge) from
+    // one shared CTE builder.
+    Q("q_text_bpe_train",
+      (s, d) => {
+        val res = TextOps.bpeTrain(documents(s, d), "text", BpeRounds)
+        res.release()
+        s.createDataFrame(res.merges).orderBy("rank")
+      },
+      Some("WITH " +
+        TextOps.bpeOracleCtes("SELECT text FROM documents", BpeRounds) +
+        "\n" + TextOps.bpeMergesSelectSql(BpeRounds))),
+
+    // ---- BPE apply from the stored vocabulary ------------------------
+    // Per-document subword counts under the TRAINED merges, read from
+    // the persisted vocabulary store (built once per corpus content,
+    // untimed — the tokenize-the-corpus daily path). Words explode at
+    // scan speed; the vocab join is broadcast-able (vocabulary ≪
+    // corpus); one group-by shuffle on doc_id. The oracle re-derives
+    // the vocabulary through the same training CTEs, so store
+    // freshness AND the training chain are both pinned.
+    Q("q_text_bpe_apply",
+      (s, d) => {
+        val vocab = s.table(bpeVocabTable(s, d)).select(col("word"),
+          size(split(trim(col("sym")), " ")).cast(LongType).as("n_sub"))
+        documents(s, d).select(col("doc_id"),
+            explode(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+"), lit(0))).as("word"))
+          .join(vocab, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " +
+        TextOps.bpeOracleCtes("SELECT text FROM documents", BpeRounds) +
+        s"""
+        |, bpe_docw AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(str_split(trim(v.sym), ' '))) AS BIGINT)
+        |    AS n_subwords
+        |FROM bpe_docw w JOIN bpe_s$BpeRounds v USING (word)
+        |GROUP BY w.doc_id ORDER BY w.doc_id
         |""".stripMargin.trim))
   )
 }

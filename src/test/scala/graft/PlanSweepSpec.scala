@@ -114,6 +114,7 @@ class PlanSweepSpec extends SparkSpec {
     "ops/Clustering.scala" -> 2, // k-row codebook seed; k·dim centroid sums
     "ops/GlobalOrder.scala" -> 2, // per-partition offset maps (≤ #partitions)
     "ops/AnnIndex.scala" -> 1,    // k-row trained codebook
+    "ops/TextOps.scala" -> 1,     // 1-row per-round BPE argmax merge
     "Bench.scala" -> 1,           // warm-up scalar (sum over range)
     "tools/DedupAB.scala" -> 1    // warm-up scalar (A/B harness main)
   )

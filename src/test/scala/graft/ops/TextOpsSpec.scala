@@ -197,4 +197,41 @@ class TextOpsSpec extends SparkSpec {
     assert(one(c, "&amp;amp;") == "&amp;")
     assert(one(c, "  \n\t spaced \r\n out ") == "spaced out")
   }
+
+  test("bpeTrain: hand-worked merges — frequency weighting, lexicographic " +
+      "tie-break, early exhaustion") {
+    val docs = Seq("the then", "the").toDF("text")
+    val res = TextOps.bpeTrain(docs, "text", rounds = 5)
+    // round 1: (h,e)=3 ties (t,h)=3 -> "h e" < "t h" wins; round 2:
+    // (t,he)=3; round 3: (the,n)=1; round 4: no pairs left -> stop.
+    assert(res.merges == Seq(
+      TextOps.BpeMerge(1, "h", "e", "he", 3L),
+      TextOps.BpeMerge(2, "t", "he", "the", 3L),
+      TextOps.BpeMerge(3, "the", "n", "then", 1L)))
+    val syms = res.vocab.orderBy("word").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(syms == Seq("the" -> " the ", "then" -> " then "))
+    res.release()
+  }
+
+  test("bpeTrain: merge application is greedy leftmost non-overlapping " +
+      "(aaa counts the pair twice, merges once)") {
+    val docs = Seq("aaa").toDF("text")
+    val res = TextOps.bpeTrain(docs, "text", rounds = 2)
+    // " a a a " has TWO (a,a) occurrences; the replace consumes the
+    // leftmost only: " aa a " — exactly greedy BPE application.
+    assert(res.merges == Seq(
+      TextOps.BpeMerge(1, "a", "a", "aa", 2L),
+      TextOps.BpeMerge(2, "aa", "a", "aaa", 1L)))
+    res.release()
+  }
+
+  test("bpeTrain: pre-tokenization folds case and strips non-letters") {
+    val docs = Seq("The the! THE", "ab AB").toDF("text")
+    val res = TextOps.bpeTrain(docs, "text", rounds = 1)
+    // the*3 contributes (t,h)=(h,e)=3; ab*2 contributes (a,b)=2;
+    // tie (h,e) vs (t,h) -> "h e" first.
+    assert(res.merges.head == TextOps.BpeMerge(1, "h", "e", "he", 3L))
+    res.release()
+  }
 }
