@@ -71,6 +71,92 @@ object TextQueries {
     * loop, the store key, and both oracles. */
   private val BpeRounds = 10
 
+  // ---- synthetic web fixtures (Spark + SQL twins, like HtmlPrefix) ----
+  // Messy-but-realistic URL per document: uppercase scheme/host,
+  // default port, duplicate slashes, utm_* tracking params in leading
+  // and trailing positions, fragments — every case the canonicalizer
+  // handles, planted by composition over the fixture columns.
+  private def messyUrl = concat(
+    lit("HTTP://WWW.Example"), pmod(col("doc_id"), lit(7)),
+    lit(".COM:80//docs//"), col("source"), lit("/"), col("doc_id"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("/?utm_source=feed&ref="), col("lang")))
+      .otherwise(concat(lit("?id="), col("doc_id"),
+        lit("&utm_campaign=x&utm_term=y"))),
+    when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  private val messyUrlSql =
+    "'HTTP://WWW.Example' || (doc_id % 7) || '.COM:80//docs//' ||" +
+      " source || '/' || doc_id || CASE WHEN doc_id % 3 = 0 THEN" +
+      " '/?utm_source=feed&ref=' || lang ELSE '?id=' || doc_id ||" +
+      " '&utm_campaign=x&utm_term=y' END ||" +
+      " CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+
+  /** Crawled-page HTML with three outbound anchors (deterministic
+    * pseudo-random targets) plus an href-free img decoy. */
+  private def linkAnchor(k: Int) = {
+    val dst = col("doc_id") * 31 + lit(97 * k)
+    concat(lit("<a href=\"HTTP://WWW.Example"), pmod(dst, lit(7)),
+      lit(".COM:80//page//"), dst, lit("?utm_campaign=z&p=1\">l</a>"))
+  }
+  private def linkHtml = concat(
+    lit("<html><body><p>see</p>"), linkAnchor(1), linkAnchor(2),
+    linkAnchor(3),
+    lit("<img src=\"http://cdn.example9.com/i.png\"/></body></html>"))
+
+  private def linkAnchorSql(k: Int) =
+    s"'<a href=\"HTTP://WWW.Example' || ((doc_id * 31 + ${97 * k}) % 7)" +
+      s" || '.COM:80//page//' || (doc_id * 31 + ${97 * k}) ||" +
+      " '?utm_campaign=z&p=1\">l</a>'"
+  private val linkHtmlSql =
+    s"'<html><body><p>see</p>' || ${linkAnchorSql(1)} || " +
+      s"${linkAnchorSql(2)} || ${linkAnchorSql(3)} || " +
+      "'<img src=\"http://cdn.example9.com/i.png\"/></body></html>'"
+
+  /** Numeric host id planted in the synthetic hostnames. */
+  private val HostIdRe = "example([0-9]+)"
+
+  /** Per-link (src_host, dst_host) pairs: BOTH ends derived the honest
+    * way — through href extraction (dst) / the document's own URL
+    * (src), canonicalization, host parsing — never shortcut from
+    * doc_id arithmetic. */
+  private def hostEdges(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.UrlOps
+    val srcHost = regexp_extract(
+      UrlOps.hostOf(UrlOps.canonicalizeUrl(messyUrl)), HostIdRe, 1)
+      .cast(LongType)
+    val dstHost = regexp_extract(
+      UrlOps.hostOf(UrlOps.canonicalizeUrl(col("href"))), HostIdRe, 1)
+      .cast(LongType)
+    documents(s, d)
+      .select(srcHost.as("src_host"),
+        explode(UrlOps.hrefs(linkHtml)).as("href"))
+      .select(col("src_host"), dstHost.as("dst_host"))
+  }
+
+  /** The oracle CTE chain twinning [[hostEdges]]: ends with
+    * `web_edge(src_host, dst_host)`, one row per extracted link. */
+  private def hostEdgesSqlCtes: String = {
+    import graft.ops.UrlOps
+    UrlOps.canonicalizeUrlCtes(
+      s"(SELECT doc_id, $messyUrlSql AS url FROM documents)",
+      "doc_id", "url", "ws_") + ",\n" +
+      s"""web_src AS (SELECT doc_id, CAST(regexp_extract(
+         |    ${UrlOps.hostOfSql("u")}, '$HostIdRe', 1) AS BIGINT)
+         |    AS src_host FROM ws_canon),
+         |web_lk AS (SELECT doc_id,
+         |  unnest(${UrlOps.hrefsSql(linkHtmlSql)}) AS href
+         |  FROM documents),\n""".stripMargin +
+      UrlOps.canonicalizeUrlCtes("web_lk", "doc_id, href", "href",
+        "wl_") + ",\n" +
+      s"""web_dst AS (SELECT doc_id, CAST(regexp_extract(
+         |    ${UrlOps.hostOfSql("u")}, '$HostIdRe', 1) AS BIGINT)
+         |    AS dst_host FROM wl_canon),
+         |web_edge AS (SELECT s.src_host, t.dst_host
+         |  FROM web_dst t JOIN web_src s USING (doc_id))""".stripMargin
+  }
+
   /** Content-keyed trained-BPE vocabulary store (word, n, sym): the
     * artifact a tokenizer-training pipeline persists once per corpus
     * refresh; the apply gate reads it instead of retraining. */
@@ -814,6 +900,66 @@ object TextQueries {
         |    AS n_subwords
         |FROM bpe_docw w JOIN bpe_s$BpeRounds v USING (word)
         |GROUP BY w.doc_id ORDER BY w.doc_id
-        |""".stripMargin.trim))
+        |""".stripMargin.trim)),
+
+    // ---- URL canonicalization ----------------------------------------
+    // The crawl-frontier normalizer: case-fold scheme/authority, drop
+    // fragments + default ports + utm_* tracking params, collapse
+    // duplicate slashes, strip trailing separators. Pure per-row
+    // regexp chain at scan speed; the oracle replays the identical
+    // staged chain (shared pattern constants — see UrlOps).
+    Q("q_url_canonicalize",
+      (s, d) => {
+        import graft.ops.UrlOps
+        val canon = UrlOps.canonicalizeUrl(messyUrl)
+        documents(s, d).select(col("doc_id"), canon.as("url_canon"),
+          UrlOps.hostOf(canon).as("host")).orderBy("doc_id")
+      },
+      Some {
+        import graft.ops.UrlOps
+        "WITH " + UrlOps.canonicalizeUrlCtes(
+          s"(SELECT doc_id, $messyUrlSql AS url FROM documents)",
+          "doc_id", "url", "qc_") +
+          s"""
+          |SELECT doc_id, u AS url_canon,
+          |  ${UrlOps.hostOfSql("u")} AS host
+          |FROM qc_canon ORDER BY doc_id
+          |""".stripMargin.trim
+      }),
+
+    // ---- host-level link graph from crawled HTML ---------------------
+    // hrefs extracted from each page (img src decoy ignored),
+    // canonicalized, reduced to host-level weighted edges — the
+    // link-graph-construction pass of a web corpus. Scale shape: href
+    // explode + canonicalize are per-row; ONE partial-agg shuffle on
+    // the (src_host, dst_host) pair; at 100 TB the host domain is
+    // millions of rows, never corpus-sized.
+    Q("q_web_link_graph",
+      (s, d) => hostEdges(s, d)
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_host", "dst_host"),
+      Some("WITH " + hostEdgesSqlCtes +
+        """
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |FROM web_edge GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    // ---- host authority: PageRank over the extracted link graph ------
+    // The end of the chain: crawled HTML -> hrefs -> canonical URLs ->
+    // host edges -> integer-milli PageRank (the crawl-prioritization /
+    // quality-prior signal). The oracle replays extraction AND the 5
+    // unrolled rank iterations — the whole composition is pinned.
+    Q("q_web_host_rank",
+      (s, d) => graft.ops.PageRank.pageRank(
+        hostEdges(s, d)
+          .select(col("src_host").as("src"), col("dst_host").as("dst"))
+          .distinct(), iters = 5)
+        .orderBy("id"),
+      Some(graft.ops.PageRank.oracleSql(
+        "WITH " + hostEdgesSqlCtes +
+          "\nSELECT DISTINCT src_host AS src, dst_host AS dst" +
+          " FROM web_edge",
+        iters = 5)))
   )
 }
