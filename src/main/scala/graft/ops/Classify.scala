@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Nearest-class-centroid (Rocchio) classification over quantized
+  * embedding vectors — the trained-model filtering stage of a curation
+  * pipeline (fastText-style quality/domain classifiers reduce to
+  * exactly this shape once embeddings exist): fit one centroid per
+  * label on a training split, then label unseen vectors by nearest
+  * centroid. Reference scope: none (the reference has no ML surface);
+  * LLM-pipeline brief.
+  *
+  * Same integer-milli discipline as [[Clustering]]: per-dimension
+  * centroid means are exact floor divisions, distances exact integer
+  * squared-L2 — bit-identical on any engine at any parallelism, so a
+  * SQL oracle pins both training and scoring.
+  *
+  * Scale shape (100 TB corpus): training is ONE partial-aggregable
+  * shuffle of (label, dim) cells — |labels|·dim rows regardless of
+  * corpus size; the model is |labels|·dim longs (KB-sized), so scoring
+  * is a broadcast nested-loop against the label-count-bounded centroid
+  * table folded by a partial-aggregable min-struct — per-row work, no
+  * corpus shuffle, nothing driver-collected. */
+object Classify {
+
+  /** (lab: long, cv: array<long>) — one integer-mean centroid per
+    * label of `train(labelCol, qvCol: array<long>)`. `(s - pmod(s, n))
+    * div n` is exact floor division for negative sums too (the same
+    * identity as the Lloyd update, DuckDB twin
+    * `(s - ((s % n + n) % n)) // n`). */
+  def centroidTrain(train: DataFrame, labelCol: String,
+                    qvCol: String): DataFrame =
+    train
+      .select(col(labelCol).cast(LongType).as("lab"),
+        posexplode(col(qvCol)))
+      .groupBy("lab", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .select(col("lab"), col("pos"),
+        expr("(s - pmod(s, n)) div n").as("m"))
+      .groupBy("lab")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+
+  /** Score `test(idCol, labelCol, qvCol)` against `centroids(lab, cv)`
+    * ([[centroidTrain]] output): (id, label_true, pred, dist_sq, hit)
+    * — nearest centroid, ties to the smaller label. The centroid side
+    * is broadcast by construction (bounded by the label domain). */
+  def centroidClassify(test: DataFrame, centroids: DataFrame,
+                       idCol: String, labelCol: String,
+                       qvCol: String): DataFrame =
+    test.select(col(idCol).cast(LongType).as("id"),
+        col(labelCol).cast(LongType).as("label_true"), col(qvCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("label_true"),
+        struct(Clustering.l2sqLong(col("qv"), col("cv")).as("d"),
+          col("lab")).as("cand"))
+      .groupBy("id", "label_true")
+      .agg(min(col("cand")).as("best"))
+      .select(col("id"), col("label_true"),
+        col("best").getField("lab").as("pred"),
+        col("best").getField("d").as("dist_sq"),
+        when(col("best").getField("lab") === col("label_true"), 1L)
+          .otherwise(0L).as("hit"))
+}

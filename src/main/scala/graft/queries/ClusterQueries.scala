@@ -348,6 +348,90 @@ object ClusterQueries {
            |  FROM asg)
            |WHERE sample_rank <= 25 ORDER BY cluster, sample_rank
            |""".stripMargin.trim
-      })
+      }),
+
+    // ---- trained centroid (Rocchio) classifier -----------------------
+    // Fit one integer centroid per label on the %5!=0 training split,
+    // label the %5==0 holdout by nearest centroid — the trained-model
+    // filtering stage (fastText-style quality/domain classifiers over
+    // embeddings reduce to this). Training is ONE |labels|·dim-cell
+    // partial-agg shuffle at any corpus size; the KB-sized model
+    // broadcasts into a per-row min-struct fold. The oracle replays
+    // fit AND scoring (floor-div means, exact squared-L2, tie to the
+    // smaller label).
+    Q("q_classify_centroid",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("label"),
+          Clustering.quantizeMilli(col("embedding")).as("qv"))
+        val cents = graft.ops.Classify.centroidTrain(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "label", "qv")
+        graft.ops.Classify.centroidClassify(
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0), cents,
+          "vec_id", "label", "qv")
+          .orderBy("id")
+      },
+      Some(classifierOracleCtes +
+        """
+        |SELECT id, label_true, pred, dist_sq, hit
+        |FROM cls_best WHERE rn = 1 ORDER BY id
+        |""".stripMargin.trim)),
+
+    // ---- classifier evaluation: confusion matrix ---------------------
+    // The (label_true, pred) count grid plus per-cell share of the
+    // true-label row (milli) — the eval artifact a model gate reads.
+    // Bounded output: |labels|² rows at any corpus size.
+    Q("q_classify_confusion",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("label"),
+          Clustering.quantizeMilli(col("embedding")).as("qv"))
+        val cents = graft.ops.Classify.centroidTrain(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "label", "qv")
+        val scored = graft.ops.Classify.centroidClassify(
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0), cents,
+          "vec_id", "label", "qv")
+        scored.groupBy("label_true", "pred")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_milli", expr(
+            "(1000 * n) div sum(n) OVER (PARTITION BY label_true)"))
+          .orderBy("label_true", "pred")
+      },
+      Some(classifierOracleCtes +
+        """
+        |, cls_conf AS (SELECT label_true, pred,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM cls_best WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT label_true, pred, n,
+        |  (1000 * n) // CAST(sum(n) OVER (PARTITION BY label_true)
+        |    AS BIGINT) AS row_milli
+        |FROM cls_conf ORDER BY label_true, pred
+        |""".stripMargin.trim))
   )
+
+  /** The CTE chain both classifier oracles share: quantize, split,
+    * per-label floor-div centroid fit, exact-L2 scoring of the
+    * holdout, rank-1 = nearest centroid (ties to smaller label). */
+  private def classifierOracleCtes: String = {
+    val qv = OracleSql.quantMilli("embedding", 64)
+    s"""WITH cls_e AS (SELECT vec_id, label, $qv AS qv FROM embeddings),
+       |cls_tr AS (SELECT * FROM cls_e WHERE vec_id % 5 <> 0),
+       |cls_te AS (SELECT * FROM cls_e WHERE vec_id % 5 = 0),
+       |cls_sum AS (SELECT CAST(label AS BIGINT) AS lab, i AS pos,
+       |    CAST(sum(qv[i]) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM cls_tr
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(qv))) u(i)
+       |  GROUP BY 1, 2),
+       |cls_cent AS (SELECT lab,
+       |    list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
+       |  FROM cls_sum GROUP BY lab),
+       |cls_sc AS (SELECT t.vec_id AS id,
+       |    CAST(t.label AS BIGINT) AS label_true, c.lab,
+       |    ${OracleSql.l2sqList("t.qv", "c.cv", 64)} AS d
+       |  FROM cls_te t, cls_cent c),
+       |cls_best AS (SELECT id, label_true, lab AS pred, d AS dist_sq,
+       |    CAST(CASE WHEN lab = label_true THEN 1 ELSE 0 END AS BIGINT)
+       |      AS hit,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, lab) AS rn
+       |  FROM cls_sc)""".stripMargin
+  }
 }

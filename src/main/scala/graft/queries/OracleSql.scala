@@ -33,4 +33,10 @@ private[queries] object OracleSql {
   def quantMilli(v: String, dim: Int): String =
     s"list_transform(range(1, ${dim + 1}), i -> " +
       s"CAST(floor(CAST($v[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+  /** Exact integer squared-L2 over two BIGINT lists — the SQL twin of
+    * [[graft.ops.Clustering.l2sqLong]] (already BIGINT-cast). */
+  def l2sqList(a: String, b: String, dim: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+      s"($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
 }

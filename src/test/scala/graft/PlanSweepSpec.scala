@@ -40,6 +40,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_hard_negatives",     // corpus × broadcast armed anchor set
     "q_semantic_decontaminate", // corpus × broadcast bounded eval set
     "q_knn_classify",       // corpus × broadcast labeled queries
+    "q_classify_centroid",  // holdout × broadcast |labels|-row centroid model
+    "q_classify_confusion", // same scoring pass, rolled up
     "q_source_overlap",     // #strata × #strata pair grid (bounded domain)
     "q_text_length_trim"    // broadcast 1-row percentile bounds
   )

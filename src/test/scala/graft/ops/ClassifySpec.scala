@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("centroidTrain: exact floor-division means per label, " +
+      "negative sums included") {
+    val train = Seq(
+      (0L, Seq(1L, -1L)), (0L, Seq(2L, -2L)),  // means: 1, floor(-3/2)=-2
+      (1L, Seq(10L, 10L))
+    ).toDF("label", "qv")
+    val cents = Classify.centroidTrain(train, "label", "qv")
+      .orderBy("lab").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(cents == Seq(0L -> Seq(1L, -2L), 1L -> Seq(10L, 10L)))
+  }
+
+  test("centroidClassify: nearest centroid wins, ties to the smaller " +
+      "label, hit flags exact") {
+    val train = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(10L, 0L)), (2L, Seq(0L, 10L))
+    ).toDF("label", "qv")
+    val cents = Classify.centroidTrain(train, "label", "qv")
+    val test = Seq(
+      (100L, 0L, Seq(1L, 1L)),   // nearest (0,0) -> pred 0, hit
+      (101L, 2L, Seq(1L, 9L)),   // nearest (0,10) -> pred 2, hit
+      (102L, 1L, Seq(0L, 10L)),  // exactly on centroid 2 -> pred 2, miss
+      (103L, 0L, Seq(5L, 0L))    // tie d=25 between labels 0 and 1 -> 0
+    ).toDF("vec_id", "label", "qv")
+    val out = Classify.centroidClassify(test, cents,
+      "vec_id", "label", "qv").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      (100L, 0L, 2L, 1L),
+      (101L, 2L, 2L, 1L),
+      (102L, 2L, 0L, 0L),
+      (103L, 0L, 25L, 1L)))
+  }
+}
