@@ -51,6 +51,45 @@ object Quantization {
     concat(parts: _*)
   }
 
+  /** The PQ CODES themselves — per subspace, the id of the nearest
+    * codebook subvector (same argmin and tie-break as
+    * [[pqReconstruct]]): the S small ints an IVF-PQ index stores per
+    * vector AT REST. DuckDB twin: [[reconCtes]]'s `enc`. */
+  def pqEncodeCodes(qv: Column, codebooks: Seq[Seq[(Int, Seq[Long])]],
+                    subDim: Int): Column = {
+    val parts = codebooks.zipWithIndex.map { case (codes, s) =>
+      val sub = slice(qv, s * subDim + 1, subDim)
+      val cands = array(codes.map { case (j, cv) =>
+        require(cv.length == subDim,
+          s"codebook subvector length ${cv.length} != subDim $subDim")
+        struct(Clustering.l2sqLong(array(cv.map(lit): _*), sub).as("d"),
+          lit(j).as("j"))
+      }: _*)
+      array_min(cands).getField("j")
+    }
+    array(parts: _*)
+  }
+
+  /** Decode stored codes back to the reconstructed vector: per
+    * subspace, a LITERAL lookup table indexed by the code id —
+    * `decode(encode(qv)) ≡ pqReconstruct(qv)` (QuantizationSpec pins
+    * it). Codebook ids must be dense 0..k-1 (the Lloyd seeds are). */
+  def pqDecodeCodes(codes: Column, codebooks: Seq[Seq[(Int, Seq[Long])]],
+                    subDim: Int): Column = {
+    val parts = codebooks.zipWithIndex.map { case (cbs, s) =>
+      val sorted = cbs.sortBy(_._1)
+      require(sorted.map(_._1) == (0 until sorted.size),
+        s"pqDecodeCodes needs dense code ids 0..${sorted.size - 1}")
+      require(sorted.forall(_._2.length == subDim),
+        s"codebook subvector length != subDim $subDim")
+      val lut = array(sorted.map { case (_, cv) =>
+        array(cv.map(lit): _*)
+      }: _*)
+      element_at(lut, element_at(codes, s + 1).cast("int") + 1)
+    }
+    concat(parts: _*)
+  }
+
   /** Slice driver-side codebook rows (id, fullVec) into per-subspace
     * codebooks for [[pqReconstruct]]. */
   def sliceCodebooks(rows: Seq[(Int, Seq[Long])], subspaces: Int,

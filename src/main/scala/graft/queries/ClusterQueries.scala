@@ -51,16 +51,15 @@ object ClusterQueries {
     new java.util.concurrent.ConcurrentHashMap[
       String, Seq[Seq[(Int, Seq[Long])]]]()
 
-  private def pqTopK(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.ensureRegistered(s)
-    val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("qv", Clustering.quantizeMilli(col("embedding")))
-    // TRAINED codebooks — canonical PQ: an INDEPENDENT k=16 integer
-    // k-means (2 Lloyd rounds) per 8-dim subspace, seeded like every
-    // Clustering run from ids 0..15 (whose sub-slices are exactly the
-    // previous data-seeded codebook — training strictly refines it).
-    // 8 KB-sized driver results, memoized per corpus content.
-    val codebooks = pqCodebookMemo.computeIfAbsent(
+  /** TRAINED codebooks — canonical PQ: an INDEPENDENT k=16 integer
+    * k-means (2 Lloyd rounds) per 8-dim subspace, seeded like every
+    * Clustering run from ids 0..15 (whose sub-slices are exactly the
+    * previous data-seeded codebook — training strictly refines it).
+    * 8 KB-sized driver results, memoized per corpus content; shared by
+    * the PQ gates and the IVF-PQ store. */
+  private def trainedCodebooks(d: String, base: DataFrame)
+      : Seq[Seq[(Int, Seq[Long])]] =
+    pqCodebookMemo.computeIfAbsent(
       Sinks.contentKey(d, "embeddings.parquet", "pq8x16i2"), _ =>
         (0 until 8).map { sub =>
           Clustering.kmeansCentroids(
@@ -69,6 +68,12 @@ object ClusterQueries {
             "id", "sqv", k = 16, iters = 2)
             .map { case (cid, cv) => cid.toInt -> cv }
         })
+
+  private def pqTopK(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("qv", Clustering.quantizeMilli(col("embedding")))
+    val codebooks = trainedCodebooks(d, base)
     val rec = base.withColumn("recon",
       Quantization.pqReconstruct(col("qv"), codebooks, subDim = 8))
     val q = base.filter(col("vec_id") >= 20 && col("vec_id") < 25)
@@ -145,8 +150,129 @@ object ClusterQueries {
     * the per-subspace PQ codebook training is a corpus-refresh cost,
     * not a query cost — without this the alphabetically-first PQ gate
     * pays all 8 k-means runs inside its timed window. */
+  /** Content-keyed IVF-PQ index store — the at-rest layout of a
+    * billion-scale ANN index (Faiss IVFPQ): every vector's coarse cell
+    * (nearest of the 8 data-seeded centroids, exact cosine, ties to
+    * the smaller id — the q_ann_ivf convention) holding only its
+    * (id, codes) — the 8 small ints of [[Quantization.pqEncodeCodes]]
+    * under the trained subspace codebooks — written PARTITIONED BY
+    * cluster so a probe reads just its probed cells' files. Built once
+    * per corpus content, untimed (corpus-refresh cost). */
+  private def ivfPqCodesTable(s: SparkSession, d: String): String = {
+    val tbl = "ann_ivfpq_codes_" +
+      Sinks.contentKey(d, "embeddings.parquet", "ivfpq8x16i2|v1")
+    if (!s.catalog.tableExists(tbl)) {
+      GraftFunctions.ensureRegistered(s)
+      graft.ops.Compaction.dropManagedTable(s, tbl)
+      val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("qv", Clustering.quantizeMilli(col("embedding")))
+      val codebooks = trainedCodebooks(d, base)
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      base.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          GraftFunctions.cosineMilli(col("embedding"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("id"), col("c_id").as("cluster"),
+          Quantization.pqEncodeCodes(col("qv"), codebooks, subDim = 8)
+            .as("codes"))
+        .repartition(col("cluster"))
+        .write.partitionBy("cluster")
+        .format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
   def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
-    "pq_codebooks" -> ((s, d) => { pqTopK(s, d); () }))
+    "pq_codebooks" -> ((s, d) => { pqTopK(s, d); () }),
+    "ivfpq_codes_store" -> ((s, d) => { ivfPqCodesTable(s, d); () }))
+
+  /** The IVF-PQ probe both gates share: nprobe=2 coarse cells per
+    * query (exact cosine vs the 8 centroids), candidates = the probed
+    * cells' STORED (id, codes) rows via one cluster equi-join
+    * (partition-pruned), ADC over the decoded codes shortlists 40,
+    * exact cosine re-ranks 10. Nothing corpus-sized shuffles at probe
+    * time: the index was laid out at build. */
+  private def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val tbl = ivfPqCodesTable(s, d)
+    val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("qv", Clustering.quantizeMilli(col("embedding")))
+    val codebooks = trainedCodebooks(d, base)
+    val cents = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val q = base.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("qv").as("q_qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        GraftFunctions.cosineMilli(col("q_emb"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("q_emb"), col("q_qv"),
+        col("c_id").as("cluster"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("id").asc)
+    val short = s.table(tbl).join(broadcast(probes), Seq("cluster"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("adc", Clustering.l2sqLong(
+        Quantization.pqDecodeCodes(col("codes"), codebooks, subDim = 8),
+        col("q_qv")))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= 40)
+      .select("q_id", "q_emb", "id")
+    val wCos = Window.partitionBy("q_id")
+      .orderBy(col("cos_milli").desc, col("id").asc)
+    short
+      .join(base.select(col("vec_id").as("id"), col("embedding")), "id")
+      .withColumn("cos_milli",
+        GraftFunctions.cosineMilli(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("id").as("vec_id"),
+        col("cos_milli"))
+  }
+
+  /** Oracle CTEs for the IVF-PQ probe, appended after [[pqCtes]]
+    * (reuses its `v`/`cb`/`enc`/`rec`/`qq`): coarse assignment and
+    * probing by exact cosine, candidate generation by cell, ADC over
+    * the decoded codes (`rec` IS decode-of-stored-codes), exact
+    * re-rank — the store build and probe replayed from first
+    * principles, so store freshness is pinned too. */
+  private def ivfPqCtes: String = {
+    val cos = OracleSql.cosMilli _
+    s"""ipq_cent AS (SELECT vec_id AS c_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |ipq_asg AS (SELECT id, cluster FROM (
+       |    SELECT e.vec_id AS id, c.c_id AS cluster, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS rn
+       |    FROM embeddings e, ipq_cent c) WHERE rn = 1),
+       |ipq_probe AS (SELECT q_id, cluster FROM (
+       |    SELECT q.q_id, c.c_id AS cluster, row_number() OVER (
+       |      PARTITION BY q.q_id
+       |      ORDER BY ${cos("q.q_emb", "c.cv")} DESC, c.c_id) AS rn
+       |    FROM qq q, ipq_cent c) WHERE rn <= 2),
+       |ipq_adc AS (SELECT p.q_id, a.id AS vec_id,
+       |    ${OracleSql.l2sqList("r.recon", "q.q_qv", 64)} AS adc
+       |  FROM ipq_probe p JOIN ipq_asg a ON a.cluster = p.cluster
+       |  JOIN rec r ON r.id = a.id JOIN qq q ON q.q_id = p.q_id
+       |  WHERE a.id <> p.q_id),
+       |ipq_short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS rn FROM ipq_adc) WHERE rn <= 40),
+       |ipq_ranked AS (SELECT q_id, vec_id, cos_milli, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_milli DESC, vec_id) AS rank
+       |  FROM (SELECT c.q_id, c.vec_id,
+       |      ${cos("q.q_emb", "e.embedding")} AS cos_milli
+       |    FROM ipq_short c JOIN qq q USING (q_id)
+       |    JOIN embeddings e ON e.vec_id = c.vec_id))""".stripMargin
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -349,6 +475,70 @@ object ClusterQueries {
            |WHERE sample_rank <= 25 ORDER BY cluster, sample_rank
            |""".stripMargin.trim
       }),
+
+    // ---- IVF-PQ: coarse cells + stored codes + ADC + exact re-rank ---
+    // The billion-scale ANN recipe END-TO-END: candidates come from
+    // the probed cells of the STORED (cluster, id, codes) index (one
+    // partition-pruned equi-join — never a corpus scan), ranking runs
+    // on the compressed representation (ADC over decoded codes), and
+    // only the shortlist pays exact cosine. Composes the structures
+    // q_ann_ivf_* (cells) and q_ann_pq_* (codes) exercise separately.
+    Q("q_ann_ivfpq_topk",
+      (s, d) => ivfPqTopK(s, d)
+        .select("q_id", "rank", "vec_id", "cos_milli")
+        .orderBy("q_id", "rank"),
+      Some(s"""
+        |WITH $pqCtes,
+        |$ivfPqCtes
+        |SELECT q_id, rank, vec_id, cos_milli FROM ipq_ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
+    // ---- IVF-PQ recall vs the exact answer ---------------------------
+    // hits@10 against brute-force exact cosine per query — the recall
+    // cost of BOTH approximations (cell truncation + code compression)
+    // measured together, the number an index rollout is judged by.
+    Q("q_ann_ivfpq_recall",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val q = base.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wCos = Window.partitionBy("q_id")
+          .orderBy(col("cos_milli").desc, col("vec_id").asc)
+        val exact = base.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_milli",
+            GraftFunctions.cosineMilli(col("q_emb"), col("embedding")))
+          .withColumn("rn", row_number().over(wCos))
+          .filter(col("rn") <= 10)
+          .select("q_id", "vec_id")
+        val approx = ivfPqTopK(s, d).select("q_id", "vec_id")
+        val hits = approx.join(exact, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("hits10"))
+        q.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits10"), lit(0L)).as("hits10"))
+          .orderBy("q_id")
+      },
+      Some(s"""
+        |WITH $pqCtes,
+        |$ivfPqCtes,
+        |ipq_ex AS (SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY ${OracleSql.cosMilli("q.q_emb", "e.embedding")}
+        |        DESC, e.vec_id) AS rn
+        |    FROM qq q, embeddings e WHERE e.vec_id <> q.q_id)
+        |  WHERE rn <= 10)
+        |SELECT q.q_id, CAST(coalesce(h.hits10, 0) AS BIGINT) AS hits10
+        |FROM qq q LEFT JOIN (
+        |  SELECT a.q_id, count(*) AS hits10
+        |  FROM (SELECT q_id, vec_id FROM ipq_ranked WHERE rank <= 10) a
+        |  JOIN ipq_ex x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+        |  GROUP BY a.q_id) h ON h.q_id = q.q_id
+        |ORDER BY q.q_id
+        |""".stripMargin.trim)),
 
     // ---- trained centroid (Rocchio) classifier -----------------------
     // Fit one integer centroid per label on the %5!=0 training split,

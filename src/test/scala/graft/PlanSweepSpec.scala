@@ -32,6 +32,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_ann_lsh_topk",
     "q_ann_pq_recall",      // brute exact side + broadcast codebooks
     "q_ann_pq_topk",
+    "q_ann_ivfpq_topk",     // broadcast 8-row coarse codebook probe
+    "q_ann_ivfpq_recall",   // + the brute exact side
     "q_bm25_from_store",    // broadcast query-term set (handful of terms)
     "q_bm25_topk",
     "q_rrf_fusion",         // composes bm25TopK: same 1-row scalar broadcast

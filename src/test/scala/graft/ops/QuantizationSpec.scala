@@ -37,4 +37,29 @@ class QuantizationSpec extends SparkSpec {
     assert(codebooks(0) == Seq(0 -> Seq(0L, 0L), 1 -> Seq(4L, 4L)))
     assert(codebooks(1) == Seq(0 -> Seq(10L, 10L), 1 -> Seq(0L, 0L)))
   }
+
+  test("pqEncodeCodes emits the argmin code ids; decode of the stored " +
+      "codes equals pqReconstruct — the at-rest round trip") {
+    val vs = Seq(Seq(1L, 1L, 1L, 1L), Seq(3L, 3L, 9L, 9L),
+      Seq(2L, 2L, 0L, 0L))
+    val df = vs.map(Tuple1(_)).toDF("qv")
+    val out = df.select(
+      Quantization.pqEncodeCodes(col("qv"), codebooks, 2).as("codes"),
+      Quantization.pqReconstruct(col("qv"), codebooks, 2).as("direct"))
+      .select(col("codes"),
+        Quantization.pqDecodeCodes(col("codes"), codebooks, 2)
+          .as("decoded"),
+        col("direct"))
+      .collect()
+    assert(out.map(_.getSeq[Int](0)).toSeq ==
+      Seq(Seq(0, 1), Seq(1, 0), Seq(0, 1)))
+    out.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2)))
+  }
+
+  test("pqDecodeCodes rejects non-dense code ids") {
+    val sparse = Seq(Seq(0 -> Seq(0L, 0L), 2 -> Seq(4L, 4L)))
+    assertThrows[IllegalArgumentException] {
+      Quantization.pqDecodeCodes(col("qv"), sparse, 2)
+    }
+  }
 }
