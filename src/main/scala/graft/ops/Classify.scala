@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -43,6 +43,30 @@ object Classify {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("cv"))
+
+  /** The trained model as driver-side state: |labels| rows of
+    * (label, centroid) — KB-sized by the label-domain bound, the same
+    * contract as Clustering's codebook collects. This is the form a
+    * STREAMING scorer needs: the model folds into a literal expression
+    * so scoring is a stateless projection (no stream-side join or
+    * aggregation). */
+  def centroidModel(train: DataFrame, labelCol: String,
+                    qvCol: String): Seq[(Long, Seq[Long])] =
+    centroidTrain(train, labelCol, qvCol).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+
+  /** (d, lab) struct of the nearest centroid in the LITERAL `model` —
+    * min over |labels| codegen'd candidates, ties to the smaller
+    * label (struct order). Same argmin the broadcast path computes;
+    * usable in batch and unchanged inside a streaming projection. */
+  def centroidAssignCol(model: Seq[(Long, Seq[Long])],
+                        qv: Column): Column = {
+    require(model.nonEmpty, "centroidAssignCol needs a non-empty model")
+    array_min(array(model.map { case (lab, cv) =>
+      struct(Clustering.l2sqLong(array(cv.map(lit): _*), qv).as("d"),
+        lit(lab).as("lab"))
+    }: _*))
+  }
 
   /** Score `test(idCol, labelCol, qvCol)` against `centroids(lab, cv)`
     * ([[centroidTrain]] output): (id, label_true, pred, dist_sq, hit)

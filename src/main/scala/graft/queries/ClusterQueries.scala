@@ -540,6 +540,54 @@ object ClusterQueries {
         |ORDER BY q.q_id
         |""".stripMargin.trim)),
 
+    // ---- streaming classifier scoring (train offline, score online) --
+    // The deployment shape of the centroid classifier: the model is
+    // fit IN BATCH (same floor-div centroids), collapsed to a literal
+    // |labels|-row expression, and arriving vectors are scored AS A
+    // STREAM — a stateless projection, so batch semantics carry over
+    // verbatim (Append mode, AvailableNow to completion). The oracle
+    // is the SAME chain as q_classify_centroid: stream ≡ batch is
+    // hash-pinned.
+    Q("q_stream_classify",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("label"),
+          Clustering.quantizeMilli(col("embedding")).as("qv"))
+        val model = graft.ops.Classify.centroidModel(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "label", "qv")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.IntegerType)))
+        // file-stream sources monitor a DIRECTORY (the eventsStream
+        // convention): glob the embeddings table out of the sf dir
+        val stream = s2.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+          .filter(pmod(col("vec_id"), lit(5)) === 0)
+        val best = graft.ops.Classify.centroidAssignCol(model,
+          Clustering.quantizeMilli(col("embedding")))
+        val scored = stream.select(col("vec_id").as("id"),
+          col("label").cast("long").as("label_true"), best.as("b"))
+          .select(col("id"), col("label_true"),
+            col("b").getField("lab").as("pred"),
+            col("b").getField("d").as("dist_sq"),
+            when(col("b").getField("lab") === col("label_true"), 1L)
+              .otherwise(0L).as("hit"))
+        graft.streaming.StreamingOps.runToTable(scored,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("id")
+      },
+      Some(classifierOracleCtes +
+        """
+        |SELECT id, label_true, pred, dist_sq, hit
+        |FROM cls_best WHERE rn = 1 ORDER BY id
+        |""".stripMargin.trim)),
+
     // ---- trained centroid (Rocchio) classifier -----------------------
     // Fit one integer centroid per label on the %5!=0 training split,
     // label the %5==0 holdout by nearest centroid — the trained-model

@@ -650,6 +650,60 @@ object CorpusQueries {
         |  SELECT *, row_number() OVER (
         |    ORDER BY rrf_milli DESC, id ASC) AS rank FROM f)
         |WHERE rank <= 20 ORDER BY rank
+        |""".stripMargin.trim)),
+
+    // ---- end-to-end curation mix: dedup -> quality -> quota -> mix ----
+    // The pretraining-mix builder as ONE composed pipeline over the
+    // engine's own operators: planted recrawl copies collapse under
+    // exact dedup (keep-min), short docs fall to the >= 10-token
+    // quality floor, each language is capped at 40 docs by the
+    // deterministic md5-rank quota (stratifiedHashSample), and the
+    // final mix report rolls up docs/tokens per (lang, source).
+    // Scale shape: one fingerprint shuffle (dedup), one stratum
+    // window (quota), one bounded rollup — the filter is scan-speed.
+    // The oracle replays the whole chain through the composition, so
+    // every stage boundary is pinned.
+    Q("q_curation_mix_pipeline",
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val raw = base.unionByName(base.filter(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 9000000L))
+        val deduped = graft.ops.Dedup.exactDedup(
+          raw, contentCols = Seq("text"), tiebreak = Seq("doc_id"))
+        val quality = deduped
+          .withColumn("n_tok", TextOps.tokenCount(col("text")))
+          .filter(col("n_tok") >= 10)
+        val quota = Corpus.stratifiedHashSample(
+          quality.select("doc_id", "lang", "source", "n_tok"),
+          strata = Seq("lang"), idCol = "doc_id", k = 40)
+        quota.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok").cast("long")).as("n_tokens"))
+          .orderBy("lang", "source")
+      },
+      Some("""
+        |WITH cm_raw AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, text, lang, source FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |cm_d AS (SELECT min(doc_id) AS doc_id, text,
+        |    arg_min(lang, doc_id) AS lang,
+        |    arg_min(source, doc_id) AS source
+        |  FROM cm_raw GROUP BY text),
+        |cm_q AS (SELECT doc_id, lang, source,
+        |    len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS n_tok
+        |  FROM cm_d
+        |  WHERE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) >= 10),
+        |cm_s AS (SELECT doc_id, lang, source, n_tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |      AS rn
+        |    FROM cm_q) WHERE rn <= 40)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM cm_s GROUP BY 1, 2 ORDER BY 1, 2
         |""".stripMargin.trim))
   )
 }

@@ -338,5 +338,62 @@ object ScaleQueries {
         |SELECT sk.price_c, sk.sz, count(*) AS n_parts
         |FROM sk JOIN p ON p.price_c = sk.price_c AND p.sz = sk.sz
         |GROUP BY sk.price_c, sk.sz ORDER BY sk.price_c, sk.sz
+        |""".stripMargin.trim)),
+
+    // ---- rendezvous (HRW) sharding ----------------------------------
+    // Highest-random-weight storage assignment — the stable sharding a
+    // pipeline uses to route docs to N stores so that REMOVING a shard
+    // relocates only that shard's keys (consistent-hashing's guarantee
+    // without the ring). Weight = md5(key ':' shard), assignment =
+    // min-weight shard; the gate computes the 8-shard assignment AND
+    // the 7-shard assignment with shard 3 removed — per shard: doc
+    // count, departures, arrivals. The invariant IS the output:
+    // n_out = 0 everywhere except the removed shard (which empties),
+    // pinned by the oracle. Per-row expression work + one bounded
+    // 8-row aggregate; md5 is bit-identical across engines.
+    Q("q_rendezvous_shard",
+      (s, d) => {
+        def assign(shards: Seq[Int]) = array_min(array(shards.map { sh =>
+          struct(md5(concat(col("doc_id").cast(StringType),
+            lit(":" + sh))).as("w"), lit(sh).as("shard"))
+        }: _*)).getField("shard").cast(LongType)
+        val j = documents(s, d).select(
+          assign(0 to 7).as("s1"),
+          assign((0 to 7).filterNot(_ == 3)).as("s2"))
+        val moved = when(col("s1") =!= col("s2"), 1L).otherwise(0L)
+        val outs = j.groupBy(col("s1").as("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(moved).as("n_out"))
+        val ins = j.groupBy(col("s2").as("shard"))
+          .agg(sum(moved).as("n_in"))
+        outs.join(ins, Seq("shard"), "left")
+          .select(col("shard"), col("n_docs"), col("n_out"),
+            coalesce(col("n_in"), lit(0L)).as("n_in"))
+          .orderBy("shard")
+      },
+      Some("""
+        |WITH rz_w AS (SELECT doc_id, sh,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || sh) AS wt
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS sh)),
+        |rz_a1 AS (SELECT doc_id, CAST(sh AS BIGINT) AS s1 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY wt, sh) AS rn FROM rz_w) WHERE rn = 1),
+        |rz_a2 AS (SELECT doc_id, CAST(sh AS BIGINT) AS s2 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY wt, sh) AS rn FROM rz_w WHERE sh <> 3)
+        |  WHERE rn = 1),
+        |rz_j AS (SELECT a1.doc_id, s1, s2
+        |  FROM rz_a1 a1 JOIN rz_a2 a2 USING (doc_id)),
+        |rz_o AS (SELECT s1 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_out
+        |  FROM rz_j GROUP BY 1),
+        |rz_i AS (SELECT s2 AS shard,
+        |    CAST(sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_in
+        |  FROM rz_j GROUP BY 1)
+        |SELECT o.shard, o.n_docs, o.n_out,
+        |  CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in
+        |FROM rz_o o LEFT JOIN rz_i i USING (shard) ORDER BY o.shard
         |""".stripMargin.trim)))
 }

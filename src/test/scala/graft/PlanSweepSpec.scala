@@ -119,6 +119,7 @@ class PlanSweepSpec extends SparkSpec {
     "ops/GlobalOrder.scala" -> 2, // per-partition offset maps (≤ #partitions)
     "ops/AnnIndex.scala" -> 1,    // k-row trained codebook
     "ops/TextOps.scala" -> 1,     // 1-row per-round BPE argmax merge
+    "ops/Classify.scala" -> 1,    // |labels|-row trained centroid model
     "Bench.scala" -> 1,           // warm-up scalar (sum over range)
     "tools/DedupAB.scala" -> 1    // warm-up scalar (A/B harness main)
   )
