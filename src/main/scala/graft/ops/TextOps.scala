@@ -535,9 +535,19 @@ object TextOps {
     * each side). A merge of (a,b) is then `replace(sym, " a b ",
     * " ab ")` — and because both Spark's `StringReplace` and DuckDB's
     * `replace` scan leftmost-first non-overlapping, " a a a " →
-    * " aa a ", which IS greedy left-to-right BPE merge application.
-    * The padding spaces double as word boundaries so a merge can never
-    * fuse across words. */
+    * " aa a ", greedy left-to-right BPE merge application. The padding
+    * spaces double as word boundaries so a merge can never fuse across
+    * words.
+    *
+    * Defined variant: the replace scan resumes AFTER each match's
+    * trailing delimiter, so in a run of >= 4 identical symbols the
+    * symbol right after a merge cannot START the next one (" a a a a "
+    * → " aa a a ", where position-greedy would give [aa, aa]).
+    * Deterministic, bit-identical on all three implementations
+    * (Spark UTF8String, DuckDB, JVM String — FuzzPropertySpec), and
+    * differs from position-greedy only on such runs; the house trade
+    * (engine-portable exactness over textbook tie handling, cf.
+    * domainRelevance's additive mean). */
   private def symInit: Column =
     concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
 

@@ -210,4 +210,59 @@ class FuzzPropertySpec extends SparkSpec {
     assert(Reconcile.checksumDiff(b, drifted.toDF("k", "v"),
       Seq("k", "v"), 64).count() == 0)
   }
+
+  /** Driver-side reference BPE trainer: brute-force maps + JVM
+    * String.replace, no Spark — a THIRD independent implementation of
+    * the engine's definition (frequency-weighted overlapping pair
+    * counts, lexicographic tie-break, and the replace-scan greedy
+    * merge application over the padded space-joined form that
+    * TextOps.bpeTrain and its DuckDB twin share). */
+  private def refBpe(texts: Seq[String],
+                     rounds: Int): Seq[(Int, String, String, Long)] = {
+    var words: Map[String, Long] = texts
+      .flatMap("[a-z]+".r.findAllIn(_).toSeq)
+      .groupBy(identity).map { case (w, g) =>
+        (" " + w.map(_.toString).mkString(" ") + " ") -> g.size.toLong
+      }.toSeq.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, n) <- words) {
+        val sy = w.trim.split(" ")
+        for (i <- 0 until sy.length - 1)
+          counts((sy(i), sy(i + 1))) =
+            counts.getOrElse((sy(i), sy(i + 1)), 0L) + n
+      }
+      if (counts.nonEmpty) {
+        val ((l, rt), cnt) = counts.toSeq.minBy { case ((a, b), c) =>
+          (-c, a + " " + b)
+        }
+        out += ((r, l, rt, cnt))
+        words = words.toSeq.map { case (w, n) =>
+          (w.replace(s" $l $rt ", s" ${l + rt} "), n)
+        }.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain == independent reference trainer on seeded random " +
+      "corpora (pair weighting, tie-break, greedy merge application)") {
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val rnd = new Random(seed)
+      // small alphabet + short words force heavy pair collisions,
+      // overlapping runs (aaa...), and count ties
+      val texts = (0 until 40).map { _ =>
+        (0 until (2 + rnd.nextInt(6))).map { _ =>
+          Seq.fill(1 + rnd.nextInt(6))("ab c".charAt(rnd.nextInt(4)))
+            .mkString
+        }.mkString(" ")
+      }
+      val res = TextOps.bpeTrain(texts.toDF("text"), "text", rounds = 6)
+      val got = res.merges.map(m => (m.rank, m.lhs, m.rhs, m.cnt))
+      res.release()
+      assert(got == refBpe(texts, 6),
+        s"seed $seed: spark $got != reference ${refBpe(texts, 6)}")
+    }
+  }
 }
