@@ -353,10 +353,8 @@ object ScaleQueries {
     // 8-row aggregate; md5 is bit-identical across engines.
     Q("q_rendezvous_shard",
       (s, d) => {
-        def assign(shards: Seq[Int]) = array_min(array(shards.map { sh =>
-          struct(md5(concat(col("doc_id").cast(StringType),
-            lit(":" + sh))).as("w"), lit(sh).as("shard"))
-        }: _*)).getField("shard").cast(LongType)
+        def assign(shards: Seq[Int]) =
+          graft.ops.Sharding.rendezvousShard(col("doc_id"), shards)
         val j = documents(s, d).select(
           assign(0 to 7).as("s1"),
           assign((0 to 7).filterNot(_ == 3)).as("s2"))

@@ -51,6 +51,36 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("  plain  ") == "plain")
   }
 
+  test("canonicalizeUrl is idempotent on seeded random messy URLs " +
+      "(a canonical form must be a fixed point)") {
+    val rnd = new scala.util.Random(41L)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS", "ftp")
+    val urls = (0 until 300).map { i =>
+      val b = new StringBuilder
+      b ++= schemes(rnd.nextInt(schemes.size)) ++= "://"
+      b ++= (if (rnd.nextBoolean()) "WWW." else "") ++= s"Host$i.COM"
+      if (rnd.nextBoolean()) b ++= Seq(":80", ":443", ":8080")(rnd.nextInt(3))
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        b ++= "/" * (1 + rnd.nextInt(3)) ++= s"p${rnd.nextInt(10)}"
+      }
+      if (rnd.nextBoolean()) {
+        b ++= "?" ++= (if (rnd.nextBoolean()) "utm_src=1" else "x=1")
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          b ++= (if (rnd.nextBoolean()) "&utm_a=2" else "&y=3")
+        }
+      }
+      if (rnd.nextBoolean()) b ++= "#frag"
+      b.result()
+    }
+    val once = urls.toDF("v")
+      .select(UrlOps.canonicalizeUrl(col("v")).as("c"))
+    val twice = once.select(col("c"),
+      UrlOps.canonicalizeUrl(col("c")).as("cc"))
+      .filter(col("c") =!= col("cc"))
+    assert(twice.count() == 0,
+      s"non-fixed-points: ${twice.take(5).mkString("; ")}")
+  }
+
   test("hostOf + hrefs: host of canonical form; src attributes ignored") {
     val df = Seq(
       """<a href="http://A.com/1">x</a><img src="http://b.com/i"/>""" +
