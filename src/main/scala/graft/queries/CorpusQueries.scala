@@ -652,6 +652,42 @@ object CorpusQueries {
         |WHERE rank <= 20 ORDER BY rank
         |""".stripMargin.trim)),
 
+    // ---- k-anonymous stats release ------------------------------------
+    // Publish per-(lang, source) corpus stats ONLY where the group
+    // holds >= k members; smaller groups collapse into one OTHER row so
+    // no released cell identifies fewer than k documents — the
+    // k-anonymity rule a pipeline applies before sharing corpus
+    // composition externally. One partial-agg shuffle over the bounded
+    // group domain; the suppression split is driver-free.
+    Q("q_kanon_release",
+      (s, d) => {
+        val grp = documents(s, d)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+        val big = grp.filter(col("n_docs") >= 5)
+        val other = grp.filter(col("n_docs") < 5)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+          .select(lit("other").as("lang"), lit("other").as("source"),
+            col("n_docs"), col("n_chars"))
+          .filter(col("n_docs").isNotNull)
+        big.unionByName(other).orderBy("lang", "source")
+      },
+      Some("""
+        |WITH ka_g AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1, 2),
+        |ka_b AS (SELECT * FROM ka_g WHERE n_docs >= 5),
+        |ka_o AS (SELECT 'other' AS lang, 'other' AS source,
+        |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM ka_g WHERE n_docs < 5 HAVING count(*) > 0)
+        |SELECT * FROM ka_b UNION ALL SELECT * FROM ka_o
+        |ORDER BY lang, source
+        |""".stripMargin.trim)),
+
     // ---- end-to-end curation mix: dedup -> quality -> quota -> mix ----
     // The pretraining-mix builder as ONE composed pipeline over the
     // engine's own operators: planted recrawl copies collapse under

@@ -902,6 +902,80 @@ object TextQueries {
         |GROUP BY w.doc_id ORDER BY w.doc_id
         |""".stripMargin.trim)),
 
+    // ---- n-gram overlap eval metric (BLEU-style clipped precision) ----
+    // The eval-harness scorer: modified unigram/bigram precision of a
+    // candidate against a reference (per-gram counts clipped by the
+    // reference count — BLEU's anti-gaming rule), exact integer milli.
+    // Candidate = first 40 tokens; reference = the same with every 7th
+    // token dropped (planted divergence, so clipping is actually
+    // exercised). Scale shape: gram explode at scan speed, counts are
+    // partial-aggregable, the clip join keys on (doc, gram) — per-doc
+    // work at any corpus size.
+    Q("q_eval_ngram_overlap",
+      (s, d) => {
+        val toks = slice(TextOps.tokens(lower(col("text"))), 1, 40)
+        val rtoks = filter(toks, (_, i) => pmod(i, lit(7)) =!= 2)
+        def bigrams(t: org.apache.spark.sql.Column) =
+          zip_with(slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b))
+        def precision(cand: org.apache.spark.sql.Column,
+                      ref: org.apache.spark.sql.Column,
+                      out: String) = {
+          val cc = documents(s, d)
+            .select(col("doc_id"), explode(cand).as("g"))
+            .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
+          val rc = documents(s, d)
+            .select(col("doc_id"), explode(ref).as("g"))
+            .groupBy("doc_id", "g").agg(count(lit(1)).as("rc"))
+          cc.join(rc, Seq("doc_id", "g"), "left")
+            .groupBy("doc_id")
+            .agg(expr("1000 * sum(least(cc, coalesce(rc, 0)))" +
+              " div sum(cc)").as(out))
+        }
+        precision(toks, rtoks, "p1_milli")
+          .join(precision(bigrams(toks), bigrams(rtoks), "p2_milli"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("p1_milli"),
+            coalesce(col("p2_milli"), lit(0L)).as("p2_milli"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH ov_t AS (SELECT doc_id,
+        |    (string_split_regex(trim(lower(text)),
+        |      '[ \t\n\r\f]+'))[1:40] AS toks FROM documents),
+        |ov_b AS (SELECT doc_id, toks,
+        |    list_filter(toks, (x, i) -> i % 7 <> 3) AS rtoks FROM ov_t),
+        |ov_c1 AS (SELECT doc_id, g, count(*) AS cc FROM (
+        |    SELECT doc_id, unnest(toks) AS g FROM ov_b) GROUP BY 1, 2),
+        |ov_r1 AS (SELECT doc_id, g, count(*) AS rc FROM (
+        |    SELECT doc_id, unnest(rtoks) AS g FROM ov_b) GROUP BY 1, 2),
+        |ov_p1 AS (SELECT c.doc_id,
+        |    CAST(1000 * sum(least(cc, coalesce(rc, 0))) // sum(cc)
+        |      AS BIGINT) AS p1_milli
+        |  FROM ov_c1 c LEFT JOIN ov_r1 r
+        |    ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1),
+        |ov_c2 AS (SELECT doc_id, g, count(*) AS cc FROM (
+        |    SELECT b.doc_id, b.toks[i] || ' ' || b.toks[i + 1] AS g
+        |    FROM ov_b b CROSS JOIN LATERAL
+        |      unnest(generate_series(1, len(b.toks) - 1)) u(i))
+        |  GROUP BY 1, 2),
+        |ov_r2 AS (SELECT doc_id, g, count(*) AS rc FROM (
+        |    SELECT b.doc_id, b.rtoks[i] || ' ' || b.rtoks[i + 1] AS g
+        |    FROM ov_b b CROSS JOIN LATERAL
+        |      unnest(generate_series(1, len(b.rtoks) - 1)) u(i))
+        |  GROUP BY 1, 2),
+        |ov_p2 AS (SELECT c.doc_id,
+        |    CAST(1000 * sum(least(cc, coalesce(rc, 0))) // sum(cc)
+        |      AS BIGINT) AS p2_milli
+        |  FROM ov_c2 c LEFT JOIN ov_r2 r
+        |    ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1)
+        |SELECT p1.doc_id, p1.p1_milli,
+        |  CAST(coalesce(p2.p2_milli, 0) AS BIGINT) AS p2_milli
+        |FROM ov_p1 p1 LEFT JOIN ov_p2 p2 ON p2.doc_id = p1.doc_id
+        |ORDER BY p1.doc_id
+        |""".stripMargin.trim)),
+
     // ---- URL canonicalization ----------------------------------------
     // The crawl-frontier normalizer: case-fold scheme/authority, drop
     // fragments + default ports + utm_* tracking params, collapse
