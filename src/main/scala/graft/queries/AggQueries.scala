@@ -345,6 +345,59 @@ object AggQueries {
         |GROUP BY n_name ORDER BY n_name
         |""".stripMargin.trim)),
 
+    // ---- local-supplier volume (TPC-H Q5 shape) -----------------------
+    // The 6-table analytic join: region -> nation -> customer -> orders
+    // -> lineitem -> supplier with the SAME-NATION constraint between
+    // customer and supplier, a year of orders, revenue by nation. The
+    // join-order exerciser: two KB dims broadcast (nation, region via
+    // nation prune), the date filter pushes to the orders scan, and
+    // the three fact joins stay key-partitioned for AQE — the shape a
+    // cluster optimizer must get right at 100 TB.
+    Q("q_agg_local_supplier",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_c"))
+        val ord = orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val cust = customer(s, d).select("c_custkey", "c_nationkey")
+        val supp = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val nat = nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
+            .select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue_c").desc, col("n_name"))
+      },
+      Some(s"""
+        |SELECT n_name,
+        |  ${sumB(centsSql("l_extendedprice * (1 - l_discount)"))}
+        |    AS revenue_c,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01'
+        |  AND o_orderdate < '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue_c DESC, n_name
+        |""".stripMargin.trim)),
+
     // ---- sessionization over the events stream table ------------------
     // (gap > 30 min ⇒ new session; lag + running conditional sum;
     // ts arrives as exact epoch-micros longs — see Tables.events)
