@@ -75,12 +75,17 @@ object TextOps {
       .otherwise(lit("es"))
   }
 
+  /** Stopword-hit count of a text expression — the SQL twin of
+    * [[countIn]], shared by the doc-level and sentence-level language
+    * oracles. */
+  private def swCntSql(e: String, words: Seq[String]): String =
+    s"len(list_filter(string_split_regex(lower($e), '[ \\t\\n\\r\\f]+'), " +
+      s"w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
   /** DuckDB twin of [[detectLanguage]] + correctness flag, over
     * `documents`. */
   val langIdOracleSql: String = {
-    def cnt(words: Seq[String]) =
-      s"len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), " +
-        s"w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    def cnt(words: Seq[String]) = swCntSql("text", words)
     s"""
     |WITH v AS (SELECT doc_id, lang,
     |    length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))
@@ -99,6 +104,56 @@ object TextOps {
     |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) AS INTEGER)
     |    AS correct
     |FROM v ORDER BY doc_id
+    |""".stripMargin.trim
+  }
+
+  /** Per-document language-mixture report: sentences split on [.!?]+
+    * runs, each voted through [[detectLanguage]], rolled up to
+    * (n_sentences, n_langs, majority_milli) — the code-switching
+    * signal a monolingual-corpus filter thresholds on (a doc whose
+    * majority language holds <~700‰ of sentences is mixed). One
+    * (doc, lang) partial-agg shuffle; the sentence explode is
+    * scan-speed. */
+  def langMixture(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), "[.!?]+"))
+        .as("sent"))
+      .withColumn("sent", trim(col("sent")))
+      .filter(col("sent") =!= "")
+      .select(col(idCol), detectLanguage(col("sent")).as("slang"))
+      .groupBy(idCol, "slang").agg(count(lit(1)).as("n"))
+      .groupBy(idCol).agg(
+        sum("n").as("n_sentences"),
+        count(lit(1)).as("n_langs"),
+        expr("1000 * max(n) div sum(n)").as("majority_milli"))
+
+  /** DuckDB twin of [[langMixture]] over a relation exposing
+    * (id-col, text). */
+  def langMixtureOracleSql(rel: String, idCol: String = "doc_id"): String = {
+    def cnt(words: Seq[String]) = swCntSql("sent", words)
+    s"""
+    |WITH mx_s AS (SELECT $idCol, trim(sent) AS sent FROM (
+    |    SELECT $idCol, unnest(string_split_regex(text, '[.!?]+'))
+    |      AS sent FROM $rel)
+    |  WHERE trim(sent) <> ''),
+    |mx_v AS (SELECT $idCol,
+    |    length(regexp_replace(sent, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))
+    |      AS n_cjk,
+    |    ${cnt(stopwordsEn)} AS s_en, ${cnt(stopwordsDe)} AS s_de,
+    |    ${cnt(stopwordsFr)} AS s_fr, ${cnt(stopwordsEs)} AS s_es
+    |  FROM mx_s),
+    |mx_l AS (SELECT $idCol,
+    |    CASE WHEN n_cjk >= 3 THEN 'zh'
+    |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS slang
+    |  FROM mx_v),
+    |mx_c AS (SELECT $idCol, slang, count(*) AS n
+    |  FROM mx_l GROUP BY 1, 2)
+    |SELECT $idCol, CAST(sum(n) AS BIGINT) AS n_sentences,
+    |  CAST(count(*) AS BIGINT) AS n_langs,
+    |  CAST(1000 * max(n) // sum(n) AS BIGINT) AS majority_milli
+    |FROM mx_c GROUP BY $idCol ORDER BY $idCol
     |""".stripMargin.trim
   }
 

@@ -352,6 +352,26 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(TextOps.langIdOracleSql)),
 
+    // ---- per-sentence language mixture (code-switch detection) --------
+    // Sentence-level language votes rolled up per doc: the
+    // monolingual-corpus filter thresholds on majority_milli (planted:
+    // every 6th doc gains a German and a French sentence, so mixtures
+    // exist and the majority share drops measurably).
+    Q("q_text_lang_mixture",
+      (s, d) => {
+        val planted = " der hund ist ein tier und gut." +
+          " le chat est dans la maison et dort."
+        val corpus = documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 6 === 0, concat(col("text"), lit(planted)))
+            .otherwise(col("text")).as("text"))
+        TextOps.langMixture(corpus, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(TextOps.langMixtureOracleSql(
+        "(SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text ||" +
+          " ' der hund ist ein tier und gut." +
+          " le chat est dans la maison et dort.'" +
+          " ELSE text END AS text FROM documents)"))),
+
     // ---- document fingerprinting (md5 exact + normalized) -------------
     Q("q_text_fingerprint",
       (s, d) => {
@@ -998,6 +1018,45 @@ object TextQueries {
           |SELECT doc_id, u AS url_canon,
           |  ${UrlOps.hostOfSql("u")} AS host
           |FROM qc_canon ORDER BY doc_id
+          |""".stripMargin.trim
+      }),
+
+    // ---- crawl-frontier dedup by canonical URL -----------------------
+    // The reason the canonicalizer exists: re-queued URLs that differ
+    // only in tracking params / fragments (planted for every 4th doc)
+    // collapse to one frontier entry, keeping the first-seen id and
+    // the alias count. One group-by shuffle on the canonical form.
+    Q("q_url_dedup",
+      (s, d) => {
+        import graft.ops.UrlOps
+        val base = documents(s, d).select(col("doc_id"),
+          messyUrl.as("url"))
+        val aliases = documents(s, d).filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 8000000L).as("doc_id"),
+            concat(messyUrl, lit("&utm_zz=9")).as("url"))
+        base.unionByName(aliases)
+          .select(col("doc_id"),
+            UrlOps.canonicalizeUrl(col("url")).as("u"))
+          .groupBy("u")
+          .agg(min("doc_id").as("first_doc"),
+            count(lit(1)).as("n_aliases"))
+          .select(col("u").as("url_canon"), col("first_doc"),
+            col("n_aliases"))
+          .orderBy("first_doc")
+      },
+      Some {
+        import graft.ops.UrlOps
+        s"""WITH ud_raw AS (SELECT doc_id, $messyUrlSql AS url
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 8000000, ($messyUrlSql) || '&utm_zz=9'
+           |  FROM documents WHERE doc_id % 4 = 0),
+           |""".stripMargin +
+          UrlOps.canonicalizeUrlCtes("ud_raw", "doc_id", "url", "ud_") +
+          """
+          |SELECT u AS url_canon, min(doc_id) AS first_doc,
+          |  CAST(count(*) AS BIGINT) AS n_aliases
+          |FROM ud_canon GROUP BY u ORDER BY first_doc
           |""".stripMargin.trim
       }),
 
