@@ -207,4 +207,44 @@ class PlanQualitySpec extends SparkSpec {
       p.split("SortAggregate").length >= 3,
       s"collect_set must partial-aggregate:\n$p")
   }
+
+  test("q_agg_local_supplier: date predicate pushed to the orders " +
+      "scan; no cartesian anywhere in the 6-table join") {
+    val p = plan("q_agg_local_supplier")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"order-date range must reach the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ann_ivfpq_topk: probed cells prune the codes-store scan " +
+      "(dynamic partition pruning), candidates via hash join") {
+    val p = plan("q_ann_ivfpq_topk")
+    assert(p.contains("dynamicpruning"),
+      s"cluster partition pruning must reach the store scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate generation must be an equi-join:\n$p")
+  }
+
+  test("q_text_bpe_apply: vocabulary joins broadcast; subword counts " +
+      "partial-aggregate") {
+    val p = plan("q_text_bpe_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.split("HashAggregate").length >= 3)
+  }
+
+  test("q_url_canonicalize / q_rendezvous_shard: pure per-row " +
+      "projection — no join, no window over the corpus") {
+    val pu = plan("q_url_canonicalize")
+    assert(!pu.contains("Join") && !pu.contains("Window"),
+      s"canonicalization must stay scan-speed:\n$pu")
+    val pr = plan("q_rendezvous_shard")
+    assert(!pr.contains("Join") || pr.contains("BroadcastHashJoin"),
+      s"HRW assignment must not shuffle-join the corpus:\n$pr")
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"),
+      s"HRW weights fold as literals, never a shard cross-join:\n$pr")
+  }
 }
