@@ -96,6 +96,36 @@ object MultimodalQueries {
 
   private def mediaPngTable(s: SparkSession, d: String): String =
     mediaStore(s, d, "png", Multimodal.renderPngCorpus)
+
+  /** The media lake as it actually lands: one image FILE per doc
+    * (content-keyed dir, executor-side writes with atomic member
+    * renames — the WarcSink discipline; on a cluster this dir is
+    * shared storage). Front door for the `binaryFile` source gate. */
+  private def mediaFilesDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_mediafiles_" +
+        Sinks.contentKey(d, "documents.parquet", "mediafiles|v1"))
+    val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
+    if (!marker.exists()) {
+      dir.mkdirs()
+      val path = dir.getAbsolutePath
+      s.table(mediaPngTable(s, d))
+        .filter(col("doc_id") < TwinOffset)
+        .select("doc_id", "payload")
+        .foreachPartition {
+          (rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach { r =>
+              val id = r.getLong(0)
+              val tmp = new java.io.File(path, s".doc_$id.png.tmp")
+              java.nio.file.Files.write(tmp.toPath,
+                r.getAs[Array[Byte]](1))
+              tmp.renameTo(new java.io.File(path, s"doc_$id.png"))
+            }
+        }
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
   private def mediaWavTable(s: SparkSession, d: String): String =
     mediaStore(s, d, "wav", Multimodal.renderWavCorpus)
   private def mediaGifTable(s: SparkSession, d: String): String =
@@ -434,6 +464,29 @@ object MultimodalQueries {
         |    AS BIGINT) AS fhash FROM fe)
         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, fhash FROM fh
         |ORDER BY doc_id, frame_idx
+        |""".stripMargin.trim)),
+
+    // ---- binaryFile-source ingest: files on disk -> decode chain ----
+    // Spark's `binaryFile` source is the media lake's real front door
+    // (one image file per asset): list the directory, parse the asset
+    // id from the filename, run the SAME typed decode+hash path over
+    // file-sourced bytes. The oracle is the text-derived hash chain,
+    // so file write → listing → id parse → decode are all pinned.
+    Q("q_binaryfile_ingest",
+      (s, d) => {
+        val dir = mediaFilesDir(s, d)
+        val bin = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png").load(dir)
+          .select(regexp_extract(col("path"), "doc_([0-9]+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+            col("content").as("payload"))
+        Multimodal.pHashDecoded(bin).toDF().orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |${phashCtes("base", "text", "p", "phash")}
+        |SELECT doc_id, phash FROM ph ORDER BY doc_id
         |""".stripMargin.trim)),
 
     // ---- streaming media ingest: decode + fingerprint in-stream -----

@@ -67,6 +67,30 @@ object TextQueries {
     dir.getAbsolutePath
   }
 
+  /** Content-keyed gzip JSONL archive of the corpus — the standard
+    * LLM-corpus interchange layout (one JSON doc per line, gzip
+    * members): docs 7 and 13 are planted as BROKEN lines, the torn
+    * writes / truncated uploads a real archive carries. */
+  private def jsonlGzDir(s: org.apache.spark.sql.SparkSession,
+                         d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_jsonlgz_" +
+        Sinks.contentKey(d, "documents.parquet", "jsonlgz|v1"))
+    val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
+    if (!marker.exists()) {
+      val line = when(col("doc_id").isin(7L, 13L),
+          concat(lit("{corrupt "), col("doc_id")))
+        .otherwise(to_json(struct(col("doc_id"), col("text"),
+          col("lang"), col("source"))))
+      documents(s, d).select(line.as("value"))
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip")
+        .text(dir.getAbsolutePath)
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
   /** Rounds the BPE gates train/apply — ONE constant feeding the Spark
     * loop, the store key, and both oracles. */
   private val BpeRounds = 10
@@ -1020,6 +1044,41 @@ object TextQueries {
           |FROM qc_canon ORDER BY doc_id
           |""".stripMargin.trim
       }),
+
+    // ---- gzip JSONL ingest with corrupt-record accounting -------------
+    // The LLM-corpus interchange format read end-to-end: one JSON doc
+    // per line inside gzip members (store built untimed), parsed
+    // PERMISSIVE with a corrupt-record column so torn lines (planted:
+    // docs 7 and 13) are COUNTED, never dropped silently or fatal.
+    // Schema is explicit — no sampling inference pass at 100 TB. The
+    // oracle recomputes the per-language stats from the source table
+    // minus the planted breaks, pinning the whole write→gzip→parse
+    // round trip.
+    Q("q_jsonl_gz_ingest",
+      (s, d) => {
+        val dir = jsonlGzDir(s, d)
+        val schema = "doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, _corrupt STRING"
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(dir)
+          .select(when(col("_corrupt").isNotNull, lit("_corrupt"))
+            .otherwise(col("lang")).as("lang"),
+            coalesce(length(col("text")), lit(0)).cast("long").as("len"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("len").as("n_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id NOT IN (7, 13) GROUP BY lang
+        |UNION ALL
+        |SELECT '_corrupt' AS lang, CAST(2 AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_chars
+        |ORDER BY lang
+        |""".stripMargin.trim)),
 
     // ---- crawl-frontier dedup by canonical URL -----------------------
     // The reason the canonicalizer exists: re-queued URLs that differ
