@@ -771,6 +771,110 @@ object SimQueries {
         |WHERE jaccard_milli >= 800 ORDER BY id_new, id_corpus
         |""".stripMargin.trim)),
 
+    // ---- the daily increment END-TO-END: exact -> near -> quality ----
+    // One composed pipeline for an arriving batch, every stage on its
+    // INCREMENTAL primitive: within-batch + vs-corpus exact dedup by
+    // fingerprint anti-join, near-dup rejection against the STORED
+    // corpus LSH buckets (batch pays banding over itself only), then
+    // the >= 10-token quality floor. The batch plants all four fates —
+    // exact recrawls (docs < 30 re-keyed), mutated near-copies, and
+    // genuinely new reversed-token docs (long and short) — and the
+    // gate emits the per-row VERDICT audit (dup_exact / dup_near /
+    // short / admit), the artifact an ingest run must be able to
+    // explain itself with. The oracle replays the whole staged chain
+    // from first principles (brute-force cross-side near-dup truth),
+    // pinning each stage boundary AND store freshness.
+    Q("q_incr_curation_pipeline",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id").as("id"), col("text"))
+        val bExact = docs.filter(col("id") < 30)
+          .select((col("id") + 2000000L).as("id"), col("text"))
+        val bNear = corpus(s, d).filter(col("id") >= 1000000L)
+        val toks = TextOps.tokens(col("text"))
+        val bNew = docs.filter(col("id") >= 100 && col("id") < 150)
+          .select((col("id") + 2100000L).as("id"),
+            array_join(reverse(toks), " ").as("text"))
+        val batch = bExact.unionByName(bNear).unionByName(bNew)
+        val s1 = graft.ops.Dedup.incrementalExactDedup(docs, batch,
+          contentCols = Seq("text"), tiebreak = Seq("id"))
+        val (bT, shT) = corpusLshTables(s, d)
+        val shingled = s1
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        val nearIds = Similarity.nearDupPairsAgainstBuckets(shingled,
+            s.table(bT), s.table(shT),
+            k = 32, bands = 16, thresholdMilli = 800)
+          .select(col("id_new").as("id")).distinct()
+        val admitted = s1.join(nearIds, Seq("id"), "left_anti")
+          .filter(size(TextOps.tokens(col("text"))) >= 10)
+        batch.select(col("id"))
+          .join(s1.select(col("id"), lit(1).as("_s1")), Seq("id"), "left")
+          .join(nearIds.select(col("id"), lit(1).as("_nr")),
+            Seq("id"), "left")
+          .join(admitted.select(col("id"), lit(1).as("_ad")),
+            Seq("id"), "left")
+          .select(col("id").as("doc_id"),
+            when(col("_s1").isNull, lit("dup_exact"))
+              .when(col("_nr").isNotNull, lit("dup_near"))
+              .when(col("_ad").isNotNull, lit("admit"))
+              .otherwise(lit("short")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH $corpusSql,
+        |icp_b1 AS (SELECT id + 2000000 AS id, text FROM docs
+        |  WHERE id < 30),
+        |icp_b2 AS (SELECT id, text FROM corpus WHERE id >= 1000000),
+        |icp_b3 AS (SELECT id + 2100000 AS id, array_to_string(
+        |    list_reverse(string_split_regex(trim(text),
+        |      '[ \t\n\r\f]+')), ' ') AS text
+        |  FROM docs WHERE id >= 100 AND id < 150),
+        |icp_batch AS (SELECT * FROM icp_b1
+        |  UNION ALL SELECT * FROM icp_b2
+        |  UNION ALL SELECT * FROM icp_b3),
+        |icp_s1 AS (SELECT id, text FROM (
+        |    SELECT id, text, row_number() OVER (
+        |      PARTITION BY text ORDER BY id) AS rn FROM icp_batch) b
+        |  WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM docs c
+        |    WHERE c.text IS NOT DISTINCT FROM b.text)),
+        |icp_bsh AS (SELECT id, list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    AS shingles
+        |  FROM (SELECT id, string_split_regex(trim(text),
+        |      '[ \t\n\r\f]+') AS toks FROM icp_s1)
+        |  WHERE len(toks) >= 3),
+        |icp_cand AS (SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+        |  FROM (SELECT id, unnest(shingles) AS s FROM icp_bsh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh
+        |        WHERE id < 1000000) b ON a.s = b.s),
+        |icp_near AS (SELECT DISTINCT id_new AS id FROM (
+        |    SELECT id_new, floor(1000.0
+        |        * len(list_intersect(sa.shingles, sb.shingles))
+        |        / (len(sa.shingles) + len(sb.shingles)
+        |           - len(list_intersect(sa.shingles, sb.shingles)))
+        |        + 0.5) AS jm
+        |    FROM icp_cand JOIN icp_bsh sa ON sa.id = icp_cand.id_new
+        |    JOIN sh sb ON sb.id = icp_cand.id_corpus)
+        |  WHERE jm >= 800),
+        |icp_adm AS (SELECT b.id FROM icp_s1 b
+        |  WHERE b.id NOT IN (SELECT id FROM icp_near)
+        |    AND len(string_split_regex(trim(b.text),
+        |      '[ \t\n\r\f]+')) >= 10)
+        |SELECT b.id AS doc_id,
+        |  CASE WHEN s1.id IS NULL THEN 'dup_exact'
+        |       WHEN nr.id IS NOT NULL THEN 'dup_near'
+        |       WHEN ad.id IS NOT NULL THEN 'admit'
+        |       ELSE 'short' END AS verdict
+        |FROM icp_batch b
+        |LEFT JOIN icp_s1 s1 ON s1.id = b.id
+        |LEFT JOIN icp_near nr ON nr.id = b.id
+        |LEFT JOIN icp_adm ad ON ad.id = b.id
+        |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // ---- split-leakage audit ------------------------------------------
     // The reason dedup must precede splitting: every detected near-dup
     // pair here is (original, mutated copy), and a hash split by doc id
