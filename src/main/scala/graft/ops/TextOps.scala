@@ -658,7 +658,10 @@ object TextOps {
     * `bpe_m1..bpe_m<rounds>` (rank, pair, cnt), so both the merge-table
     * gate and the apply gate build on one chain. Generated beside the
     * Spark loop so the pair count, tie-break, and replace semantics
-    * can never drift. */
+    * can never drift. Early exhaustion mirrors the Spark loop's: an
+    * empty `bpe_m` round LEFT-joins as NULL and `coalesce` carries the
+    * fully-merged vocabulary forward unchanged (a plain comma join
+    * would empty every later round). */
   def bpeOracleCtes(docsSql: String, rounds: Int): String = {
     val base =
       s"""bpe_w AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
@@ -677,9 +680,9 @@ object TextOps {
          |bpe_m$r AS (SELECT CAST($r AS INTEGER) AS rank, pair, cnt
          |  FROM bpe_p$r ORDER BY cnt DESC, pair LIMIT 1),
          |bpe_s$r AS (SELECT word, n,
-         |  replace(sym, ' ' || pair || ' ',
-         |    ' ' || replace(pair, ' ', '') || ' ') AS sym
-         |  FROM $prev, bpe_m$r)""".stripMargin
+         |  coalesce(replace(sym, ' ' || pair || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' '), sym) AS sym
+         |  FROM $prev LEFT JOIN bpe_m$r ON TRUE)""".stripMargin
     }
     (base +: steps).mkString(",\n")
   }

@@ -24,7 +24,17 @@ object UrlOps {
   // Shared pattern constants (Java regex ∩ RE2 — no lookarounds, no
   // engine-specific classes). Single-quote-free so they embed directly
   // in SQL literals.
-  private val FragRe = "#.*$"
+  //
+  // Edge trimming uses the pinned 5-char whitespace class (TextOps
+  // convention) instead of trim(): trim strips spaces only, and a
+  // trailing newline would make every later $-anchored step DIVERGE —
+  // Java's default $ also matches before a final line terminator,
+  // RE2's never does. With terminator-free ends (this strip matches
+  // to absolute end in both engines — the class contains the
+  // terminators), the remaining $ anchors behave identically; internal
+  // newlines match in neither engine ('.' crosses them in neither).
+  private val EdgeWsRe = "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$"
+  private val FragRe = "#[\\s\\S]*$"
   private val SchemeHostRe = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
   private val Http80Re = "^(http://[^/?#:]*):80([/?#].*)?$"
   private val Https443Re = "^(https://[^/?#:]*):443([/?#].*)?$"
@@ -44,7 +54,7 @@ object UrlOps {
     * `scheme://`) pass through the fragment/utm/slash steps unchanged
     * in shape — the op is total. */
   def canonicalizeUrl(c: Column): Column = {
-    val nf = regexp_replace(trim(c), FragRe, "")
+    val nf = regexp_replace(regexp_replace(c, EdgeWsRe, ""), FragRe, "")
     val sh = regexp_extract(nf, SchemeHostRe, 1)
     val lowered = when(sh === "", nf)
       .otherwise(concat(lower(sh), nf.substr(length(sh) + 1, length(nf))))
@@ -52,9 +62,11 @@ object UrlOps {
       regexp_replace(lowered, Http80Re, "$1$2"), Https443Re, "$1$2")
     val utm = regexp_replace(regexp_replace(
       regexp_replace(ports, UtmAmpRe, ""), UtmQAmpRe, "?"), UtmQEndRe, "")
-    // final trim: fragment stripping on non-URL text can expose
-    // trailing whitespace the leading trim ran too early to see
-    trim(regexp_replace(regexp_replace(utm, DupSlashRe, "$1/"), TrailRe, ""))
+    // edge-strip again: fragment/utm stripping on non-URL text can
+    // expose trailing whitespace the leading strip ran too early to see
+    regexp_replace(
+      regexp_replace(regexp_replace(utm, DupSlashRe, "$1/"), TrailRe, ""),
+      EdgeWsRe, "")
   }
 
   /** The lowercase host of a canonicalized URL ('' when schemeless). */
@@ -71,8 +83,9 @@ object UrlOps {
     * applies repeatedly. */
   def canonicalizeUrlCtes(rel: String, keys: String, urlExpr: String,
                           p: String): String =
-    s"""${p}u0 AS (SELECT $keys,
-       |    regexp_replace(trim($urlExpr), '$FragRe', '') AS u FROM $rel),
+    s"""${p}u0 AS (SELECT $keys, regexp_replace(
+       |    regexp_replace($urlExpr, '$EdgeWsRe', '', 'g'),
+       |    '$FragRe', '') AS u FROM $rel),
        |${p}u1 AS (SELECT $keys, CASE WHEN sh = '' THEN u
        |    ELSE lower(sh) || substr(u, length(sh) + 1) END AS u
        |  FROM (SELECT $keys, u,
@@ -82,9 +95,11 @@ object UrlOps {
        |  FROM ${p}u1),
        |${p}u3 AS (SELECT $keys, regexp_replace(regexp_replace(
        |    regexp_replace(u, '$UtmAmpRe', '', 'g'),
-       |    '$UtmQAmpRe', '?'), '$UtmQEndRe', '') AS u FROM ${p}u2),
-       |${p}canon AS (SELECT $keys, trim(regexp_replace(regexp_replace(u,
-       |    '$DupSlashRe', '\\1/', 'g'), '$TrailRe', '')) AS u
+       |    '$UtmQAmpRe', '?', 'g'), '$UtmQEndRe', '') AS u FROM ${p}u2),
+       |${p}canon AS (SELECT $keys, regexp_replace(
+       |    regexp_replace(regexp_replace(u,
+       |      '$DupSlashRe', '\\1/', 'g'), '$TrailRe', ''),
+       |    '$EdgeWsRe', '', 'g') AS u
        |  FROM ${p}u3)""".stripMargin
 
   /** DuckDB twin of [[hostOf]]. */

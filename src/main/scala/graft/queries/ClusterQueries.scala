@@ -554,19 +554,15 @@ object ClusterQueries {
           Clustering.quantizeMilli(col("embedding")).as("qv"))
         val model = graft.ops.Classify.centroidModel(
           emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "label", "qv")
+        // fresh session at stream-sized shuffle width (the
+        // StreamQueries convention: micro-batches are KB-sized, 32
+        // shuffle partitions would be empty-task churn)
         val s2 = s.newSession()
         s2.conf.set("spark.sql.shuffle.partitions", "4")
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("label",
-            org.apache.spark.sql.types.IntegerType)))
         // file-stream sources monitor a DIRECTORY (the eventsStream
         // convention): glob the embeddings table out of the sf dir
-        val stream = s2.readStream.schema(schema)
+        val stream = s2.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
           .option("pathGlobFilter", "embeddings.parquet").parquet(d)
           .filter(pmod(col("vec_id"), lit(5)) === 0)
         val best = graft.ops.Classify.centroidAssignCol(model,

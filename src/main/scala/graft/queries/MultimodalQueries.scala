@@ -119,7 +119,12 @@ object MultimodalQueries {
               val tmp = new java.io.File(path, s".doc_$id.png.tmp")
               java.nio.file.Files.write(tmp.toPath,
                 r.getAs[Array[Byte]](1))
-              tmp.renameTo(new java.io.File(path, s"doc_$id.png"))
+              // throws on failure — a silently missing member would
+              // poison the marker-guarded dir until manually deleted
+              java.nio.file.Files.move(tmp.toPath,
+                new java.io.File(path, s"doc_$id.png").toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             }
         }
       marker.createNewFile()

@@ -796,8 +796,15 @@ object SimQueries {
           .select((col("id") + 2100000L).as("id"),
             array_join(reverse(toks), " ").as("text"))
         val batch = bExact.unionByName(bNear).unionByName(bNew)
+        // both stage outputs feed 2-3 consumers (the next stage AND
+        // the verdict assembly): materialize once — batch-sized id/
+        // text rows and a bare id list, tiny payloads against the
+        // min_by_obj shuffle + banding/verify they'd otherwise re-run
+        // per consumer (the 5-consumer checkpoint doctrine; measured
+        // A/B in BASELINE.md round-9)
         val s1 = graft.ops.Dedup.incrementalExactDedup(docs, batch,
           contentCols = Seq("text"), tiebreak = Seq("id"))
+          .localCheckpoint()
         val (bT, shT) = corpusLshTables(s, d)
         val shingled = s1
           .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
@@ -807,6 +814,7 @@ object SimQueries {
             s.table(bT), s.table(shT),
             k = 32, bands = 16, thresholdMilli = 800)
           .select(col("id_new").as("id")).distinct()
+          .localCheckpoint()
         val admitted = s1.join(nearIds, Seq("id"), "left_anti")
           .filter(size(TextOps.tokens(col("text"))) >= 10)
         batch.select(col("id"))

@@ -51,6 +51,15 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("  plain  ") == "plain")
   }
 
+  test("canonicalizeUrl: newline-bearing edges — trim() misses them " +
+      "and Java/RE2 disagree on $ before a final terminator, so the " +
+      "edge strip must neutralize them before any anchored step") {
+    assert(canon("http://H.com/p/\n") == "http://h.com/p")
+    assert(canon("\thttp://h.com:80/p ") == "http://h.com/p")
+    // fragment removal crosses internal newlines ([\s\S], not .*)
+    assert(canon("http://h.com/p#frag\nmore") == "http://h.com/p")
+  }
+
   test("canonicalizeUrl is idempotent on seeded random messy URLs " +
       "(a canonical form must be a fixed point)") {
     val rnd = new scala.util.Random(41L)
