@@ -1020,6 +1020,46 @@ object TextQueries {
         |ORDER BY p1.doc_id
         |""".stripMargin.trim)),
 
+    // ---- tokenizer evaluation: compression per language --------------
+    // The number a trained tokenizer is judged by: milli-chars per
+    // subword, per language (higher = better compression; a language
+    // the merges never saw compresses near 1000 = one char per
+    // symbol-ish). Closes the tokenizer loop: train (q_text_bpe_train)
+    // -> apply (q_text_bpe_apply) -> evaluate. Reads the stored
+    // vocabulary; one broadcastable join + one bounded rollup.
+    Q("q_text_bpe_compression",
+      (s, d) => {
+        val vocab = s.table(bpeVocabTable(s, d)).select(col("word"),
+          length(col("word")).cast(LongType).as("n_chars"),
+          size(split(trim(col("sym")), " ")).cast(LongType).as("n_sub"))
+        documents(s, d).select(col("doc_id"), col("lang"),
+            explode(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+"), lit(0))).as("word"))
+          .join(vocab, "word")
+          .groupBy("lang")
+          .agg(sum("n_chars").as("sum_chars"),
+            sum("n_sub").as("sum_subwords"),
+            expr("1000 * sum(n_chars) div sum(n_sub)")
+              .as("chars_per_sub_milli"))
+          .orderBy("lang")
+      },
+      Some("WITH " +
+        TextOps.bpeOracleCtes("SELECT text FROM documents", BpeRounds) +
+        s"""
+        |, bpc_w AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents)
+        |SELECT w.lang,
+        |  CAST(sum(length(w.word)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(str_split(trim(v.sym), ' '))) AS BIGINT)
+        |    AS sum_subwords,
+        |  CAST(1000 * sum(length(w.word))
+        |    // sum(len(str_split(trim(v.sym), ' '))) AS BIGINT)
+        |    AS chars_per_sub_milli
+        |FROM bpc_w w JOIN bpe_s$BpeRounds v USING (word)
+        |GROUP BY w.lang ORDER BY w.lang
+        |""".stripMargin.trim)),
+
     // ---- URL canonicalization ----------------------------------------
     // The crawl-frontier normalizer: case-fold scheme/authority, drop
     // fragments + default ports + utm_* tracking params, collapse
