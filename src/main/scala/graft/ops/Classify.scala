@@ -68,6 +68,28 @@ object Classify {
     }: _*))
   }
 
+  /** Margin-based ACTIVE-LEARNING selection: the holdout rows whose
+    * best-vs-second-best centroid distance gap is smallest are the
+    * ones a labeling budget buys the most from (classic
+    * smallest-margin uncertainty sampling). Returns (id, pred,
+    * margin) for every row of `test` — margin = d₂ − d₁ ≥ 0, exact
+    * integers; the caller ranks ascending and takes its batch. Same
+    * literal-model fold as [[centroidAssignCol]], extended to the
+    * top-2 by sorting the |labels|-sized candidate array in the
+    * projection — still per-row work, no shuffle. */
+  def uncertaintyMargin(test: DataFrame, model: Seq[(Long, Seq[Long])],
+                        idCol: String, qvCol: String): DataFrame = {
+    require(model.size >= 2, "uncertaintyMargin needs >= 2 labels")
+    val cands = array_sort(array(model.map { case (lab, cv) =>
+      struct(Clustering.l2sqLong(array(cv.map(lit): _*), col(qvCol))
+        .as("d"), lit(lab).as("lab"))
+    }: _*))
+    test.select(col(idCol).cast(LongType).as("id"),
+      element_at(cands, 1).getField("lab").as("pred"),
+      (element_at(cands, 2).getField("d") -
+        element_at(cands, 1).getField("d")).as("margin"))
+  }
+
   /** Score `test(idCol, labelCol, qvCol)` against `centroids(lab, cv)`
     * ([[centroidTrain]] output): (id, label_true, pred, dist_sq, hit)
     * — nearest centroid, ties to the smaller label. The centroid side

@@ -82,30 +82,37 @@ object TextOps {
     s"len(list_filter(string_split_regex(lower($e), '[ \\t\\n\\r\\f]+'), " +
       s"w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** The language-vote decision over score columns (n_cjk, s_en, s_de,
+    * s_fr, s_es) — ONE definition for every oracle that replays
+    * [[detectLanguage]] (doc-level, sentence-level, kappa). */
+  val langVoteCaseSql: String =
+    """CASE WHEN n_cjk >= 3 THEN 'zh'
+      |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END""".stripMargin
+
+  /** The five score columns over a text expression, for a SELECT list
+    * feeding [[langVoteCaseSql]]. */
+  def langVoteScoresSql(e: String): String =
+    s"length(regexp_replace($e, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))" +
+      s" AS n_cjk,\n    ${swCntSql(e, stopwordsEn)} AS s_en, " +
+      s"${swCntSql(e, stopwordsDe)} AS s_de,\n    " +
+      s"${swCntSql(e, stopwordsFr)} AS s_fr, " +
+      s"${swCntSql(e, stopwordsEs)} AS s_es"
+
   /** DuckDB twin of [[detectLanguage]] + correctness flag, over
     * `documents`. */
-  val langIdOracleSql: String = {
-    def cnt(words: Seq[String]) = swCntSql("text", words)
+  val langIdOracleSql: String =
     s"""
     |WITH v AS (SELECT doc_id, lang,
-    |    length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))
-    |      AS n_cjk,
-    |    ${cnt(stopwordsEn)} AS s_en, ${cnt(stopwordsDe)} AS s_de,
-    |    ${cnt(stopwordsFr)} AS s_fr, ${cnt(stopwordsEs)} AS s_es
+    |    ${langVoteScoresSql("text")}
     |  FROM documents)
     |SELECT doc_id, lang,
-    |  CASE WHEN n_cjk >= 3 THEN 'zh'
-    |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-    |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-    |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred,
-    |  CAST(lang = (CASE WHEN n_cjk >= 3 THEN 'zh'
-    |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-    |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-    |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) AS INTEGER)
+    |  $langVoteCaseSql AS lang_pred,
+    |  CAST(lang = ($langVoteCaseSql) AS INTEGER)
     |    AS correct
     |FROM v ORDER BY doc_id
     |""".stripMargin.trim
-  }
 
   /** Per-document language-mixture report: sentences split on [.!?]+
     * runs, each voted through [[detectLanguage]], rolled up to
@@ -129,24 +136,17 @@ object TextOps {
 
   /** DuckDB twin of [[langMixture]] over a relation exposing
     * (id-col, text). */
-  def langMixtureOracleSql(rel: String, idCol: String = "doc_id"): String = {
-    def cnt(words: Seq[String]) = swCntSql("sent", words)
+  def langMixtureOracleSql(rel: String, idCol: String = "doc_id"): String =
     s"""
     |WITH mx_s AS (SELECT $idCol, trim(sent) AS sent FROM (
     |    SELECT $idCol, unnest(string_split_regex(text, '[.!?]+'))
     |      AS sent FROM $rel)
     |  WHERE trim(sent) <> ''),
     |mx_v AS (SELECT $idCol,
-    |    length(regexp_replace(sent, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))
-    |      AS n_cjk,
-    |    ${cnt(stopwordsEn)} AS s_en, ${cnt(stopwordsDe)} AS s_de,
-    |    ${cnt(stopwordsFr)} AS s_fr, ${cnt(stopwordsEs)} AS s_es
+    |    ${langVoteScoresSql("sent")}
     |  FROM mx_s),
     |mx_l AS (SELECT $idCol,
-    |    CASE WHEN n_cjk >= 3 THEN 'zh'
-    |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-    |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-    |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS slang
+    |    $langVoteCaseSql AS slang
     |  FROM mx_v),
     |mx_c AS (SELECT $idCol, slang, count(*) AS n
     |  FROM mx_l GROUP BY 1, 2)
@@ -155,7 +155,6 @@ object TextOps {
     |  CAST(1000 * max(n) // sum(n) AS BIGINT) AS majority_milli
     |FROM mx_c GROUP BY $idCol ORDER BY $idCol
     |""".stripMargin.trim
-  }
 
   /** md5 over lowercased alphanumerics — whitespace/punct-insensitive
     * content fingerprint (rolling-hash stand-in that both engines can

@@ -610,6 +610,43 @@ object ClusterQueries {
         |FROM cls_best WHERE rn = 1 ORDER BY id
         |""".stripMargin.trim)),
 
+    // ---- active learning: smallest-margin labeling batch -------------
+    // The label-efficiency move: rank the holdout by the gap between
+    // best and second-best centroid distance (ascending — most
+    // ambiguous first) and take the 25-row annotation batch. The
+    // margin is a per-row literal-model fold (top-2 via sorting the
+    // |labels|-sized candidate array inside the projection); the
+    // global pick is orderBy+limit (TakeOrdered), never a full-corpus
+    // window. Exact integers; ties to the smaller id.
+    Q("q_classify_active_sample",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("label"),
+          Clustering.quantizeMilli(col("embedding")).as("qv"))
+        val model = graft.ops.Classify.centroidModel(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "label", "qv")
+        val m = graft.ops.Classify.uncertaintyMargin(
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0), model,
+          "vec_id", "qv")
+        val batch = m.orderBy(col("margin").asc, col("id").asc)
+          .limit(25)
+        batch.withColumn("rank", row_number().over(
+            Window.orderBy(col("margin").asc, col("id").asc)))
+          .select("rank", "id", "pred", "margin")
+          .orderBy("rank")
+      },
+      Some(classifierOracleCtes +
+        """
+        |, act_m AS (SELECT id,
+        |    max(CASE WHEN rn = 1 THEN pred END) AS pred,
+        |    max(CASE WHEN rn = 2 THEN dist_sq END)
+        |      - max(CASE WHEN rn = 1 THEN dist_sq END) AS margin
+        |  FROM cls_best WHERE rn <= 2 GROUP BY id)
+        |SELECT rank, id, pred, margin FROM (
+        |  SELECT id, pred, margin, row_number() OVER (
+        |    ORDER BY margin, id) AS rank FROM act_m)
+        |WHERE rank <= 25 ORDER BY rank
+        |""".stripMargin.trim)),
+
     // ---- classifier evaluation: confusion matrix ---------------------
     // The (label_true, pred) count grid plus per-cell share of the
     // true-label row (milli) — the eval artifact a model gate reads.

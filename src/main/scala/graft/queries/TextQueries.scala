@@ -140,6 +140,19 @@ object TextQueries {
   /** Numeric host id planted in the synthetic hostnames. */
   private val HostIdRe = "example([0-9]+)"
 
+  // Per-language signal phrases for the kappa gate (Spark lit + SQL
+  // literal twins from ONE string each).
+  private val KappaPhraseEnS = "the cat is in the box and it is that"
+  private val KappaPhraseDeS = "der hund ist ein tier und die das mit"
+  private val KappaPhraseFrS = "le chat est dans la maison et les du"
+  private val KappaPhraseEsS = "el perro es un animal y los del"
+  private val KappaPhraseZhS = "你好世界这是中文测试"
+  private val KappaPhraseEn = lit(KappaPhraseEnS)
+  private val KappaPhraseDe = lit(KappaPhraseDeS)
+  private val KappaPhraseFr = lit(KappaPhraseFrS)
+  private val KappaPhraseEs = lit(KappaPhraseEsS)
+  private val KappaPhraseZh = lit(KappaPhraseZhS)
+
   /** Per-link (src_host, dst_host) pairs: BOTH ends derived the honest
     * way — through href extraction (dst) / the document's own URL
     * (src), canonicalization, host parsing — never shortcut from
@@ -395,6 +408,81 @@ object TextQueries {
           " ' der hund ist ein tier und gut." +
           " le chat est dans la maison et dort.'" +
           " ELSE text END AS text FROM documents)"))),
+
+    // ---- annotator agreement: Cohen's kappa of the language ID -------
+    // Chance-corrected agreement between the predictor and the gold
+    // label — the eval metric accuracy alone overstates when the label
+    // distribution is skewed. EXACT integer milli: kappa = (po−pe)/
+    // (1−pe) computed as (n·agree − S) / (n² − S) with S = Σ_c
+    // row_c·col_c, floor via the pmod identity (kappa can be
+    // negative; truncating div would round toward zero). Marginals are
+    // label-domain-bounded aggregates; the final combine is two 1-row
+    // frames.
+    // Planted signal: every EVEN doc gains a phrase in its labeled
+    // language (the fixture text itself carries none — unplanted, the
+    // vote predictor answers 'en' constantly, and kappa's verdict on
+    // that degenerate predictor is exactly 0 while accuracy reads a
+    // flattering 43%: the reason this metric exists). Odd docs stay
+    // unplanted, so misclassifications and the chance correction both
+    // stay exercised.
+    Q("q_eval_kappa",
+      (s, d) => {
+        val planted = when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" "),
+            when(col("lang") === "en", KappaPhraseEn)
+              .when(col("lang") === "de", KappaPhraseDe)
+              .when(col("lang") === "fr", KappaPhraseFr)
+              .when(col("lang") === "es", KappaPhraseEs)
+              .otherwise(KappaPhraseZh)))
+          .otherwise(col("text"))
+        val scored = documents(s, d).select(col("lang"),
+          TextOps.detectLanguage(planted).as("pred"))
+        val tot = scored.agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
+            .as("agree"))
+        val rows = scored.groupBy(col("lang").as("lab"))
+          .agg(count(lit(1)).as("r"))
+        val cols = scored.groupBy(col("pred").as("lab"))
+          .agg(count(lit(1)).as("c"))
+        val sSum = rows.join(cols, Seq("lab"), "full")
+          .agg(sum(coalesce(col("r"), lit(0L)) *
+            coalesce(col("c"), lit(0L))).as("s"))
+        tot.crossJoin(sSum).select(col("n"), col("agree"),
+          expr("(1000 * (n * agree - s)" +
+            " - pmod(1000 * (n * agree - s), n * n - s))" +
+            " div (n * n - s)").as("kappa_milli"))
+      },
+      Some(s"""
+        |WITH ek_d AS (SELECT lang, CASE WHEN doc_id % 2 = 0
+        |    THEN text || ' ' || (CASE lang
+        |      WHEN 'en' THEN '${KappaPhraseEnS}'
+        |      WHEN 'de' THEN '${KappaPhraseDeS}'
+        |      WHEN 'fr' THEN '${KappaPhraseFrS}'
+        |      WHEN 'es' THEN '${KappaPhraseEsS}'
+        |      ELSE '${KappaPhraseZhS}' END)
+        |    ELSE text END AS text FROM documents),
+        |ek_v AS (SELECT lang,
+        |    ${TextOps.langVoteScoresSql("text")}
+        |  FROM ek_d),
+        |ek_p AS (SELECT lang,
+        |    ${TextOps.langVoteCaseSql} AS pred
+        |  FROM ek_v),
+        |ek_t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS agree FROM ek_p),
+        |ek_r AS (SELECT lang AS lab, count(*) AS r FROM ek_p
+        |  GROUP BY 1),
+        |ek_c AS (SELECT pred AS lab, count(*) AS c FROM ek_p
+        |  GROUP BY 1),
+        |ek_m AS (SELECT CAST(sum(coalesce(r, 0) * coalesce(c, 0))
+        |    AS BIGINT) AS s
+        |  FROM ek_r FULL JOIN ek_c USING (lab))
+        |SELECT n, agree,
+        |  CAST((1000 * (n * agree - s)
+        |    - (((1000 * (n * agree - s)) % (n * n - s) + (n * n - s))
+        |       % (n * n - s))) // (n * n - s) AS BIGINT) AS kappa_milli
+        |FROM ek_t, ek_m
+        |""".stripMargin.trim)),
 
     // ---- document fingerprinting (md5 exact + normalized) -------------
     Q("q_text_fingerprint",
