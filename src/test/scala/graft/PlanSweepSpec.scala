@@ -45,7 +45,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_classify_centroid",  // holdout × broadcast |labels|-row centroid model
     "q_classify_confusion", // same scoring pass, rolled up
     "q_source_overlap",     // #strata × #strata pair grid (bounded domain)
-    "q_text_length_trim"    // broadcast 1-row percentile bounds
+    "q_text_length_trim",   // broadcast 1-row percentile bounds
+    "q_eval_kappa"          // two 1-row aggregates combined (n/agree × S)
   )
 
   test("no gate plans a CartesianProduct; BroadcastNestedLoopJoin " +
@@ -78,7 +79,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_domain_relevance", // totals over the BUCKET aggregate (64 rows)
     "q_dsir_sample",      // composes domainRelevance (same 64-row window)
     "q_lang_rebalance",   // apportionment over the LANG aggregate (≤ langs rows)
-    "q_rrf_fusion"        // ranks over limit(k) outputs (rankTopK + fusion)
+    "q_rrf_fusion",       // ranks over limit(k) outputs (rankTopK + fusion)
+    "q_classify_active_sample" // rank over the limit(25) TakeOrdered batch
   )
 
   test("no unpartitioned window over unbounded input — the " +

@@ -40,4 +40,23 @@ class ClassifySpec extends SparkSpec {
       (102L, 2L, 0L, 0L),
       (103L, 0L, 25L, 1L)))
   }
+
+  test("uncertaintyMargin: d2 - d1 against the literal model, zero on " +
+      "exact ties, pred follows the smaller label") {
+    val train = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(10L, 0L)), (2L, Seq(0L, 10L))
+    ).toDF("label", "qv")
+    val model = Classify.centroidModel(train, "label", "qv")
+    assert(model == Seq(0L -> Seq(0L, 0L), 1L -> Seq(10L, 0L),
+      2L -> Seq(0L, 10L)))
+    val test = Seq(
+      (1L, Seq(1L, 0L)),  // d=(1, 81, 101): margin 80, pred 0
+      (2L, Seq(5L, 0L)),  // d=(25, 25, 125): tie -> margin 0, pred 0
+      (3L, Seq(0L, 9L))   // d=(81, 181, 1): margin 80, pred 2
+    ).toDF("vec_id", "qv").withColumn("label", lit(0L))
+    val out = Classify.uncertaintyMargin(test, model, "vec_id", "qv")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 0L, 80L), (2L, 0L, 0L), (3L, 2L, 80L)))
+  }
 }
