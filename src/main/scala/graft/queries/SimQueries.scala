@@ -771,6 +771,51 @@ object SimQueries {
         |WHERE jaccard_milli >= 800 ORDER BY id_new, id_corpus
         |""".stripMargin.trim)),
 
+    // ---- threshold operating curve for the near-dup detector ---------
+    // The tuning artifact a dedup rollout reads before picking its
+    // threshold: detected pairs bucketed by jaccard (50-milli bins
+    // over the verified >= 800 range, where banding at k=32/b=16 is
+    // measured complete) with the cumulative pairs-at-or-above each
+    // candidate threshold. Reuses the stored corpus shingle table;
+    // the cumulative fold is a window over the <= 5-row bin aggregate.
+    Q("q_neardup_threshold_curve",
+      (s, d) => {
+        val pairs = Similarity.nearDupPairs(
+          s.table(corpusShingleTable(s, d)), k = 32, bands = 16,
+          thresholdMilli = 800)
+        pairs
+          .select((floor(col("jaccard_milli") / 50) * 50).cast("long")
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+          .withColumn("n_at_or_above", sum("n_pairs").over(
+            Window.orderBy(col("bucket").desc)
+              .rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        |WITH $corpusSql,
+        |tc_p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM (SELECT id, unnest(shingles) AS s FROM sh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
+        |    ON a.s = b.s AND a.id < b.id),
+        |tc_j AS (SELECT
+        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
+        |      AS BIGINT) AS jm
+        |  FROM tc_p JOIN sh sa ON sa.id = tc_p.id_a
+        |            JOIN sh sb ON sb.id = tc_p.id_b),
+        |tc_b AS (SELECT CAST((jm // 50) * 50 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM tc_j WHERE jm >= 800 GROUP BY 1)
+        |SELECT bucket, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_at_or_above
+        |FROM tc_b ORDER BY bucket
+        |""".stripMargin.trim)),
+
     // ---- the daily increment END-TO-END: exact -> near -> quality ----
     // One composed pipeline for an arriving batch, every stage on its
     // INCREMENTAL primitive: within-batch + vs-corpus exact dedup by

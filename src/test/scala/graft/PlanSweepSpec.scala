@@ -80,7 +80,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_dsir_sample",      // composes domainRelevance (same 64-row window)
     "q_lang_rebalance",   // apportionment over the LANG aggregate (≤ langs rows)
     "q_rrf_fusion",       // ranks over limit(k) outputs (rankTopK + fusion)
-    "q_classify_active_sample" // rank over the limit(25) TakeOrdered batch
+    "q_classify_active_sample", // rank over the limit(25) TakeOrdered batch
+    "q_neardup_threshold_curve" // cumulative over the ≤5-row bin aggregate
   )
 
   test("no unpartitioned window over unbounded input — the " +
