@@ -204,6 +204,15 @@ object SimQueries {
     * compare against, which is what pins the probabilistic and exact
     * methods equal to each other: a change to this recipe changes
     * both gates together. */
+  /** Half-up jaccard-milli over two shingle-list expressions — the ONE
+    * rounding convention every exact-verify oracle in this file
+    * shares (six call sites; a drifted copy silently diverges an
+    * oracle — the Spark twin is functions.JaccardMilli). */
+  private def jaccardMilliSql(a: String, b: String): String =
+    s"CAST(floor(1000.0 * len(list_intersect($a, $b)) / " +
+      s"(len($a) + len($b) - len(list_intersect($a, $b))) + 0.5)" +
+      " AS BIGINT)"
+
   private val bruteForcePairsSql = s"""
     |WITH $corpusSql,
     |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -211,10 +220,7 @@ object SimQueries {
     |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
     |    ON a.s = b.s AND a.id < b.id),
     |j AS (SELECT id_a, id_b,
-    |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
-    |      / (len(sa.shingles) + len(sb.shingles)
-    |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
-    |      AS BIGINT) AS jaccard_milli
+    |    ${jaccardMilliSql("sa.shingles", "sb.shingles")} AS jaccard_milli
     |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a
     |             JOIN sh sb ON sb.id = pairs.id_b)
     |SELECT id_a, id_b, jaccard_milli FROM j
@@ -446,7 +452,7 @@ object SimQueries {
               .as("jaccard_milli"))
           .orderBy("id_a")
       },
-      Some("""
+      Some(s"""
         |WITH sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(toks)-1),
         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
@@ -455,10 +461,7 @@ object SimQueries {
         |        FROM documents) WHERE len(toks) >= 3)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.shingles, b.shingles)) AS n_inter,
-        |  CAST(floor(1000.0 * len(list_intersect(a.shingles, b.shingles)) /
-        |    (len(a.shingles) + len(b.shingles)
-        |      - len(list_intersect(a.shingles, b.shingles))) + 0.5)
-        |    AS BIGINT) AS jaccard_milli
+        |  ${jaccardMilliSql("a.shingles", "b.shingles")} AS jaccard_milli
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a
         |""".stripMargin.trim)),
@@ -570,10 +573,7 @@ object SimQueries {
         |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
         |    ON a.s = b.s AND a.id < b.id),
         |j AS (SELECT id_a, id_b,
-        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
-        |      / (len(sa.shingles) + len(sb.shingles)
-        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
-        |      AS BIGINT) AS jaccard_milli
+        |    ${jaccardMilliSql("sa.shingles", "sb.shingles")} AS jaccard_milli
         |  FROM p0 JOIN sh sa ON sa.id = p0.id_a
         |          JOIN sh sb ON sb.id = p0.id_b),
         |e AS (SELECT id_a, id_b FROM j WHERE jaccard_milli >= 800),
@@ -609,10 +609,7 @@ object SimQueries {
         |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
         |    ON a.s = b.s AND a.id < b.id),
         |j AS (SELECT id_a, id_b,
-        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
-        |      / (len(sa.shingles) + len(sb.shingles)
-        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
-        |      AS BIGINT) AS jaccard_milli
+        |    ${jaccardMilliSql("sa.shingles", "sb.shingles")} AS jaccard_milli
         |  FROM p0 JOIN sh sa ON sa.id = p0.id_a
         |          JOIN sh sb ON sb.id = p0.id_b),
         |e AS (SELECT id_a, id_b FROM j WHERE jaccard_milli >= 800),
@@ -761,10 +758,7 @@ object SimQueries {
         |  JOIN (SELECT id, unnest(shingles) AS s FROM sh
         |        WHERE id < 1000000) b ON a.s = b.s),
         |j AS (SELECT id_new, id_corpus,
-        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
-        |      / (len(sa.shingles) + len(sb.shingles)
-        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
-        |      AS BIGINT) AS jaccard_milli
+        |    ${jaccardMilliSql("sa.shingles", "sb.shingles")} AS jaccard_milli
         |  FROM p0 JOIN sh sa ON sa.id = p0.id_new
         |          JOIN sh sb ON sb.id = p0.id_corpus)
         |SELECT id_new, id_corpus, jaccard_milli FROM j
@@ -800,10 +794,7 @@ object SimQueries {
         |  JOIN (SELECT id, unnest(shingles) AS s FROM sh) b
         |    ON a.s = b.s AND a.id < b.id),
         |tc_j AS (SELECT
-        |    CAST(floor(1000.0 * len(list_intersect(sa.shingles, sb.shingles))
-        |      / (len(sa.shingles) + len(sb.shingles)
-        |         - len(list_intersect(sa.shingles, sb.shingles))) + 0.5)
-        |      AS BIGINT) AS jm
+        |    ${jaccardMilliSql("sa.shingles", "sb.shingles")} AS jm
         |  FROM tc_p JOIN sh sa ON sa.id = tc_p.id_a
         |            JOIN sh sb ON sb.id = tc_p.id_b),
         |tc_b AS (SELECT CAST((jm // 50) * 50 AS BIGINT) AS bucket,

@@ -435,15 +435,22 @@ object TextQueries {
               .when(col("lang") === "es", KappaPhraseEs)
               .otherwise(KappaPhraseZh)))
           .otherwise(col("text"))
-        val scored = documents(s, d).select(col("lang"),
-          TextOps.detectLanguage(planted).as("pred"))
-        val tot = scored.agg(count(lit(1)).as("n"),
-          sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
-            .as("agree"))
-        val rows = scored.groupBy(col("lang").as("lab"))
-          .agg(count(lit(1)).as("r"))
-        val cols = scored.groupBy(col("pred").as("lab"))
-          .agg(count(lit(1)).as("c"))
+        // ONE corpus pass: the |labels|² confusion grid (≤ 25 rows),
+        // materialized once — n, agree, both marginals, and S all
+        // derive from it in bounded combines (the q_classify_confusion
+        // shape; without the checkpoint each consumer would re-run the
+        // detectLanguage scan)
+        val grid = documents(s, d).select(col("lang"),
+            TextOps.detectLanguage(planted).as("pred"))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("m"))
+          .localCheckpoint()
+        val tot = grid.agg(sum("m").as("n"),
+          sum(when(col("lang") === col("pred"), col("m"))
+            .otherwise(0L)).as("agree"))
+        val rows = grid.groupBy(col("lang").as("lab"))
+          .agg(sum("m").as("r"))
+        val cols = grid.groupBy(col("pred").as("lab"))
+          .agg(sum("m").as("c"))
         val sSum = rows.join(cols, Seq("lab"), "full")
           .agg(sum(coalesce(col("r"), lit(0L)) *
             coalesce(col("c"), lit(0L))).as("s"))
