@@ -652,6 +652,51 @@ object CorpusQueries {
         |WHERE rank <= 20 ORDER BY rank
         |""".stripMargin.trim)),
 
+    // ---- the dataset datasheet: per-source composition card ----------
+    // The one-table artifact a corpus release ships (datasheets for
+    // datasets): per source — docs, chars, mean tokens, language
+    // spread, exact-dup rate, and PII incidence (emails planted in
+    // every 11th doc so the detector has something to find). ONE
+    // group-by over scan-speed per-row signals; the two count-distinct
+    // columns expand within source groups only.
+    Q("q_dataset_datasheet",
+      (s, d) => {
+        val text = when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" contact admin@example.com now")))
+          .otherwise(col("text"))
+        val base = documents(s, d).select(col("source"), col("lang"),
+          text.as("text"), col("n_chars"),
+          TextOps.tokenCount(text).cast("long").as("n_tok"),
+          (TextOps.redactPii(text) =!= text).cast("long").as("pii"))
+        base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          expr("1000 * sum(n_tok) div count(1)").as("tok_mean_milli"),
+          countDistinct("lang").as("n_langs"),
+          expr("1000 * (count(1) - count(DISTINCT text)) div count(1)")
+            .as("dup_milli"),
+          expr("1000 * sum(pii) div count(1)").as("pii_milli"))
+          .orderBy("source")
+      },
+      Some(s"""
+        |WITH ds_d AS (SELECT source, lang, n_chars,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN text || ' contact admin@example.com now'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(1000 * sum(len(string_split_regex(trim(text),
+        |    '[ \t\n\r\f]+'))) // count(*) AS BIGINT) AS tok_mean_milli,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(1000 * (count(*) - count(DISTINCT text)) // count(*)
+        |    AS BIGINT) AS dup_milli,
+        |  CAST(1000 * sum(CASE WHEN ${TextOps.redactPiiSql("text")}
+        |    <> text THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+        |    AS pii_milli
+        |FROM ds_d GROUP BY source ORDER BY source
+        |""".stripMargin.trim)),
+
     // ---- k-anonymous stats release ------------------------------------
     // Publish per-(lang, source) corpus stats ONLY where the group
     // holds >= k members; smaller groups collapse into one OTHER row so
