@@ -59,4 +59,27 @@ class ClassifySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((1L, 0L, 80L), (2L, 0L, 0L), (3L, 2L, 80L)))
   }
+
+  test("broadcast scoring (centroidClassify) == literal-model fold " +
+      "(centroidAssignCol) on seeded random data — the batch path and " +
+      "the streaming projection must agree row-for-row") {
+    val rnd = new scala.util.Random(55L)
+    def vec() = Seq.fill(8)(rnd.nextLong().abs % 2000L - 1000L)
+    val train = (0 until 120).map(i => (i.toLong % 6, vec()))
+      .toDF("label", "qv")
+    val test = (0 until 80).map(i => (1000L + i, rnd.nextLong().abs % 6,
+      vec())).toDF("vec_id", "label", "qv")
+    val cents = Classify.centroidTrain(train, "label", "qv")
+    val model = Classify.centroidModel(train, "label", "qv")
+    val broadcastPath = Classify
+      .centroidClassify(test, cents, "vec_id", "label", "qv")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    val best = Classify.centroidAssignCol(model, col("qv"))
+    val literalPath = test.select(col("vec_id").as("id"),
+        best.getField("lab").as("pred"), best.getField("d").as("d"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(broadcastPath == literalPath)
+  }
 }

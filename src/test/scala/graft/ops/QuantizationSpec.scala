@@ -56,6 +56,23 @@ class QuantizationSpec extends SparkSpec {
     out.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2)))
   }
 
+  test("decode-of-encode == pqReconstruct on seeded random vectors and " +
+      "codebooks (the at-rest store round trip, fuzzed)") {
+    val rnd = new scala.util.Random(91L)
+    def v(n: Int) = Seq.fill(n)(rnd.nextLong().abs % 200L - 100L)
+    val cbs = Quantization.sliceCodebooks(
+      (0 until 8).map(j => j -> v(8)), subspaces = 2, subDim = 4)
+    val df = (0 until 200).map(_ => Tuple1(v(8))).toDF("qv")
+    val out = df.select(
+      Quantization.pqDecodeCodes(
+        Quantization.pqEncodeCodes(col("qv"), cbs, 4), cbs, 4)
+        .as("roundtrip"),
+      Quantization.pqReconstruct(col("qv"), cbs, 4).as("direct"))
+      .collect()
+    out.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("pqDecodeCodes rejects non-dense code ids") {
     val sparse = Seq(Seq(0 -> Seq(0L, 0L), 2 -> Seq(4L, 4L)))
     assertThrows[IllegalArgumentException] {
