@@ -1159,6 +1159,52 @@ object TextQueries {
         |GROUP BY w.lang ORDER BY w.lang
         |""".stripMargin.trim)),
 
+    // ---- tokenize with the TRAINED vocabulary through the native
+    // kernel — the capstone of the tokenizer loop: the stored BPE
+    // vocabulary's symbol set (bounded: ≤ 26 letters + rounds merged
+    // symbols + space) folds into the codegen'd greedy longest-match
+    // Expression (SubwordMatcher), and the oracle re-DERIVES that
+    // symbol set through the training CTEs before replaying the greedy
+    // walk recursively — training, store freshness, and the native
+    // kernel's match rule all pinned through one another.
+    Q("q_text_bpe_tokenize",
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val syms = s.table(bpeVocabTable(s, d))
+          .select(explode(split(trim(col("sym")), " ")).as("t"))
+          .distinct().collect().map(_.getString(0)).toSeq.sorted
+        val stats = graft.functions.GraftFunctions.subwordStats(
+          lower(substring(col("text"), 1, 200)), syms :+ " ")
+        documents(s, d)
+          .select(col("doc_id"), stats.as("sw"))
+          .select(col("doc_id"),
+            col("sw").getItem(0).as("n_subwords"),
+            col("sw").getItem(1).as("n_unk"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " +
+        TextOps.bpeOracleCtes("SELECT text FROM documents", BpeRounds) +
+        s"""
+        |, swv(t) AS (SELECT DISTINCT unnest(str_split(trim(sym), ' '))
+        |    FROM bpe_s$BpeRounds
+        |  UNION SELECT ' '),
+        |swdocs AS (SELECT doc_id, lower(substr(text, 1, 200)) AS text
+        |  FROM documents),
+        |swtok(doc_id, pos, n_tok, n_unk) AS (
+        |  SELECT doc_id, 1, 0, 0 FROM swdocs
+        |  UNION ALL
+        |  SELECT t.doc_id, t.pos + coalesce(m.l, 1), t.n_tok + 1,
+        |    t.n_unk + CASE WHEN m.l IS NULL THEN 1 ELSE 0 END
+        |  FROM swtok t JOIN swdocs d ON d.doc_id = t.doc_id
+        |  CROSS JOIN LATERAL (SELECT max(length(v.t)) AS l FROM swv v
+        |    WHERE substr(d.text, t.pos, length(v.t)) = v.t) m
+        |  WHERE t.pos <= length(d.text))
+        |SELECT t.doc_id, t.n_tok AS n_subwords, t.n_unk
+        |FROM swtok t JOIN swdocs d ON d.doc_id = t.doc_id
+        |WHERE t.pos = length(d.text) + 1
+        |ORDER BY t.doc_id
+        |""".stripMargin.trim)),
+
     // ---- URL canonicalization ----------------------------------------
     // The crawl-frontier normalizer: case-fold scheme/authority, drop
     // fragments + default ports + utm_* tracking params, collapse

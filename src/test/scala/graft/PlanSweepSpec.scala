@@ -123,6 +123,7 @@ class PlanSweepSpec extends SparkSpec {
     "ops/AnnIndex.scala" -> 1,    // k-row trained codebook
     "ops/TextOps.scala" -> 1,     // 1-row per-round BPE argmax merge
     "ops/Classify.scala" -> 1,    // |labels|-row trained centroid model
+    "queries/TextQueries.scala" -> 1, // ≤ 26+rounds BPE symbol set
     "Bench.scala" -> 1,           // warm-up scalar (sum over range)
     "tools/DedupAB.scala" -> 1    // warm-up scalar (A/B harness main)
   )
