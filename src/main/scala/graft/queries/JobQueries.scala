@@ -190,6 +190,176 @@ object JobQueries {
         |  agency, agency_id, url, additional_information,
         |  transformed_date)
         |ORDER BY url
+        |""".stripMargin.trim)),
+
+    // ---- S6: REST catalog→CSV ingestion, end to end ------------------
+    // The reference's download step (download_historical_data.py:5-33)
+    // driven IN-ENGINE over loopback HTTP: a catalog fixture (CSV
+    // renderings of the nation dim, split across two datasets) is
+    // served by a JDK HttpServer replaying the three-hop API shape —
+    // collection metadata → per-dataset poll-download → signed file
+    // URL — and graft.sources.RestIngest walks it, lands the CSVs on
+    // disk, and the S1 multi-file CSV scan reads them back. The oracle
+    // recomputes straight from the nation table, so the whole
+    // render→serve→resolve→download→scan loop is hash-checked.
+    // Control-plane only: 3 HTTP round trips + 2 dim-sized files; the
+    // data plane is the CSV scan, which grows with the corpus, not
+    // with this driver.
+    Q("q_rest_catalog_ingest",
+      (s, d) => {
+        val out = restIngestDir(s, d)
+        s.read.schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+          .option("header", "true").csv(out)
+          .orderBy("n_nationkey")
+      },
+      Some("""
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey
+        |""".stripMargin.trim)),
+
+    // ---- S7 extraction in-engine: stored listing pages → fields ------
+    // The scraper's DOM extraction (propnex_selenium.py:20-165) as a
+    // Spark scan over stored HTML (ops/HtmlListing): listing pages are
+    // RENDERED from customer rows by composition (every extraction
+    // path planted — br-multiline street/town, icon dispatch, agent
+    // p-tag routing, name/value ul zip, entities in the description),
+    // parsed back field-by-field, and the oracle recomputes each field
+    // straight from the table — the render→parse round trip pins the
+    // class-anchored extraction exactly. Browser DRIVING stays
+    // out-of-engine (SURVEY §1.4); this is the half a 100 TB crawl
+    // pipeline runs in Spark, and it is per-row codegen'd regex work:
+    // no shuffle, no UDF, nothing driver-side.
+    Q("q_scrape_extract",
+      (s, d) => {
+        val k = col("c_custkey").cast("long")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val html = concat(
+          lit("<html><body><div class=\"col-lg-4\"><h1>"), col("c_name"),
+          lit("</h1><strong class=\"mr-1\">$"), str(k % 9000 + 1000),
+          lit("</strong><p class=\"mt-2\">$"), str(k % 900 + 300),
+          lit(" psf</p><div class=\"lbb-21\"><ul>" +
+            "<li><img src=\"/i/ic_location.png\"/><p>Blk "), str(k),
+          lit(" Street<br>Town (D"), str(k % 28 + 1),
+          lit(")</p></li><li><img src=\"/i/ic_beds.png\"/><p>"),
+          str(k % 5 + 1),
+          lit(" Beds</p></li><li><img src=\"/i/ic_baths.png\"/><p>"),
+          str(k % 3 + 1),
+          lit(" Baths</p></li><li><img src=\"/i/ic_sqft.png\"/><p>"),
+          str(k % 2000 + 400),
+          lit(" sqft</p></li></ul></div><div class=\"agent-dt-box\"><h5>" +
+            "Agent "), str(col("c_nationkey").cast("long")),
+          lit("</h5><p>#R"), str(k),
+          lit("</p><p>+65 9"), str(k % 1000000),
+          lit("</p><p>a"), str(k),
+          lit("@x.com</p></div></div><div class=\"property-list-box\">" +
+            "<ul><li>Listing Type</li><li>District</li><li>Tenure</li>" +
+            "</ul><ul><li>HDB For Sale</li><li>D"), str(k % 28 + 1),
+          lit("</li><li>"), col("c_mktsegment"),
+          lit("</li></ul></div><div class=\"desc-box\"><p>Nice &amp; " +
+            "bright &#39;corner&#39; unit</p></div>" +
+            "<li class=\"facilities-icons\"><p>Pool</p></li>" +
+            "<li class=\"facilities-icons\"><p>Gym</p></li>" +
+            "</body></html>"))
+        val parsed = graft.Tables.customer(s, d)
+          .select(concat(lit("http://listing/"), str(k)).as("url"),
+            html.as("html"))
+          .select(graft.ops.HtmlListing
+            .parsePropnex(col("url"), col("html")).as("r"))
+        parsed.select(col("r.url").as("url"),
+            col("r.location").as("location"), col("r.price").as("price"),
+            col("r.street_town_district").as("street_town_district"),
+            col("r.num_bedroom").as("num_bedroom"),
+            col("r.floor_area_sqft").as("floor_area_sqft"),
+            col("r.agent_name").as("agent_name"),
+            col("r.agent_id").as("agent_id"),
+            col("r.agent_email").as("agent_email"),
+            col("r.agent_phone_num").as("agent_phone_num"),
+            col("r.listing_type").as("listing_type"),
+            col("r.district").as("district"),
+            col("r.tenure").as("tenure"),
+            col("r.property_group").as("property_group"),
+            col("r.description").as("description"),
+            col("r.facilities").as("facilities"))
+          .orderBy("url")
+      },
+      Some("""
+        |SELECT 'http://listing/' || c_custkey AS url,
+        |  c_name AS location,
+        |  '$' || (c_custkey % 9000 + 1000) AS price,
+        |  'Blk ' || c_custkey || ' Street' || chr(10) || 'Town (D' ||
+        |    (c_custkey % 28 + 1) || ')' AS street_town_district,
+        |  (c_custkey % 5 + 1) || ' Beds' AS num_bedroom,
+        |  (c_custkey % 2000 + 400) || ' sqft' AS floor_area_sqft,
+        |  'Agent ' || c_nationkey AS agent_name,
+        |  '#R' || c_custkey AS agent_id,
+        |  'a' || c_custkey || '@x.com' AS agent_email,
+        |  '+65 9' || (c_custkey % 1000000) AS agent_phone_num,
+        |  'HDB For Sale' AS listing_type,
+        |  'D' || (c_custkey % 28 + 1) AS district,
+        |  c_mktsegment AS tenure,
+        |  'None' AS property_group,
+        |  'Nice & bright ''corner'' unit' AS description,
+        |  'Pool, Gym' AS facilities
+        |FROM customer ORDER BY url
         |""".stripMargin.trim))
   )
+
+  /** Serve the catalog fixture over loopback and ingest it through
+    * [[graft.sources.RestIngest]]; content-addressed on the nation
+    * parquet so a session re-run re-exercises nothing stale. The HTTP
+    * walk itself re-runs per fresh key — it IS the behavior under
+    * test. */
+  private def restIngestDir(s: SparkSession, d: String): String = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val key = Sinks.contentKey(d, "nation.parquet", "rest_ingest|v1")
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_rest_out_$key")
+    val marker = new java.io.File(out, "_GRAFT_COMPLETE")
+    if (marker.exists()) return out.getAbsolutePath
+    val rows = graft.Tables.nation(s, d)
+      .selectExpr("CAST(n_nationkey AS LONG) AS k", "n_name",
+        "CAST(n_regionkey AS LONG) AS r")
+      .orderBy("k").collect() // dim-sized: 25 rows at every SF
+    def csv(p: Long => Boolean): Array[Byte] =
+      ("n_nationkey,n_name,n_regionkey\n" + rows.toSeq
+        .filter(r => p(r.getLong(0)))
+        .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}")
+        .mkString("", "\n", "\n")).getBytes(UTF_8)
+    val even = csv(_ % 2 == 0)
+    val odd = csv(_ % 2 == 1)
+    val meta = ("""{"data":{"datasetMetadata":[""" +
+      """{"datasetId":"d_even"},{"datasetId":"d_odd"}]}}""").getBytes(UTF_8)
+    def pollJson(path: String, name: String): Array[Byte] =
+      (s"""{"data":{"url":"$path?filename%3D%22$name%22"}}""").getBytes(UTF_8)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def route(path: String, body: () => Array[Byte]): Unit =
+      server.createContext(path, { x =>
+        val b = body()
+        x.sendResponseHeaders(200, b.length)
+        val os = x.getResponseBody
+        try os.write(b) finally os.close()
+      })
+    route("/v2/public/api/collections/hdb-resale/metadata", () => meta)
+    route("/v1/public/api/datasets/d_even/poll-download",
+      () => pollJson("/files/even", "nation_even.csv"))
+    route("/v1/public/api/datasets/d_odd/poll-download",
+      () => pollJson("/files/odd", "nation_odd.csv"))
+    route("/files/even", () => even)
+    route("/files/odd", () => odd)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val report = graft.sources.RestIngest.downloadAll(
+        base, "hdb-resale", out.getAbsolutePath, retries = 2,
+        backoffMs = 50)
+      val failed = report.filter(_.file.isEmpty)
+      require(failed.isEmpty, "rest ingest failed for: " +
+        failed.map(f => s"${f.datasetId}: ${f.error.getOrElse("?")}")
+          .mkString("; "))
+      marker.createNewFile()
+    } finally server.stop(0)
+    out.getAbsolutePath
+  }
 }

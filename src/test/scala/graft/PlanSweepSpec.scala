@@ -124,6 +124,7 @@ class PlanSweepSpec extends SparkSpec {
     "ops/TextOps.scala" -> 1,     // 1-row per-round BPE argmax merge
     "ops/Classify.scala" -> 1,    // |labels|-row trained centroid model
     "queries/TextQueries.scala" -> 1, // ≤ 26+rounds BPE symbol set
+    "queries/JobQueries.scala" -> 1,  // nation dim render: 25 rows at every SF
     "Bench.scala" -> 1,           // warm-up scalar (sum over range)
     "tools/DedupAB.scala" -> 1    // warm-up scalar (A/B harness main)
   )

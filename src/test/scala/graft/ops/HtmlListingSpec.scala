@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[HtmlListing.parsePropnex]] to the scraper's observable
+  * extraction (`propnex_selenium.py:20-165`) on a reference-shaped
+  * listing page: section anchoring, icon dispatch with last-match-wins,
+  * agent p-tag routing, the name/value ul zip (truncation + duplicate
+  * keys), Selenium-text details (`<br>`→newline, entities), and every
+  * absent-element default. */
+class HtmlListingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fullPage =
+    """<html><body><div class="row">
+      |<div class="col-lg-4 sidebar">
+      |  <h1>123A Upper Serangoon Rd</h1>
+      |  <p>ignored preamble</p>
+      |  <strong class="mr-1">$550,000</strong>
+      |  <p class="mt-2">$465 psf</p>
+      |  <div class="lbb-21">
+      |    <ul>
+      |      <li><img src="/img/ic_location.png"/><p>Upper Serangoon Rd<br>Hougang (D19)</p></li>
+      |      <li><img src="/img/ic_beds.png"/><p>4 Beds</p></li>
+      |      <li><img src="/img/ic_beds.png"/><p>3 Beds</p></li>
+      |      <li><img src="/img/ic_baths.png"/><p>2 Baths</p></li>
+      |      <li><img src="/img/ic_other.png"/><p>skipped row</p></li>
+      |      <li><img src="/img/ic_sqft.png"/><p>1,184 sqft (110 sqm)</p></li>
+      |    </ul>
+      |  </div>
+      |  <div class="agent-dt-box">
+      |    <h5>Jane Tan &amp; Co</h5>
+      |    <p>PropNex Realty</p>
+      |    <p>#R123456A</p>
+      |    <p>+65 91234567</p>
+      |    <p>JANE@Propnex.COM</p>
+      |  </div>
+      |</div>
+      |<div class="property-list-box">
+      |  <ul><li>Listing Type</li><li>Property Type</li><li>District</li></ul>
+      |  <ul><li>HDB For Sale</li><li>HDB Flat</li><li>D19</li></ul>
+      |  <ul><li>Tenure</li><li>District</li><li>Dangling Name</li></ul>
+      |  <ul><li>99-year Leasehold</li><li>D20</li></ul>
+      |</div>
+      |<div class="desc-box"><p>Spacious &quot;corner&quot; unit 🏠</p></div>
+      |<ul class="fac">
+      |  <li class="facilities-icons on"><img/><p>Swimming Pool</p></li>
+      |  <li class="facilities-icons"><img/><p>Gym</p></li>
+      |</ul>
+      |</body></html>""".stripMargin
+
+  private def parse(html: String): Map[String, String] = {
+    val row = Seq(("http://x/listing/1", html)).toDF("url", "html")
+      .select(HtmlListing.parsePropnex(col("url"), col("html")).as("r"))
+      .select("r.*").collect().head
+    row.schema.fieldNames.zip(row.toSeq.map(_.asInstanceOf[String])).toMap
+  }
+
+  test("reference-shaped page extracts every field like the scraper") {
+    val f = parse(fullPage)
+    assert(f("url") === "http://x/listing/1")
+    assert(f("location") === "123A Upper Serangoon Rd")
+    assert(f("price") === "$550,000")
+    assert(f("price_psf") === "$465 psf")
+    // br → newline, like Selenium .text (FIXTURES.md A1 quirk)
+    assert(f("street_town_district") === "Upper Serangoon Rd\nHougang (D19)")
+    // two ic_beds rows: the scraper's loop assigns on each, last wins
+    assert(f("num_bedroom") === "3 Beds")
+    assert(f("num_bathroom") === "2 Baths")
+    assert(f("floor_area_sqft") === "1,184 sqft (110 sqm)")
+    assert(f("agent_name") === "Jane Tan & Co")
+    assert(f("agent_id") === "#R123456A")
+    assert(f("agent_phone_num") === "+65 91234567")
+    assert(f("agent_email") === "JANE@Propnex.COM") // '.com' match is case-folded
+    assert(f("listing_type") === "HDB For Sale")
+    assert(f("property_type") === "HDB Flat")
+    // duplicate key: dict(zip) keeps the LAST pair
+    assert(f("district") === "D20")
+    assert(f("tenure") === "99-year Leasehold")
+    // 'Dangling Name' has no value: python zip truncates the pair away
+    assert(f("property_group") === "None")
+    assert(f("top") === "None")
+    assert(f("description") === "Spacious \"corner\" unit 🏠")
+    assert(f("facilities") === "Swimming Pool, Gym")
+  }
+
+  test("absent sections fall back to the scraper's defaults") {
+    val f = parse("<html><body><p>not a listing</p></body></html>")
+    assert(f("location") === "None")
+    assert(f("price") === "None")
+    assert(f("street_town_district") === "None")
+    assert(f("num_bedroom") === "None")
+    assert(f("agent_id") === "None")
+    assert(f("agent_email") === "None")
+    assert(f("listing_type") === "None")
+    assert(f("description") === "") // PN:129 defaults description to ''
+    assert(f("facilities") === "")  // PN:137: empty list joins to ''
+  }
+}
