@@ -62,8 +62,15 @@ object HtmlListing {
     trim(ent)
   }
 
+  /** Class-attribute token match: CSS `.cls` means a whole
+    * space-delimited token, so `listing-about` must NOT match inside
+    * `listing-about-main-key` (a `\b` boundary would — hyphens are
+    * word boundaries). */
+  private def classTok(cls: String): String =
+    s"""class="(?:[^"]*\\s)?$cls(?:\\s[^"]*)?""""
+
   private def classPat(tag: String, cls: String): String =
-    s"""(?s)<$tag[^>]*class="[^"]*\\b$cls\\b[^"]*"[^>]*>(.*?)</$tag>"""
+    s"""(?s)<$tag[^>]*${classTok(cls)}[^>]*>(.*?)</$tag>"""
 
   /** First match of `pat` group 1 as Selenium text; absent → `dflt`.
     * regexp_extract returns '' for both no-match and empty-capture, so
@@ -164,5 +171,139 @@ object HtmlListing {
       firstText(section(html, "desc-box"),
         "(?s)<p[^>]*>(.*?)</p>", dflt = "").as("description"),
       facilities.as("facilities"))
+  }
+
+  /** The SRX spider's 31-field dict over `(url, html)`
+    * (`jobs/srx_selenium.py:20-152`) — same names (including the
+    * literal `/` in `shopping_mall/markets`), same 'None' / '' / ", "
+    * conventions, so the output feeds `jobs/SrxJob.transform` exactly
+    * like the A2 fixture JSON (FIXTURES.md).
+    *
+    * SRX-specific extraction shapes, mirrored:
+    *  - descendant selectors (`div.listing-price div`, `div.bed-box
+    *    span.bed-numbers`, agent name/cea spans) anchor parent and
+    *    child in ONE pattern — the child is the parent's first such
+    *    descendant.
+    *  - agent_phone_num is an ATTRIBUTE read (`a.featuredAgentCall`
+    *    @href, SRX:48): the `<a>` tag is located by class token, then
+    *    `href="..."` is read from inside the tag, so attribute order
+    *    never matters.
+    *  - property details zip per-BLOCK key/value divs
+    *    (`div.listing-about`) into a dict, last duplicate key winning
+    *    (Python `dict(zip(...))`); the 17 lookups default 'None'.
+    *  - amenity categories (`div.Trains` / `div.Schools` /
+    *    `div.Shopping-Malls` / `div.Markets`) hold nested markup, so
+    *    each category REGION is captured from its opener to the next
+    *    sibling category opener (or end of page) — the
+    *    sibling-delimited capture nested sections need under flat
+    *    regex extraction. Trains join "name station" pairs and drop
+    *    entries where either half is missing (the scraper's
+    *    `'None' not in station` filter, SRX:90); malls and markets
+    *    concatenate (SRX:151). */
+  def parseSrx(url: Column, html: Column): Column = {
+    def descText(parentTag: String, parentCls: String, childPat: String,
+                 dflt: String = None_): Column =
+      firstText(html,
+        s"""(?s)<$parentTag[^>]*${classTok(parentCls)}[^>]*>.*?$childPat""",
+        dflt)
+    // div#listing-Xvalue-size is an ID anchor, not a class (SRX:30)
+    val sizePsf = firstText(html,
+      """(?s)<div[^>]*id="listing-Xvalue-size"[^>]*>(.*?)</div>""")
+    val phoneHref = {
+      val aTag = regexp_extract(html,
+        s"""(?s)<a[^>]*${classTok("featuredAgentCall")}[^>]*>""", 0)
+      val href = trim(regexp_extract(aTag, """href="([^"]*)"""", 1))
+      when(length(aTag) > 0 && length(href) > 0, href).otherwise(lit(None_))
+    }
+    val aboutBlockPat =
+      s"""(?s)<div[^>]*${classTok("listing-about")}[^>]*>\\s*""" +
+        s"""<div[^>]*${classTok("listing-about-main-key")}[^>]*>(.*?)</div>\\s*""" +
+        s"""<div[^>]*${classTok("listing-about-main-value")}[^>]*>(.*?)</div>"""
+    val keys = transform(
+      regexp_extract_all(html, lit(aboutBlockPat), lit(1)), k => text(k))
+    val vals = transform(
+      regexp_extract_all(html, lit(aboutBlockPat), lit(2)), v => text(v))
+    def detail(key: String): Column = zipLookup(keys, vals, key)
+    val facilities = array_join(transform(
+      regexp_extract_all(html,
+        lit(s"""(?s)<div[^>]*${classTok("facilities-row")}[^>]*>.*?""" +
+          s"""<span[^>]*${classTok("listing-about-facility-span")}""" +
+          """[^>]*>(.*?)</span>"""), lit(1)),
+      f => text(f)), ", ")
+    // sibling-delimited category region: opener up to the next
+    // category opener or end of input
+    def region(cls: String): Column = {
+      val others = Seq("Trains", "Schools", "Shopping-Malls", "Markets")
+      regexp_extract(html,
+        s"""(?s)<div[^>]*${classTok(cls)}[^>]*>(.*?)""" +
+          s"""(?=<div[^>]*class="(?:[^"]*\\s)?(?:${others.mkString("|")})""" +
+          """(?:\s[^"]*)?"|$)""", 1)
+    }
+    // amenity names are text nodes: [^<]* keeps a station-less block
+    // from backtrack-bleeding its capture into the NEXT block's name
+    val amenityName = s"""<div[^>]*${classTok("listing-amenity-name")}""" +
+      """[^>]*>([^<]*)</div>"""
+    def amenityNames(reg: Column): Column =
+      transform(regexp_extract_all(reg, lit(s"(?s)$amenityName"), lit(1)),
+        n => text(n))
+    // per-amenity "name station" pair: name div then the station span,
+    // within one listing-amenity block; a block missing either half
+    // yields no pair — the scraper's "'None' not in station" filter
+    // drops exactly those (SRX:90)
+    val trainPairPat = s"""(?s)$amenityName\\s*""" +
+      s"""<div[^>]*${classTok("listing-amenity-station")}[^>]*>\\s*""" +
+      """<span[^>]*>(.*?)</span>"""
+    val trainsReg = region("Trains")
+    val trains = array_join(zip_with(
+      transform(regexp_extract_all(trainsReg, lit(trainPairPat), lit(1)),
+        n => text(n)),
+      transform(regexp_extract_all(trainsReg, lit(trainPairPat), lit(2)),
+        st => text(st)),
+      (n, st) => concat(n, lit(" "), st)), ", ")
+    val schools = array_join(amenityNames(region("Schools")), ", ")
+    val mallsMarkets = array_join(concat(
+      amenityNames(region("Shopping-Malls")),
+      amenityNames(region("Markets"))), ", ")
+    struct(
+      url.as("url"),
+      firstText(html, classPat("h1", "listing-name")).as("location"),
+      sizePsf.as("floor_size_psf"),
+      descText("div", "listing-price",
+        "<div[^>]*>(.*?)</div>").as("price"),
+      descText("div", "bed-box",
+        s"""<span[^>]*${classTok("bed-numbers")}[^>]*>(.*?)</span>""")
+        .as("num_bedroom"),
+      descText("div", "bath-box",
+        s"""<span[^>]*${classTok("bath-numbers")}[^>]*>(.*?)</span>""")
+        .as("num_bathroom"),
+      firstText(html, classPat("div", "listing-description"), dflt = "")
+        .as("description"),
+      descText("div", "agent-name", "<span[^>]*>(.*?)</span>")
+        .as("agent_name"),
+      descText("div", "agent-image-cea",
+        s"""<div[^>]*${classTok("agent-cea-reg")}[^>]*>(.*?)</div>""")
+        .as("agent_id"),
+      phoneHref.as("agent_phone_num"),
+      detail("Address").as("address"),
+      detail("Property Name").as("property_name"),
+      detail("Property Type").as("property_type"),
+      detail("Model").as("model"),
+      detail("Bedrooms").as("bedrooms"),
+      detail("Bathrooms").as("bathrooms"),
+      detail("Furnish").as("furnish"),
+      detail("Floor Level").as("floor_level"),
+      detail("Tenure").as("tenure"),
+      detail("Developer").as("developer"),
+      detail("Built Year").as("built_year"),
+      detail("HDB Town").as("hdb_town"),
+      detail("Asking").as("asking"),
+      detail("Size").as("size"),
+      detail("PSF").as("psf"),
+      detail("Tenancy Status").as("tenancy_status"),
+      detail("Date Listed").as("date_listed"),
+      facilities.as("facilities"),
+      trains.as("train_stations"),
+      schools.as("schools"),
+      mallsMarkets.as("shopping_mall/markets"))
   }
 }

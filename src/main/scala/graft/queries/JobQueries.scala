@@ -302,6 +302,128 @@ object JobQueries {
         |  'Nice & bright ''corner'' unit' AS description,
         |  'Pool, Gym' AS facilities
         |FROM customer ORDER BY url
+        |""".stripMargin.trim)),
+
+    // ---- S7, srx spider: stored pages → the 31-field dict ------------
+    // Same render→parse→recompute round trip as q_scrape_extract, over
+    // the srx page shape (srx_selenium.py:20-152): id anchors,
+    // descendant selectors (nested price div, bed/bath number spans),
+    // the @href attribute read, per-block key/value property details
+    // (one key planted absent → 'None'), and the sibling-delimited
+    // amenity regions with an incomplete train row planted for the
+    // 'None'-filter path. Pages render from part rows; per-row
+    // codegen'd regex scan, no shuffle.
+    Q("q_scrape_extract_srx",
+      (s, d) => {
+        val k = col("p_partkey").cast("long")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val html = concat(
+          lit("<html><body><div id=\"listing-detail\">" +
+            "<h1 class=\"listing-name\">Blk "), str(k % 999),
+          lit(" "), col("p_brand"),
+          lit("</h1><div id=\"listing-Xvalue-size\">"), str(k % 2000 + 400),
+          lit(" sqft / $"), str(k % 900 + 300),
+          lit(" psf</div><div class=\"listing-price\"><div>$"),
+          str(k % 900000 + 100000),
+          lit("</div><div>(Negotiable)</div></div>" +
+            "<div class=\"bed-box\"><span class=\"bed-icon\"></span>" +
+            "<span class=\"bed-numbers\">"), str(k % 5 + 1),
+          lit("</span></div><div class=\"bath-box\">" +
+            "<span class=\"bath-numbers\">"), str(k % 3 + 1),
+          lit("</span></div><div class=\"listing-description\">"),
+          col("p_name"),
+          lit("</div><div class=\"listing-agent-box\">" +
+            "<div class=\"agent-name\"><span>Agent "), col("p_brand"),
+          lit("</span></div><div class=\"agent-image-cea\">" +
+            "<div class=\"agent-cea-reg\">CEA: R"), str(k),
+          lit("A / L"), str(k % 9999),
+          lit("B</div></div><div><a href=\"tel:9"), str(k % 1000000),
+          lit("\" class=\"btn featuredAgentCall\">Call</a></div></div>" +
+            "<div class=\"about-this-property\">" +
+            "<div class=\"listing-about\">" +
+            "<div class=\"listing-about-main-key\">Address</div>" +
+            "<div class=\"listing-about-main-value\">"), col("p_brand"),
+          lit(" Ave ("), str(k % 900000 + 100000),
+          lit(")</div></div><div class=\"listing-about\">" +
+            "<div class=\"listing-about-main-key\">Property Type</div>" +
+            "<div class=\"listing-about-main-value\">"), col("p_type"),
+          lit("</div></div><div class=\"listing-about\">" +
+            "<div class=\"listing-about-main-key\">Size</div>" +
+            "<div class=\"listing-about-main-value\">"), str(k % 200 + 30),
+          lit(" sqm</div></div><div class=\"listing-about\">" +
+            "<div class=\"listing-about-main-key\">Built Year</div>" +
+            "<div class=\"listing-about-main-value\">"), str(k % 50 + 1970),
+          lit("</div></div></div><div class=\"facilities-div\">" +
+            "<div class=\"facilities-row\">" +
+            "<span class=\"listing-about-facility-span\">Pool</span></div>" +
+            "<div class=\"facilities-row\">" +
+            "<span class=\"listing-about-facility-span\">Gym</span></div>" +
+            "</div><div class=\"nearby-amenities\">" +
+            "<div class=\"Trains\"><div class=\"listing-amenity\">" +
+            "<div class=\"listing-amenity-name\">Hougang</div>" +
+            "<div class=\"listing-amenity-station\"><span>NE"),
+          str(k % 20 + 1),
+          lit("</span></div></div><div class=\"listing-amenity\">" +
+            "<div class=\"listing-amenity-name\">Incomplete Row</div>" +
+            "</div></div><div class=\"Schools\">" +
+            "<div class=\"listing-amenity\">" +
+            "<div class=\"listing-amenity-name\">School "), str(k % 7),
+          lit("</div></div></div><div class=\"Shopping-Malls\">" +
+            "<div class=\"listing-amenity\">" +
+            "<div class=\"listing-amenity-name\">Mall A</div></div></div>" +
+            "<div class=\"Markets\"><div class=\"listing-amenity\">" +
+            "<div class=\"listing-amenity-name\">Market B</div></div>" +
+            "</div></div></div></body></html>"))
+        val parsed = graft.Tables.part(s, d)
+          .select(concat(lit("http://srx/listing/"), str(k)).as("url"),
+            html.as("html"))
+          .select(graft.ops.HtmlListing
+            .parseSrx(col("url"), col("html")).as("r"))
+        parsed.select(col("r.url").as("url"),
+            col("r.location").as("location"),
+            col("r.floor_size_psf").as("floor_size_psf"),
+            col("r.price").as("price"),
+            col("r.num_bedroom").as("num_bedroom"),
+            col("r.num_bathroom").as("num_bathroom"),
+            col("r.description").as("description"),
+            col("r.agent_name").as("agent_name"),
+            col("r.agent_id").as("agent_id"),
+            col("r.agent_phone_num").as("agent_phone_num"),
+            col("r.address").as("address"),
+            col("r.property_type").as("property_type"),
+            col("r.size").as("size"),
+            col("r.built_year").as("built_year"),
+            col("r.model").as("model"),
+            col("r.facilities").as("facilities"),
+            col("r.train_stations").as("train_stations"),
+            col("r.schools").as("schools"),
+            col("r.`shopping_mall/markets`").as("malls_markets"))
+          .orderBy("url")
+      },
+      Some("""
+        |SELECT 'http://srx/listing/' || p_partkey AS url,
+        |  'Blk ' || (p_partkey % 999) || ' ' || p_brand AS location,
+        |  (p_partkey % 2000 + 400) || ' sqft / $' ||
+        |    (p_partkey % 900 + 300) || ' psf' AS floor_size_psf,
+        |  '$' || (p_partkey % 900000 + 100000) AS price,
+        |  CAST(p_partkey % 5 + 1 AS VARCHAR) AS num_bedroom,
+        |  CAST(p_partkey % 3 + 1 AS VARCHAR) AS num_bathroom,
+        |  p_name AS description,
+        |  'Agent ' || p_brand AS agent_name,
+        |  'CEA: R' || p_partkey || 'A / L' || (p_partkey % 9999) || 'B'
+        |    AS agent_id,
+        |  'tel:9' || (p_partkey % 1000000) AS agent_phone_num,
+        |  p_brand || ' Ave (' || (p_partkey % 900000 + 100000) || ')'
+        |    AS address,
+        |  p_type AS property_type,
+        |  (p_partkey % 200 + 30) || ' sqm' AS size,
+        |  CAST(p_partkey % 50 + 1970 AS VARCHAR) AS built_year,
+        |  'None' AS model,
+        |  'Pool, Gym' AS facilities,
+        |  'Hougang NE' || (p_partkey % 20 + 1) AS train_stations,
+        |  'School ' || (p_partkey % 7) AS schools,
+        |  'Mall A, Market B' AS malls_markets
+        |FROM part ORDER BY url
         |""".stripMargin.trim))
   )
 

@@ -85,6 +85,100 @@ class HtmlListingSpec extends SparkSpec {
     assert(f("facilities") === "Swimming Pool, Gym")
   }
 
+  private val srxPage =
+    """<html><body><div id="listing-detail">
+      |<h1 class="listing-name">123A Example Ave 1</h1>
+      |<div id="listing-Xvalue-size">1,184 sqft / $465 psf</div>
+      |<div class="listing-price"><div>$550,000</div><div>(Negotiable)</div></div>
+      |<div class="bed-box"><span class="bed-icon"></span><span class="bed-numbers">3+1</span></div>
+      |<div class="bath-box"><span class="bath-numbers">2</span></div>
+      |<div class="listing-description">great view 顶层</div>
+      |<div class="listing-agent-box">
+      |  <div class="agent-name"><span>José Lim</span></div>
+      |  <div class="agent-image-cea"><div class="agent-cea-reg">CEA: R123456A / L1234567B</div></div>
+      |  <div><a href="tel:91234567" class="btn featuredAgentCall">Call</a></div>
+      |</div>
+      |<div class="about-this-property">
+      |  <div class="listing-about"><div class="listing-about-main-key">Address</div><div class="listing-about-main-value">123A Example Ave 1 (543210)</div></div>
+      |  <div class="listing-about"><div class="listing-about-main-key">Property Type</div><div class="listing-about-main-value">HDB 4 Rooms</div></div>
+      |  <div class="listing-about"><div class="listing-about-main-key">Floor Level</div><div class="listing-about-main-value">Mid</div></div>
+      |  <div class="listing-about"><div class="listing-about-main-key">Size</div><div class="listing-about-main-value">110 sqm</div></div>
+      |  <div class="listing-about"><div class="listing-about-main-key">Size</div><div class="listing-about-main-value">111 sqm</div></div>
+      |</div>
+      |<div class="facilities-div">
+      |  <div class="facilities-row"><span class="listing-about-facility-span">Playground</span></div>
+      |  <div class="facilities-row"><span class="listing-about-facility-span">Car Park</span></div>
+      |</div>
+      |<div class="nearby-amenities">
+      |  <div class="Trains">
+      |    <div class="listing-amenity"><div class="listing-amenity-name">Hougang</div><div class="listing-amenity-station"><span>NE14</span></div></div>
+      |    <div class="listing-amenity"><div class="listing-amenity-name">Incomplete Row</div></div>
+      |    <div class="listing-amenity"><div class="listing-amenity-name">Buangkok</div><div class="listing-amenity-station"><span>NE15</span></div></div>
+      |  </div>
+      |  <div class="Schools">
+      |    <div class="listing-amenity"><div class="listing-amenity-name">Xinmin Primary</div></div>
+      |    <div class="listing-amenity"><div class="listing-amenity-name">Holy Innocents High</div></div>
+      |  </div>
+      |  <div class="Shopping-Malls">
+      |    <div class="listing-amenity"><div class="listing-amenity-name">Hougang Mall</div></div>
+      |  </div>
+      |  <div class="Markets">
+      |    <div class="listing-amenity"><div class="listing-amenity-name">Kovan Market</div></div>
+      |  </div>
+      |</div>
+      |</div></body></html>""".stripMargin
+
+  private def parseSrx(html: String): Map[String, String] = {
+    val row = Seq(("http://srx/listing/9", html)).toDF("url", "html")
+      .select(HtmlListing.parseSrx(col("url"), col("html")).as("r"))
+      .select("r.*").collect().head
+    row.schema.fieldNames.zip(row.toSeq.map(_.asInstanceOf[String])).toMap
+  }
+
+  test("srx reference-shaped page extracts every field like the spider") {
+    val f = parseSrx(srxPage)
+    assert(f("url") === "http://srx/listing/9")
+    assert(f("location") === "123A Example Ave 1")
+    assert(f("floor_size_psf") === "1,184 sqft / $465 psf")
+    // div.listing-price div: the FIRST descendant div only
+    assert(f("price") === "$550,000")
+    assert(f("num_bedroom") === "3+1")
+    assert(f("num_bathroom") === "2")
+    assert(f("description") === "great view 顶层") // non-ASCII intact
+    assert(f("agent_name") === "José Lim")
+    assert(f("agent_id") === "CEA: R123456A / L1234567B")
+    // attribute read: @href of a.featuredAgentCall, class after href
+    assert(f("agent_phone_num") === "tel:91234567")
+    assert(f("address") === "123A Example Ave 1 (543210)")
+    assert(f("property_type") === "HDB 4 Rooms")
+    assert(f("floor_level") === "Mid")
+    // duplicate 'Size' key: dict(zip) keeps the last pair
+    assert(f("size") === "111 sqm")
+    assert(f("model") === "None") // absent key defaults
+    assert(f("tenancy_status") === "None")
+    assert(f("facilities") === "Playground, Car Park")
+    // incomplete train row (no station) is filtered, like SRX:90
+    assert(f("train_stations") === "Hougang NE14, Buangkok NE15")
+    assert(f("schools") === "Xinmin Primary, Holy Innocents High")
+    // malls then markets, concatenated (SRX:151)
+    assert(f("shopping_mall/markets") === "Hougang Mall, Kovan Market")
+  }
+
+  test("srx absent sections fall back to the spider's defaults") {
+    val f = parseSrx("<html><body><p>not a listing</p></body></html>")
+    assert(f("location") === "None")
+    assert(f("price") === "None")
+    assert(f("num_bedroom") === "None")
+    assert(f("agent_name") === "None")
+    assert(f("agent_phone_num") === "None")
+    assert(f("address") === "None")
+    assert(f("description") === "")
+    assert(f("facilities") === "")
+    assert(f("train_stations") === "")
+    assert(f("schools") === "")
+    assert(f("shopping_mall/markets") === "")
+  }
+
   test("absent sections fall back to the scraper's defaults") {
     val f = parse("<html><body><p>not a listing</p></body></html>")
     assert(f("location") === "None")
