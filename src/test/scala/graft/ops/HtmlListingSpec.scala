@@ -179,6 +179,62 @@ class HtmlListingSpec extends SparkSpec {
     assert(f("shopping_mall/markets") === "")
   }
 
+  test("parsePropnex output feeds PropnexJob.transform end-to-end — " +
+    "the full scrape→clean path runs in-engine") {
+    val page =
+      """<html><body><div class="col-lg-4">
+        |<h1>Blk 123A upper serangoon rd</h1>
+        |<strong class="mr-1">$550,000</strong>
+        |<p class="mt-2">$465 psf</p>
+        |<div class="lbb-21"><ul>
+        |<li><img src="/i/ic_location.png"/><p>Upper Serangoon Rd<br>Hougang (D19)</p></li>
+        |<li><img src="/i/ic_beds.png"/><p>3</p></li>
+        |<li><img src="/i/ic_baths.png"/><p>2</p></li>
+        |<li><img src="/i/ic_sqft.png"/><p>1,184 sqft (110 sqm)</p></li>
+        |</ul></div>
+        |<div class="agent-dt-box"><h5>Jane Tan</h5>
+        |<p>#R123456A</p><p>+65 91234567</p><p>jane.tan@propnex.com</p></div>
+        |</div>
+        |<div class="property-list-box">
+        |<ul><li>District</li><li>Floor Area</li><li>TOP</li><li>Furnishing</li><li>Floor</li><li>Post Code</li><li>Street Name</li></ul>
+        |<ul><li>D19</li><li>1184</li><li>1995</li><li>Partially Furnished</li><li>high floor</li><li>534011</li><li>upper serangoon rd</li></ul>
+        |</div>
+        |<div class="desc-box"><p>nice flat</p></div>
+        |<li class="facilities-icons"><p>pool</p></li>
+        |<li class="facilities-icons"><p>gym</p></li>
+        |<li class="facilities-icons"><p>bbq</p></li>
+        |</body></html>""".stripMargin
+    val raw = Seq(("https://example.com/listing/1", page))
+      .toDF("url", "html")
+      .select(HtmlListing.parsePropnex(col("url"), col("html")).as("r"))
+      .select("r.*")
+    assert(raw.columns.toSeq ===
+      graft.schemas.Schemas.propnexRaw.fieldNames.toSeq)
+    val dc = Seq((19, "53", "Hougang"), (20, "56", "Bishan"))
+      .toDF("district", "postal_sector", "zone")
+    val dr = Seq((19, "North-East Region"), (20, "Central Region"))
+      .toDF("district", "region")
+    val out = graft.jobs.PropnexJob.transform(raw, dc, dr,
+      java.time.LocalDate.of(2024, 11, 1)).collect().head
+    def g[T](c: String): T = out.getAs[T](c)
+    assert(g[String]("location") === "123A Upper Serangoon Rd")
+    assert(g[Int]("price") === 550000)
+    assert(g[Int]("price_psf") === 465)
+    assert(g[String]("furnish") === "partial")
+    assert(g[String]("general_location") === "Hougang")
+    assert(g[Int]("district") === 19)
+    assert(g[String]("zone") === "Hougang")
+    assert(g[String]("region") === "North-East Region")
+    assert(g[String]("floor") === "high")
+    assert(g[String]("agent_id") === "R123456A")
+    assert(g[Int]("agent_phone_num") === 91234567)
+    assert(g[String]("agency") === "PROPNEX REALTY PTE. LTD.")
+    assert(g[Int]("remaining_lease") === 99 - (2024 - 1995))
+    assert(g[Int]("floor_area_sqm") === 110)
+    assert(g[Int]("facilities_num") === 3)
+    assert(g[String]("street_name") === "Upper Serangoon Rd")
+  }
+
   test("absent sections fall back to the scraper's defaults") {
     val f = parse("<html><body><p>not a listing</p></body></html>")
     assert(f("location") === "None")
