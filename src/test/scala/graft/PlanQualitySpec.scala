@@ -247,4 +247,15 @@ class PlanQualitySpec extends SparkSpec {
       !pr.contains("BroadcastNestedLoopJoin"),
       s"HRW weights fold as literals, never a shard cross-join:\n$pr")
   }
+
+  test("q_scrape_extract / q_scrape_extract_srx: extraction is pure " +
+      "per-row regex scan work — no join, no window, no aggregate") {
+    for (q <- Seq("q_scrape_extract", "q_scrape_extract_srx")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window") &&
+        !p.contains("HashAggregate"),
+        s"$q must stay scan-speed (only the ordering sort may " +
+          s"exchange):\n$p")
+    }
+  }
 }

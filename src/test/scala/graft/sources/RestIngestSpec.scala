@@ -104,6 +104,59 @@ class RestIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("downloaded CSVs feed HistoricalJob end-to-end — the reference's " +
+    "S6 consumer runs on the ingested directory") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    // the A3 fixture shape PipelineSpec locks goldens for, split across
+    // two catalog datasets like the real collection's per-year files
+    val header = "month,town,flat_type,block,street_name,storey_range," +
+      "floor_area_sqm,flat_model,lease_commence_date,resale_price\n"
+    val csv2017 = header + "2017-03,HOUGANG,4 ROOM,123A," +
+      "UPPER SERANGOON RD,10 TO 12,110,Model A,1995,550000\n"
+    val csv2018 = header + "2018-04,KALLANG/WHAMPOA,MULTI GENERATION,9," +
+      "WHAMPOA DR,04 TO 06,150,Maisonette,1985,880000\n"
+    val meta =
+      """{"data":{"datasetMetadata":[{"datasetId":"y2017"},
+        |{"datasetId":"y2018"}]}}""".stripMargin
+    val out = Files.createTempDirectory("rest_hist").toString
+    withServer(
+      "/v2/public/api/collections/resale/metadata" ->
+        (x => respond(x, 200, meta.getBytes(UTF_8))),
+      "/v1/public/api/datasets/y2017/poll-download" ->
+        (x => respond(x, 200,
+          """{"data":{"url":"/files/a?filename%3D%22resale_2017.csv%22"}}"""
+            .getBytes(UTF_8))),
+      "/v1/public/api/datasets/y2018/poll-download" ->
+        (x => respond(x, 200,
+          """{"data":{"url":"/files/b?filename%3D%22resale_2018.csv%22"}}"""
+            .getBytes(UTF_8))),
+      "/files/a" -> (x => respond(x, 200, csv2017.getBytes(UTF_8))),
+      "/files/b" -> (x => respond(x, 200, csv2018.getBytes(UTF_8)))
+    ) { base =>
+      val report = RestIngest.downloadAll(base, "resale", out, retries = 0)
+      assert(report.forall(_.file.isDefined))
+      val dc = Seq((19, "53", "Hougang"), (12, "33", "Kallang"))
+        .toDF("district", "postal_sector", "zone")
+      val dr = Seq((19, "North-East Region"), (12, "Central Region"))
+        .toDF("district", "region")
+      val td = Seq(("Hougang", 19L), ("Kallang/Whampoa", 12L))
+        .toDF("general_location", "district")
+      // S1 multi-file scan straight over the ingested directory
+      val res = graft.jobs.HistoricalJob.transform(
+        graft.jobs.HistoricalJob.readRaw(spark, out), dc, dr, td)
+      assert(res.count() === 2)
+      val r = res.filter($"block" === "123A").collect().head
+      assert(r.getAs[Int]("price") === 550000)
+      assert(r.getAs[Int]("year") === 2017)
+      assert(r.getAs[Int]("district") === 19)
+      assert(r.getAs[String]("region") === "North-East Region")
+      val r2 = res.filter($"block" === "9").collect().head
+      assert(r2.getAs[String]("general_location") === "Kallang/Whampoa")
+      assert(r2.getAs[Int]("year") === 2018)
+    }
+  }
+
   test("transient 5xx is retried to success; exhausted retries surface " +
     "in the report, cost one dataset only") {
     val flaky = new AtomicInteger(0)
