@@ -696,4 +696,40 @@ object TextOps {
        |  replace(pair, ' ', '') AS merged, cnt
        |FROM ($union) ORDER BY rank""".stripMargin
   }
+
+  /** Byte-order-mark charset sniff + decode — the text-side twin of
+    * `Multimodal.sniffFormat`: crawled payloads arrive in whatever
+    * encoding the origin server felt like, and the BOM (when present)
+    * is the only self-describing signal. Dispatch on the leading
+    * bytes — EF BB BF → UTF-8, FF FE → UTF-16LE, FE FF → UTF-16BE —
+    * strip the mark, `decode` the remainder with the detected charset;
+    * no BOM → decoded as the `dflt` charset with nothing stripped.
+    * Returns `struct(charset, text)`.
+    *
+    * Scale shape: the sniff reads a ≤ 3-byte prefix (`substring` on
+    * BinaryType; `hex` only ever sees the prefix) and `decode` is a
+    * codegen'd built-in — per-row scan work, no UDF, no shuffle. The
+    * UTF-16 round trip is lossless including supplementary-plane
+    * characters (surrogate pairs are the encoding's own mechanism).
+    * Spark-only: DuckDB has no non-UTF-8 decode, so oracles pin this
+    * by CONSTRUCTION — plant `encode(text, cs)` payloads and compare
+    * the decoded column against the source text. ANSI note: malformed
+    * byte sequences under the detected charset make `decode` throw
+    * (MALFORMED_CHARACTER_CODING); quarantine upstream of this call
+    * (sources/Audited posture) if the feed is untrusted. */
+  def bomSniffDecode(payload: Column, dflt: String = "UTF-8"): Column = {
+    def prefix(len: Int): Column = hex(substring(payload, 1, len))
+    def rest(from: Int): Column =
+      substring(payload, lit(from), length(payload) - (from - 1))
+    val cs = when(prefix(3) === "EFBBBF", "UTF-8")
+      .when(prefix(2) === "FFFE", "UTF-16LE")
+      .when(prefix(2) === "FEFF", "UTF-16BE")
+    val text = when(prefix(3) === "EFBBBF", decode(rest(4), "UTF-8"))
+      .when(prefix(2) === "FFFE",
+        decode(rest(3), "UTF-16LE"))
+      .when(prefix(2) === "FEFF",
+        decode(rest(3), "UTF-16BE"))
+      .otherwise(decode(payload, dflt))
+    struct(coalesce(cs, lit(dflt)).as("charset"), text.as("text"))
+  }
 }

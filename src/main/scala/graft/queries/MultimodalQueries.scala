@@ -473,6 +473,55 @@ object MultimodalQueries {
 
     // ---- binaryFile-source ingest: files on disk -> decode chain ----
     // Spark's `binaryFile` source is the media lake's real front door
+    // ---- magic-byte format sniffing over a mixed blob column --------
+    // Every 8th-class payload carries a different planted container
+    // signature (PNG / JPEG / GIF / RIFF+WAVE / gzip / PDF / ID3, and
+    // one class of RAW text); sniffFormat must route each by its
+    // leading bytes alone. The oracle recomputes the plant rule — and
+    // for the raw-text class REPLAYS the ASCII-representable
+    // signatures over the text prefix (GIF8/%PDF/ID3/RIFF can occur in
+    // genuine text; the non-ASCII magics cannot start valid UTF-8), so
+    // a sniffer that guessed instead of reading bytes hash-fails.
+    // Pure per-row prefix work: substring keeps ≤ 12 bytes, hex never
+    // sees the payload body.
+    Q("q_media_sniff",
+      (s, d) => {
+        val text = encode(col("text"), "UTF-8")
+        val payload = when(col("doc_id") % 8 === 0,
+            concat(unhex(lit("89504E470D0A1A0A")), text))
+          .when(col("doc_id") % 8 === 1, concat(unhex(lit("FFD8FFE0")), text))
+          .when(col("doc_id") % 8 === 2,
+            concat(unhex(lit("474946383961")), text))
+          .when(col("doc_id") % 8 === 3,
+            concat(unhex(lit("524946460A00000057415645")), text))
+          .when(col("doc_id") % 8 === 4, concat(unhex(lit("1F8B08")), text))
+          .when(col("doc_id") % 8 === 5, concat(unhex(lit("25504446")), text))
+          .when(col("doc_id") % 8 === 6, concat(unhex(lit("494433")), text))
+          .otherwise(text)
+        documents(s, d)
+          .select(col("doc_id"), payload.as("payload"))
+          .select(col("doc_id"),
+            Multimodal.sniffFormat(col("payload")).as("format"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |SELECT doc_id, CASE doc_id % 8
+        |  WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |  WHEN 3 THEN 'wav' WHEN 4 THEN 'gzip' WHEN 5 THEN 'pdf'
+        |  WHEN 6 THEN 'mp3'
+        |  ELSE (CASE
+        |    WHEN substr(text, 1, 6) IN ('GIF87a', 'GIF89a') THEN 'gif'
+        |    WHEN substr(text, 1, 4) = 'RIFF' AND
+        |         substr(text, 9, 4) = 'WAVE' THEN 'wav'
+        |    WHEN substr(text, 1, 4) = 'RIFF' AND
+        |         substr(text, 9, 4) = 'AVI ' THEN 'avi'
+        |    WHEN substr(text, 1, 4) = '%PDF' THEN 'pdf'
+        |    WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
+        |    ELSE 'unknown' END)
+        |  END AS format
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // (one image file per asset): list the directory, parse the asset
     // id from the filename, run the SAME typed decode+hash path over
     // file-sourced bytes. The oracle is the text-derived hash chain,

@@ -1268,6 +1268,40 @@ object TextQueries {
     // ---- crawl-frontier dedup by canonical URL -----------------------
     // The reason the canonicalizer exists: re-queued URLs that differ
     // only in tracking params / fragments (planted for every 4th doc)
+    // ---- BOM charset sniff + decode over mixed-encoding payloads ----
+    // Crawl reality: every 4th-class document arrives UTF-8+BOM /
+    // UTF-16LE / UTF-16BE / bare UTF-8; bomSniffDecode must label each
+    // from its leading bytes and hand back the EXACT source text
+    // (UTF-16 surrogate pairs included — the fixtures carry emoji).
+    // DuckDB cannot decode UTF-16, so the oracle pins by CONSTRUCTION:
+    // the planted encodings are pure functions of (doc_id, text), and
+    // the decoded column must hash-equal documents.text verbatim.
+    // Per-row prefix sniff + codegen'd decode: no UDF, no shuffle.
+    Q("q_charset_decode",
+      (s, d) => {
+        val payload = when(col("doc_id") % 4 === 0,
+            concat(unhex(lit("EFBBBF")), encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 4 === 1,
+            concat(unhex(lit("FFFE")), encode(col("text"), "UTF-16LE")))
+          .when(col("doc_id") % 4 === 2,
+            concat(unhex(lit("FEFF")), encode(col("text"), "UTF-16BE")))
+          .otherwise(encode(col("text"), "UTF-8"))
+        documents(s, d)
+          .select(col("doc_id"), payload.as("payload"))
+          .select(col("doc_id"),
+            graft.ops.TextOps.bomSniffDecode(col("payload")).as("r"))
+          .select(col("doc_id"), col("r.charset").as("charset"),
+            col("r.text").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |SELECT doc_id, CASE doc_id % 4
+        |  WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE'
+        |  WHEN 2 THEN 'UTF-16BE' ELSE 'UTF-8' END AS charset,
+        |  text
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // collapse to one frontier entry, keeping the first-seen id and
     // the alias count. One group-by shuffle on the canonical form.
     Q("q_url_dedup",
