@@ -35,7 +35,12 @@ object Prof {
     sampler.setDaemon(true); sampler.start()
 
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(qname)(spark, d).count()
+    // count() lets Catalyst PRUNE the projections most queries exist to
+    // measure — "noop" materializes every column like the bench does
+    val n = if (args.lift(2).contains("noop")) {
+      SparkEntry.queries(qname)(spark, d)
+        .write.format("noop").mode("overwrite").save(); -1L
+    } else SparkEntry.queries(qname)(spark, d).count()
     println(f"[prof] $qname rows=$n took ${(System.nanoTime()-t0)/1e9}%.1f s")
     sampling = false
     import scala.jdk.CollectionConverters._

@@ -115,6 +115,8 @@ object GraftFunctions {
         es => ContainmentMilli(es.head, es(1))),
       ("char_codes", classOf[CharCodes],
         es => CharCodes(es.head)),
+      ("selenium_text", classOf[SeleniumText],
+        es => SeleniumText(es.head)),
       ("rolling_hash", classOf[RollingHash],
         es => RollingHash(es.head)),
       ("cdc_bounds", classOf[CdcBounds],
@@ -161,6 +163,8 @@ object GraftFunctions {
     call_function("containment_milli", a, b)
   def charCodes(c: Column): Column =
     call_function("char_codes", c)
+  def seleniumText(c: Column): Column =
+    call_function("selenium_text", c)
   def rollingHash(codes: Column): Column =
     call_function("rolling_hash", codes)
   def cdcBounds(codes: Column, mask: Int = 64): Column =

@@ -104,6 +104,107 @@ object TextKernels {
     cuts += n
     new GenericArrayData(cuts.toArray)
   }
+
+  /** Selenium-`.text`-alike HTML text extraction in ONE fused pass —
+    * the kernel behind `ops.HtmlListing`'s per-field cleanup, replacing
+    * a chain of eight regex passes (`<br>`→newline, complete-tag strip,
+    * five entity decodes, space trim) that, inlined ~45× across the
+    * two parsers' output columns, dominated the gates' PLANNING and
+    * codegen as much as their row work. Byte-exact parity with the
+    * regex chain (pinned by HtmlTextKernelSpec's fuzz):
+    *  - `(?i)<br\\s* /?>` (no space) emits a newline;
+    *  - `<[^>]*>` drops only COMPLETE tags — an unclosed '<' stays
+    *    literal, and the scan for '>' never crosses one;
+    *  - the five entities decode exactly once, never re-interpreting
+    *    decoded output (the sequential chain's amp-last property falls
+    *    out of single-pass append-as-literal);
+    *  - trailing trim removes ASCII spaces only (Spark `trim`). */
+  def seleniumText(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    // pass 1: br→newline BEFORE tag stripping — the chain's order, and
+    // it is observable: in "<unclosed\t<br />" the br becomes a newline
+    // first, leaving "<unclosed\t\n" with no '>' for the tag pass to
+    // strip; a fused single pass would swallow the whole run
+    val p1 = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c == '<') {
+        val after = brTagEnd(str, i + 1)
+        if (after > 0) { p1.append('\n'); i = after }
+        else { p1.append(c); i += 1 }
+      } else { p1.append(c); i += 1 }
+    }
+    // pass 2: complete-tag strip + entity decode
+    val m = p1.length
+    val sb = new java.lang.StringBuilder(m)
+    i = 0
+    while (i < m) {
+      val c = p1.charAt(i)
+      if (c == '<') {
+        val j = p1.indexOf(">", i)
+        if (j < 0) { sb.append(c); i += 1 }
+        else i = j + 1
+      } else if (c == '&') {
+        if (startsWithAt(p1, "&lt;", i)) { sb.append('<'); i += 4 }
+        else if (startsWithAt(p1, "&gt;", i)) { sb.append('>'); i += 4 }
+        else if (startsWithAt(p1, "&quot;", i)) { sb.append('"'); i += 6 }
+        else if (startsWithAt(p1, "&#39;", i)) { sb.append('\''); i += 5 }
+        else if (startsWithAt(p1, "&amp;", i)) { sb.append('&'); i += 5 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    var a = 0
+    var b = sb.length
+    while (a < b && sb.charAt(a) == ' ') a += 1
+    while (b > a && sb.charAt(b - 1) == ' ') b -= 1
+    UTF8String.fromString(sb.substring(a, b))
+  }
+
+  private def startsWithAt(sb: java.lang.StringBuilder, pat: String,
+                           at: Int): Boolean = {
+    if (at + pat.length > sb.length) return false
+    var k = 0
+    while (k < pat.length) {
+      if (sb.charAt(at + k) != pat.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** If `str` from `from` reads `(?i)br`, a whitespace run, an
+    * optional slash, then '>', returns the index just past the '>';
+    * else -1. Whitespace = Java regex \\s: space, tab, LF, VT, FF, CR. */
+  private def brTagEnd(str: String, from: Int): Int = {
+    val n = str.length
+    if (from + 2 > n) return -1
+    val c0 = str.charAt(from); val c1 = str.charAt(from + 1)
+    if (!(c0 == 'b' || c0 == 'B') || !(c1 == 'r' || c1 == 'R')) return -1
+    var k = from + 2
+    while (k < n && (str.charAt(k) == ' ' || str.charAt(k) == '\t' ||
+      str.charAt(k) == '\n' || str.charAt(k) == '\u000B' ||
+      str.charAt(k) == '\f' || str.charAt(k) == '\r')) k += 1
+    if (k < n && str.charAt(k) == '/') k += 1
+    if (k < n && str.charAt(k) == '>') k + 1 else -1
+  }
+}
+
+/** `selenium_text(html)` — see [[TextKernels.seleniumText]]. */
+case class SeleniumText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "selenium_text"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelCheck.isString(child, "selenium_text input")
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.seleniumText(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.seleniumText($s);")
+  override protected def withNewChildInternal(
+      newChild: Expression): SeleniumText = copy(child = newChild)
 }
 
 /** `char_codes(str)` — see [[TextKernels.charCodes]]. */

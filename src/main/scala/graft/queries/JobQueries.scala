@@ -261,26 +261,19 @@ object JobQueries {
             "<li class=\"facilities-icons\"><p>Pool</p></li>" +
             "<li class=\"facilities-icons\"><p>Gym</p></li>" +
             "</body></html>"))
-        val parsed = graft.Tables.customer(s, d)
+        // the fixture table is ONE parquet row group, so without a
+        // spread the whole per-row parse lands on a single task; a
+        // real page store arrives in thousands of splits and needs no
+        // help (parse cost is embarrassingly parallel scan work)
+        val pages = graft.Tables.customer(s, d)
           .select(concat(lit("http://listing/"), str(k)).as("url"),
             html.as("html"))
-          .select(graft.ops.HtmlListing
-            .parsePropnex(col("url"), col("html")).as("r"))
-        parsed.select(col("r.url").as("url"),
-            col("r.location").as("location"), col("r.price").as("price"),
-            col("r.street_town_district").as("street_town_district"),
-            col("r.num_bedroom").as("num_bedroom"),
-            col("r.floor_area_sqft").as("floor_area_sqft"),
-            col("r.agent_name").as("agent_name"),
-            col("r.agent_id").as("agent_id"),
-            col("r.agent_email").as("agent_email"),
-            col("r.agent_phone_num").as("agent_phone_num"),
-            col("r.listing_type").as("listing_type"),
-            col("r.district").as("district"),
-            col("r.tenure").as("tenure"),
-            col("r.property_group").as("property_group"),
-            col("r.description").as("description"),
-            col("r.facilities").as("facilities"))
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.ops.HtmlListing.parsePropnex(pages, "url", "html")
+          .select("url", "location", "price", "street_town_district",
+            "num_bedroom", "floor_area_sqft", "agent_name", "agent_id",
+            "agent_email", "agent_phone_num", "listing_type", "district",
+            "tenure", "property_group", "description", "facilities")
           .orderBy("url")
       },
       Some("""
@@ -374,30 +367,19 @@ object JobQueries {
             "<div class=\"Markets\"><div class=\"listing-amenity\">" +
             "<div class=\"listing-amenity-name\">Market B</div></div>" +
             "</div></div></div></body></html>"))
-        val parsed = graft.Tables.part(s, d)
+        // single-row-group fixture: spread the parse like q_scrape_extract
+        val pages = graft.Tables.part(s, d)
           .select(concat(lit("http://srx/listing/"), str(k)).as("url"),
             html.as("html"))
-          .select(graft.ops.HtmlListing
-            .parseSrx(col("url"), col("html")).as("r"))
-        parsed.select(col("r.url").as("url"),
-            col("r.location").as("location"),
-            col("r.floor_size_psf").as("floor_size_psf"),
-            col("r.price").as("price"),
-            col("r.num_bedroom").as("num_bedroom"),
-            col("r.num_bathroom").as("num_bathroom"),
-            col("r.description").as("description"),
-            col("r.agent_name").as("agent_name"),
-            col("r.agent_id").as("agent_id"),
-            col("r.agent_phone_num").as("agent_phone_num"),
-            col("r.address").as("address"),
-            col("r.property_type").as("property_type"),
-            col("r.size").as("size"),
-            col("r.built_year").as("built_year"),
-            col("r.model").as("model"),
-            col("r.facilities").as("facilities"),
-            col("r.train_stations").as("train_stations"),
-            col("r.schools").as("schools"),
-            col("r.`shopping_mall/markets`").as("malls_markets"))
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.ops.HtmlListing.parseSrx(pages, "url", "html")
+          .select(col("url"), col("location"), col("floor_size_psf"),
+            col("price"), col("num_bedroom"), col("num_bathroom"),
+            col("description"), col("agent_name"), col("agent_id"),
+            col("agent_phone_num"), col("address"), col("property_type"),
+            col("size"), col("built_year"), col("model"),
+            col("facilities"), col("train_stations"), col("schools"),
+            col("`shopping_mall/markets`").as("malls_markets"))
           .orderBy("url")
       },
       Some("""

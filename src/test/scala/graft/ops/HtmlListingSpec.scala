@@ -51,9 +51,9 @@ class HtmlListingSpec extends SparkSpec {
       |</body></html>""".stripMargin
 
   private def parse(html: String): Map[String, String] = {
-    val row = Seq(("http://x/listing/1", html)).toDF("url", "html")
-      .select(HtmlListing.parsePropnex(col("url"), col("html")).as("r"))
-      .select("r.*").collect().head
+    val row = HtmlListing.parsePropnex(
+      Seq(("http://x/listing/1", html)).toDF("url", "html"),
+      "url", "html").collect().head
     row.schema.fieldNames.zip(row.toSeq.map(_.asInstanceOf[String])).toMap
   }
 
@@ -129,9 +129,9 @@ class HtmlListingSpec extends SparkSpec {
       |</div></body></html>""".stripMargin
 
   private def parseSrx(html: String): Map[String, String] = {
-    val row = Seq(("http://srx/listing/9", html)).toDF("url", "html")
-      .select(HtmlListing.parseSrx(col("url"), col("html")).as("r"))
-      .select("r.*").collect().head
+    val row = HtmlListing.parseSrx(
+      Seq(("http://srx/listing/9", html)).toDF("url", "html"),
+      "url", "html").collect().head
     row.schema.fieldNames.zip(row.toSeq.map(_.asInstanceOf[String])).toMap
   }
 
@@ -162,6 +162,30 @@ class HtmlListingSpec extends SparkSpec {
     assert(f("schools") === "Xinmin Primary, Holy Innocents High")
     // malls then markets, concatenated (SRX:151)
     assert(f("shopping_mall/markets") === "Hougang Mall, Kovan Market")
+  }
+
+  test("single-quoted attributes and extra classes extract identically " +
+    "— author markup quote style must not matter") {
+    val page =
+      """<html><body>
+        |<h1 class='page-title'>ignored - not the listing h1</h1>
+        |<div id='listing-detail'>
+        |<h1 class='listing-name hero'>88 Sample St</h1>
+        |<div id='listing-Xvalue-size'>900 sqft</div>
+        |<div class='listing-price big'><div>$321,000</div></div>
+        |<div class='x bed-box'><span class='bed-numbers'>2</span></div>
+        |<div class='listing-agent-box'>
+        |<div class='agent-name'><span>Lee</span></div>
+        |<div><a class='featuredAgentCall' href='tel:98765432'>Call</a></div>
+        |</div>
+        |</div></body></html>""".stripMargin
+    val f = parseSrx(page)
+    assert(f("location") === "88 Sample St")
+    assert(f("floor_size_psf") === "900 sqft")
+    assert(f("price") === "$321,000")
+    assert(f("num_bedroom") === "2")
+    assert(f("agent_name") === "Lee")
+    assert(f("agent_phone_num") === "tel:98765432")
   }
 
   test("srx absent sections fall back to the spider's defaults") {
@@ -204,10 +228,9 @@ class HtmlListingSpec extends SparkSpec {
         |<li class="facilities-icons"><p>gym</p></li>
         |<li class="facilities-icons"><p>bbq</p></li>
         |</body></html>""".stripMargin
-    val raw = Seq(("https://example.com/listing/1", page))
-      .toDF("url", "html")
-      .select(HtmlListing.parsePropnex(col("url"), col("html")).as("r"))
-      .select("r.*")
+    val raw = HtmlListing.parsePropnex(
+      Seq(("https://example.com/listing/1", page)).toDF("url", "html"),
+      "url", "html")
     assert(raw.columns.toSeq ===
       graft.schemas.Schemas.propnexRaw.fieldNames.toSeq)
     val dc = Seq((19, "53", "Hougang"), (20, "56", "Bishan"))
