@@ -142,8 +142,17 @@ object RestIngest {
         else {
           val fileUrl =
             if (rawUrl.startsWith("http")) rawUrl else base + rawUrl
-          val named = filenameFromUrl(rawUrl)
-          val name = named.getOrElse(s"$id.csv")
+          // the filename is SERVER-CONTROLLED input: a separator or a
+          // dot-segment ("../x") would resolve outside outDir, and a
+          // leading '_'/'.' name is invisible to Spark's file scans
+          // (and could shadow a completion marker) — such names fall
+          // back to the dataset id, counted as namedByFallback
+          val named = filenameFromUrl(rawUrl).filter(n =>
+            !n.contains('/') && !n.contains('\\') && n != ".." &&
+              !n.startsWith("_") && !n.startsWith("."))
+          // the dataset id is catalog-controlled input too
+          val name = named.getOrElse(
+            id.replaceAll("[^A-Za-z0-9._-]", "_") + ".csv")
           val bytes = get(c, fileUrl, retries, backoffMs).body()
           val target = dir.resolve(name)
           val tmp = Files.createTempFile(dir, s".$name.", ".part")
@@ -155,8 +164,13 @@ object RestIngest {
           } finally Files.deleteIfExists(tmp)
           Fetch(id, Some(target), namedByFallback = named.isEmpty, None)
         }
-      } catch { case e: java.io.IOException =>
-        Fetch(id, None, namedByFallback = false, Some(e.getMessage))
+      } catch {
+        // NonFatal, not just IOException: a malformed catalog id makes
+        // URI.create throw IllegalArgumentException before any I/O —
+        // one bad entry must cost one dataset, never the batch
+        case scala.util.control.NonFatal(e) =>
+          Fetch(id, None, namedByFallback = false,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
   }

@@ -157,6 +157,46 @@ class RestIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("server-controlled names cannot escape or shadow: traversal, " +
+    "separators, dot/underscore prefixes all fall back to the id") {
+    val meta =
+      """{"data":{"datasetMetadata":[{"datasetId":"d1"},
+        |{"datasetId":"d2"},{"datasetId":"../evil id"}]}}""".stripMargin
+    val out = Files.createTempDirectory("rest_sanitize").toString
+    withServer(
+      "/v2/public/api/collections/c3/metadata" ->
+        (x => respond(x, 200, meta.getBytes(UTF_8))),
+      "/v1/public/api/datasets/d1/poll-download" ->
+        (x => respond(x, 200,
+          """{"data":{"url":"/f/a?filename%3D%22..%2Fescape.csv%22"}}"""
+            .replace("%2F", "/").getBytes(UTF_8))),
+      "/v1/public/api/datasets/d2/poll-download" ->
+        (x => respond(x, 200,
+          """{"data":{"url":"/f/b?filename%3D%22_GRAFT_COMPLETE%22"}}"""
+            .getBytes(UTF_8))),
+      "/f/a" -> (x => respond(x, 200, "k\n1\n".getBytes(UTF_8))),
+      "/f/b" -> (x => respond(x, 200, "k\n2\n".getBytes(UTF_8)))
+    ) { base =>
+      val report = RestIngest.downloadAll(base, "c3", out, retries = 0)
+      val ok = report.filter(_.file.isDefined)
+      // every landed file is INSIDE outDir with a safe name
+      ok.foreach { f =>
+        assert(f.file.get.toAbsolutePath.normalize
+          .startsWith(java.nio.file.Paths.get(out).toAbsolutePath.normalize))
+        assert(f.namedByFallback)
+      }
+      val names = ok.map(_.file.get.getFileName.toString)
+      assert(names.contains("d1.csv") && names.contains("d2.csv"))
+      // no escape artifact beside the ingest dir
+      assert(!Files.exists(
+        java.nio.file.Paths.get(out).getParent.resolve("escape.csv")))
+      // a catalog id that cannot even form a URI (space, dot-segment)
+      // costs ONE dataset as a reported failure, never the batch
+      val evil = report.find(_.datasetId == "../evil id").get
+      assert(evil.file.isEmpty && evil.error.isDefined)
+    }
+  }
+
   test("transient 5xx is retried to success; exhausted retries surface " +
     "in the report, cost one dataset only") {
     val flaky = new AtomicInteger(0)
