@@ -232,42 +232,11 @@ object JobQueries {
     // no shuffle, no UDF, nothing driver-side.
     Q("q_scrape_extract",
       (s, d) => {
-        val k = col("c_custkey").cast("long")
-        def str(c: org.apache.spark.sql.Column) = c.cast("string")
-        val html = concat(
-          lit("<html><body><div class=\"col-lg-4\"><h1>"), col("c_name"),
-          lit("</h1><strong class=\"mr-1\">$"), str(k % 9000 + 1000),
-          lit("</strong><p class=\"mt-2\">$"), str(k % 900 + 300),
-          lit(" psf</p><div class=\"lbb-21\"><ul>" +
-            "<li><img src=\"/i/ic_location.png\"/><p>Blk "), str(k),
-          lit(" Street<br>Town (D"), str(k % 28 + 1),
-          lit(")</p></li><li><img src=\"/i/ic_beds.png\"/><p>"),
-          str(k % 5 + 1),
-          lit(" Beds</p></li><li><img src=\"/i/ic_baths.png\"/><p>"),
-          str(k % 3 + 1),
-          lit(" Baths</p></li><li><img src=\"/i/ic_sqft.png\"/><p>"),
-          str(k % 2000 + 400),
-          lit(" sqft</p></li></ul></div><div class=\"agent-dt-box\"><h5>" +
-            "Agent "), str(col("c_nationkey").cast("long")),
-          lit("</h5><p>#R"), str(k),
-          lit("</p><p>+65 9"), str(k % 1000000),
-          lit("</p><p>a"), str(k),
-          lit("@x.com</p></div></div><div class=\"property-list-box\">" +
-            "<ul><li>Listing Type</li><li>District</li><li>Tenure</li>" +
-            "</ul><ul><li>HDB For Sale</li><li>D"), str(k % 28 + 1),
-          lit("</li><li>"), col("c_mktsegment"),
-          lit("</li></ul></div><div class=\"desc-box\"><p>Nice &amp; " +
-            "bright &#39;corner&#39; unit</p></div>" +
-            "<li class=\"facilities-icons\"><p>Pool</p></li>" +
-            "<li class=\"facilities-icons\"><p>Gym</p></li>" +
-            "</body></html>"))
         // the fixture table is ONE parquet row group, so without a
         // spread the whole per-row parse lands on a single task; a
         // real page store arrives in thousands of splits and needs no
         // help (parse cost is embarrassingly parallel scan work)
-        val pages = graft.Tables.customer(s, d)
-          .select(concat(lit("http://listing/"), str(k)).as("url"),
-            html.as("html"))
+        val pages = propnexPages(s, d)
           .repartition(s.sparkContext.defaultParallelism)
         graft.ops.HtmlListing.parsePropnex(pages, "url", "html")
           .select("url", "location", "price", "street_town_district",
@@ -276,26 +245,33 @@ object JobQueries {
             "tenure", "property_group", "description", "facilities")
           .orderBy("url")
       },
-      Some("""
-        |SELECT 'http://listing/' || c_custkey AS url,
-        |  c_name AS location,
-        |  '$' || (c_custkey % 9000 + 1000) AS price,
-        |  'Blk ' || c_custkey || ' Street' || chr(10) || 'Town (D' ||
-        |    (c_custkey % 28 + 1) || ')' AS street_town_district,
-        |  (c_custkey % 5 + 1) || ' Beds' AS num_bedroom,
-        |  (c_custkey % 2000 + 400) || ' sqft' AS floor_area_sqft,
-        |  'Agent ' || c_nationkey AS agent_name,
-        |  '#R' || c_custkey AS agent_id,
-        |  'a' || c_custkey || '@x.com' AS agent_email,
-        |  '+65 9' || (c_custkey % 1000000) AS agent_phone_num,
-        |  'HDB For Sale' AS listing_type,
-        |  'D' || (c_custkey % 28 + 1) AS district,
-        |  c_mktsegment AS tenure,
-        |  'None' AS property_group,
-        |  'Nice & bright ''corner'' unit' AS description,
-        |  'Pool, Gym' AS facilities
-        |FROM customer ORDER BY url
-        |""".stripMargin.trim)),
+      Some(scrapeExtractOracle)),
+
+    // ---- the same parse as a STREAM: pages arriving as files --------
+    // The crawl lake's arrival path: stored pages land in splits and
+    // are parsed AS A STREAM (readStream over the rendered page
+    // layout; the staged parser is stateless projections, so batch
+    // semantics carry over verbatim — Append mode, AvailableNow to
+    // completion). Same oracle as the batch gate: stream ≡ batch is
+    // hash-pinned field by field.
+    Q("q_stream_scrape_extract",
+      (s, d) => {
+        val dir = propnexPagesDir(s, d)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        val stream = s2.readStream
+          .schema("url STRING, html STRING").parquet(dir)
+        graft.streaming.StreamingOps.runToTable(
+            graft.ops.HtmlListing.parsePropnex(stream.toDF(), "url", "html")
+              .select("url", "location", "price", "street_town_district",
+                "num_bedroom", "floor_area_sqft", "agent_name", "agent_id",
+                "agent_email", "agent_phone_num", "listing_type",
+                "district", "tenure", "property_group", "description",
+                "facilities"),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("url")
+      },
+      Some(scrapeExtractOracle)),
 
     // ---- S7, srx spider: stored pages → the 31-field dict ------------
     // Same render→parse→recompute round trip as q_scrape_extract, over
@@ -408,6 +384,83 @@ object JobQueries {
         |FROM part ORDER BY url
         |""".stripMargin.trim))
   )
+
+  /** The rendered propnex listing page per customer row — every
+    * extraction path planted (br-multiline street/town, icon dispatch,
+    * agent p-tag routing, name/value ul zip, entities). Shared by the
+    * batch gate, the streaming gate, and the page-store writer. */
+  private def propnexPages(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey").cast("long")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val html = concat(
+      lit("<html><body><div class=\"col-lg-4\"><h1>"), col("c_name"),
+      lit("</h1><strong class=\"mr-1\">$"), str(k % 9000 + 1000),
+      lit("</strong><p class=\"mt-2\">$"), str(k % 900 + 300),
+      lit(" psf</p><div class=\"lbb-21\"><ul>" +
+        "<li><img src=\"/i/ic_location.png\"/><p>Blk "), str(k),
+      lit(" Street<br>Town (D"), str(k % 28 + 1),
+      lit(")</p></li><li><img src=\"/i/ic_beds.png\"/><p>"),
+      str(k % 5 + 1),
+      lit(" Beds</p></li><li><img src=\"/i/ic_baths.png\"/><p>"),
+      str(k % 3 + 1),
+      lit(" Baths</p></li><li><img src=\"/i/ic_sqft.png\"/><p>"),
+      str(k % 2000 + 400),
+      lit(" sqft</p></li></ul></div><div class=\"agent-dt-box\"><h5>" +
+        "Agent "), str(col("c_nationkey").cast("long")),
+      lit("</h5><p>#R"), str(k),
+      lit("</p><p>+65 9"), str(k % 1000000),
+      lit("</p><p>a"), str(k),
+      lit("@x.com</p></div></div><div class=\"property-list-box\">" +
+        "<ul><li>Listing Type</li><li>District</li><li>Tenure</li>" +
+        "</ul><ul><li>HDB For Sale</li><li>D"), str(k % 28 + 1),
+      lit("</li><li>"), col("c_mktsegment"),
+      lit("</li></ul></div><div class=\"desc-box\"><p>Nice &amp; " +
+        "bright &#39;corner&#39; unit</p></div>" +
+        "<li class=\"facilities-icons\"><p>Pool</p></li>" +
+        "<li class=\"facilities-icons\"><p>Gym</p></li>" +
+        "</body></html>"))
+    graft.Tables.customer(s, d)
+      .select(concat(lit("http://listing/"), str(k)).as("url"),
+        html.as("html"))
+  }
+
+  /** Content-keyed parquet layout of the rendered pages (split across
+    * default-parallelism files) — the streaming gate's source. */
+  private def propnexPagesDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_pages_" + Sinks.contentKey(d, "customer.parquet", "pages|v1"))
+    val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
+    if (!marker.exists()) {
+      propnexPages(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
+  /** One oracle for the batch and streaming scrape gates — both must
+    * hash-match it, which pins stream ≡ batch through the parser. */
+  private val scrapeExtractOracle = """
+    |SELECT 'http://listing/' || c_custkey AS url,
+    |  c_name AS location,
+    |  '$' || (c_custkey % 9000 + 1000) AS price,
+    |  'Blk ' || c_custkey || ' Street' || chr(10) || 'Town (D' ||
+    |    (c_custkey % 28 + 1) || ')' AS street_town_district,
+    |  (c_custkey % 5 + 1) || ' Beds' AS num_bedroom,
+    |  (c_custkey % 2000 + 400) || ' sqft' AS floor_area_sqft,
+    |  'Agent ' || c_nationkey AS agent_name,
+    |  '#R' || c_custkey AS agent_id,
+    |  'a' || c_custkey || '@x.com' AS agent_email,
+    |  '+65 9' || (c_custkey % 1000000) AS agent_phone_num,
+    |  'HDB For Sale' AS listing_type,
+    |  'D' || (c_custkey % 28 + 1) AS district,
+    |  c_mktsegment AS tenure,
+    |  'None' AS property_group,
+    |  'Nice & bright ''corner'' unit' AS description,
+    |  'Pool, Gym' AS facilities
+    |FROM customer ORDER BY url
+    |""".stripMargin.trim
 
   /** Serve the catalog fixture over loopback and ingest it through
     * [[graft.sources.RestIngest]]; content-addressed on the nation
