@@ -462,6 +462,12 @@ object JobQueries {
     |FROM customer ORDER BY url
     |""".stripMargin.trim
 
+  /** One-time content-keyed builds, run untimed by the bench like the
+    * other stores: the rendered page layout feeding the streaming
+    * scrape gate. */
+  def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "propnex_pages" -> ((s, d) => { propnexPagesDir(s, d); () }))
+
   /** Serve the catalog fixture over loopback and ingest it through
     * [[graft.sources.RestIngest]]; content-addressed on the nation
     * parquet so a session re-run re-exercises nothing stale. The HTTP

@@ -36,5 +36,5 @@ object Registry {
     SimQueries.prepares ++ AnalyticsQueries.prepares ++
       CorpusQueries.prepares ++ ClusterQueries.prepares ++
       EvalArtifacts.prepares ++ MultimodalQueries.prepares ++
-      MergeQueries.prepares ++ TextQueries.prepares
+      MergeQueries.prepares ++ TextQueries.prepares ++ JobQueries.prepares
 }
