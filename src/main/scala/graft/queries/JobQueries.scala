@@ -273,6 +273,28 @@ object JobQueries {
       },
       Some(scrapeExtractOracle)),
 
+    // ---- the crawl-ARCHIVE path: WARC members → parse → fields ------
+    // How a 100 TB crawl actually arrives: pages framed as WARC/1.0
+    // members on shared storage. The stored archive (built untimed,
+    // content-keyed) is read back through the custom DataSourceV2 —
+    // uri + payload projected, record framing parsed per member — and
+    // the SAME parser runs over the archived bytes. Third consumer of
+    // scrapeExtractOracle: parquet-batch, stream, and WARC-archive
+    // paths must all hash-match the same field-by-field truth.
+    Q("q_warc_scrape_pipeline",
+      (s, d) => {
+        val dir = propnexWarcDir(s, d)
+        val pages = s.read.format("graft.sources.WarcSource").load(dir)
+          .select(col("uri").as("url"), col("content").as("html"))
+        graft.ops.HtmlListing.parsePropnex(pages, "url", "html")
+          .select("url", "location", "price", "street_town_district",
+            "num_bedroom", "floor_area_sqft", "agent_name", "agent_id",
+            "agent_email", "agent_phone_num", "listing_type", "district",
+            "tenure", "property_group", "description", "facilities")
+          .orderBy("url")
+      },
+      Some(scrapeExtractOracle)),
+
     // ---- S7, srx spider: stored pages → the 31-field dict ------------
     // Same render→parse→recompute round trip as q_scrape_extract, over
     // the srx page shape (srx_selenium.py:20-152): id anchors,
@@ -462,11 +484,34 @@ object JobQueries {
     |FROM customer ORDER BY url
     |""".stripMargin.trim
 
+  /** Content-keyed WARC archive of the rendered pages — the crawl
+    * archive the pipeline gate re-reads through the DataSourceV2. */
+  private def propnexWarcDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_pages_warc_" +
+        Sinks.contentKey(d, "customer.parquet", "pages_warc|v1"))
+    val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
+    if (!marker.exists()) {
+      graft.sources.WarcSink.write(
+        propnexPages(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("url").as("uri"),
+            lit("2024-11-01T00:00:00Z").as("warc_date"),
+            concat(lit("urn:graft:"),
+              regexp_extract(col("url"), "([0-9]+)$", 1)).as("rid"),
+            encode(col("html"), "UTF-8").as("payload")),
+        dir.getAbsolutePath)
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
   /** One-time content-keyed builds, run untimed by the bench like the
     * other stores: the rendered page layout feeding the streaming
-    * scrape gate. */
+    * scrape gate, and its WARC-archived twin. */
   def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
-    "propnex_pages" -> ((s, d) => { propnexPagesDir(s, d); () }))
+    "propnex_pages" -> ((s, d) => { propnexPagesDir(s, d); () }),
+    "propnex_pages_warc" -> ((s, d) => { propnexWarcDir(s, d); () }))
 
   /** Serve the catalog fixture over loopback and ingest it through
     * [[graft.sources.RestIngest]]; content-addressed on the nation
