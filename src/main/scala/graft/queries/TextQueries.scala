@@ -1302,6 +1302,65 @@ object TextQueries {
         |FROM documents ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- robots.txt gate over the crawl frontier --------------------
+    // RFC-9309 prefix-rule evaluation (ops/Robots): 7 hosts carry 3
+    // robots classes planting every decision path — specific-group
+    // override (the graftbot group must SHADOW the host's `Disallow: /`
+    // catch-all), longest-match Allow-under-Disallow, empty-Disallow
+    // no-op, comment lines, a multi-UA group, and mixed-case keys +
+    // token. The oracle is an INDEPENDENT derivation: the RFC decision
+    // table per class as prefix checks — so a parser bug that
+    // mis-groups or mis-ranks rules hash-fails without the oracle
+    // sharing any parsing code. One host equi-join + one integer max
+    // per frontier row.
+    Q("q_robots_gate",
+      (s, d) => {
+        import s.implicits._
+        val robots = (0 until 7).map { h =>
+          val txt = h % 3 match {
+            case 0 => "User-agent: graftbot\nDisallow: /private\n" +
+              "Allow: /private/ok\n# audit note\n\n" +
+              "User-agent: *\nDisallow: /"
+            case 1 => "user-AGENT: *\nDisallow: /tmp\nDisallow:\n" +
+              "Allow: /tmp/keep"
+            case _ => "User-agent: otherbot\nUser-agent: graftbot\n" +
+              "Disallow: /x\n\nUser-agent: *\nAllow: /"
+          }
+          (s"h$h.example.com", txt)
+        }.toDF("host", "robots")
+        val frontier = documents(s, d).select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com")).as("host"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("/private/ok/p"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("/private/p"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 5 === 2, lit("/tmp/a"))
+            .when(col("doc_id") % 5 === 3, lit("/x/y"))
+            .otherwise(lit("/")).as("path"))
+        graft.ops.Robots.evaluate(frontier, robots, agent = "GraftBot")
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH rbf AS (SELECT doc_id,
+        |    'h' || (doc_id % 7) || '.example.com' AS host,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/private/ok/p' || doc_id
+        |      WHEN 1 THEN '/private/p' || doc_id
+        |      WHEN 2 THEN '/tmp/a' WHEN 3 THEN '/x/y' ELSE '/' END
+        |      AS path
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |  CASE (doc_id % 7) % 3
+        |    WHEN 0 THEN (substr(path, 1, 11) = '/private/ok')
+        |      OR NOT (substr(path, 1, 8) = '/private')
+        |    WHEN 1 THEN (substr(path, 1, 9) = '/tmp/keep')
+        |      OR NOT (substr(path, 1, 4) = '/tmp')
+        |    ELSE NOT (substr(path, 1, 2) = '/x')
+        |  END AS allowed
+        |FROM rbf ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // collapse to one frontier entry, keeping the first-seen id and
     // the alias count. One group-by shuffle on the canonical form.
     Q("q_url_dedup",
