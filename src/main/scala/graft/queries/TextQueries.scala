@@ -1361,6 +1361,50 @@ object TextQueries {
         |FROM rbf ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- license mix per source: the datasheet's legal column -------
+    // Licensing.detectLicense over pages with planted signals — the
+    // rel=license link in both attribute orders/quote styles, a CC0
+    // public-domain target, a non-CC license link (which must BEAT the
+    // also-planted "All rights reserved" text — precedence pinned),
+    // an SPDX identifier, the plain-text phrase, and unmarked pages
+    // (→ 'none', never a default). Rolled up with licenseMix: per
+    // (source, license) doc counts + exact integer milli share within
+    // the source. Oracle recomputes from the plant rule alone.
+    Q("q_license_mix",
+      (s, d) => {
+        val page = concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" <link rel=\"license\" " +
+            "href=\"https://creativecommons.org/licenses/by-sa/4.0/\">"))
+          .when(col("doc_id") % 6 === 1, lit(" <a href='https://" +
+            "creativecommons.org/publicdomain/zero/1.0/' " +
+            "rel='license'>CC0</a>"))
+          .when(col("doc_id") % 6 === 2, lit(" <a rel=\"license\" " +
+            "href=\"https://example.com/eula\">terms</a> " +
+            "All rights reserved."))
+          .when(col("doc_id") % 6 === 3,
+            lit(" SPDX-License-Identifier: MIT"))
+          .when(col("doc_id") % 6 === 4, lit(" All Rights Reserved."))
+          .otherwise(lit("")))
+        graft.ops.Licensing.licenseMix(
+            documents(s, d).select(col("source"),
+              graft.ops.Licensing.detectLicense(page).as("license")),
+            "source", "license")
+          .orderBy("source", "license")
+      },
+      Some("""
+        |WITH lic AS (SELECT source, CASE doc_id % 6
+        |    WHEN 0 THEN 'cc-by-sa-4.0' WHEN 1 THEN 'cc0-1.0'
+        |    WHEN 2 THEN 'other-license-link' WHEN 3 THEN 'spdx:MIT'
+        |    WHEN 4 THEN 'all-rights-reserved' ELSE 'none' END AS license
+        |  FROM documents),
+        |c AS (SELECT source, license, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM lic GROUP BY 1, 2)
+        |SELECT source, license, n_docs,
+        |  CAST((1000 * n_docs) // sum(n_docs)
+        |    OVER (PARTITION BY source) AS BIGINT) AS share_milli
+        |FROM c ORDER BY source, license
+        |""".stripMargin.trim)),
+
     // collapse to one frontier entry, keeping the first-seen id and
     // the alias count. One group-by shuffle on the canonical form.
     Q("q_url_dedup",
