@@ -129,4 +129,85 @@ object InvertedIndexStore {
         .withColumn("term_score", Retrieval.termScoreMilli),
       k)
   }
+
+  // ---- takedown: tombstones + compaction ------------------------------
+  // The deletion path a 100 TB corpus cannot live without (takedown /
+  // consent-revocation sweeps): a document's postings are spread across
+  // every term-prefix partition it has a term in, so a physical delete
+  // would rewrite most of the store for ONE id. LSM discipline instead:
+  // a takedown appends the ids to a side TOMBSTONE table — O(|removal|)
+  // rows, no store rewrite — and readers anti-join it; a later
+  // compaction folds the tombstones into the data files and truncates
+  // the side table. Query answers are identical in both states
+  // (TakedownSpec pins tombstoned == compacted == rebuilt-without).
+
+  /** The tombstone side table beside a postings table. */
+  def tombstoneTable(table: String): String = s"${table}_tombstones"
+
+  /** Record `removeIds` (a 1-column id frame) as taken down —
+    * append-only, idempotent under re-delivery (readers anti-join, so
+    * duplicate tombstones change nothing). */
+  def takedown(removeIds: DataFrame, table: String): Unit =
+    removeIds.toDF("id")
+      .write.format("parquet").mode("append")
+      .saveAsTable(tombstoneTable(removeIds.sparkSession, table))
+
+  private def tombstoneTable(s: SparkSession, table: String): String = {
+    val t = tombstoneTable(table)
+    if (!s.catalog.tableExists(t))
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .write.format("parquet").mode("ignore").saveAsTable(t)
+    t
+  }
+
+  /** `df` minus tombstoned ids — a broadcast anti-join when the
+    * tombstone set is takedown-sized (it is; a set large enough to
+    * defeat broadcast is overdue for [[compactTombstones]]). */
+  private def minusTombstones(s: SparkSession, table: String,
+                              df: DataFrame): DataFrame =
+    if (s.catalog.tableExists(tombstoneTable(table)))
+      df.join(broadcast(s.table(tombstoneTable(table))),
+        Seq("id"), "left_anti")
+    else df
+
+  /** [[bm25FromStore]] with tombstones applied to BOTH sufficient
+    * statistics — postings AND doc stats — so df, dl, and the corpus
+    * scalars all derive from the retracted corpus: the answer is
+    * as-if-never-ingested, not just filtered output rows. */
+  def bm25FromStoreRetracted(s: SparkSession, table: String,
+                             queryTerms: Seq[String], k: Int): DataFrame = {
+    val post = minusTombstones(s, table, lookup(s, table, queryTerms))
+    val stats = minusTombstones(s, table, s.table(docsTable(table)))
+    val scalars = stats.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    Retrieval.rankTopK(
+      post.join(broadcast(df), "term")
+        .join(stats, "id")
+        .crossJoin(broadcast(scalars))
+        .withColumn("term_score", Retrieval.termScoreMilli),
+      k)
+  }
+
+  /** Fold tombstones into the data files: rewrite postings and doc
+    * stats minus the tombstoned ids, then truncate the tombstone
+    * table. After this the anti-join is over an empty set — queries
+    * pay nothing — and the files genuinely no longer carry the
+    * removed documents (the property a takedown audit checks). */
+  def compactTombstones(s: SparkSession, table: String): Unit = {
+    val tt = tombstoneTable(table)
+    if (!s.catalog.tableExists(tt)) return
+    val keepPost = minusTombstones(s, table, s.table(table))
+      .localCheckpoint() // sever lineage: the overwrite replaces its own input
+    val keepDocs = minusTombstones(s, table, s.table(docsTable(table)))
+      .localCheckpoint()
+    keepPost.write.partitionBy("p")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+    keepDocs.write.format("parquet").mode("overwrite")
+      .saveAsTable(docsTable(table))
+    Compaction.dropManagedTable(s, tt)
+  }
 }

@@ -34,11 +34,32 @@ object CorpusQueries {
     tbl
   }
 
+  /** Dedicated index copy for the takedown gate (its own store — the
+    * tombstone/compaction lifecycle must not touch the shared index
+    * other gates read), built over the FULL corpus with the
+    * doc_id % 37 == 0 takedown set tombstoned, content-keyed. */
+  private def takedownIndexTable(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String = {
+    val tbl = "inv_idx_td_" +
+      Sinks.contentKey(d, "documents.parquet", "takedown|v1")
+    Sinks.ensureBuilt(s, s"${tbl}_ok",
+      requires = Seq(tbl, graft.ops.InvertedIndexStore.docsTable(tbl))) {
+      val docs = documents(s, d)
+      graft.ops.InvertedIndexStore.build(
+        docs, "doc_id", "text", tbl, overwrite = true)
+      graft.ops.InvertedIndexStore.takedown(
+        docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+          .select(col("doc_id").cast("long")), tbl)
+    }
+    tbl
+  }
+
   /** One-time content-addressed store builds (see
     * [[SimQueries.prepares]] for the rationale). */
   def prepares: Seq[(String,
       (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
-    "inverted_index" -> ((s, d) => { incrIndexTable(s, d); () }))
+    "inverted_index" -> ((s, d) => { incrIndexTable(s, d); () }),
+    "takedown_index" -> ((s, d) => { takedownIndexTable(s, d); () }))
 
   def all: Seq[Q] = Seq(
 
@@ -543,6 +564,48 @@ object CorpusQueries {
         |t AS (SELECT * FROM tok WHERE term <> ''),
         |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
         |sc AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    (SELECT count(*) FROM t) AS total_tokens),
+        |qt AS (SELECT * FROM t
+        |  WHERE term IN ('batch', 'join', 'filter')),
+        |tf AS (SELECT id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT id) AS df FROM qt GROUP BY 1),
+        |ts AS (SELECT tf.id,
+        |    ${graft.ops.Retrieval.scoreSql("tf.tf", "dfq.df", "dl.dl",
+                 "sc.n_docs", "sc.total_tokens")} AS term_score
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.id = tf.id, sc),
+        |agg AS (SELECT id, CAST(sum(term_score) AS BIGINT)
+        |    AS score_milli FROM ts GROUP BY id)
+        |SELECT rank, id, score_milli FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY score_milli DESC, id ASC) AS rank FROM agg)
+        |WHERE rank <= 20 ORDER BY rank
+        |""".stripMargin.trim)),
+
+    // ---- takedown sweep: the store must FORGET, cheaply --------------
+    // The deletion path (takedown / consent revocation): the removal
+    // set (doc_id % 37 == 0) is TOMBSTONED beside the dedicated index
+    // at build time — O(|removal|) appended rows, zero store rewrite —
+    // and the retracted BM25 derives every sufficient statistic
+    // (postings, df, dl, corpus scalars) from the store MINUS the
+    // tombstones. Oracle: the full BM25 replay over the corpus with
+    // the removed docs never present — as-if-never-ingested, not
+    // output filtering. TakedownSpec pins the other half of the LSM
+    // contract: compaction folds tombstones into the files and the
+    // answer does not move.
+    Q("q_takedown_sweep",
+      (s, d) => graft.ops.InvertedIndexStore.bm25FromStoreRetracted(
+          s, takedownIndexTable(s, d),
+          queryTerms = Seq("batch", "join", "filter"), k = 20)
+        .orderBy("rank"),
+      Some(s"""
+        |WITH rd AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 37 <> 0),
+        |tok AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+')) AS term
+        |  FROM rd),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+        |sc AS (SELECT (SELECT count(*) FROM rd) AS n_docs,
         |    (SELECT count(*) FROM t) AS total_tokens),
         |qt AS (SELECT * FROM t
         |  WHERE term IN ('batch', 'join', 'filter')),

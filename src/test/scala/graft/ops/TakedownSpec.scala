@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The takedown LSM contract over [[InvertedIndexStore]]: a tombstoned
+  * store answers as-if-never-ingested, compaction folds tombstones into
+  * the files WITHOUT moving any answer, and after compaction the
+  * removed ids are genuinely gone from the data files (the property a
+  * takedown audit checks). */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha join beta"), (2L, "join gamma join"),
+    (3L, "alpha filter"), (4L, "filter join alpha"),
+    (5L, "delta epsilon"), (6L, "join")).toDF("doc_id", "text")
+
+  private def answers(table: String): Seq[(Int, Long, Long)] =
+    InvertedIndexStore.bm25FromStoreRetracted(spark, table,
+        Seq("join", "filter"), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("tombstoned == compacted == rebuilt-without; files forget on " +
+    "compaction; re-delivered tombstones are harmless") {
+    val t = "td_spec_idx"
+    val ref = "td_spec_ref"
+    InvertedIndexStore.build(docs, "doc_id", "text", t, overwrite = true)
+    Compaction.dropManagedTable(spark,
+      InvertedIndexStore.tombstoneTable(t))
+    InvertedIndexStore.takedown(Seq(2L, 4L).toDF("id"), t)
+    // re-delivery of a takedown (at-least-once pipelines do this)
+    InvertedIndexStore.takedown(Seq(4L).toDF("id"), t)
+    val tombstoned = answers(t)
+
+    // ground truth: a store built without the removed docs at all
+    InvertedIndexStore.build(docs.filter(!col("doc_id").isin(2L, 4L)),
+      "doc_id", "text", ref, overwrite = true)
+    assert(tombstoned === answers(ref),
+      "tombstoned store must answer as-if-never-ingested")
+    assert(!tombstoned.exists(r => r._2 == 2L || r._2 == 4L))
+
+    InvertedIndexStore.compactTombstones(spark, t)
+    assert(answers(t) === tombstoned,
+      "compaction must not move any answer")
+    // the files genuinely no longer carry the removed ids
+    assert(spark.table(t).filter(col("id").isin(2L, 4L)).count() === 0)
+    assert(spark.table(InvertedIndexStore.docsTable(t))
+      .filter(col("id").isin(2L, 4L)).count() === 0)
+    // tombstone table is consumed by the fold
+    assert(!spark.catalog.tableExists(
+      InvertedIndexStore.tombstoneTable(t)))
+    // a second compaction with nothing pending is a no-op, not a crash
+    InvertedIndexStore.compactTombstones(spark, t)
+    assert(answers(t) === tombstoned)
+  }
+}
