@@ -154,12 +154,18 @@ object InvertedIndexStore {
 
   private def tombstoneTable(s: SparkSession, table: String): String = {
     val t = tombstoneTable(table)
-    if (!s.catalog.tableExists(t))
+    if (!s.catalog.tableExists(t)) {
+      // in-memory catalog + shared warehouse: a prior session can have
+      // left the LOCATION without a catalog entry, and CREATE trips on
+      // LOCATION_ALREADY_EXISTS — clear it first (the owning store's
+      // ensureBuilt re-runs the whole takedown sequence anyway)
+      Compaction.dropManagedTable(s, t)
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",
             org.apache.spark.sql.types.LongType))))
-        .write.format("parquet").mode("ignore").saveAsTable(t)
+        .write.format("parquet").saveAsTable(t)
+    }
     t
   }
 

@@ -35,6 +35,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_ann_ivfpq_topk",     // broadcast 8-row coarse codebook probe
     "q_ann_ivfpq_recall",   // + the brute exact side
     "q_bm25_from_store",    // broadcast query-term set (handful of terms)
+    "q_takedown_sweep",     // same stored-BM25 shape, retracted
     "q_bm25_topk",
     "q_rrf_fusion",         // composes bm25TopK: same 1-row scalar broadcast
     "q_editdist_join",      // broadcast segment-combo index (PassJoin, ~L·τ rows)
@@ -75,6 +76,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_agg_monthly_lag",  // lag over the MONTHLY aggregate (≤ months rows)
     "q_bm25_topk",        // rank over the limit(k) output (Retrieval.rankTopK)
     "q_bm25_from_store",  // same shared rankTopK
+    "q_takedown_sweep",   // same shared rankTopK, retracted inputs
     "q_drift_tv",         // grand total over the BIN aggregate (≤ bins rows)
     "q_domain_relevance", // totals over the BUCKET aggregate (64 rows)
     "q_dsir_sample",      // composes domainRelevance (same 64-row window)
