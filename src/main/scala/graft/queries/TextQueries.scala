@@ -1405,6 +1405,57 @@ object TextQueries {
         |FROM c ORDER BY source, license
         |""".stripMargin.trim)),
 
+    // ---- sitemap ingest → frontier seeding ---------------------------
+    // The governance triplet's third leg (robots: may fetch; license:
+    // may train; sitemap: wants fetched): per-host urlset XML is
+    // ASSEMBLED from the fixture by composition — whitespace inside
+    // <loc>, optional <lastmod>, a loc-less entry per host (skipped
+    // like a validating crawler), utm-tracking variants planted in
+    // every 5th loc — parsed back by Sitemaps.entries, and
+    // seedFrontier anti-joins the already-crawled set on the CANONICAL
+    // url (crawled urls carry fragments; sitemap locs carry tracking
+    // params; neither variant may re-enqueue a crawled page). The
+    // oracle recomputes the surviving entries from the plant rule.
+    Q("q_sitemap_seed",
+      (s, d) => {
+        val base = concat(lit("https://h"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string"))
+        val urls = documents(s, d).select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string")).as("host"),
+          concat(base, when(col("doc_id") % 5 === 0,
+            lit("?utm_source=x")).otherwise(lit(""))).as("loc"),
+          when(col("doc_id") % 2 === 0, lit("2024-01-15")).as("lastmod"))
+        val entryXml = concat(lit("<url><loc> "), col("loc"),
+          lit(" </loc>"),
+          when(col("lastmod").isNotNull,
+            concat(lit("<lastmod>"), col("lastmod"), lit("</lastmod>")))
+            .otherwise(lit("")),
+          lit("</url>"))
+        val sitemaps = urls.select(col("host"), entryXml.as("e"))
+          .groupBy("host")
+          .agg(concat(
+            lit("<urlset><url><priority>0.5</priority></url>"),
+            concat_ws("", collect_list(col("e"))),
+            lit("</urlset>")).as("xml"))
+        val crawled = documents(s, d)
+          .filter(col("doc_id") % 3 === 0)
+          .select(concat(base, lit("#top")).as("url"))
+        graft.ops.Sitemaps.seedFrontier(
+            graft.ops.Sitemaps.entries(sitemaps, "xml"), crawled, "url")
+          .select("canonical_url", "loc", "lastmod")
+          .orderBy("canonical_url")
+      },
+      Some("""
+        |SELECT 'https://h' || (doc_id % 7) || '.example.com/p' || doc_id
+        |    AS canonical_url,
+        |  'https://h' || (doc_id % 7) || '.example.com/p' || doc_id ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END
+        |    AS loc,
+        |  CASE WHEN doc_id % 2 = 0 THEN '2024-01-15' END AS lastmod
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY canonical_url
+        |""".stripMargin.trim)),
+
     // collapse to one frontier entry, keeping the first-seen id and
     // the alias count. One group-by shuffle on the canonical form.
     Q("q_url_dedup",
