@@ -193,9 +193,23 @@ object AnnIndex {
     * partition pruning), candidates dedup across bands, and exact
     * cosine ranks the union. Output (q_id, rank, id, cos_milli),
     * rank ties to the smaller id. */
+  /** Record a takedown against a sign-LSH index (see
+    * [[Tombstones.record]]); probe with `retracted = true` to apply
+    * it, [[compactSignIndex]] to fold it into the bucket files. A
+    * removed vector's rows live in every band's buckets, so the
+    * tombstone path is what makes deletion O(|removal|) here too. */
+  def takedown(removeIds: DataFrame, table: String): Unit =
+    Tombstones.record(removeIds, table)
+
+  /** Fold tombstones into the (band, bucket) files — answers must not
+    * move (TakedownSpec pins it for the index family). */
+  def compactSignIndex(s: SparkSession, table: String): Unit =
+    Tombstones.compact(s, table, Seq((table, Seq("band", "bucket"))))
+
   def probeTopK(s: SparkSession, table: String, queries: DataFrame,
                 idCol: String, vecCol: String, hyper: DataFrame,
-                rowsPerBand: Int, k: Int, multiprobe: Int = 0): DataFrame = {
+                rowsPerBand: Int, k: Int, multiprobe: Int = 0,
+                retracted: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     require(multiprobe >= 0 && multiprobe <= rowsPerBand,
       "multiprobe flips at most rowsPerBand sign bits")
@@ -215,7 +229,9 @@ object AnnIndex {
         (col("bucket") +: (0 until multiprobe).map(i =>
           col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-    val idx = s.table(table)
+    val idx =
+      if (retracted) Tombstones.minus(s, table, s.table(table))
+      else s.table(table)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
       .orderBy(col("cos_milli").desc, col("id").asc)
     idx.join(broadcast(qb), Seq("band", "bucket"))

@@ -142,42 +142,12 @@ object InvertedIndexStore {
   // (TakedownSpec pins tombstoned == compacted == rebuilt-without).
 
   /** The tombstone side table beside a postings table. */
-  def tombstoneTable(table: String): String = s"${table}_tombstones"
+  def tombstoneTable(table: String): String = Tombstones.table(table)
 
-  /** Record `removeIds` (a 1-column id frame) as taken down —
-    * append-only, idempotent under re-delivery (readers anti-join, so
-    * duplicate tombstones change nothing). */
+  /** Record `removeIds` (a 1-column id frame) as taken down — see
+    * [[Tombstones.record]]. */
   def takedown(removeIds: DataFrame, table: String): Unit =
-    removeIds.toDF("id")
-      .write.format("parquet").mode("append")
-      .saveAsTable(tombstoneTable(removeIds.sparkSession, table))
-
-  private def tombstoneTable(s: SparkSession, table: String): String = {
-    val t = tombstoneTable(table)
-    if (!s.catalog.tableExists(t)) {
-      // in-memory catalog + shared warehouse: a prior session can have
-      // left the LOCATION without a catalog entry, and CREATE trips on
-      // LOCATION_ALREADY_EXISTS — clear it first (the owning store's
-      // ensureBuilt re-runs the whole takedown sequence anyway)
-      Compaction.dropManagedTable(s, t)
-      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType))))
-        .write.format("parquet").saveAsTable(t)
-    }
-    t
-  }
-
-  /** `df` minus tombstoned ids — a broadcast anti-join when the
-    * tombstone set is takedown-sized (it is; a set large enough to
-    * defeat broadcast is overdue for [[compactTombstones]]). */
-  private def minusTombstones(s: SparkSession, table: String,
-                              df: DataFrame): DataFrame =
-    if (s.catalog.tableExists(tombstoneTable(table)))
-      df.join(broadcast(s.table(tombstoneTable(table))),
-        Seq("id"), "left_anti")
-    else df
+    Tombstones.record(removeIds, table)
 
   /** [[bm25FromStore]] with tombstones applied to BOTH sufficient
     * statistics — postings AND doc stats — so df, dl, and the corpus
@@ -185,8 +155,8 @@ object InvertedIndexStore {
     * as-if-never-ingested, not just filtered output rows. */
   def bm25FromStoreRetracted(s: SparkSession, table: String,
                              queryTerms: Seq[String], k: Int): DataFrame = {
-    val post = minusTombstones(s, table, lookup(s, table, queryTerms))
-    val stats = minusTombstones(s, table, s.table(docsTable(table)))
+    val post = Tombstones.minus(s, table, lookup(s, table, queryTerms))
+    val stats = Tombstones.minus(s, table, s.table(docsTable(table)))
     val scalars = stats.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
     val df = post.groupBy("term").agg(count(lit(1)).as("df"))
@@ -198,22 +168,10 @@ object InvertedIndexStore {
       k)
   }
 
-  /** Fold tombstones into the data files: rewrite postings and doc
-    * stats minus the tombstoned ids, then truncate the tombstone
-    * table. After this the anti-join is over an empty set — queries
-    * pay nothing — and the files genuinely no longer carry the
-    * removed documents (the property a takedown audit checks). */
-  def compactTombstones(s: SparkSession, table: String): Unit = {
-    val tt = tombstoneTable(table)
-    if (!s.catalog.tableExists(tt)) return
-    val keepPost = minusTombstones(s, table, s.table(table))
-      .localCheckpoint() // sever lineage: the overwrite replaces its own input
-    val keepDocs = minusTombstones(s, table, s.table(docsTable(table)))
-      .localCheckpoint()
-    keepPost.write.partitionBy("p")
-      .format("parquet").mode("overwrite").saveAsTable(table)
-    keepDocs.write.format("parquet").mode("overwrite")
-      .saveAsTable(docsTable(table))
-    Compaction.dropManagedTable(s, tt)
-  }
+  /** Fold tombstones into the data files — postings (term-prefix
+    * partitioned) and doc stats — then drop the side table; see
+    * [[Tombstones.compact]]. */
+  def compactTombstones(s: SparkSession, table: String): Unit =
+    Tombstones.compact(s, table,
+      Seq((table, Seq("p")), (docsTable(table), Seq.empty)))
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generic tombstone lifecycle for id-keyed persisted stores — the
+  * takedown mechanism shared by every store family (inverted index,
+  * ANN buckets, media fingerprints): a document spread across many
+  * partitions (its terms' prefixes, its bands' buckets) cannot be
+  * physically deleted without rewriting most of the store, so a
+  * takedown APPENDS ids to a side table (O(|removal|), zero rewrite),
+  * readers anti-join it, and a compaction folds it into the data
+  * files. See [[InvertedIndexStore]] / [[AnnIndex]] for the wired
+  * store families and TakedownSpec for the pinned contract
+  * (tombstoned == compacted == rebuilt-without). */
+object Tombstones {
+
+  /** The tombstone side table beside a store table. */
+  def table(store: String): String = s"${store}_tombstones"
+
+  /** Record `removeIds` (a 1-column id frame) as taken down —
+    * append-only, idempotent under re-delivery (readers anti-join, so
+    * duplicate tombstones change nothing). */
+  def record(removeIds: DataFrame, store: String): Unit = {
+    val s = removeIds.sparkSession
+    val t = table(store)
+    if (!s.catalog.tableExists(t)) {
+      // in-memory catalog + shared warehouse: a prior session can have
+      // left the LOCATION without a catalog entry, and CREATE trips on
+      // LOCATION_ALREADY_EXISTS — clear it first (the owning store's
+      // ensureBuilt re-runs the whole takedown sequence anyway)
+      Compaction.dropManagedTable(s, t)
+    }
+    removeIds.toDF("id")
+      .write.format("parquet").mode("append").saveAsTable(t)
+  }
+
+  /** `df` minus tombstoned ids (`df`'s id column must be named `id`) —
+    * a broadcast anti-join when the tombstone set is takedown-sized
+    * (it is; a set large enough to defeat broadcast is overdue for
+    * [[compact]]). */
+  def minus(s: SparkSession, store: String, df: DataFrame): DataFrame =
+    if (s.catalog.tableExists(table(store)))
+      df.join(broadcast(s.table(table(store))), Seq("id"), "left_anti")
+    else df
+
+  /** Fold tombstones into the data files: rewrite each
+    * `(tableName, partitionCols)` minus the tombstoned ids, then drop
+    * the tombstone table. After this the anti-join is over nothing —
+    * queries pay zero — and the files genuinely no longer carry the
+    * removed documents (the property a takedown audit checks). */
+  def compact(s: SparkSession, store: String,
+              tables: Seq[(String, Seq[String])]): Unit = {
+    if (!s.catalog.tableExists(table(store))) return
+    // materialize every survivor set BEFORE any overwrite: each
+    // rewrite replaces its own input, and the tombstone table feeds
+    // all of them
+    val kept = tables.map { case (t, parts) =>
+      (t, parts, minus(s, store, s.table(t)).localCheckpoint())
+    }
+    kept.foreach { case (t, parts, df) =>
+      val w = df.write.format("parquet").mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(t)
+    }
+    Compaction.dropManagedTable(s, table(store))
+  }
+}

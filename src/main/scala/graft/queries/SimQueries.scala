@@ -190,8 +190,28 @@ object SimQueries {
     * metastore-backed deployment these are paid once per corpus
     * refresh, so charging them to whichever query runs first would
     * misprice every steady-state read. */
+  /** Dedicated sign-LSH index for the ANN takedown gate (own store:
+    * the tombstone lifecycle must not touch the shared index), full
+    * corpus banded, vec_id % 13 == 0 tombstoned at build. */
+  private def annTdIndexTable(s: SparkSession, d: String): String = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val hyper = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
+    val tbl = "ann_lsh_td_" +
+      Sinks.contentKey(d, "embeddings.parquet", "signlsh-td|v1")
+    Sinks.ensureBuilt(s, s"${tbl}_ok", requires = Seq(tbl)) {
+      graft.ops.AnnIndex.buildSignIndex(emb, "vec_id", "embedding",
+        hyper, rowsPerBand = 4, table = tbl, overwrite = true)
+      graft.ops.AnnIndex.takedown(
+        emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+          .select(col("vec_id").cast("long")), tbl)
+    }
+    tbl
+  }
+
   def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shingle_corpus" -> ((s, d) => { corpusShingleTable(s, d); () }),
+    "ann_takedown_index" -> ((s, d) => { annTdIndexTable(s, d); () }),
     "neardup_components" -> ((s, d) => { neardupComponents(s, d); () }),
     "simhash_detected" -> ((s, d) => { simhashDetected(s, d); () }),
     "ann_lsh_index" -> ((s, d) => { lshIndexTable(s, d); () }),
@@ -1470,6 +1490,57 @@ object SimQueries {
         |cands AS (SELECT DISTINCT q.q_id, c.vec_id
         |  FROM sgn c JOIN qb q ON c.band = q.band
         |    AND c.bucket = q.bucket AND c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, cos_milli,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
+        |  FROM (SELECT cd.q_id, cd.vec_id,
+        |      ${cosSql("q.embedding", "e.embedding")} AS cos_milli
+        |    FROM cands cd
+        |      JOIN embeddings e ON e.vec_id = cd.vec_id
+        |      JOIN embeddings q ON q.vec_id = cd.q_id))
+        |SELECT q_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank
+        |""".stripMargin.trim)),
+
+    // ---- takedown against the persisted ANN index --------------------
+    // The index-family twin of q_takedown_sweep (same Tombstones
+    // lifecycle, second store family): vec_id % 13 == 0 is tombstoned
+    // beside the dedicated sign-LSH index, and the retracted probe
+    // must neither return a removed id nor let one crowd the top-k.
+    // Oracle: the persisted-LSH replay with the removed ids absent
+    // from the CANDIDATE side only — queries still exist (a removed
+    // document can still be somebody's query), buckets and ranking
+    // otherwise identical.
+    Q("q_ann_takedown",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        val hyper = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
+        val q = emb.filter(col("vec_id") >= 13 && col("vec_id") < 18)
+        graft.ops.AnnIndex.probeTopK(s, annTdIndexTable(s, d), q,
+            "vec_id", "embedding", hyper, rowsPerBand = 4, k = 10,
+            retracted = true)
+          .withColumnRenamed("id", "vec_id")
+          .select("q_id", "rank", "vec_id", "cos_milli")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        |WITH hyper AS (SELECT vec_id AS h_id, embedding AS hv
+        |    FROM embeddings WHERE vec_id < 16),
+        |sgn AS (SELECT e.vec_id, h_id // 4 AS band,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |           * CAST(h.hv[i] AS DOUBLE))) > 0
+        |      THEN (1 << CAST(h_id % 4 AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM embeddings e, hyper h GROUP BY e.vec_id, band),
+        |qb AS (SELECT vec_id AS q_id, band, bucket FROM sgn
+        |    WHERE vec_id >= 13 AND vec_id < 18),
+        |cands AS (SELECT DISTINCT q.q_id, c.vec_id
+        |  FROM sgn c JOIN qb q ON c.band = q.band
+        |    AND c.bucket = q.bucket AND c.vec_id <> q.q_id
+        |  WHERE c.vec_id % 13 <> 0),
         |ranked AS (SELECT q_id, vec_id, cos_milli,
         |    row_number() OVER (PARTITION BY q_id
         |      ORDER BY cos_milli DESC, vec_id ASC) AS rank

@@ -29,6 +29,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_ann_ivf_topk",
     "q_ann_lsh_multiprobe", // broadcast hyperplanes (k×d floats)
     "q_ann_lsh_persisted",
+    "q_ann_takedown",       // same probe shape, retracted index side
     "q_ann_lsh_topk",
     "q_ann_pq_recall",      // brute exact side + broadcast codebooks
     "q_ann_pq_topk",

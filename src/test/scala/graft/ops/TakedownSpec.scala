@@ -55,4 +55,33 @@ class TakedownSpec extends SparkSpec {
     InvertedIndexStore.compactTombstones(spark, t)
     assert(answers(t) === tombstoned)
   }
+
+  test("the ANN index family honors the same contract: retracted " +
+    "probe == compacted probe; bucket files forget") {
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(i => (((seed * 31 + i * 7) % 13) - 6).toFloat)
+    val emb = (0L until 40L).map(i => (i, vec(i))).toDF("id", "vec")
+    val hyper = (0L until 8L).map(i => (i, vec(i + 100)))
+      .toDF("h_id", "hv")
+    val t = "td_spec_ann"
+    AnnIndex.buildSignIndex(emb, "id", "vec", hyper, rowsPerBand = 4,
+      table = t, overwrite = true)
+    Compaction.dropManagedTable(spark, Tombstones.table(t))
+    AnnIndex.takedown(Seq(6L, 7L, 21L).toDF("id"), t)
+    def probe(): Seq[(Long, Int, Long)] =
+      AnnIndex.probeTopK(spark, t,
+          emb.filter(col("id") < 3), "id", "vec", hyper,
+          rowsPerBand = 4, k = 5, retracted = true)
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val retracted = probe()
+    assert(!retracted.exists(r => Set(6L, 7L, 21L).contains(r._3)))
+    AnnIndex.compactSignIndex(spark, t)
+    assert(probe() === retracted, "compaction must not move the probe")
+    assert(spark.table(t)
+      .filter(col("id").isin(6L, 7L, 21L)).count() === 0)
+    assert(!spark.catalog.tableExists(Tombstones.table(t)))
+  }
 }
