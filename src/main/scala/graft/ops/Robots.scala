@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * subset:
   *
   *  - lines parse as `key: value` with `#` comments stripped; only
-  *    `user-agent` / `allow` / `disallow` keys considered, keys
-  *    case-insensitive;
+  *    `user-agent` / `allow` / `disallow` / `crawl-delay` keys
+  *    considered, keys case-insensitive;
   *  - a GROUP is a maximal run of consecutive User-agent lines plus
   *    the rules that follow it (until the next User-agent run);
   *  - for a product token, groups naming it (case-insensitive exact)
@@ -35,11 +35,14 @@ import org.apache.spark.sql.functions._
   * replays it with the same arithmetic. */
 object Robots {
 
-  /** Exploded applicable-rule table for `agent`:
-    * `(host, is_allow, prefix)` — only rules from the groups that
-    * govern `agent` on each host, empty-value rules dropped. */
-  def rules(robots: DataFrame, agent: String,
-            hostCol: String = "host", txtCol: String = "robots"): DataFrame = {
+  /** Parse + group + group-applicability — shared by the rule and
+    * crawl-delay readers: considered lines (`user-agent` / `allow` /
+    * `disallow` / `crawl-delay`, comments stripped, keys folded)
+    * tagged with their User-agent-run group id, plus the set of
+    * groups governing `agent` on each host (specific-over-generic). */
+  private def applicableLines(robots: DataFrame, agent: String,
+                              hostCol: String, txtCol: String)
+      : (DataFrame, DataFrame) = {
     val lines = robots.select(col(hostCol).as("host"),
       posexplode(split(col(txtCol), "\n")).as(Seq("ln", "raw")))
     val parsed = lines
@@ -48,7 +51,8 @@ object Robots {
       .withColumn("key", lower(trim(substring_index(col("line"), ":", 1))))
       .withColumn("value",
         trim(expr("substring(line, instr(line, ':') + 1)")))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
+      .filter(col("key").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
     val w = Window.partitionBy("host").orderBy("ln")
     val grouped = parsed
       .withColumn("is_ua", (col("key") === "user-agent").cast("int"))
@@ -68,6 +72,16 @@ object Robots {
       .filter((col("has_spec") === 1 && col("specific") === 1) ||
         (col("has_spec") === 0 && col("generic") === 1))
       .select("host", "grp")
+    (grouped, applicable)
+  }
+
+  /** Exploded applicable-rule table for `agent`:
+    * `(host, is_allow, prefix)` — only rules from the groups that
+    * govern `agent` on each host, empty-value rules dropped. */
+  def rules(robots: DataFrame, agent: String,
+            hostCol: String = "host", txtCol: String = "robots"): DataFrame = {
+    val (grouped, applicable) =
+      applicableLines(robots, agent, hostCol, txtCol)
     grouped
       .filter(col("key").isin("allow", "disallow") &&
         length(col("value")) > 0)
@@ -95,5 +109,44 @@ object Robots {
       .agg(max(col("score")).as("s"))
       .select(col(idCol), col("host"), col("path"),
         (col("s").isNull || col("s") % 2 === 1).as("allowed"))
+  }
+
+  /** Per-host crawl delay in milliseconds for `agent` — the
+    * `Crawl-delay` politeness extension (de facto standard; seconds,
+    * fractional allowed), read from the SAME applicable groups as the
+    * allow/disallow rules (specific-over-generic). Several applicable
+    * delays → the maximum (the conservative crawler's choice); hosts
+    * without one get `defaultMs`. Exact integer milli: the seconds
+    * value parses as a scaled decimal, never a double. */
+  def crawlDelaysMs(robots: DataFrame, agent: String,
+                    defaultMs: Long = 1000L): DataFrame = {
+    val (grouped, applicable) =
+      applicableLines(robots, agent, "host", "robots")
+    grouped.filter(col("key") === "crawl-delay")
+      .join(applicable, Seq("host", "grp"))
+      .withColumn("__ms",
+        (col("value").try_cast("decimal(12,3)") * 1000).try_cast("long"))
+      .filter(col("__ms").isNotNull)
+      .groupBy("host")
+      .agg(max(col("__ms")).as("delay_ms"))
+      .select(col("host"), col("delay_ms"))
+  }
+
+  /** Politeness SCHEDULE for an (allowed) frontier: within each host,
+    * fetches order by `orderCol` and slot k departs at
+    * `k · delay_ms` (host delays from [[crawlDelaysMs]], `defaultMs`
+    * where a host declares none). One window per HOST partition —
+    * per-host frontier slices, never a global sort — plus a broadcast-
+    * sized join on host: the shape a 1000-executor fetch planner
+    * needs. */
+  def fetchSchedule(frontier: DataFrame, robots: DataFrame, agent: String,
+                    orderCol: String, defaultMs: Long = 1000L): DataFrame = {
+    val delays = crawlDelaysMs(robots, agent, defaultMs)
+    val w = Window.partitionBy("host").orderBy(col(orderCol))
+    frontier
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_ms", coalesce(col("delay_ms"), lit(defaultMs)))
+      .withColumn("slot", row_number().over(w).cast("long") - 1)
+      .withColumn("start_ms", col("slot") * col("delay_ms"))
   }
 }

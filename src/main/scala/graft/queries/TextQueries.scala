@@ -91,6 +91,27 @@ object TextQueries {
     dir.getAbsolutePath
   }
 
+  /** The 7-host robots fixture the governance gates share: three
+    * classes planting specific-over-generic (rules AND crawl-delays),
+    * longest-match allow-under-disallow, empty-Disallow, comments,
+    * multi-UA groups, fractional delays, mixed-case keys. */
+  private def crawlRobotsFixture(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    (0 until 7).map { h =>
+      val txt = h % 3 match {
+        case 0 => "User-agent: graftbot\nDisallow: /private\n" +
+          "Allow: /private/ok\nCrawl-delay: 2\n# audit note\n\n" +
+          "User-agent: *\nDisallow: /\nCrawl-delay: 9"
+        case 1 => "user-AGENT: *\nDisallow: /tmp\nDisallow:\n" +
+          "Allow: /tmp/keep\nCrawl-delay: 0.5"
+        case _ => "User-agent: otherbot\nUser-agent: graftbot\n" +
+          "Disallow: /x\n\nUser-agent: *\nAllow: /"
+      }
+      (s"h$h.example.com", txt)
+    }.toDF("host", "robots")
+  }
+
   /** Rounds the BPE gates train/apply — ONE constant feeding the Spark
     * loop, the store key, and both oracles. */
   private val BpeRounds = 10
@@ -1315,19 +1336,7 @@ object TextQueries {
     // per frontier row.
     Q("q_robots_gate",
       (s, d) => {
-        import s.implicits._
-        val robots = (0 until 7).map { h =>
-          val txt = h % 3 match {
-            case 0 => "User-agent: graftbot\nDisallow: /private\n" +
-              "Allow: /private/ok\n# audit note\n\n" +
-              "User-agent: *\nDisallow: /"
-            case 1 => "user-AGENT: *\nDisallow: /tmp\nDisallow:\n" +
-              "Allow: /tmp/keep"
-            case _ => "User-agent: otherbot\nUser-agent: graftbot\n" +
-              "Disallow: /x\n\nUser-agent: *\nAllow: /"
-          }
-          (s"h$h.example.com", txt)
-        }.toDF("host", "robots")
+        val robots = crawlRobotsFixture(s)
         val frontier = documents(s, d).select(col("doc_id"),
           concat(lit("h"), (col("doc_id") % 7).cast("string"),
             lit(".example.com")).as("host"),
@@ -1359,6 +1368,40 @@ object TextQueries {
         |    ELSE NOT (substr(path, 1, 2) = '/x')
         |  END AS allowed
         |FROM rbf ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- politeness schedule: per-host fetch slots -------------------
+    // The fetch planner's output: Crawl-delay parsed from the SAME
+    // applicable groups as the rules (class 0 plants 2 s on the
+    // graftbot group AND 9 s on the * catch-all — specific must win
+    // for delays too; class 1 a fractional 0.5 s on *; class 2 none →
+    // the 1 s default), then within each host fetches slot by doc_id
+    // order and depart at slot · delay_ms. One host-partitioned
+    // window + a broadcast delay join; exact integer milli (the
+    // fractional seconds parse as scaled decimal, never a double).
+    Q("q_fetch_schedule",
+      (s, d) => {
+        val frontier = documents(s, d).select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com")).as("host"))
+        graft.ops.Robots.fetchSchedule(frontier,
+            crawlRobotsFixture(s), agent = "GraftBot",
+            orderCol = "doc_id")
+          .select("doc_id", "host", "delay_ms", "slot", "start_ms")
+          .orderBy("host", "slot")
+      },
+      Some("""
+        |SELECT doc_id, host, delay_ms,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |    - 1 AS BIGINT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |    - 1) * delay_ms AS BIGINT) AS start_ms
+        |FROM (SELECT doc_id,
+        |    'h' || (doc_id % 7) || '.example.com' AS host,
+        |    CAST(CASE (doc_id % 7) % 3 WHEN 0 THEN 2000
+        |      WHEN 1 THEN 500 ELSE 1000 END AS BIGINT) AS delay_ms
+        |  FROM documents)
+        |ORDER BY host, slot
         |""".stripMargin.trim)),
 
     // ---- license mix per source: the datasheet's legal column -------
