@@ -135,6 +135,11 @@ object StreamingOps {
         col("user_id").as("click_user"), col("ts_us").as("click_ts_us"),
         col("event_time").as("click_time"))
       .withWatermark("click_time", "1 hour")
+    // Both predicate families on purpose: the micros pair gives
+    // byte-exact lag arithmetic; the timestamp pair below is what
+    // StreamingJoinHelper derives the state watermark from (it logs a
+    // caught WARN stack probing the micros conjuncts first — benign;
+    // JoinStateBoundSpec pins that eviction still fires).
     views.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_ts_us") >= col("view_ts_us") &&
