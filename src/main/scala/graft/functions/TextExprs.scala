@@ -136,22 +136,40 @@ object TextKernels {
         else { p1.append(c); i += 1 }
       } else { p1.append(c); i += 1 }
     }
-    // pass 2: complete-tag strip + entity decode
+    // pass 2: complete-tag strip ONLY — the chain strips tags BEFORE
+    // the entity passes, and the order is observable: in "&<b>lt;"
+    // the stripped tag joins '&' with "lt;", so the chain decodes it
+    // to "<"; a fused strip+decode pass would check "&lt;" against
+    // the UNstripped text, miss, and leave "&lt;" (the r9-advice
+    // divergence — now a pinned targeted edge in HtmlTextKernelSpec)
     val m = p1.length
-    val sb = new java.lang.StringBuilder(m)
+    val p2 = new java.lang.StringBuilder(m)
     i = 0
     while (i < m) {
       val c = p1.charAt(i)
       if (c == '<') {
         val j = p1.indexOf(">", i)
-        if (j < 0) { sb.append(c); i += 1 }
+        if (j < 0) { p2.append(c); i += 1 }
         else i = j + 1
-      } else if (c == '&') {
-        if (startsWithAt(p1, "&lt;", i)) { sb.append('<'); i += 4 }
-        else if (startsWithAt(p1, "&gt;", i)) { sb.append('>'); i += 4 }
-        else if (startsWithAt(p1, "&quot;", i)) { sb.append('"'); i += 6 }
-        else if (startsWithAt(p1, "&#39;", i)) { sb.append('\''); i += 5 }
-        else if (startsWithAt(p1, "&amp;", i)) { sb.append('&'); i += 5 }
+      } else { p2.append(c); i += 1 }
+    }
+    // pass 3: entity decode over the tag-stripped text. Single-pass
+    // append-as-literal replays the chain's five sequential literal
+    // replaces exactly: no decode output is ever re-interpreted
+    // (amp-last falls out — "&amp;lt;" → "&lt;"), and a later pass of
+    // the chain can only CREATE an earlier pass's entity via &amp;,
+    // whose single-pass handling emits '&' + the tail as literal
+    val m2 = p2.length
+    val sb = new java.lang.StringBuilder(m2)
+    i = 0
+    while (i < m2) {
+      val c = p2.charAt(i)
+      if (c == '&') {
+        if (startsWithAt(p2, "&lt;", i)) { sb.append('<'); i += 4 }
+        else if (startsWithAt(p2, "&gt;", i)) { sb.append('>'); i += 4 }
+        else if (startsWithAt(p2, "&quot;", i)) { sb.append('"'); i += 6 }
+        else if (startsWithAt(p2, "&#39;", i)) { sb.append('\''); i += 5 }
+        else if (startsWithAt(p2, "&amp;", i)) { sb.append('&'); i += 5 }
         else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }

@@ -119,9 +119,11 @@ object Robots {
     * without one get `defaultMs`. Exact integer milli: the seconds
     * value parses as a scaled decimal, never a double. */
   def crawlDelaysMs(robots: DataFrame, agent: String,
-                    defaultMs: Long = 1000L): DataFrame = {
+                    defaultMs: Long = 1000L,
+                    hostCol: String = "host",
+                    txtCol: String = "robots"): DataFrame = {
     val (grouped, applicable) =
-      applicableLines(robots, agent, "host", "robots")
+      applicableLines(robots, agent, hostCol, txtCol)
     grouped.filter(col("key") === "crawl-delay")
       .join(applicable, Seq("host", "grp"))
       .withColumn("__ms",
@@ -140,8 +142,10 @@ object Robots {
     * sized join on host: the shape a 1000-executor fetch planner
     * needs. */
   def fetchSchedule(frontier: DataFrame, robots: DataFrame, agent: String,
-                    orderCol: String, defaultMs: Long = 1000L): DataFrame = {
-    val delays = crawlDelaysMs(robots, agent, defaultMs)
+                    orderCol: String, defaultMs: Long = 1000L,
+                    hostCol: String = "host",
+                    txtCol: String = "robots"): DataFrame = {
+    val delays = crawlDelaysMs(robots, agent, defaultMs, hostCol, txtCol)
     val w = Window.partitionBy("host").orderBy(col(orderCol))
     frontier
       .join(broadcast(delays), Seq("host"), "left")

@@ -52,15 +52,29 @@ object Tombstones {
   def compact(s: SparkSession, store: String,
               tables: Seq[(String, Seq[String])]): Unit = {
     if (!s.catalog.tableExists(table(store))) return
-    // materialize every survivor set BEFORE any overwrite: each
-    // rewrite replaces its own input, and the tombstone table feeds
-    // all of them
-    val kept = tables.map { case (t, parts) =>
-      (t, parts, minus(s, store, s.table(t)).localCheckpoint())
+    // Two durable phases, never a window where the only copy of a
+    // store's surviving rows is ephemeral. Phase 1 writes every
+    // survivor set to a staging TABLE on the warehouse (reliable
+    // storage) while the sources are still intact — a crash here
+    // loses only staging. Phase 2 overwrites each source FROM its
+    // durable staging copy — a crash mid-overwrite leaves the
+    // survivors recoverable in staging. (The previous localCheckpoint
+    // staging held survivors only in executor-local blocks: a failure
+    // after the first overwrite began could lose store data on the
+    // production deletion path.) Tombstones drop last, so a partial
+    // compaction is re-runnable: readers keep anti-joining.
+    val staged = tables.map { case (t, parts) =>
+      val tmp = s"${t}__compact_staging"
+      Compaction.dropManagedTable(s, tmp)
+      val w = minus(s, store, s.table(t))
+        .write.format("parquet").mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(tmp)
+      (t, parts, tmp)
     }
-    kept.foreach { case (t, parts, df) =>
-      val w = df.write.format("parquet").mode("overwrite")
+    staged.foreach { case (t, parts, tmp) =>
+      val w = s.table(tmp).write.format("parquet").mode("overwrite")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(t)
+      Compaction.dropManagedTable(s, tmp)
     }
     Compaction.dropManagedTable(s, table(store))
   }

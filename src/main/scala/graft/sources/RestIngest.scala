@@ -94,6 +94,39 @@ object RestIngest {
                    retries: Int, backoffMs: Long): JsonNode =
     mapper.readTree(get(c, url, retries, backoffMs).body())
 
+  /** The file-download hop STREAMS to `target` via
+    * `BodyHandlers.ofFile` — a multi-GB catalog file must never be
+    * buffered whole in driver heap (the small JSON hops keep
+    * `ofByteArray`). `ofFile` writes the body regardless of status,
+    * so a non-2xx attempt deletes the partial file before retrying —
+    * `target` only survives this method on a 2xx. */
+  private def getToFile(c: HttpClient, url: String, target: Path,
+                        retries: Int, backoffMs: Long): Unit = {
+    var attempt = 0
+    var last: Either[Throwable, Int] = null
+    while (attempt <= retries) {
+      try {
+        val req = HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .GET().build()
+        val resp = c.send(req, HttpResponse.BodyHandlers.ofFile(target))
+        if (resp.statusCode() / 100 == 2) return
+        last = Right(resp.statusCode())
+        Files.deleteIfExists(target)
+      } catch { case e: java.io.IOException =>
+        last = Left(e); Files.deleteIfExists(target)
+      }
+      attempt += 1
+      if (attempt <= retries && backoffMs > 0) Thread.sleep(backoffMs)
+    }
+    last match {
+      case Right(code) => throw new java.io.IOException(
+        s"GET $url failed with HTTP $code after ${retries + 1} attempt(s)")
+      case Left(e) => throw new java.io.IOException(
+        s"GET $url failed after ${retries + 1} attempt(s): ${e.getMessage}", e)
+    }
+  }
+
   /** Dataset ids of a collection, in the catalog's order —
     * `data.datasetMetadata[].datasetId`. Entries missing the id field
     * are skipped (the reference would KeyError). */
@@ -153,11 +186,10 @@ object RestIngest {
           // the dataset id is catalog-controlled input too
           val name = named.getOrElse(
             id.replaceAll("[^A-Za-z0-9._-]", "_") + ".csv")
-          val bytes = get(c, fileUrl, retries, backoffMs).body()
           val target = dir.resolve(name)
           val tmp = Files.createTempFile(dir, s".$name.", ".part")
           try {
-            Files.write(tmp, bytes)
+            getToFile(c, fileUrl, tmp, retries, backoffMs)
             // atomic publish: a concurrent scan never sees a torn file
             Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)

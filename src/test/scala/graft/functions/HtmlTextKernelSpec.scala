@@ -32,6 +32,11 @@ class HtmlTextKernelSpec extends SparkSpec {
       "&lt;", "&gt;", "&quot;", "&#39;", "&amp;",
       "&amp;lt;", "&amp;quot;", "&&lt;", "&#&lt;", "&unknown;", "&",
       "&am", "&lt", "emoji 🏠 &amp; text",
+      // r9-advice adversarial shape: a stripped tag joins '&' with
+      // entity text — the chain (tags first) decodes these; a fused
+      // strip+decode pass would not
+      "&<b>lt;", "&<b>amp;", "&<i>quot;x", "&l<b>t;", "&am<br>p;",
+      "&<b>#39;", "a&<span class='x'>gt;b", "&<unclosed lt;",
       " \n inner newline kept, outer spaces trimmed \n ",
       "<div class=\"x\">deep <span>nested</span></div>",
       "tag<hr>entity&lt;mix&amp;<br/>end "))
@@ -41,7 +46,11 @@ class HtmlTextKernelSpec extends SparkSpec {
     "vocabulary") {
     val vocab = Array("<br>", "<br />", "<b>", "</b>", "<", ">", "&",
       "&lt;", "&amp;", "&quot;", "&#39;", " ", "\n", "\t", "x", "é", "🏠",
-      "<p>", "</p>", "tag", "&amp;lt;", "'", "\"", "<unclosed")
+      "<p>", "</p>", "tag", "&amp;lt;", "'", "\"", "<unclosed",
+      // bare entity TAILS: with '&' and tags also in the vocabulary,
+      // splices can form tag-joined entities ("&<b>lt;") — the shape
+      // the r9 fuzz alphabet could not generate
+      "lt;", "gt;", "amp;", "quot;", "#39;")
     val rnd = new scala.util.Random(42)
     val inputs = (1 to 300).map { _ =>
       (0 until rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))

@@ -54,6 +54,11 @@ class TakedownSpec extends SparkSpec {
     // a second compaction with nothing pending is a no-op, not a crash
     InvertedIndexStore.compactTombstones(spark, t)
     assert(answers(t) === tombstoned)
+    // durable-staging hygiene (r9 advice): the swap's staging tables
+    // are consumed by a completed compaction — none left behind
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.endsWith("__compact_staging")),
+      "compaction must drop its staging tables")
   }
 
   test("the ANN index family honors the same contract: retracted " +
