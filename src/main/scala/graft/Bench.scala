@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Sum of all collectors' accumulated STW time — per-gate deltas
+    * attribute "was this gate slow, or was the JVM collecting". */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def usedHeapMb(): Double = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / 1048576.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // environment contract: local[32], shuffle.partitions = cores
@@ -45,23 +59,31 @@ object Bench {
         }
       }
     val setupSec = (System.nanoTime() - setupT0) / 1e9
-    // stable ordering + GC between queries: keeps one query's garbage
-    // from being charged to the next and makes runs comparable
+    // RDDs persisted by setup (shared store scaffolding) are the
+    // session baseline; everything persisted AFTER this point is
+    // gate-local and must be freed at gate end (see below)
+    val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val failed = scala.collection.mutable.ListBuffer[String]()
     val failMsgs = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-gate attribution columns (r9 verdict: the driver-session
+    // spikes on store-heavy gates were unattributable without them)
+    val gcMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val heapMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var peakHeapMb = 0.0
     // local-iteration filter (comma-separated names); the driver never
     // sets it, so the per-round contract is unchanged
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap {
       case (name, fn) =>
-        System.gc()
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         // noop sink materializes EVERY column and keeps sorts/projections
         // in the plan — .count() let Catalyst prune exactly the per-row
         // expression work most of these queries exist to measure
-        try {
+        val r = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
@@ -74,6 +96,30 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
         }
+        // STW time accrued while THIS gate ran — before cleanup, so
+        // the cleanup gc below is never charged to the gate
+        gcMs(name) = gcMillis() - gc0
+        // free gate-local persisted blocks: a localCheckpoint() inside
+        // a gate pins its blocks in the block manager for the rest of
+        // the session unless unpersisted — across 246 gates at -Xmx8g
+        // that accumulation was the r9 driver-run spike suspect. Only
+        // NON-baseline ids are dropped: setup-built store scaffolding
+        // stays resident, every store itself is a table on disk.
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!baselineRdds.contains(id))
+            try rdd.unpersist(blocking = true)
+            catch { case _: Throwable => () }
+        }
+        // post-gate post-gc resident heap: monotonic growth across
+        // gates = something survives cleanup (the leak signal); flat =
+        // the spike was in-gate pressure, not accumulation. This gc
+        // also serves as the pre-gate gc for the NEXT gate, so the
+        // per-gate gc count is unchanged from r9.
+        System.gc()
+        val h = usedHeapMb()
+        heapMb(name) = math.round(h * 10) / 10.0
+        if (h > peakHeapMb) peakHeapMb = h
+        r
     }.toMap
     // The driver captures only the TAIL of this process's output
     // (~2 KB): a queries map with all 80+ entries at full double
@@ -99,8 +145,49 @@ object Bench {
     val errsJson = failMsgs.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
       .mkString("{", ",", "}")
+    val gcJson = gcMs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val heapJson = heapMb.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // self-describing regression block (r9 verdict item 3): diff this
+    // run against the committed close-out artifact with the same
+    // two-sided rule as scripts/bench_compare.py, so a driver run that
+    // regresses carries its own comparison instead of waiting for a
+    // builder session to notice
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "bench_closeout.json")
+    // (full details to the file artifact; the stdout tail window is
+    // ~2 KB, so the stdout line carries only the regression COUNT)
+    val (compareJson, nRegressed): (String, Int) =
+      try {
+        val f = new java.io.File(baselinePath)
+        if (!f.isFile)
+          (s"""{"baseline":${jstr(baselinePath)},"status":"absent"}""", 0)
+        else {
+          val raw0 = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val raw = raw0.substring(raw0.indexOf('{'))
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(raw)
+          val oq = node.path("queries")
+          val regressed = results.toSeq.sortBy(_._1).flatMap {
+            case (name, b) =>
+              val a = oq.path(name)
+              if (a.isNumber && a.asDouble() > 0 &&
+                b / a.asDouble() > 1.5 && b - a.asDouble() > 1.0)
+                Some(s"""${jstr(name)}:{"old":${r3(a.asDouble())},"new":${r3(b)}}""")
+              else None
+          }
+          (s"""{"baseline":${jstr(baselinePath)},"baseline_total":${r3(node.path("value").asDouble())},"n_regressed":${regressed.size},"regressed":${regressed.mkString("{", ",", "}")}}""",
+            regressed.size)
+        }
+      } catch { case e: Throwable =>
+        (s"""{"baseline":${jstr(baselinePath)},"status":${jstr("unreadable: " + Option(e.getMessage).getOrElse(e.getClass.getName))}}""", 0)
+      }
+    val totalGcMs = gcMs.values.sum
+    val endHeap = heapMb.toSeq.lastOption.map(_._2).getOrElse(0.0)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"end_heap_mb":$endHeap,"compare":$compareJson,"queries":${fullQs.mkString("{", ",", "}")},"gc_ms":$gcJson,"heap_mb":$heapJson,"sf":"$sfDir"}"""
     // never clobber the driver's artifact: honor an explicit override,
     // else write a (millis, pid)-keyed file (a judge/builder repro once
     // overwrote bench_full.json and lost ~136 gates' timings; pid
@@ -128,7 +215,7 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     val topQs = fullQs.take(25).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"queries":$topQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"n_regressed":$nRegressed,"queries":$topQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

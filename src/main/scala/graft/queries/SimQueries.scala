@@ -852,12 +852,13 @@ object SimQueries {
           .select((col("id") + 2100000L).as("id"),
             array_join(reverse(toks), " ").as("text"))
         val batch = bExact.unionByName(bNear).unionByName(bNew)
-        // both stage outputs feed 2-3 consumers (the next stage AND
-        // the verdict assembly): materialize once — batch-sized id/
-        // text rows and a bare id list, tiny payloads against the
-        // min_by_obj shuffle + banding/verify they'd otherwise re-run
-        // per consumer (the 5-consumer checkpoint doctrine; measured
-        // A/B in BASELINE.md round-9)
+        // s1 feeds 2 consumers (the banding stage AND the verdict
+        // assembly): materialize once — batch-sized id/text rows, a
+        // tiny payload against the min_by_obj shuffle + corpus
+        // anti-join they'd otherwise re-run per consumer (the
+        // 5-consumer checkpoint doctrine; measured A/B in BASELINE.md
+        // round-9). nearIds has ONE consumer since the r10 verdict
+        // fold — lazy, it feeds a broadcast directly.
         val s1 = graft.ops.Dedup.incrementalExactDedup(docs, batch,
           contentCols = Seq("text"), tiebreak = Seq("id"))
           .localCheckpoint()
@@ -870,20 +871,26 @@ object SimQueries {
             s.table(bT), s.table(shT),
             k = 32, bands = 16, thresholdMilli = 800)
           .select(col("id_new").as("id")).distinct()
-          .localCheckpoint()
-        val admitted = s1.join(nearIds, Seq("id"), "left_anti")
-          .filter(size(TextOps.tokens(col("text"))) >= 10)
-        batch.select(col("id"))
-          .join(s1.select(col("id"), lit(1).as("_s1")), Seq("id"), "left")
-          .join(nearIds.select(col("id"), lit(1).as("_nr")),
+        // verdict assembly in ONE pass over s1 (r9 verdict item 4):
+        // the near-rejection and quality-floor fates are both decidable
+        // per s1 row once the near-id set is at hand — and that set is
+        // batch-bounded, so it broadcasts. The previous triple
+        // left-join re-read s1 twice (directly + via admitted) and
+        // nearIds twice; this shape reads each exactly once, and the
+        // only non-broadcast join keys batch ids against s1 verdicts
+        // (both batch-sized). dup_exact falls out as the left-join
+        // miss: an id the exact-dedup stage dropped has no s1 row.
+        val s1v = s1
+          .join(broadcast(nearIds.select(col("id"), lit(1).as("_nr"))),
             Seq("id"), "left")
-          .join(admitted.select(col("id"), lit(1).as("_ad")),
-            Seq("id"), "left")
-          .select(col("id").as("doc_id"),
-            when(col("_s1").isNull, lit("dup_exact"))
-              .when(col("_nr").isNotNull, lit("dup_near"))
-              .when(col("_ad").isNotNull, lit("admit"))
+          .select(col("id"),
+            when(col("_nr").isNotNull, lit("dup_near"))
+              .when(size(TextOps.tokens(col("text"))) >= 10, lit("admit"))
               .otherwise(lit("short")).as("verdict"))
+        batch.select(col("id"))
+          .join(broadcast(s1v), Seq("id"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("verdict"), lit("dup_exact")).as("verdict"))
           .orderBy("doc_id")
       },
       Some(s"""
