@@ -26,6 +26,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // same inter-gate hygiene as Bench: gate-local localCheckpoint
+    // blocks would otherwise accumulate in the block manager across
+    // all 246 gates (cross-gate sharing is content-addressed tables
+    // on disk, never in-memory blocks, so freeing them is safe)
+    val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -33,6 +38,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baselineRdds.contains(id))
+          try rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

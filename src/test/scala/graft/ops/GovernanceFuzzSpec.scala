@@ -141,11 +141,12 @@ class GovernanceFuzzSpec extends SparkSpec {
     }
   }
 
-  test("crawlDelaysMs == independent reference on the same corpora") {
+  test("crawlDelaysMs == independent reference on the same corpora " +
+      "(>= 300 seeded hosts)") {
     for (seed <- Seq(11L, 23L)) {
       val rnd = new Random(seed)
       val agent = "GraftBot"
-      val hosts = (0 until 25).map(i => (s"h$i.test", randomRobots(rnd)))
+      val hosts = (0 until 150).map(i => (s"h$i.test", randomRobots(rnd)))
       val got = Robots.crawlDelaysMs(hosts.toDF("host", "robots"), agent)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       hosts.foreach { case (h, t) =>
