@@ -140,7 +140,10 @@ object Robots {
     * where a host declares none). One window per HOST partition —
     * per-host frontier slices, never a global sort — plus a broadcast-
     * sized join on host: the shape a 1000-executor fetch planner
-    * needs. */
+    * needs. `hostCol`/`txtCol` name the ROBOTS frame's columns (as in
+    * [[rules]]); the FRONTIER contract is fixed — `host` plus
+    * `orderCol` — since [[crawlDelaysMs]] always emits
+    * `(host, delay_ms)`. */
   def fetchSchedule(frontier: DataFrame, robots: DataFrame, agent: String,
                     orderCol: String, defaultMs: Long = 1000L,
                     hostCol: String = "host",

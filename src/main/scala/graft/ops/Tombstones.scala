@@ -62,9 +62,20 @@ object Tombstones {
     // staging held survivors only in executor-local blocks: a failure
     // after the first overwrite began could lose store data on the
     // production deletion path.) Tombstones drop last, so a partial
-    // compaction is re-runnable: readers keep anti-joining.
+    // compaction is RE-RUNNABLE: the restore step below heals the one
+    // non-atomic window (saveAsTable drops the target before
+    // recreating it), and until then readers keep anti-joining.
     val staged = tables.map { case (t, parts) =>
       val tmp = s"${t}__compact_staging"
+      // crash recovery: a previous run died inside phase 2's
+      // drop-then-recreate on THIS table — the source is gone but its
+      // survivors are durable in staging; restore before recomputing
+      // (staging is only dropped once the table's phase 2 completes,
+      // so a crash during the restore itself stays recoverable)
+      if (!s.catalog.tableExists(t) && s.catalog.tableExists(tmp)) {
+        val w = s.table(tmp).write.format("parquet").mode("overwrite")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(t)
+      }
       Compaction.dropManagedTable(s, tmp)
       val w = minus(s, store, s.table(t))
         .write.format("parquet").mode("overwrite")

@@ -876,10 +876,12 @@ object SimQueries {
         // per s1 row once the near-id set is at hand — and that set is
         // batch-bounded, so it broadcasts. The previous triple
         // left-join re-read s1 twice (directly + via admitted) and
-        // nearIds twice; this shape reads each exactly once, and the
-        // only non-broadcast join keys batch ids against s1 verdicts
-        // (both batch-sized). dup_exact falls out as the left-join
-        // miss: an id the exact-dedup stage dropped has no s1 row.
+        // nearIds twice; this shape reads each exactly once, and both
+        // assembly joins are broadcasts (near-ids into s1, then
+        // batch-sized s1 verdicts into the batch id list) — no
+        // assembly shuffle at all. dup_exact falls out as the
+        // left-join miss: an id the exact-dedup stage dropped has no
+        // s1 row.
         val s1v = s1
           .join(broadcast(nearIds.select(col("id"), lit(1).as("_nr"))),
             Seq("id"), "left")

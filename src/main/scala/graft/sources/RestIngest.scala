@@ -132,6 +132,9 @@ object RestIngest {
     * are skipped (the reference would KeyError). */
   def datasetIds(base: String, collectionId: String,
                  retries: Int = 2, backoffMs: Long = 100): Seq[String] = {
+    // a negative retries would skip the attempt loop entirely and
+    // surface as an opaque MatchError(null) — reject it up front
+    require(retries >= 0, s"retries must be >= 0, got $retries")
     val url = s"$base/v2/public/api/collections/$collectionId/metadata" +
       "?withDatasetMetadata=true"
     val meta = json(client(), url, retries, backoffMs)
@@ -160,6 +163,7 @@ object RestIngest {
     * loopback fixture can hand out self-links. */
   def downloadAll(base: String, collectionId: String, outDir: String,
                   retries: Int = 2, backoffMs: Long = 100): Seq[Fetch] = {
+    require(retries >= 0, s"retries must be >= 0, got $retries")
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
     val c = client()

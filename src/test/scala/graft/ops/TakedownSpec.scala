@@ -89,4 +89,28 @@ class TakedownSpec extends SparkSpec {
       .filter(col("id").isin(6L, 7L, 21L)).count() === 0)
     assert(!spark.catalog.tableExists(Tombstones.table(t)))
   }
+
+  test("compact is re-runnable from a crash inside the phase-2 swap: " +
+      "a dropped source with durable staging restores, then compacts") {
+    val t = "td_spec_crash"
+    Compaction.dropManagedTable(spark, t)
+    Compaction.dropManagedTable(spark, s"${t}_data")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "payload")
+      .write.format("parquet").saveAsTable(s"${t}_data")
+    Compaction.dropManagedTable(spark, Tombstones.table(t))
+    Tombstones.record(Seq(2L).toDF("id"), t)
+    // simulate the crash window exactly: survivors (minus id=2) are
+    // durable in staging, and saveAsTable has DROPPED the source but
+    // not yet recreated it
+    spark.table(s"${t}_data").filter(col("id") =!= 2L)
+      .write.format("parquet").saveAsTable(s"${t}_data__compact_staging")
+    Compaction.dropManagedTable(spark, s"${t}_data")
+    // the re-run must restore from staging, then complete the fold
+    Tombstones.compact(spark, t, Seq((s"${t}_data", Seq.empty)))
+    assert(spark.table(s"${t}_data").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
+    assert(!spark.catalog.tableExists(s"${t}_data__compact_staging"))
+    assert(!spark.catalog.tableExists(Tombstones.table(t)))
+  }
 }
