@@ -158,6 +158,22 @@ class PlanQualitySpec extends SparkSpec {
       "tf must partial-aggregate before the shuffle")
   }
 
+  test("q_incr_curation_pipeline: verdict assembly joins broadcast " +
+      "(the r10 fold), no sort-merge join in the gate") {
+    val p = plan("q_incr_curation_pipeline")
+    // the two assembly LeftOuters (near-ids into s1, s1 verdicts into
+    // the batch id list) are both batch-bounded and must broadcast —
+    // a shuffle here would re-introduce exactly the re-read shape the
+    // fold removed
+    val bhjLeft = "BroadcastHashJoin .*LeftOuter".r
+      .findAllIn(p).size
+    assert(bhjLeft >= 2,
+      s"both verdict-assembly left joins must broadcast (found " +
+        s"$bhjLeft):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the whole incremental gate stays broadcast/hash-join only:\n$p")
+  }
+
   test("q_triangle_count: no cartesian, no nested-loop join anywhere") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct") &&
