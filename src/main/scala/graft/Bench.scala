@@ -15,6 +15,26 @@ object Bench {
     (rt.totalMemory() - rt.freeMemory()) / 1048576.0
   }
 
+  /** The close-out regression rule, IDENTICAL to
+    * scripts/bench_compare.py's exit gate: a gate regressed when
+    * new/old > `ratio` AND new - old > `absSec` (two-sided — ratio
+    * alone flags ms-noise on trivial gates, absolute alone flags host
+    * drift on heavyweights). Returns (name, old, new) sorted by name;
+    * gates absent from the baseline (or non-positive there) never
+    * regress. Pinned against hand-worked cases in BenchCompareSpec. */
+  private[graft] def regressions(baseline: Map[String, Double],
+                                 results: Map[String, Double],
+                                 ratio: Double = 1.5,
+                                 absSec: Double = 1.0)
+      : Seq[(String, Double, Double)] =
+    results.toSeq.sortBy(_._1).flatMap { case (name, b) =>
+      baseline.get(name) match {
+        case Some(a) if a > 0 && b / a > ratio && b - a > absSec =>
+          Some((name, a, b))
+        case _ => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // environment contract: local[32], shuffle.partitions = cores
@@ -170,13 +190,15 @@ object Bench {
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(raw)
           val oq = node.path("queries")
-          val regressed = results.toSeq.sortBy(_._1).flatMap {
-            case (name, b) =>
-              val a = oq.path(name)
-              if (a.isNumber && a.asDouble() > 0 &&
-                b / a.asDouble() > 1.5 && b - a.asDouble() > 1.0)
-                Some(s"""${jstr(name)}:{"old":${r3(a.asDouble())},"new":${r3(b)}}""")
-              else None
+          val baseQs = {
+            import scala.jdk.CollectionConverters._
+            oq.properties().asScala
+              .filter(_.getValue.isNumber)
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          }
+          val regressed = regressions(baseQs, results).map {
+            case (name, a, b) =>
+              s"""${jstr(name)}:{"old":${r3(a)},"new":${r3(b)}}"""
           }
           (s"""{"baseline":${jstr(baselinePath)},"baseline_total":${r3(node.path("value").asDouble())},"n_regressed":${regressed.size},"regressed":${regressed.mkString("{", ",", "}")}}""",
             regressed.size)
