@@ -50,9 +50,19 @@ def main(old_path, new_path, threshold=1.5, abs_sec=1.0):
     if gate:
         print(f"FAIL: {len(gate)} quer{'y' if len(gate) == 1 else 'ies'} "
               f"regressed >{threshold}x AND >{abs_sec}s:")
+        # round-10 artifacts carry per-gate attribution columns — show
+        # them inline so a spike report answers "GC or plan?" directly
+        ogc, ngc = old.get("gc_ms", {}), new.get("gc_ms", {})
+        nheap = new.get("heap_mb", {})
         for n, a, b in gate:
+            attr = ""
+            if n in ngc:
+                attr = f"  [gc {ogc.get(n, '?')}ms -> {ngc[n]}ms"
+                if n in nheap:
+                    attr += f", heap {nheap[n]:.0f}MB"
+                attr += "]"
             print(f"  {n}: {a:.2f}s -> {b:.2f}s "
-                  f"({b / a:.2f}x, +{b - a:.2f}s)")
+                  f"({b / a:.2f}x, +{b - a:.2f}s){attr}")
         return 1
     print(f"no query regressed beyond {threshold}x and {abs_sec}s")
     return 0
