@@ -35,6 +35,29 @@ object MergeQueries {
     tbl
   }
 
+  /** Content-keyed directory of the same orders projection through
+    * Spark 4's NATIVE XML source (`format("xml")`, one row element
+    * per order) — the q_xml_roundtrip store. Marker-completed like
+    * the WARC dir: the XML writer emits per-task part files with no
+    * transactional catalog entry, so completion needs its own
+    * witness. */
+  private def xmlOrdersDir(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_xml_" + Sinks.contentKey(d, "orders.parquet", "xml|v1"))
+    val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
+    if (!marker.exists()) {
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_c"))
+        .write.format("xml")
+        .option("rootTag", "orders").option("rowTag", "order")
+        .mode("overwrite").save(dir.getAbsolutePath)
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
   /** Content-keyed WARC archive of the documents corpus, written by
     * the distributed [[graft.sources.WarcSink]] (4 members, one per
     * task; marker after the full set so a death mid-write re-runs the
@@ -62,6 +85,7 @@ object MergeQueries {
   def prepares: Seq[(String,
       (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
     "orc_orders_store" -> ((s, d) => { orcOrdersTable(s, d); () }),
+    "xml_orders_store" -> ((s, d) => { xmlOrdersDir(s, d); () }),
     "warc_store" -> ((s, d) => { warcDir(s, d); () }))
 
   def all: Seq[Q] = Seq(
@@ -277,6 +301,33 @@ object MergeQueries {
     Q("q_orc_roundtrip",
       (s, d) => {
         s.table(orcOrdersTable(s, d))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c
+        |FROM orders GROUP BY 1 ORDER BY 1
+        |""".stripMargin.trim)),
+
+    // ---- XML round-trip through Spark 4's NATIVE XML source -----------
+    // Same value-fidelity pin as the ORC twin, through the one
+    // built-in source format the registry didn't yet exercise: the
+    // orders projection is written as <orders><order>…</order>…
+    // (content-keyed dir, untimed with the other stores), read back
+    // with an EXPLICIT schema (XML inference samples the data — a
+    // schema'd read is the only scan shape to ship; keys and cents
+    // land as longs, never inferred doubles), aggregated, and
+    // hash-compared against the parquet-side aggregate.
+    Q("q_xml_roundtrip",
+      (s, d) => {
+        s.read.format("xml").option("rowTag", "order")
+          .schema(StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("o_orderpriority", StringType),
+            StructField("price_c", LongType))))
+          .load(xmlOrdersDir(s, d))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
           .orderBy("o_orderpriority")
