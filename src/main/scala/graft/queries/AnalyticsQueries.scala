@@ -433,6 +433,42 @@ object AnalyticsQueries {
         |ORDER BY rule
         |""".stripMargin.trim)),
 
+    // ---- observed metrics riding a real pass (CollectMetrics) --------
+    // The q_dq_rules counters' PRODUCTION deployment shape: harvested
+    // from `Dataset.observe` DURING another action over the frame (a
+    // full foreach pass standing in for the job's own sink write) —
+    // the zero-extra-scan audit a 100 TB publish runs instead of a
+    // second dedicated aggregation scan. Money sums go through
+    // per-row cent quantization BEFORE the sum (integer sum —
+    // associative-exact; a double sum is partition-order-dependent
+    // and would hash-diverge from any replay). The oracle computes
+    // the identical aggregates directly, pinning observe() == a
+    // dedicated pass.
+    Q("q_observe_metrics",
+      (s, d) => {
+        import s.implicits._
+        val row = graft.ops.Observe.metrics(lineitem(s, d), Seq(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+            .as("n_null_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType))
+            .as("sum_price_c"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok")))
+        Seq((row.getAs[Long](0), row.getAs[Long](1), row.getAs[Long](2),
+            row.getAs[Long](3), row.getAs[Long](4)))
+          .toDF("n_rows", "n_null_qty", "sum_price_c", "min_ok", "max_ok")
+      },
+      Some(s"""
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_qty,
+        |  ${OracleSql.sumB(OracleSql.cents("l_extendedprice"))}
+        |    AS sum_price_c,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem
+        |""".stripMargin.trim)),
+
     // ---- referential-integrity audit --------------------------------
     // Orphan counts across the FK graph via left-anti joins — the
     // cross-table complement of q_dq_rules' single-scan constraints.
