@@ -157,6 +157,163 @@ class GovernanceFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---- sitemap parser vs an independent scanner ---------------------
+
+  /** Hand-rolled scanner (indexOf, no regex) for the documented
+    * sitemaps.org subset: first-closing-tag blocks, first `<loc>` /
+    * `<lastmod>` inside a block, `\s`-trimmed values, loc-less or
+    * empty-loc entries dropped, absent lastmod → None. */
+  private def refSitemapEntries(xml: String): Seq[(String, Option[String])] = {
+    def innerFirst(s: String, tagN: String): Option[String] = {
+      val open = s.indexOf(s"<$tagN>")
+      if (open < 0) None
+      else {
+        val from = open + tagN.length + 2
+        val close = s.indexOf(s"</$tagN>", from)
+        if (close < 0) None
+        else {
+          var a = from; var b = close
+          def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' ||
+            c == '\u000B' || c == '\f' || c == '\r'
+          while (a < b && ws(s.charAt(a))) a += 1
+          while (b > a && ws(s.charAt(b - 1))) b -= 1
+          Some(s.substring(a, b))
+        }
+      }
+    }
+    val out = scala.collection.mutable.ListBuffer[(String, Option[String])]()
+    var pos = 0
+    while (pos < xml.length) {
+      val i = xml.indexOf("<url>", pos)
+      if (i < 0) pos = xml.length
+      else {
+        val j = xml.indexOf("</url>", i + 5)
+        if (j < 0) pos = xml.length
+        else {
+          val block = xml.substring(i + 5, j)
+          innerFirst(block, "loc").filter(_.nonEmpty).foreach { loc =>
+            out += ((loc, innerFirst(block, "lastmod")))
+          }
+          pos = j + 6
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("sitemap entries == independent scanner on 300 seeded " +
+      "spliced documents") {
+    val rnd = new Random(7L)
+    def url() = s"https://ex.test/p${rnd.nextInt(50)}"
+    def frag(): String = rnd.nextInt(10) match {
+      case 0 => s"<url><loc>${url()}</loc></url>"
+      case 1 => s"<url>\n  <loc>\n    ${url()}\n  </loc>\n  " +
+        s"<lastmod>2026-0${1 + rnd.nextInt(8)}-1${rnd.nextInt(9)}" +
+        "</lastmod>\n</url>"
+      case 2 => s"<url><lastmod>2026-01-01</lastmod></url>" // loc-less
+      case 3 => s"<url><loc></loc></url>"                   // empty loc
+      case 4 => s"<url><loc> ${url()} </loc>" +
+        s"<priority>0.${rnd.nextInt(9)}</priority></url>"
+      case 5 => "junk between entries"
+      case 6 => s"<url><loc>${url()}</loc>"                 // unterminated
+      case 7 => "<!-- comment -->\n"
+      case 8 => s"<sitemap><loc>https://ex.test/s${rnd.nextInt(5)}" +
+        ".xml</loc></sitemap>"
+      case 9 => s"<url><loc>${url()}</loc><loc>${url()}</loc></url>"
+    }
+    val docs = (0 until 300).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(6)).map(_ => frag()).mkString("\n"))
+    }
+    val got = Sitemaps.entries(docs.toDF("doc_id", "xml"), "xml")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    docs.foreach { case (id, xml) =>
+      val exp = refSitemapEntries(xml)
+      assert(got.getOrElse(id, Seq.empty) === exp,
+        s"doc $id: spark=${got.getOrElse(id, Seq.empty)} ref=$exp\n$xml")
+    }
+  }
+
+  // ---- license detector vs an independent decision procedure --------
+
+  /** Independent replay of the documented precedence: first
+    * rel=license tag's href (either attribute order/quote style,
+    * scanned tag-by-tag) → CC / CC0 / other mapping; else first SPDX
+    * id; else the all-rights phrase; else none. */
+  private def refLicense(page: String): String = {
+    // first <a ...> or <link ...> tag (no '>' crossed) carrying
+    // rel="license" and an href
+    val tagStarts = Iterator.iterate(
+        math.min(nonNeg(page.indexOf("<a")), nonNeg(page.indexOf("<link"))))(
+        p => math.min(nonNeg(page.indexOf("<a", p + 1)),
+          nonNeg(page.indexOf("<link", p + 1))))
+      .takeWhile(_ < Int.MaxValue).take(1000).toSeq
+    val href = tagStarts.iterator.map { i =>
+      val end = page.indexOf('>', i)
+      val tag = if (end < 0) page.substring(i) else page.substring(i, end)
+      if (tag.contains("rel=\"license\"") || tag.contains("rel='license'")) {
+        val h = "href=[\"']([^\"']*)[\"']".r.findFirstMatchIn(tag)
+        h.map(_.group(1))
+      } else None
+    }.collectFirst { case Some(h) => h }
+    href match {
+      case Some(h) =>
+        val cc = "(?i)creativecommons\\.org/licenses/([a-z-]+)/([0-9.]+)"
+          .r.findFirstMatchIn(h)
+        val cc0 = "(?i)creativecommons\\.org/publicdomain/zero/([0-9.]+)"
+          .r.findFirstMatchIn(h)
+        if (cc.isDefined)
+          s"cc-${cc.get.group(1).toLowerCase}-${cc.get.group(2)}"
+        else if (cc0.isDefined) s"cc0-${cc0.get.group(1)}"
+        else "other-license-link"
+      case None =>
+        val spdx = "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)"
+          .r.findFirstMatchIn(page)
+        if (spdx.isDefined) s"spdx:${spdx.get.group(1)}"
+        else if (page.toLowerCase.contains("all rights reserved"))
+          "all-rights-reserved"
+        else "none"
+    }
+  }
+
+  private def nonNeg(i: Int): Int = if (i < 0) Int.MaxValue else i
+
+  test("license detector == independent decision procedure on 300 " +
+      "seeded composite pages") {
+    val rnd = new Random(31L)
+    def frag(): String = rnd.nextInt(12) match {
+      case 0 => """<a rel="license" """ +
+        """href="https://CreativeCommons.org/licenses/BY-SA/4.0/">cc</a>"""
+      case 1 => """<link href='https://creativecommons.org/licenses/""" +
+        s"""by/${2 + rnd.nextInt(3)}.0/' rel='license'>"""
+      case 2 => """<a rel="license" """ +
+        """href="https://creativecommons.org/publicdomain/zero/1.0/">z</a>"""
+      case 3 => """<a rel="license" href="https://example.test/own">o</a>"""
+      case 4 => s"<!-- SPDX-License-Identifier: ${Seq("MIT", "Apache-2.0",
+        "GPL-3.0-only")(rnd.nextInt(3))} -->"
+      case 5 => "All Rights Reserved."
+      case 6 => "all rights reserved"
+      case 7 => """<a href="https://example.test/x">plain link</a>"""
+      case 8 => "plain paragraph text"
+      case 9 => """<a rel="nofollow" """ +
+        """href="https://creativecommons.org/licenses/by/4.0/">n</a>"""
+      case 10 => "<p>rights</p>"
+      case 11 => """<link rel="stylesheet" href="/s.css">"""
+    }
+    val pages = (0 until 300).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(4)).map(_ => frag()).mkString(" "))
+    }
+    val got = pages.toDF("doc_id", "page")
+      .select(col("doc_id"), Licensing.detectLicense(col("page")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pages.foreach { case (id, page) =>
+      assert(got(id) === refLicense(page),
+        s"page $id: spark=${got(id)} ref=${refLicense(page)}\n$page")
+    }
+  }
+
   // ---- stripHtml vs reference chain ---------------------------------
 
   /** The documented chain, straight-line: tags→space, six sequential
