@@ -18,6 +18,63 @@ import org.apache.spark.sql.functions._
 class MediaRoundTripFuzzSpec extends SparkSpec {
   import spark.implicits._
 
+  private def wavBytes(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, j) =>
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def bitsAboveMeanRef(vals: Array[Long]): Long = {
+    val sum = vals.sum
+    (0 until 60).foldLeft(0L) { (h, k) =>
+      if (vals(k) * 60 > sum) h | (1L << k) else h
+    }
+  }
+
+  test("random PCM WAVs: decoded frame-energy fingerprints equal the " +
+      "documented formula; wrong-geometry audio falls back to the " +
+      "byte hash; short payloads drop (20 clips)") {
+    val rnd = new Random(17)
+    val n = Multimodal.AudioSamples
+    val clips = (0 until 20).map { i =>
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      (i.toLong, samples, wavBytes(samples))
+    }
+    // + one WAV with the WRONG sample count (decodes, wrong geometry:
+    // must hash by container bytes) and one sub-60-byte payload (drop)
+    val offGeom = (900L, wavBytes(Array.fill(n / 2)(rnd.nextInt(65536)
+      - 32768)))
+    val tiny = (901L, Array.fill(30)(rnd.nextInt(256).toByte))
+    val binary = (clips.map { case (id, _, wav) => (id, wav) } :+
+      offGeom :+ ((tiny._1, tiny._2))).toDF("doc_id", "payload")
+    val got = Multimodal.audioFingerprint(binary)
+      .collect().map(f => f.doc_id -> f.afp).toMap
+    clips.foreach { case (id, samples, _) =>
+      val frameLen = n / Multimodal.AudioFrames
+      val energies = Array.tabulate(Multimodal.AudioFrames) { k =>
+        samples.slice(k * frameLen, (k + 1) * frameLen)
+          .map(v => math.abs(v).toLong).sum
+      }
+      assert(got(id) === bitsAboveMeanRef(energies),
+        s"clip $id: decoded energy fingerprint diverged")
+    }
+    val wav = offGeom._2
+    val bytes60 = Array.tabulate(60)(k =>
+      (wav(((k.toLong * wav.length) / 60).toInt) & 0xff).toLong)
+    assert(got(900L) === bitsAboveMeanRef(bytes60),
+      "wrong-geometry WAV must fall back to the raw-byte hash")
+    assert(!got.contains(901L), "sub-60-byte payload must be dropped")
+  }
+
   private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
