@@ -25,6 +25,11 @@ object Observe {
     * (e.g. `_.write.parquet(...)`) and pay nothing extra. */
   def metrics(df: DataFrame, metricExprs: Seq[Column],
               action: DataFrame => Unit = _.foreach(_ => ())): Row = {
+    require(metricExprs.nonEmpty, "metrics needs >= 1 metric expression")
+    // NOTE: obs.get blocks until an action over the OBSERVED frame
+    // completes — `action` must run one (the default does); an action
+    // that never triggers a Spark job would wait forever by
+    // Observation's own contract
     val obs = Observation()
     val observed = df.observe(obs, metricExprs.head,
       metricExprs.tail: _*)

@@ -47,7 +47,12 @@ object PlanAudit {
           Some(Finding("bnlj", oneLine(t)))
         else None
       }.toSeq
-    val logical = df.queryExecution.optimizedPlan.collect {
+    // collectWithSubqueries, not collect: a global window INSIDE a
+    // scalar/IN/EXISTS subquery funnels its whole input through one
+    // task just the same, and plain collect never descends into
+    // SubqueryExpression plans (the join checks above already see
+    // subqueries because toString renders them as innerChildren)
+    val logical = df.queryExecution.optimizedPlan.collectWithSubqueries {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty =>
         Finding("global_window", oneLine(w.simpleString(120)))

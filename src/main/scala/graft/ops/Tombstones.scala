@@ -69,11 +69,28 @@ object Tombstones {
       val tmp = s"${t}__compact_staging"
       // crash recovery: a previous run died inside phase 2's
       // drop-then-recreate on THIS table — the source is gone but its
-      // survivors are durable in staging; restore before recomputing
-      // (staging is only dropped once the table's phase 2 completes,
-      // so a crash during the restore itself stays recoverable)
-      if (!s.catalog.tableExists(t) && s.catalog.tableExists(tmp)) {
-        val w = s.table(tmp).write.format("parquet").mode("overwrite")
+      // survivors are durable in staging. Detection and restore go
+      // through the FILESYSTEM, not the catalog: the in-memory
+      // catalog forgets tables across sessions while the warehouse
+      // dir persists (the r10 review's process-death scenario — a
+      // catalog-only check would skip the restore and then DELETE the
+      // only copy via the staging drop below). A COMPLETE staging
+      // write carries _SUCCESS; a partial one (which can only
+      // coexist with a missing t when a fresh session forgot an
+      // intact t) must NOT restore over t's surviving files. The
+      // crashed phase-2 target may itself hold partial files with no
+      // catalog entry — CTAS refuses that location, so it is cleared
+      // first (nothing is lost: t's catalog entry is already gone and
+      // the survivors live in staging).
+      val tmpLoc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tmp)))
+      val fs = tmpLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!s.catalog.tableExists(t) &&
+          fs.exists(new org.apache.hadoop.fs.Path(tmpLoc, "_SUCCESS"))) {
+        val survivors = s.read.parquet(tmpLoc.toString)
+        Compaction.dropManagedTable(s, t)
+        val w = survivors.write.format("parquet").mode("overwrite")
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(t)
       }
       Compaction.dropManagedTable(s, tmp)

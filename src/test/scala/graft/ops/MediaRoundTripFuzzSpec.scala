@@ -75,11 +75,8 @@ class MediaRoundTripFuzzSpec extends SparkSpec {
     assert(!got.contains(901L), "sub-60-byte payload must be dropped")
   }
 
-  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] =
+    MediaTestCodecs.pngBytes(img)
 
   test("random gray + RGB rasters: decoded geometry/stats and " +
       "area-mean resize equal the source-pixel formulas (24 images)") {

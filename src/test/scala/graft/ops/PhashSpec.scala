@@ -175,13 +175,7 @@ class PhashSpec extends SparkSpec {
       (i.toLong, w, h, px)
     }
     val payloads = cases.map { case (id, w, h, px) =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      px.indices.foreach(p =>
-        img.getRaster.setSample(p % w, p / w, 0, px(p)))
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      (id, bos.toByteArray)
+      (id, MediaTestCodecs.grayPng(w, h, px))
     }
     val out = Multimodal.resizeDecoded(
         payloads.toDF("doc_id", "payload"), outW = 4, outH = 3)

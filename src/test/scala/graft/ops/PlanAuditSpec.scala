@@ -48,6 +48,18 @@ class PlanAuditSpec extends SparkSpec {
       .contains("global_window"))
   }
 
+  test("a global window hiding inside a scalar subquery is flagged " +
+      "(collectWithSubqueries, r10 review)") {
+    left.createOrReplaceTempView("pa_audit_l")
+    val df = spark.sql(
+      """SELECT * FROM pa_audit_l WHERE id < (
+        |  SELECT max(rn) FROM (
+        |    SELECT row_number() OVER (ORDER BY id) AS rn
+        |    FROM pa_audit_l))""".stripMargin)
+    assert(PlanAudit.audit(df).map(_.kind).contains("global_window"),
+      "the subquery's single-partition window must not audit clean")
+  }
+
   test("a broadcast equi-join + partial aggregate audits clean") {
     val clean = left.join(broadcast(right), Seq("id"))
       .groupBy("a").agg(count(lit(1)).as("n"))

@@ -95,6 +95,9 @@ class TakedownSpec extends SparkSpec {
     val t = "td_spec_crash"
     Compaction.dropManagedTable(spark, t)
     Compaction.dropManagedTable(spark, s"${t}_data")
+    // a previous FAILED run of this very test must not wedge the
+    // suite on ErrorIfExists (r10 review)
+    Compaction.dropManagedTable(spark, s"${t}_data__compact_staging")
     Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("id", "payload")
       .write.format("parquet").saveAsTable(s"${t}_data")
@@ -106,6 +109,18 @@ class TakedownSpec extends SparkSpec {
     spark.table(s"${t}_data").filter(col("id") =!= 2L)
       .write.format("parquet").saveAsTable(s"${t}_data__compact_staging")
     Compaction.dropManagedTable(spark, s"${t}_data")
+    // harsher still: the crashed CTAS died MID-WRITE, leaving partial
+    // files at the target's location with no catalog entry — the
+    // restore must clear them, not trip LOCATION_ALREADY_EXISTS
+    val staleLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${t}_data")))
+    val fs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(staleLoc)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staleLoc,
+      "part-00000-dead.parquet"))
+    out.write("not a real parquet footer".getBytes("UTF-8"))
+    out.close()
     // the re-run must restore from staging, then complete the fold
     Tombstones.compact(spark, t, Seq((s"${t}_data", Seq.empty)))
     assert(spark.table(s"${t}_data").select("id").collect()
