@@ -67,22 +67,71 @@ object Bench {
     // failed build is only logged: the consumer gate's own guard
     // re-runs it (timed) and surfaces the error there.
     val setupT0 = System.nanoTime()
-    if (!sys.env.contains("SPARK_GRAFT_SKIP_SETUP"))
+    // per-store attribution (r10 verdict item 2): the 47 -> 72 s driver
+    // swing in setup_sec had no breakdown — record each prepare's name,
+    // seconds, and warehouse-bytes delta the way gates carry gc/heap
+    val setupSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val setupBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val whFs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def warehouseBytes(): Long =
+      try {
+        if (whFs.exists(warehouse))
+          whFs.getContentSummary(warehouse).getLength
+        else 0L
+      } catch { case _: Throwable => -1L }
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_SETUP")) {
       graft.queries.Registry.prepares.foreach { case (name, fn) =>
+        val b0 = warehouseBytes()
         val t = System.nanoTime()
         try {
           fn(spark, sfDir)
-          System.err.println(
-            f"[setup] $name ${(System.nanoTime() - t) / 1e9}%.2f s")
+          val sec = (System.nanoTime() - t) / 1e9
+          setupSecs(name) = sec
+          setupBytes(name) = warehouseBytes() - b0
+          System.err.println(f"[setup] $name $sec%.2f s")
         } catch { case e: Throwable =>
+          setupSecs(name) = (System.nanoTime() - t) / 1e9
           System.err.println(s"[setup] $name FAILED: ${e.getMessage}")
         }
       }
+      // UNTIMED store warm pass: a store's first consumer gate otherwise
+      // pays the cold read of its parquet files (footers + OS page
+      // cache) — exactly the signal behind q_incr_curation_pipeline's
+      // twice-flagged driver-context drift (r9 5.5x, r10 1.51x vs the
+      // builder close-out, GC-exonerated): a slower driver setup pass
+      // leaves the LSH store cold for its alphabetically-first consumer.
+      // At a deployment the store refresh both builds AND leaves warm
+      // caches; charging the cold read to one arbitrary gate measures
+      // session history, not the operator. A/B switch below reproduces
+      // the cold behavior on demand (mechanism recorded in BASELINE.md).
+      if (!sys.env.contains("SPARK_GRAFT_NO_WARM")) {
+        val t = System.nanoTime()
+        spark.catalog.listTables().collect().foreach { tb =>
+          try spark.table(tb.name)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+        val sec = (System.nanoTime() - t) / 1e9
+        setupSecs("_warm_tables") = sec
+        System.err.println(f"[setup] _warm_tables $sec%.2f s")
+      }
+    }
     val setupSec = (System.nanoTime() - setupT0) / 1e9
     // RDDs persisted by setup (shared store scaffolding) are the
     // session baseline; everything persisted AFTER this point is
     // gate-local and must be freed at gate end (see below)
     val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // The inter-gate unpersist of localCheckpointed RDDs logs a
+    // 'lineage has been truncated' WARN per RDD — 200+ of them flood
+    // the ~2 KB driver-captured stdout/stderr tail and crowd out the
+    // JSON line (r10 advice). The warning is expected here by
+    // construction (the blocks are gate-local and the gate is done);
+    // silence the RDD loggers for the bench session.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val failMsgs = scala.collection.mutable.LinkedHashMap[String, String]()
     // per-gate attribution columns (r9 verdict: the driver-session
@@ -181,8 +230,12 @@ object Bench {
     val (compareJson, nRegressed): (String, Int) =
       try {
         val f = new java.io.File(baselinePath)
+        // -1 on the stdout line = "no comparison happened" (baseline
+        // absent/unreadable) — distinguishable from a genuinely clean
+        // compare's 0 inside the ~2 KB driver tail (r10 advice; the
+        // status detail only reaches the file artifact)
         if (!f.isFile)
-          (s"""{"baseline":${jstr(baselinePath)},"status":"absent"}""", 0)
+          (s"""{"baseline":${jstr(baselinePath)},"status":"absent"}""", -1)
         else {
           val raw0 = new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -204,12 +257,20 @@ object Bench {
             regressed.size)
         }
       } catch { case e: Throwable =>
-        (s"""{"baseline":${jstr(baselinePath)},"status":${jstr("unreadable: " + Option(e.getMessage).getOrElse(e.getClass.getName))}}""", 0)
+        (s"""{"baseline":${jstr(baselinePath)},"status":${jstr("unreadable: " + Option(e.getMessage).getOrElse(e.getClass.getName))}}""", -1)
       }
     val totalGcMs = gcMs.values.sum
     val endHeap = heapMb.toSeq.lastOption.map(_._2).getOrElse(0.0)
+    // per-prepare breakdown (insertion order = execution order; bytes
+    // is the warehouse-size delta the prepare left behind, -1 when the
+    // filesystem walk failed) — file artifact only, the stdout tail
+    // window can't fit it
+    val setupJson = setupSecs.toSeq.map { case (k, v) =>
+      jstr(k) + ":{\"sec\":" + r3(v) +
+        setupBytes.get(k).map(b => s""","bytes":$b""").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"end_heap_mb":$endHeap,"compare":$compareJson,"queries":${fullQs.mkString("{", ",", "}")},"gc_ms":$gcJson,"heap_mb":$heapJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"setup":$setupJson,"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"end_heap_mb":$endHeap,"compare":$compareJson,"queries":${fullQs.mkString("{", ",", "}")},"gc_ms":$gcJson,"heap_mb":$heapJson,"sf":"$sfDir"}"""
     // never clobber the driver's artifact: honor an explicit override,
     // else write a (millis, pid)-keyed file (a judge/builder repro once
     // overwrote bench_full.json and lost ~136 gates' timings; pid

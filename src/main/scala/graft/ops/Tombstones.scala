@@ -86,17 +86,48 @@ object Tombstones {
         s.sessionState.catalog.defaultTablePath(
           org.apache.spark.sql.catalyst.TableIdentifier(tmp)))
       val fs = tmpLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!s.catalog.tableExists(t) &&
-          fs.exists(new org.apache.hadoop.fs.Path(tmpLoc, "_SUCCESS"))) {
-        val survivors = s.read.parquet(tmpLoc.toString)
-        Compaction.dropManagedTable(s, t)
-        val w = survivors.write.format("parquet").mode("overwrite")
-        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(t)
+      if (!s.catalog.tableExists(t)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmpLoc, "_SUCCESS"))) {
+          // Staging is deliberately UNPARTITIONED (see the write below),
+          // so this read recovers the exact schema from parquet footers.
+          // A partitioned staging layout would force partition-column
+          // type INFERENCE from directory names here: AnnIndex's long
+          // band/bucket columns would come back as ints, and the
+          // inverted index's string prefix "00" would normalize to the
+          // number 0, colliding with prefix "0" — a silent schema and
+          // value change on the recovery path (r10 advice).
+          val survivors = s.read.parquet(tmpLoc.toString)
+          Compaction.dropManagedTable(s, t)
+          val w = survivors.write.format("parquet").mode("overwrite")
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(t)
+        } else {
+          // t is gone from the catalog AND staging is not restorable
+          // (absent, or partial with no _SUCCESS). Falling through to
+          // s.table(t) would fail with an opaque TABLE_OR_VIEW_NOT_FOUND;
+          // name the state and the options instead (r10 advice). We do
+          // NOT silently continue on a partial staging: its rows are a
+          // subset of t's survivors, so restoring from it would lose data.
+          throw new IllegalStateException(
+            s"unrecoverable compaction state for store '$store': table " +
+            s"'$t' is missing from the catalog and its staging copy at " +
+            s"$tmpLoc is " +
+            (if (fs.exists(tmpLoc)) "partial (no _SUCCESS marker)"
+             else "absent") +
+            ". Recovery options: (a) if this is a fresh session and the " +
+            s"warehouse still holds '$t''s files, re-register the table " +
+            "(the owning store's ensureBuilt does this) and re-run " +
+            "compact; (b) rebuild the store from its source corpus; " +
+            "(c) restore staging from backup and re-run compact.")
+        }
       }
       Compaction.dropManagedTable(s, tmp)
-      val w = minus(s, store, s.table(t))
-        .write.format("parquet").mode("overwrite")
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(tmp)
+      // The staging write is UNPARTITIONED even for partitioned sources:
+      // staging is a transient durability copy, never queried, and an
+      // unpartitioned layout keeps the exact column types in parquet
+      // footers for the crash-restore read above. Partitioning is
+      // re-applied when writing back to t (phase 2 and the restore).
+      minus(s, store, s.table(t))
+        .write.format("parquet").mode("overwrite").saveAsTable(tmp)
       (t, parts, tmp)
     }
     staged.foreach { case (t, parts, tmp) =>

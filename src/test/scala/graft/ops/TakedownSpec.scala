@@ -128,4 +128,81 @@ class TakedownSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${t}_data__compact_staging"))
     assert(!spark.catalog.tableExists(Tombstones.table(t)))
   }
+
+  test("a PARTITIONED source crash-restores with its exact schema: " +
+      "numeric-looking string prefixes and long bucket columns survive") {
+    // The r10 advice scenario: AnnIndex partitions by long band/bucket,
+    // InvertedIndexStore by a string prefix — directory-name type
+    // inference on the restore read would turn prefix "00" into the
+    // number 0 (colliding with "0") and longs into ints. The staging
+    // copy is written unpartitioned precisely so the footers keep the
+    // truth; this pins it through a simulated phase-2 crash.
+    val t = "td_spec_crash_part"
+    val data = s"${t}_data"
+    Compaction.dropManagedTable(spark, t)
+    Compaction.dropManagedTable(spark, data)
+    Compaction.dropManagedTable(spark, s"${data}__compact_staging")
+    Compaction.dropManagedTable(spark, Tombstones.table(t))
+    Seq((1L, "00", 7L, "a"), (2L, "0", 7L, "b"),
+        (3L, "00", 8L, "c"), (4L, "01", 9L, "d"))
+      .toDF("id", "p", "bucket", "payload")
+      .write.format("parquet").partitionBy("p", "bucket").saveAsTable(data)
+    val wantSchema = spark.table(data).schema
+    Tombstones.record(Seq(3L).toDF("id"), t)
+    // crash window: survivors durable in (unpartitioned) staging, the
+    // source dropped mid-swap
+    spark.table(data).filter(col("id") =!= 3L)
+      .write.format("parquet").saveAsTable(s"${data}__compact_staging")
+    Compaction.dropManagedTable(spark, data)
+    Tombstones.compact(spark, t, Seq((data, Seq("p", "bucket"))))
+    val restored = spark.table(data)
+    assert(restored.schema("p").dataType ===
+      org.apache.spark.sql.types.StringType,
+      "string partition column must not be re-inferred as numeric")
+    assert(restored.schema("bucket").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "long partition column must stay long")
+    assert(restored.schema === wantSchema)
+    assert(restored.select("id", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "00"), (2L, "0"), (4L, "01")),
+      "prefix \"00\" must survive as the string \"00\", distinct from \"0\"")
+    assert(!spark.catalog.tableExists(s"${data}__compact_staging"))
+    assert(!spark.catalog.tableExists(Tombstones.table(t)))
+  }
+
+  test("an unrecoverable compaction state (source gone, staging " +
+      "partial or absent) fails with a descriptive error, not an " +
+      "opaque TABLE_OR_VIEW_NOT_FOUND") {
+    val t = "td_spec_wedged"
+    val data = s"${t}_data"
+    Compaction.dropManagedTable(spark, data)
+    Compaction.dropManagedTable(spark, s"${data}__compact_staging")
+    Compaction.dropManagedTable(spark, Tombstones.table(t))
+    Tombstones.record(Seq(1L).toDF("id"), t)
+    // staging absent entirely
+    val e1 = intercept[IllegalStateException] {
+      Tombstones.compact(spark, t, Seq((data, Seq.empty)))
+    }
+    assert(e1.getMessage.contains("unrecoverable compaction state"))
+    assert(e1.getMessage.contains(data))
+    assert(e1.getMessage.contains("absent"))
+    // staging PARTIAL (files but no _SUCCESS): must refuse to restore a
+    // possibly-incomplete survivor set over nothing
+    val tmpLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          s"${data}__compact_staging")))
+    val fs = tmpLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(tmpLoc)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpLoc,
+      "part-00000-partial.parquet"))
+    out.write("torn write".getBytes("UTF-8")); out.close()
+    val e2 = intercept[IllegalStateException] {
+      Tombstones.compact(spark, t, Seq((data, Seq.empty)))
+    }
+    assert(e2.getMessage.contains("no _SUCCESS"))
+    fs.delete(tmpLoc, true)
+    Compaction.dropManagedTable(spark, Tombstones.table(t))
+  }
 }
