@@ -444,6 +444,33 @@ object Multimodal {
       .distinct()
   }
 
+  /** Record `removeDocIds` (a 1-column doc_id frame) as taken down
+    * from a persisted banded phash index — the media-family entry of
+    * the shared [[Tombstones]] lifecycle (the store a DMCA request
+    * hits first): a doc's 4 banded rows are spread over buckets, so
+    * the takedown appends to the side table (O(|removal|), zero
+    * rewrite) and probes anti-join it until [[compactPhashIndex]]
+    * folds it into the files. */
+  def phashTakedown(removeDocIds: DataFrame, table: String): Unit =
+    Tombstones.record(removeDocIds.toDF("id"), table)
+
+  /** The stored banded phash index minus tombstoned doc_ids — feed
+    * this to [[phashNearDupAgainst]] for a takedown-aware probe. The
+    * anti-join broadcasts (takedown-sized side table), so the probe's
+    * plan shape is unchanged. */
+  def phashIndexRetracted(s: SparkSession, table: String): DataFrame =
+    Tombstones.minus(s, table,
+        s.table(table).withColumnRenamed("doc_id", "id"))
+      .withColumnRenamed("id", "doc_id")
+
+  /** Fold the phash index's tombstones into its data files (crash-safe
+    * two-phase swap, see [[Tombstones.compact]]): after this the files
+    * genuinely no longer carry the removed docs and probes pay zero.
+    * `parts` must name the index table's partition columns. */
+  def compactPhashIndex(s: SparkSession, table: String,
+                        parts: Seq[String] = Seq("band")): Unit =
+    Tombstones.compact(s, table, Seq((table, parts)), idCol = "doc_id")
+
   /** Perceptual-hash near-dup pairs with Hamming distance ≤
     * `maxHamming` (≤ 3): band the 60-bit hash into 4×15-bit keys —
     * with ≤ 3 differing bits at least one band is untouched

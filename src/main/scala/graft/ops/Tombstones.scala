@@ -50,7 +50,8 @@ object Tombstones {
     * queries pay zero — and the files genuinely no longer carry the
     * removed documents (the property a takedown audit checks). */
   def compact(s: SparkSession, store: String,
-              tables: Seq[(String, Seq[String])]): Unit = {
+              tables: Seq[(String, Seq[String])],
+              idCol: String = "id"): Unit = {
     if (!s.catalog.tableExists(table(store))) return
     // Two durable phases, never a window where the only copy of a
     // store's surviving rows is ephemeral. Phase 1 writes every
@@ -126,7 +127,11 @@ object Tombstones {
       // unpartitioned layout keeps the exact column types in parquet
       // footers for the crash-restore read above. Partitioning is
       // re-applied when writing back to t (phase 2 and the restore).
-      minus(s, store, s.table(t))
+      // idCol: the phash index keys rows by doc_id while the
+      // inverted-index/ANN stores use id — rename through the
+      // anti-join so the stored layout's own column name survives
+      minus(s, store, s.table(t).withColumnRenamed(idCol, "id"))
+        .withColumnRenamed("id", idCol)
         .write.format("parquet").mode("overwrite").saveAsTable(tmp)
       (t, parts, tmp)
     }

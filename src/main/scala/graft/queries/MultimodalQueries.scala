@@ -158,6 +158,35 @@ object MultimodalQueries {
     tbl
   }
 
+  /** Dedicated banded phash index for the takedown gate (the shared
+    * [[phashIndexTable]] must stay untouched — other gates probe it),
+    * with every corpus doc_id % 7 == 0 tombstoned at build time via
+    * the shared [[graft.ops.Tombstones]] lifecycle. Partitioned by
+    * band (4 partitions), the layout the index doc prescribes at
+    * corpus scale — which also routes the compaction path through the
+    * partitioned two-phase swap. ensureBuilt re-runs the whole block
+    * on a half-built store; re-delivered tombstones are harmless
+    * (readers anti-join). */
+  private def phashTdIndexTable(s: SparkSession, d: String): String = {
+    val srcT = mediaPngTable(s, d)
+    val tbl = "phash_td_" +
+      Sinks.contentKey(d, "documents.parquet", "phashtd|v1")
+    Sinks.ensureBuilt(s, s"${tbl}_ok", requires = Seq(tbl)) {
+      graft.ops.Compaction.dropManagedTable(s, tbl)
+      graft.ops.Compaction.dropManagedTable(s,
+        graft.ops.Tombstones.table(tbl))
+      Multimodal.bandedPhash(
+          Multimodal.pHashDecoded(s.table(srcT)
+            .filter(col("doc_id") < 400 && col("n_chars") >= 60)).toDF())
+        .write.format("parquet").mode("overwrite")
+        .partitionBy("band").saveAsTable(tbl)
+      Multimodal.phashTakedown(
+        s.table(tbl).select(col("doc_id"))
+          .filter(pmod(col("doc_id"), lit(7)) === 0).distinct(), tbl)
+    }
+    tbl
+  }
+
   /** One-time content-addressed store builds (untimed in the bench
     * harness via [[Registry.prepares]] — paid per corpus refresh, not
     * per session). */
@@ -165,7 +194,8 @@ object MultimodalQueries {
     "media_png_store" -> ((s, d) => { mediaPngTable(s, d); () }),
     "media_wav_store" -> ((s, d) => { mediaWavTable(s, d); () }),
     "media_gif_store" -> ((s, d) => { mediaGifTable(s, d); () }),
-    "phash_index" -> ((s, d) => { phashIndexTable(s, d); () }))
+    "phash_index" -> ((s, d) => { phashIndexTable(s, d); () }),
+    "phash_takedown_index" -> ((s, d) => { phashTdIndexTable(s, d); () }))
 
   def all: Seq[Q] = Seq(
 
@@ -618,6 +648,48 @@ object MultimodalQueries {
         |  UNION ALL SELECT doc_id + 5000000,
         |    concat(substr(text, 1, 9), 'Z', substr(text, 11))
         |  FROM documents WHERE length(text) >= 60 AND doc_id < 50),
+        |${phashCtes("corpus", "text", "c", "ph_c")},
+        |${phashCtes("batch", "text", "b", "ph_b")}
+        |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+        |  CAST(bit_count(xor(ph_b, ph_c)) AS BIGINT) AS hamming
+        |FROM bh n JOIN ch c
+        |  ON bit_count(xor(ph_b, ph_c)) <= 3
+        |ORDER BY id_new, id_corpus
+        |""".stripMargin.trim)),
+
+    // ---- takedown against the persisted phash index -------------------
+    // The media-family member of the takedown sweep (r10 verdict: the
+    // banded phash index is the store a real DMCA request hits first,
+    // and it had no retraction gate). Corpus docs with doc_id % 7 == 0
+    // are tombstoned beside the dedicated band-partitioned index; the
+    // probing batch is the splice twins of corpus docs < 80 — so a
+    // removed doc's TWIN still probes (a removed document can still be
+    // somebody's query) but the removed doc itself must vanish from
+    // the candidate side. Oracle: the full text-derived-hash replay
+    // with the removed ids never present in the corpus —
+    // as-if-never-ingested, not output filtering. TakedownSpec pins
+    // the compaction half (tombstoned == compacted == rebuilt-without,
+    // band partitioning intact through the two-phase swap).
+    Q("q_phash_takedown",
+      (s, d) => {
+        val idxT = phashTdIndexTable(s, d)
+        val store = s.table(mediaPngTable(s, d))
+        val batch = store
+          .filter(col("doc_id") >= TwinOffset &&
+            col("doc_id") - TwinOffset < 80)
+          .select((col("doc_id") - TwinOffset + 5000000L).as("doc_id"),
+            col("payload"))
+        Multimodal.phashNearDupAgainst(
+            Multimodal.pHashDecoded(batch).toDF(),
+            Multimodal.phashIndexRetracted(s, idxT), maxHamming = 3)
+          .orderBy("id_new", "id_corpus")
+      },
+      Some(s"""
+        |WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 60 AND doc_id < 400 AND doc_id % 7 != 0),
+        |batch AS (SELECT doc_id + 5000000 AS doc_id,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11)) AS text
+        |  FROM documents WHERE length(text) >= 60 AND doc_id < 80),
         |${phashCtes("corpus", "text", "c", "ph_c")},
         |${phashCtes("batch", "text", "b", "ph_b")}
         |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,

@@ -128,7 +128,10 @@ class PlanSweepSpec extends SparkSpec {
     "ops/Classify.scala" -> 1,    // |labels|-row trained centroid model
     "queries/TextQueries.scala" -> 1, // ≤ 26+rounds BPE symbol set
     "queries/JobQueries.scala" -> 1,  // nation dim render: 25 rows at every SF
-    "Bench.scala" -> 1,           // warm-up scalar (sum over range)
+    "Bench.scala" -> 2,           // warm-up scalar (sum over range);
+                                  // catalog table LIST for the untimed
+                                  // store warm pass (store-count-sized,
+                                  // ~30 names)
     "tools/DedupAB.scala" -> 1    // warm-up scalar (A/B harness main)
   )
 

@@ -129,6 +129,46 @@ class TakedownSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(Tombstones.table(t)))
   }
 
+  test("the banded phash index honors the takedown contract through " +
+      "its band-partitioned layout: retracted probe == rebuilt-without; " +
+      "compaction moves nothing and the files forget") {
+    import org.apache.spark.sql.DataFrame
+    val t = "td_spec_phash"
+    val ref = "td_spec_phash_ref"
+    Seq(t, ref, s"${t}__compact_staging").foreach(
+      Compaction.dropManagedTable(spark, _))
+    Compaction.dropManagedTable(spark, Tombstones.table(t))
+    // deterministic 60-bit fingerprints; the probe batch re-keys the
+    // first six, so every hit is an exact (hamming 0) twin
+    val hashes = (0L until 30L)
+      .map(i => (i, (i * 0x9E3779B97FL) & ((1L << 60) - 1)))
+      .toDF("doc_id", "phash")
+    Multimodal.bandedPhash(hashes)
+      .write.format("parquet").partitionBy("band").saveAsTable(t)
+    Multimodal.phashTakedown(Seq(2L, 4L).toDF("id"), t)
+    val batch = hashes.filter(col("doc_id") < 6)
+      .select((col("doc_id") + 100L).as("doc_id"), col("phash"))
+    def probe(idx: DataFrame): Seq[(Long, Long, Long)] =
+      Multimodal.phashNearDupAgainst(batch, idx)
+        .orderBy("id_new", "id_corpus").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val retracted = probe(Multimodal.phashIndexRetracted(spark, t))
+    assert(retracted.nonEmpty)
+    assert(!retracted.exists(r => r._2 == 2L || r._2 == 4L))
+    Multimodal.bandedPhash(hashes.filter(!col("doc_id").isin(2L, 4L)))
+      .write.format("parquet").partitionBy("band").saveAsTable(ref)
+    assert(retracted === probe(spark.table(ref)),
+      "tombstoned index must answer as-if-never-ingested")
+    Multimodal.compactPhashIndex(spark, t)
+    assert(probe(Multimodal.phashIndexRetracted(spark, t)) === retracted,
+      "compaction must not move the probe")
+    assert(spark.table(t).schema === spark.table(ref).schema,
+      "the partitioned layout must survive the two-phase swap")
+    assert(spark.table(t).filter(col("doc_id").isin(2L, 4L)).count() === 0)
+    assert(!spark.catalog.tableExists(Tombstones.table(t)))
+    Seq(t, ref).foreach(Compaction.dropManagedTable(spark, _))
+  }
+
   test("a PARTITIONED source crash-restores with its exact schema: " +
       "numeric-looking string prefixes and long bucket columns survive") {
     // The r10 advice scenario: AnnIndex partitions by long band/bucket,
