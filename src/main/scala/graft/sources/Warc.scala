@@ -197,15 +197,29 @@ private[sources] class WarcPartitionReader(file: String,
     sb.toString
   }
 
-  private def skipFully(n: Long): Unit = {
+  // consume exactly n payload bytes; false when EOF arrives first (a
+  // torn tail — the file was truncated mid-record)
+  private def skipFully(n: Long): Boolean = {
     var left = n
     while (left > 0) {
       val s = in.skip(left)
       if (s <= 0) {
-        if (in.read() < 0) return // EOF
+        if (in.read() < 0) return false // EOF
         left -= 1
       } else left -= s
     }
+    true
+  }
+
+  // read exactly b.length payload bytes; false when EOF arrives first
+  private def readFullyOrEof(b: Array[Byte]): Boolean = {
+    var off = 0
+    while (off < b.length) {
+      val r = in.read(b, off, b.length - off)
+      if (r < 0) return false
+      off += r
+    }
+    true
   }
 
   override def next(): Boolean = {
@@ -225,19 +239,30 @@ private[sources] class WarcPartitionReader(file: String,
           case "warc-target-uri" => uri = v
           case "warc-date" => date = v
           case "warc-record-id" => rid = v
-          case "content-length" => len = v.toLong
+          // tolerant parse: a header line truncated mid-value ("…: "
+          // at EOF) must read as MISSING — len stays -1 and the torn
+          // record is dropped below — not crash the task (fuzz-found)
+          case "content-length" =>
+            len = try java.lang.Long.parseLong(v)
+              catch { case _: NumberFormatException => -1L }
           case _ => ()
         }
       }
       h = readLine()
     }
     if (h == null || len < 0) return false // truncated header
+    // A record whose payload is cut off by EOF is DROPPED — in BOTH
+    // projections. The previous readFully threw EOFException on a torn
+    // tail under a full read while the header-only skip path silently
+    // EMITTED the truncated record: the two projections of the same
+    // archive disagreed on its row count (r10 verdict item 5's fuzz
+    // target; a 100 TB crawl always carries torn tails).
     val content: UTF8String =
       if (needContent) {
         val b = new Array[Byte](len.toInt)
-        in.readFully(b)
+        if (!readFullyOrEof(b)) return false
         UTF8String.fromBytes(b)
-      } else { skipFully(len); null }
+      } else { if (!skipFully(len)) return false; null }
     val full = Map[String, Any](
       "uri" -> UTF8String.fromString(uri),
       "warc_date" -> UTF8String.fromString(date),
