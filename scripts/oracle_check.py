@@ -81,6 +81,46 @@ def cmp_frames(name, spark_df, oracle_df):
     return None
 
 
+def _oracle_cache_key(sf_dir, sql):
+    """Content key for a cached oracle result: the SQL text plus the
+    size+mtime of every fixture table it can read — the same
+    content-addressing discipline the engine's stores use. A fixture
+    regeneration or an oracle edit both change the key; re-running the
+    same oracle over the same read-only fixtures does not."""
+    import hashlib
+    h = hashlib.sha256(sql.encode("utf-8"))
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"|{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:24]
+
+
+def _run_oracle(con, sf_dir, name, sql, cache_dir):
+    """Execute an oracle SQL, memoizing SLOW results to parquet keyed
+    by content (r10 verdict item 7: the two BPE training-CTE oracles
+    are ~5 min of a ~10 min full sweep — static CTE chains over
+    read-only fixtures, recomputed every run). Fast oracles are not
+    cached: the write costs more than the re-run, and the cache dir
+    stays a handful of files. Disable with GRAFT_ORACLE_NO_CACHE=1."""
+    import time
+    if os.environ.get("GRAFT_ORACLE_NO_CACHE"):
+        return con.execute(sql).df()
+    key = _oracle_cache_key(sf_dir, sql)
+    path = os.path.join(cache_dir, f"{name}_{key}.parquet")
+    if os.path.exists(path):
+        return pd.read_parquet(path)
+    t0 = time.time()
+    df = con.execute(sql).df()
+    if time.time() - t0 > 20.0:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        df.to_parquet(tmp)
+        os.replace(tmp, path)
+    return df
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -88,6 +128,10 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    cache_dir = os.environ.get(
+        "GRAFT_ORACLE_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", ".oracle_cache"))
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = n_skip = 0
@@ -108,7 +152,8 @@ def main(sf_dir, out_dir):
             n_skip += 1
             continue
         try:
-            oracle_df = con.execute(oracles[name]).df()
+            oracle_df = _run_oracle(con, sf_dir, name, oracles[name],
+                                    cache_dir)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
             n_fail += 1
