@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -30,6 +31,40 @@ object AggQueries {
   private def contentKey(d: String, file: String,
                          extra: String = ""): String =
     Sinks.contentKey(d, file, extra)
+
+  /** The deliberately-fragmented lineitem copy q_compact_roundtrip
+    * compacts (64 small files — the small-file problem as a fixture).
+    * Content-keyed, `_SUCCESS`-guarded, idempotent. */
+  private def fragDir(s: SparkSession, d: String): String = {
+    val key = contentKey(d, "lineitem.parquet", "frag64|target4m")
+    val frag = s"/tmp/graft_frag_$key"
+    val fs = new org.apache.hadoop.fs.Path(frag)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(frag, "_SUCCESS")))
+      lineitem(s, d).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+    frag
+  }
+
+  /** One-time content-addressed layout builds (untimed via
+    * [[Registry.prepares]]): the fragmented compaction input and the
+    * z-ordered orders copy. Both gates keep their own lazy guards, so
+    * a failed prepare only moves the (timed) build back into the
+    * consumer — but charging these writes to the first fresh-context
+    * run otherwise misreads the GATE as super-linear (the sf1 probe
+    * measured q_compact_roundtrip at 34× with the build in-gate and
+    * 4.4× warm). */
+  def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "frag_lineitem_layout" -> ((s, d) => { fragDir(s, d); () }),
+    "zorder_orders_layout" -> ((s, d) => {
+      val key = contentKey(d, "orders.parquet",
+        "zorder|o_custkey|o_orderkey|bits16|files8")
+      graft.ops.ZOrder.writeZOrdered(
+        orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_orderpriority"),
+        s"/tmp/graft_zorder_$key", "o_custkey", "o_orderkey")
+      ()
+    }))
 
   def all: Seq[Q] = Seq(
 
@@ -1050,13 +1085,7 @@ object AggQueries {
     Q("q_compact_roundtrip",
       (s, d) => {
         val key = contentKey(d, "lineitem.parquet", "frag64|target4m")
-        val frag = s"/tmp/graft_frag_$key"
-        val fs = new org.apache.hadoop.fs.Path(frag)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(frag, "_SUCCESS"))) {
-          lineitem(s, d).repartition(64)
-            .write.mode("overwrite").parquet(frag)
-        }
+        val frag = fragDir(s, d)
         graft.ops.Compaction.compact(s, frag, s"/tmp/graft_compact_$key",
             targetBytes = 4L << 20)
           .groupBy("l_returnflag")

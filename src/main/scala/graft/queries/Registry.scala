@@ -36,5 +36,6 @@ object Registry {
     SimQueries.prepares ++ AnalyticsQueries.prepares ++
       CorpusQueries.prepares ++ ClusterQueries.prepares ++
       EvalArtifacts.prepares ++ MultimodalQueries.prepares ++
-      MergeQueries.prepares ++ TextQueries.prepares ++ JobQueries.prepares
+      MergeQueries.prepares ++ TextQueries.prepares ++
+      JobQueries.prepares ++ AggQueries.prepares
 }

@@ -41,11 +41,22 @@ object StreamingOps {
     // timestamp loads as TimestampType (raw epoch-us internal value),
     // anything unrecognized throws here rather than coercing
     val schema = graft.Tables.eventsReadSchema(inferred).getOrElse(inferred)
-    // file-stream sources monitor a DIRECTORY; select just the events
-    // table out of the sf dir with a glob filter
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", graft.Tables.tsToMicros(schema("ts").dataType))
+    // File-stream sources monitor a DIRECTORY. The fixture layout
+    // stores events as a single FILE beside the other tables, so the
+    // source monitors the sf dir with a name glob; a production table
+    // is a DIRECTORY of part files (any distributed writer's output),
+    // which the source monitors directly — the glob would match no
+    // leaf file there and the stream would silently produce zero
+    // batches (found by the sf1 full-registry probe, where the tiled
+    // fixtures land as real parquet directories).
+    val tablePath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rs = spark.readStream.schema(schema)
+    val src =
+      if (fs.exists(tablePath) && fs.getFileStatus(tablePath).isDirectory)
+        rs.parquet(tablePath.toString)
+      else rs.option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.withColumn("ts", graft.Tables.tsToMicros(schema("ts").dataType))
   }
 
   /** Run a streaming transform to completion (AvailableNow) into a
