@@ -3,11 +3,13 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Fixture scale-up for the cross-SF probe's SECOND decade
-  * (`scripts/scale_probe.py` sf0.1 → sf1): tiles each read-only
-  * driver fixture R× with per-replica key remapping, so gate timings
-  * can be compared across a genuine 10× data step that the driver
-  * doesn't ship.
+/** Fixture scale-up for the cross-SF probe's extra decades
+  * (`scripts/scale_probe.py` sf0.1 → sf1 → sf10): tiles each
+  * read-only driver fixture R× with per-replica key remapping, so
+  * gate timings can be compared across genuine 10×/100× data steps
+  * that the driver doesn't ship. R ≤ 100 (doc/vec ids stay strictly
+  * below the 1,000,000 mutated-copy sentinel at 10,000·r + ids<10k;
+  * embedding transforms are unique for r < 128).
   *
   * Design choice the probe's honesty depends on: replicas are
   * DISJOINT. Keys are offset per replica (referential integrity
@@ -105,12 +107,24 @@ object ScaleUp {
       .select("doc_id", "text", "lang", "source", "n_chars"), "documents")
 
     // rotate each embedding by r positions: norm and within-replica
-    // geometry identical, cross-replica cosine decorrelated
+    // geometry identical, cross-replica cosine decorrelated. Rotation
+    // alone repeats mod dim (64): replica r and r+64 would carry
+    // IDENTICAL vectors — planted exact duplicates that manufacture
+    // super-linear candidate density, the artifact this tool exists to
+    // avoid. For r >= dim, additionally flip the sign of odd
+    // coordinates (keyed by r div 64): a sign flip is orthogonal, so
+    // norms and within-replica inner products are exactly preserved,
+    // while <S u, u'> ≈ Σeven − Σodd ≈ 0 decorrelates the repeated
+    // rotations. Replicas 0..63 are byte-identical to the pre-flip
+    // construction, so sf1 fixtures built earlier stay reproducible.
     write(rep(read("embeddings"), n)
       .select((col("vec_id") + col("rep") * 10000L).as("vec_id"),
-        expr("concat(slice(embedding, (rep % size(embedding)) + 1, " +
+        expr("transform(" +
+          "concat(slice(embedding, (rep % size(embedding)) + 1, " +
           "size(embedding) - (rep % size(embedding))), " +
-          "slice(embedding, 1, rep % size(embedding)))").as("embedding"),
+          "slice(embedding, 1, rep % size(embedding))), " +
+          "(x, i) -> case when rep div 64 % 2 = 1 and i % 2 = 1 " +
+          "then -x else x end)").as("embedding"),
         col("label")), "embeddings")
 
     spark.stop()
