@@ -228,6 +228,24 @@ object SimQueries {
     * rounding convention every exact-verify oracle in this file
     * shares (six call sites; a drifted copy silently diverges an
     * oracle — the Spark twin is functions.JaccardMilli). */
+  /** Brute-force cross-side ground truth shared by the daily
+    * (`q_incr_neardup`) and streaming (`q_stream_neardup`) faces of
+    * the incremental near-dup path — one oracle, two dataflows. */
+  private lazy val incrNeardupOracle: String = s"""
+    |WITH $corpusSql,
+    |p0 AS (SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+    |  FROM (SELECT id, unnest(shingles) AS s FROM sh
+    |        WHERE id >= 1000000) a
+    |  JOIN (SELECT id, unnest(shingles) AS s FROM sh
+    |        WHERE id < 1000000) b ON a.s = b.s),
+    |j AS (SELECT id_new, id_corpus,
+    |    ${jaccardMilliSql("sa.shingles", "sb.shingles")} AS jaccard_milli
+    |  FROM p0 JOIN sh sa ON sa.id = p0.id_new
+    |          JOIN sh sb ON sb.id = p0.id_corpus)
+    |SELECT id_new, id_corpus, jaccard_milli FROM j
+    |WHERE jaccard_milli >= 800 ORDER BY id_new, id_corpus
+    |""".stripMargin.trim
+
   private def jaccardMilliSql(a: String, b: String): String =
     s"CAST(floor(1000.0 * len(list_intersect($a, $b)) / " +
       s"(len($a) + len($b) - len(list_intersect($a, $b))) + 0.5)" +
@@ -770,20 +788,46 @@ object SimQueries {
             k = 32, bands = 16, thresholdMilli = 800)
           .orderBy("id_new", "id_corpus")
       },
-      Some(s"""
-        |WITH $corpusSql,
-        |p0 AS (SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
-        |  FROM (SELECT id, unnest(shingles) AS s FROM sh
-        |        WHERE id >= 1000000) a
-        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh
-        |        WHERE id < 1000000) b ON a.s = b.s),
-        |j AS (SELECT id_new, id_corpus,
-        |    ${jaccardMilliSql("sa.shingles", "sb.shingles")} AS jaccard_milli
-        |  FROM p0 JOIN sh sa ON sa.id = p0.id_new
-        |          JOIN sh sb ON sb.id = p0.id_corpus)
-        |SELECT id_new, id_corpus, jaccard_milli FROM j
-        |WHERE jaccard_milli >= 800 ORDER BY id_new, id_corpus
-        |""".stripMargin.trim)),
+      Some(incrNeardupOracle)),
+
+    // ---- streaming near-dup (online ingest against the stored corpus) --
+    // The online face of the gate above: the SAME mutated-copy batch
+    // arrives as a bounded file STREAM, and every micro-batch runs the
+    // identical operator (shingle → band → bucket-probe the stored
+    // corpus tables → exact-Jaccard verify) inside foreachBatch — a
+    // streaming plan can't chain distinct-then-join, and the daily
+    // operator already IS the per-batch program, so foreachBatch is
+    // the honest composition, with exactly-once by batchId guard.
+    // Shares q_incr_neardup's brute-force oracle: stream ≡ batch ≡
+    // ground truth, hash-pinned.
+    Q("q_stream_neardup",
+      (s, d) => {
+        val (bT, shT) = corpusLshTables(s, d)
+        // fresh session at stream-sized shuffle width (StreamQueries
+        // convention); the store tables resolve by name in the
+        // micro-batch's session — the catalog is shared state
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        val stream = s2.readStream
+          .schema("doc_id LONG, text STRING, lang STRING, " +
+            "source STRING, n_chars LONG")
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        // in-stream derivation of the mutated-copy batch — the same
+        // stateless projection as corpus()'s mut side
+        val toks = TextOps.tokens(col("text"))
+        val batchSide = stream
+          .filter(size(TextOps.tokens(col("text"))) >= 10)
+          .select((col("doc_id") + 1000000L).as("id"),
+            array_join(slice(toks, lit(1), size(toks) - 2), " ")
+              .as("text"))
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        graft.streaming.StreamingOps.streamingNearDup(batchSide,
+            bT, shT, k = 32, bands = 16, thresholdMilli = 800)
+          .orderBy("id_new", "id_corpus")
+      },
+      Some(incrNeardupOracle)),
 
     // ---- threshold operating curve for the near-dup detector ---------
     // The tuning artifact a dedup rollout reads before picking its

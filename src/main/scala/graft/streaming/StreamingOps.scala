@@ -235,6 +235,52 @@ object StreamingOps {
       throw new IllegalStateException("stream produced no batches"))
   }
 
+  /** Streaming face of the incremental near-dup path
+    * ([[graft.ops.Similarity.nearDupPairsAgainstBuckets]]): arriving
+    * documents, already shingled, are banded and verified against the
+    * PERSISTED corpus LSH store inside foreachBatch — the online
+    * "does this incoming doc duplicate the corpus?" shape of a
+    * training-data ingest pipeline. The per-micro-batch dataflow is
+    * IDENTICAL to the daily batch path (same operator, same stored
+    * bucket and shingle tables): each batch pays banding over its own
+    * rows only, the bucket equi-join probes the store, and the
+    * exact-Jaccard verify reads the stored shingles — so stream ≡
+    * batch by construction, which the shared brute-force oracle pins.
+    * Detected pairs are per-doc facts (each incoming id appears in
+    * one batch), so accumulation is a plain union — order-independent
+    * across any batching. The batchId guard keeps at-least-once
+    * replays from duplicating pairs; per-batch localCheckpoint bounds
+    * lineage growth. Store tables travel BY NAME and resolve against
+    * the micro-batch's own session (newSession shares the catalog) —
+    * capturing outer-session DataFrames would marry plans from two
+    * sessions.
+    *
+    * At scale the union-accumulate becomes an append sink (the
+    * pairs table is the pipeline's rejection log); the in-session
+    * fold is the bounded-verification form of that dataflow. */
+  def streamingNearDup(docs: DataFrame, bucketsTable: String,
+                       shinglesTable: String, k: Int, bands: Int,
+                       thresholdMilli: Int): DataFrame = {
+    var pairs: Option[DataFrame] = None
+    val applied = scala.collection.mutable.Set.empty[Long]
+    val fold = (batch: Dataset[Row], batchId: Long) => {
+      if (applied.add(batchId)) {
+        val ss = batch.sparkSession
+        val found = graft.ops.Similarity.nearDupPairsAgainstBuckets(
+          batch, ss.table(bucketsTable), ss.table(shinglesTable),
+          k, bands, thresholdMilli)
+        pairs = Some(pairs.map(_.unionByName(found)).getOrElse(found)
+          .localCheckpoint())
+      }
+      ()
+    }
+    val q = docs.writeStream.foreachBatch(fold)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    pairs.getOrElse(
+      throw new IllegalStateException("stream produced no batches"))
+  }
+
   final case class UserEvent(user_id: Long, value_c: Long)
   final case class UserState(n: Long, maxC: Long)
   final case class UserStats(user_id: Long, n_events: Long,

@@ -141,6 +141,13 @@ class StreamBatchParitySpec extends SparkSpec {
           expr("(sum_value_c * 1000) div cnt")))
   }
 
+  test("q_stream_neardup equals the daily incremental near-dup gate") {
+    // the two faces of the incremental path share one operator and
+    // one store; the streaming face must reproduce the batch face
+    // pair for pair, jaccard for jaccard
+    assertParity("q_stream_neardup", gate("q_incr_neardup"))
+  }
+
   test("q_stream_drift_tv equals all-batch drift") {
     val batchRows = ev.filter(col("value").isNotNull)
       .select(to_date(timestamp_micros(col("ts"))).as("day"),
