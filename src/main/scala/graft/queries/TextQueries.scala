@@ -962,6 +962,46 @@ object TextQueries {
       Some(graft.ops.Ngram.bigramCoherenceSql(
         "documents", "doc_id", "text") + "\nORDER BY doc_id")),
 
+    // ---- reference-fit LM surprisal (CCNet-style quality filter) ------
+    // Fit the bigram model on the CLEAN slice only (lang = 'en' — the
+    // monolingual reference, CCNet's Wikipedia stand-in), score EVERY
+    // document against it with Laplace smoothing: out-of-model text
+    // (the planted non-en docs) surfaces with unseen bigrams and high
+    // mean inverse probability. Pure integer floor divisions — the
+    // transcendental-free surrogate for summed log-probs (rationale at
+    // Ngram.refLmSurprisal).
+    Q("q_lm_ref_surprisal",
+      (s, d) => graft.ops.Ngram.refLmSurprisal(
+          documents(s, d), col("lang") === "en", "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(graft.ops.Ngram.refLmSurprisalSql(
+        "documents", "doc_id", "text", "lang = 'en'")
+        + "\nORDER BY doc_id")),
+
+    // ---- CCNet head/middle/tail terciles over the surprisal scores ----
+    // The percentile cut that decides which third of the crawl trains:
+    // global rank along (surprisal_milli, doc_id) via the range-
+    // repartitioned two-pass GlobalOrder scan (no single-partition
+    // window), bucket = 1 + (3 * idx) div n. Oracle mirrors with
+    // row_number() — DuckDB is single-node, the window is fine THERE.
+    Q("q_lm_surprisal_buckets",
+      (s, d) => graft.ops.Ngram.surprisalBuckets(
+          graft.ops.Ngram.refLmSurprisal(
+            documents(s, d), col("lang") === "en", "doc_id", "text"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""
+        |WITH scored AS (
+        |${graft.ops.Ngram.refLmSurprisalSql(
+            "documents", "doc_id", "text", "lang = 'en'")}),
+        |n AS (SELECT count(*) AS n FROM scored),
+        |r AS (SELECT scored.*, row_number() OVER (
+        |    ORDER BY surprisal_milli, doc_id) - 1 AS idx
+        |  FROM scored)
+        |SELECT r.*, CAST(1 + (3 * idx) // n.n AS INTEGER) AS bucket
+        |FROM r CROSS JOIN n ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // ---- duplicated-span fraction (Lee et al. 2022-style signal) ------
     // Per-doc fraction of distinct 8-token spans that appear in >= 2
     // docs — the "how much of this document is boilerplate" filter
