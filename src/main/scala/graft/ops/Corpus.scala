@@ -137,6 +137,49 @@ object Corpus {
         expr(s"(cum_tokens - $tokenCol) div ${budget}L"))
   }
 
+  /** GPT-style concat-and-split: documents are conceptually
+    * concatenated in `orderCol` order within each shard and the token
+    * stream cut into fixed `window`-token training examples, doc
+    * boundaries crossed ([[packByTokenBudget]] is the other standard
+    * shape — whole docs per bin, no splitting). Emits one row per
+    * (document, window) OVERLAP: `win` is the window index within the
+    * shard, `a_tok`/`b_tok` the doc-relative half-open token span that
+    * lands in that window — exactly the metadata an attention-reset
+    * mask needs, and a long document spans as many rows as windows it
+    * crosses. `off` (tokens before the doc in its shard) rides along.
+    * Pure integer arithmetic; rows with `tokenCol` <= 0 are dropped
+    * (an empty doc occupies no window; including it would also flip
+    * `sequence()` into descending mode on its empty range).
+    *
+    * Invariants (pinned in spec): each doc's spans partition
+    * [0, tokens); each (shard, win) holds exactly `window` tokens
+    * except the shard's last window.
+    *
+    * Scale shape: one shuffle on the shard key + a streaming
+    * rows-frame window for the running offset, then a per-row explode
+    * bounded by ceil(tokens/window) — no global sort, no driver
+    * state; shards parallelize (pick shards = O(cluster cores)). */
+  def concatSplitWindows(df0: DataFrame, shardCol: String,
+                         orderCol: String, tokenCol: String,
+                         window: Long): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df0.where(col(tokenCol) > 0)
+      .withColumn("cum_tokens",
+        sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("off", col("cum_tokens") - col(tokenCol))
+      .withColumn("win", explode(sequence(
+        expr(s"off div ${window}L"),
+        expr(s"(cum_tokens - 1) div ${window}L"))))
+      .withColumn("a_tok",
+        greatest(lit(0L), expr(s"win * ${window}L - off")))
+      .withColumn("b_tok",
+        least(col(tokenCol).cast("long"),
+          expr(s"(win + 1) * ${window}L - off")))
+      .drop("cum_tokens")
+  }
+
   /** 4-hex-digit md5-prefix upper bounds for the first n-1 splits
     * (the last split is the CASE/otherwise fallthrough). Shared by
     * the Column and SQL forms so both engines draw identical

@@ -40,7 +40,16 @@ object GlobalOrder {
     * Equivalent to `row_number() OVER (ORDER BY sortCols) - 1`, minus
     * the single-partition exchange. */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
-                      out: String = "idx"): DataFrame = {
+                      out: String = "idx"): DataFrame =
+    withGlobalIndexAndCount(df, sortCols, out)._1
+
+  /** [[withGlobalIndex]] plus the TOTAL row count, which comes free
+    * from the pass-1 per-partition scalars — callers that need n
+    * beside the index (tercile/percentile cuts) would otherwise pay a
+    * second full pass (or worse, a recompute of the input lineage)
+    * for one number. */
+  def withGlobalIndexAndCount(df: DataFrame, sortCols: Seq[Column],
+                              out: String = "idx"): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = rangeSorted(df, sortCols, n)
@@ -57,7 +66,7 @@ object GlobalOrder {
     val width = sorted.schema.length
     val withPid = sorted.withColumn("__pid", spark_partition_id())
     val outSchema = sorted.schema.add(out, LongType, nullable = false)
-    withPid.mapPartitions { it =>
+    val indexed = withPid.mapPartitions { it =>
       var idx = -1L
       it.map { r =>
         if (idx < 0) idx = offsets(r.getInt(width))
@@ -69,6 +78,7 @@ object GlobalOrder {
         Row.fromSeq(vals.toIndexedSeq)
       }
     }(Encoders.row(outSchema))
+    (indexed, counts.values.sum)
   }
 
   /** 2-D min/min skyline (Pareto frontier): the distinct points not

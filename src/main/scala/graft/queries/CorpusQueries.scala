@@ -392,6 +392,40 @@ object CorpusQueries {
         |FROM c ORDER BY shard, doc_id
         |""".stripMargin.trim)),
 
+    // ---- GPT-style concat-and-split into 512-token context windows ----
+    // (docs concatenated per shard, token stream cut at fixed windows
+    // crossing doc boundaries; one row per doc×window overlap with the
+    // doc-relative span — the attention-reset metadata. A >512-token
+    // doc spans multiple rows. Exact integers; explode bounded by
+    // ceil(tokens/window).)
+    Q("q_pack_concat_split",
+      (s, d) => Corpus.concatSplitWindows(
+          documents(s, d).select(col("doc_id"),
+            pmod(col("doc_id"), lit(8L)).as("shard"),
+            graft.ops.TextOps.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          shardCol = "shard", orderCol = "doc_id",
+          tokenCol = "n_tokens", window = 512L)
+        .orderBy("doc_id", "win"),
+      Some("""
+        |WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum FROM t WHERE n_tokens > 0),
+        |e AS (SELECT doc_id, shard, n_tokens, cum - n_tokens AS off,
+        |    unnest(generate_series((cum - n_tokens) // 512,
+        |      (cum - 1) // 512)) AS win
+        |  FROM c)
+        |SELECT doc_id, shard, n_tokens, off, win,
+        |  greatest(0, win * 512 - off) AS a_tok,
+        |  least(n_tokens, (win + 1) * 512 - off) AS b_tok
+        |FROM e ORDER BY doc_id, win
+        |""".stripMargin.trim)),
+
     // ---- deterministic 80/10/10 train/val/test split ------------------
     // (md5-prefix range assignment: seedless, engine-portable, stable
     // under corpus growth — a doc's split never changes when other

@@ -1002,6 +1002,91 @@ object TextQueries {
         |FROM r CROSS JOIN n ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- SFT chat-format validation -----------------------------------
+    // The instruction-tuning ingest gate: conversations arrive as JSON
+    // turn arrays; validate structure before they reach training.
+    // Conversations are synthesized deterministically from document
+    // text (80-char chunks as turn contents — real quotes/newlines/
+    // unicode exercise JSON escaping) with four PLANTED violation
+    // classes: doc_id%5 starts with a system turn followed by a non-
+    // user turn, %7 breaks user/assistant alternation, %11 ships an
+    // empty turn, %13 an unknown role. The Spark side round-trips
+    // through to_json → from_json and derives every metric GENERICALLY
+    // from the parsed array (size/filter/sequence HOFs — no planted
+    // knowledge); the oracle re-derives the same integers from first
+    // principles per chunk. Per-row projection: scan-speed at 100 TB.
+    Q("q_chat_format_validate",
+      (s, d) => {
+        val turns = expr("""
+          transform(
+            filter(transform(sequence(0, 3), i -> struct(
+              CASE WHEN i = 0 THEN
+                     CASE WHEN doc_id % 5 = 0 THEN 'system' ELSE 'user' END
+                   WHEN i = 1 THEN
+                     CASE WHEN doc_id % 7 = 0 THEN 'user' ELSE 'assistant' END
+                   WHEN i = 2 THEN
+                     CASE WHEN doc_id % 13 = 0 THEN 'bot' ELSE 'user' END
+                   ELSE 'assistant' END AS role,
+              CASE WHEN i = 1 AND doc_id % 11 = 0 THEN ''
+                   ELSE substring(text, 1 + 80 * i, 80) END AS content,
+              substring(text, 1 + 80 * i, 80) AS orig)),
+            t -> t.orig <> ''),
+          t -> struct(t.role AS role, t.content AS content))""")
+        val schema = "array<struct<role:string,content:string>>"
+        documents(s, d)
+          .select(col("doc_id"), to_json(turns).as("conv_json"))
+          .select(col("doc_id"),
+            from_json(col("conv_json"), schema,
+              Map.empty[String, String]).as("p"))
+          .select(col("doc_id"),
+            expr("CAST(size(p) AS BIGINT)").as("n_turns"),
+            expr("CAST(size(filter(p, t -> length(t.content) = 0)) " +
+              "AS BIGINT)").as("n_empty"),
+            expr("CAST(size(filter(p, t -> NOT t.role IN " +
+              "('system','user','assistant'))) AS BIGINT)")
+              .as("n_bad_role"),
+            expr("CAST(CASE WHEN size(p) < 2 THEN 0 ELSE " +
+              "size(filter(sequence(1, size(p) - 1), " +
+              "i -> p[i - 1].role = p[i].role)) END AS BIGINT)")
+              .as("n_alt_viol"),
+            expr("size(p) >= 1 AND p[0].role IN ('system', 'user') " +
+              "AND (p[0].role <> 'system' OR (size(p) >= 2 AND " +
+              "p[1].role = 'user'))").as("first_ok"))
+          .withColumn("valid",
+            (col("first_ok") && col("n_turns") >= 2 &&
+              col("n_empty") === 0 && col("n_bad_role") === 0 &&
+              col("n_alt_viol") === 0).cast(IntegerType))
+          .withColumn("first_ok", col("first_ok").cast(IntegerType))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH t AS (SELECT doc_id,
+        |    least(4, (length(text) + 79) // 80) AS k,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'system' ELSE 'user' END AS r0,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'user' ELSE 'assistant' END AS r1,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'bot' ELSE 'user' END AS r2,
+        |    'assistant' AS r3
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(k AS BIGINT) AS n_turns,
+        |    CAST(CASE WHEN doc_id % 11 = 0 AND k >= 2
+        |      THEN 1 ELSE 0 END AS BIGINT) AS n_empty,
+        |    CAST(CASE WHEN doc_id % 13 = 0 AND k >= 3
+        |      THEN 1 ELSE 0 END AS BIGINT) AS n_bad_role,
+        |    CAST((CASE WHEN k > 1 AND r0 = r1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN k > 2 AND r1 = r2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN k > 3 AND r2 = r3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_alt_viol,
+        |    CASE WHEN k >= 1 AND r0 IN ('system', 'user')
+        |      AND (r0 <> 'system' OR (k >= 2 AND r1 = 'user'))
+        |      THEN 1 ELSE 0 END AS first_ok
+        |  FROM t)
+        |SELECT doc_id, n_turns, n_empty, n_bad_role, n_alt_viol,
+        |  first_ok,
+        |  CAST(first_ok = 1 AND n_turns >= 2 AND n_empty = 0
+        |    AND n_bad_role = 0 AND n_alt_viol = 0 AS INTEGER) AS valid
+        |FROM m ORDER BY doc_id
+        |""".stripMargin.trim)),
+
     // ---- duplicated-span fraction (Lee et al. 2022-style signal) ------
     // Per-doc fraction of distinct 8-token spans that appear in >= 2
     // docs — the "how much of this document is boilerplate" filter

@@ -50,7 +50,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_text_length_trim",   // broadcast 1-row percentile bounds
     "q_eval_kappa",         // two 1-row aggregates combined (n/agree × S)
     "q_lm_ref_surprisal",   // broadcast 1-row vocab-size scalar (V)
-    "q_lm_surprisal_buckets" // same V scalar + 1-row doc-count scalar
+    "q_lm_surprisal_buckets" // composes refLmSurprisal: same V scalar
   )
 
   test("no gate plans a CartesianProduct; BroadcastNestedLoopJoin " +

@@ -78,6 +78,75 @@ class CorpusSpec extends SparkSpec {
       (5L, 0L), (6L, 1L)))
   }
 
+  test("concatSplitWindows: hand-computed spans, boundary-exact") {
+    val docs = Seq(
+      (1L, 0L, 3L),   // off 0:  [0,3) in win 0
+      (2L, 0L, 5L),   // off 3:  [3,8) in win 0
+      (3L, 0L, 10L),  // off 8:  boundary-aligned; win 1 [0,8), win 2 [8,10)
+      (4L, 0L, 6L),   // off 18: tokens 18..23 sit inside win 2 alone
+      (5L, 1L, 20L),  // off 0:  wins 0,1,2 — multi-window doc
+      (6L, 1L, 0L)    // zero tokens: dropped
+    ).toDF("doc_id", "shard", "n_tokens")
+    val out = Corpus.concatSplitWindows(docs, "shard", "doc_id",
+        "n_tokens", window = 8L)
+      .select("doc_id", "win", "a_tok", "b_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 3L), (2L, 0L, 0L, 5L),
+      (3L, 1L, 0L, 8L), (3L, 2L, 8L, 10L), // off 8 = exact boundary
+      (4L, 2L, 0L, 6L),                    // off 18, 18+6=24 exact end
+      (5L, 0L, 0L, 8L), (5L, 1L, 8L, 16L), (5L, 2L, 16L, 20L)))
+  }
+
+  test("concatSplitWindows fuzz: spans partition each doc; every " +
+      "window but a shard's last holds exactly `window` tokens") {
+    val rnd = new scala.util.Random(42L)
+    for (round <- 0 until 25) {
+      val wsz = 1L + rnd.nextInt(64)
+      val docs = (0L until (5L + rnd.nextInt(40))).map { id =>
+        (id, (id % (1 + rnd.nextInt(4))), rnd.nextInt(3 * wsz.toInt).toLong)
+      }
+      val out = Corpus.concatSplitWindows(
+          docs.toDF("doc_id", "shard", "n_tokens"),
+          "shard", "doc_id", "n_tokens", window = wsz)
+        .select("doc_id", "shard", "n_tokens", "off", "win", "a_tok",
+          "b_tok")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      // straight-line reference: running offset per shard in doc order
+      val expect = docs.filter(_._3 > 0).groupBy(_._2).toSeq.flatMap {
+        case (_, ds) =>
+          var off = 0L
+          ds.sortBy(_._1).flatMap { case (id, sh, n) =>
+            val rows = (off / wsz to (off + n - 1) / wsz).map { w =>
+              (id, sh, n, off, w, math.max(0L, w * wsz - off),
+                math.min(n, (w + 1) * wsz - off))
+            }
+            off += n
+            rows
+          }
+      }.toSet
+      assert(out.toSet == expect, s"round $round window $wsz")
+      // invariant 1: spans partition [0, n_tokens) per doc
+      out.groupBy(_._1).foreach { case (id, rows) =>
+        val spans = rows.sortBy(_._5).map(r => (r._6, r._7))
+        assert(spans.head._1 == 0L && spans.last._2 == rows.head._3)
+        spans.sliding(2).foreach { pair =>
+          if (pair.length == 2)
+            assert(pair(0)._2 == pair(1)._1, s"doc $id gap")
+        }
+      }
+      // invariant 2: full windows carry exactly wsz tokens
+      out.groupBy(r => (r._2, r._5)).foreach { case ((sh, w), rows) =>
+        val filled = rows.map(r => r._7 - r._6).sum
+        val lastWin = out.filter(_._2 == sh).map(_._5).max
+        if (w < lastWin) assert(filled == wsz, s"shard $sh win $w")
+        else assert(filled <= wsz)
+      }
+    }
+  }
+
   test("deterministicSplit: stable per-key, ~proportional, validated") {
     val ids = spark.range(2000).toDF("id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
