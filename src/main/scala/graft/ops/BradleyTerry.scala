@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration Bradley–Terry preference aggregation, integer-exact
+  * — the RLHF-side scoring stage: turn a pile of pairwise preference
+  * judgments (model A's answer beat model B's; annotator X's label
+  * outranked Y's) into one strength score per entity. The reference
+  * pipeline ranks by single-column sorts; a preference corpus has no
+  * such column — the ranking IS the aggregation of the duels.
+  *
+  * Arithmetic mirrors [[PageRank]]'s integer-milli discipline so a SQL
+  * oracle can pin it bit-identically. Scores live in MICRO units
+  * (top entity = 1,000,000): every entity starts at 1e6; one
+  * minorization-maximization iteration is
+  *
+  *   den(i) = Σ_j (n_ij · 10^9) div (s(i) + s(j))        per-pair term
+  *   raw(i) = (W_i · 10^9) div den(i)                    MM update
+  *   s'(i)  = max(1, (raw(i) · 10^6) div max_k raw(k))   re-anchor
+  *
+  * with every div truncating at a fixed point in the dataflow. Sums of
+  * longs are exact and associative, so the result is identical on any
+  * engine at any parallelism. The max-anchored normalization (rather
+  * than BT's usual sum- or geomean-anchor) keeps scores in [1, 10^6]
+  * INDEPENDENT of entity count — at a million entities a sum-anchor
+  * would push single scores toward the total and truncate the per-pair
+  * term to zero. The winner-of-everything converges to 10^6; an entity
+  * with zero wins hits the max(1, ·) floor. Truncation costs a few
+  * micro of accuracy vs the float fixpoint — fine for ranking, and
+  * determinism is what lets the oracle exist.
+  *
+  * Bounds: W_i · 10^9 and n_ij · 10^9 must fit a long, so per-entity
+  * wins and per-pair counts are capped at ~9.2e9 comparisons. A corpus
+  * past that should pre-scale the duel counts by a common factor (the
+  * BT solution is invariant to uniform count scaling).
+  *
+  * Scale shape (billions of duels): duels collapse to the per-pair
+  * count matrix in ONE shuffle on (i, j) — everything after runs on
+  * pairs, not duels. Each iteration joins the entity-sized score
+  * vector into the symmetric pair list twice (AQE broadcasts the
+  * vector; the pair list never moves), one partial-aggregable sum by
+  * entity, one 1-row max scalar broadcast back. localCheckpoint per
+  * iteration truncates lineage, same as [[PageRank]]. Nothing is
+  * driver-collected. */
+object BradleyTerry {
+
+  /** (id, bt) after exactly `iters` MM iterations over `duels`
+    * (columns `i`, `j` long entity ids with i ≠ j, `awin` boolean —
+    * one row per comparison, no ties). Entity set = all ids appearing
+    * in a duel. `bt` is in micro units, max entity = 1,000,000. */
+  def fit(duels: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "bradleyTerry needs at least one iteration")
+    val d = duels.select(col("i").cast("long"), col("j").cast("long"),
+      col("awin").cast("boolean"))
+    // duel stream → per-pair sufficient statistics (n, wins of i):
+    // the ONLY pass over the raw comparisons
+    val pairs = d
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("awin"), 1L).otherwise(0L)).as("wi"))
+      .localCheckpoint()
+    val sym = pairs.select(col("i"), col("j"), col("n"))
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j"),
+        col("n")))
+    val nodes = sym.select(col("i").as("id")).distinct()
+    val wins = pairs.select(col("i").as("id"), col("wi").as("w"))
+      .unionByName(pairs.select(col("j").as("id"),
+        (col("n") - col("wi")).as("w")))
+      .groupBy("id").agg(sum(col("w")).as("w"))
+    // W_i is static across iterations: materialize once
+    val wt = nodes.join(wins, Seq("id"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0L)).as("w"))
+      .localCheckpoint()
+    var sv = wt.select(col("id"), lit(1000000L).as("s"))
+    for (_ <- 1 to iters) {
+      val den = sym
+        .join(sv.select(col("id").as("i"), col("s").as("si")), Seq("i"))
+        .join(sv.select(col("id").as("j"), col("s").as("sj")), Seq("j"))
+        .select(col("i").as("id"),
+          expr("n * 1000000000L div (si + sj)").as("term"))
+        .groupBy("id").agg(sum(col("term")).as("den"))
+      // den(i) >= n_i * 10^9 div (2 * 10^6) = 500 * n_i > 0: scores
+      // are capped at 10^6 by the anchor, so the term never truncates
+      // to zero and the division below is total
+      val raw = wt.join(den, Seq("id"))
+        .select(col("id"), expr("w * 1000000000L div den").as("sr"))
+        .localCheckpoint()
+      val mx = raw.agg(max(col("sr")).as("mx"))
+      sv = raw.crossJoin(broadcast(mx))
+        .select(col("id"),
+          greatest(lit(1L), expr("sr * 1000000L div mx")).as("s"))
+        .localCheckpoint()
+    }
+    sv.select(col("id"), col("s").as("bt"))
+  }
+
+  /** The DuckDB oracle for [[fit]], UNROLLED like [[PageRank.oracleSql]]
+    * (recursive CTEs cannot aggregate over the recursive table):
+    * `duelsSql` must be a CTE body yielding `(i, j, awin)`. Generated
+    * here so the Spark loop and the SQL twin can never drift.
+    *
+    * Unlike PageRank's chain, each step here references its
+    * predecessor TWICE (the s(i) and s(j) sides) and r_k twice (the
+    * max anchor + the update) — inlined, the plan would blow up
+    * ~4^iters; the MATERIALIZED hints keep the oracle linear. */
+  def oracleSql(duelsSql: String, iters: Int): String = {
+    val base =
+      s"""WITH duels AS MATERIALIZED ($duelsSql),
+         |pairs AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN awin THEN 1 ELSE 0 END) AS BIGINT) AS wi
+         |  FROM duels GROUP BY 1, 2),
+         |sym AS MATERIALIZED (SELECT i, j, n FROM pairs
+         |  UNION ALL SELECT j AS i, i AS j, n FROM pairs),
+         |nodes AS (SELECT DISTINCT i AS id FROM sym),
+         |wt AS MATERIALIZED (SELECT nodes.id, CAST(COALESCE(ws.w, 0) AS BIGINT) AS w
+         |  FROM nodes LEFT JOIN (
+         |    SELECT id, sum(w) AS w FROM (
+         |      SELECT i AS id, wi AS w FROM pairs
+         |      UNION ALL SELECT j AS id, n - wi AS w FROM pairs)
+         |    GROUP BY 1) ws ON nodes.id = ws.id),
+         |it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM wt)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT sym.i AS id,
+         |    CAST(sum((sym.n * 1000000000) // (si.s + sj.s)) AS BIGINT)
+         |      AS den
+         |  FROM sym JOIN it${k - 1} si ON si.id = sym.i
+         |  JOIN it${k - 1} sj ON sj.id = sym.j GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT wt.id,
+         |    (wt.w * 1000000000) // d$k.den AS sr
+         |  FROM wt JOIN d$k ON wt.id = d$k.id),
+         |it$k AS MATERIALIZED (SELECT id, CAST(greatest(1,
+         |    (sr * 1000000) // (SELECT max(sr) FROM r$k)) AS BIGINT) AS s
+         |  FROM r$k)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT id, s AS bt FROM it$iters ORDER BY id"
+  }
+}

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
-import graft.ops.{Analytics, GraphEdges, PageRank}
+import graft.ops.{Analytics, BradleyTerry, GraphEdges, PageRank,
+  PreferenceAudit}
 
 /** Product-analytics queries (funnel, cohort retention, gap fill,
   * anomaly flags) — the BigQuery/Looker layer of the reference
@@ -286,6 +287,154 @@ object AnalyticsQueries {
           |    AS c, 1000000 + l_suppkey AS s2 FROM orders
           |  JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin,
         iters = 5))),
+
+    // ---- Bradley-Terry preference aggregation (5 MM iterations) -----
+    // The RLHF scoring stage: pairwise duels -> one strength score per
+    // entity. Duels here are supplier-vs-supplier quantity contests
+    // within an order (strict key order, ties skipped); production
+    // swaps in (model_a, model_b, preferred) rows unchanged. Integer
+    // micro-unit MM updates with a max anchor (entity-count-
+    // independent score range — a sum anchor would truncate the
+    // per-pair term to zero at 1e6 entities); oracle generated by the
+    // SAME code that documents the iteration (BradleyTerry.oracleSql).
+    Q("q_pref_bradley_terry",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_quantity")
+        BradleyTerry.fit(
+          li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_suppkey") < col("b.l_suppkey") &&
+                col("a.l_quantity") =!= col("b.l_quantity"))
+            .select(col("a.l_suppkey").as("i"),
+              col("b.l_suppkey").as("j"),
+              (col("a.l_quantity") > col("b.l_quantity")).as("awin")),
+          iters = 5).orderBy("id")
+      },
+      Some(BradleyTerry.oracleSql(
+        """SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+          |    a.l_quantity > b.l_quantity AS awin
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_suppkey < b.l_suppkey
+          |   AND a.l_quantity <> b.l_quantity""".stripMargin,
+        iters = 5))),
+
+    // ---- preference-data confound audit ------------------------------
+    // The RLHF "length bias" check: does a covariate (response length;
+    // here the line's extendedprice) predict duel outcomes? If the
+    // higher-covariate side wins far more than 500/1000, the
+    // preference signal is partly an artifact and a reward model
+    // trained on it inherits the bias. Exact integers: wins counted
+    // only where the covariate actually differs, milli rate by
+    // truncating division. ONE pass over the duel stream + a
+    // broadcast-joined priority dim — scan-speed at any corpus size.
+    Q("q_pref_confound_audit",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey") &&
+              col("a.l_quantity") =!= col("b.l_quantity"))
+          .select(col("a.l_orderkey").as("ok"),
+            (col("a.l_extendedprice") =!= col("b.l_extendedprice"))
+              .as("attr_diff"),
+            (((col("a.l_quantity") > col("b.l_quantity")) &&
+              (col("a.l_extendedprice") > col("b.l_extendedprice"))) ||
+             ((col("b.l_quantity") > col("a.l_quantity")) &&
+              (col("b.l_extendedprice") > col("a.l_extendedprice"))))
+              .as("hi_wins"))
+          .join(orders(s, d).select(col("o_orderkey"),
+            col("o_orderpriority").as("priority")),
+            col("ok") === col("o_orderkey"))
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n_duels"),
+            sum(when(col("attr_diff"), 1L).otherwise(0L))
+              .as("n_attr_diff"),
+            sum(when(col("attr_diff") && col("hi_wins"), 1L)
+              .otherwise(0L)).as("higher_attr_wins"))
+          .withColumn("rate_milli",
+            expr("higher_attr_wins * 1000L div nullif(n_attr_diff, 0L)"))
+          .orderBy("priority")
+      },
+      Some("""
+        |WITH duels AS (SELECT a.l_orderkey AS ok,
+        |    a.l_extendedprice <> b.l_extendedprice AS attr_diff,
+        |    (a.l_quantity > b.l_quantity
+        |       AND a.l_extendedprice > b.l_extendedprice)
+        |    OR (b.l_quantity > a.l_quantity
+        |       AND b.l_extendedprice > a.l_extendedprice) AS hi_wins
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_suppkey < b.l_suppkey
+        |   AND a.l_quantity <> b.l_quantity)
+        |SELECT o.o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_duels,
+        |  CAST(sum(CASE WHEN attr_diff THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attr_diff,
+        |  CAST(sum(CASE WHEN attr_diff AND hi_wins THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS higher_attr_wins,
+        |  CAST(sum(CASE WHEN attr_diff AND hi_wins THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 1000
+        |    // NULLIF(CAST(sum(CASE WHEN attr_diff THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0)
+        |    AS rate_milli
+        |FROM duels JOIN orders o ON duels.ok = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1
+        |""".stripMargin.trim)),
+
+    // ---- preference transitivity audit --------------------------------
+    // Tournament cyclicity of the majority-preference graph: among
+    // entity triples whose three pairwise majorities all exist (>= 4
+    // duels each, ties excluded), the fraction forming a directed
+    // 3-cycle — the "can ANY scalar reward model fit this data" check
+    // (coin-flip preferences expect 250/1000). Triangle enumeration
+    // reuses the degree-oriented m^1.5 corner listing, so entity hubs
+    // don't explode the wedge join at corpus scale.
+    Q("q_pref_transitivity",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_quantity")
+        PreferenceAudit.transitivityAudit(
+          li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_suppkey") < col("b.l_suppkey") &&
+                col("a.l_quantity") =!= col("b.l_quantity"))
+            .select(col("a.l_suppkey").as("i"),
+              col("b.l_suppkey").as("j"),
+              (col("a.l_quantity") > col("b.l_quantity")).as("awin")),
+          minDuels = 4L)
+      },
+      Some("""
+        |WITH duels AS MATERIALIZED (SELECT a.l_suppkey AS i,
+        |    b.l_suppkey AS j, a.l_quantity > b.l_quantity AS awin
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_suppkey < b.l_suppkey
+        |   AND a.l_quantity <> b.l_quantity),
+        |maj AS MATERIALIZED (SELECT i AS lo, j AS hi,
+        |    (2 * wi > n) AS lowins FROM (
+        |    SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(CASE WHEN awin THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS wi
+        |    FROM duels GROUP BY 1, 2)
+        |  WHERE n >= 4 AND 2 * wi <> n),
+        |tri AS (SELECT e1.lowins AS xy, e2.lowins AS yz,
+        |    e3.lowins AS xz
+        |  FROM maj e1 JOIN maj e2 ON e2.lo = e1.hi
+        |  JOIN maj e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |cls AS (SELECT (xy AND yz AND NOT xz)
+        |    OR (NOT xy AND NOT yz AND xz) AS cyclic FROM tri)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM maj) AS n_edges,
+        |  CAST(count(*) AS BIGINT) AS n_triangles,
+        |  CAST(COALESCE(sum(CASE WHEN cyclic THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_cyclic,
+        |  CAST(COALESCE(sum(CASE WHEN cyclic THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) * 1000
+        |    // NULLIF(CAST(count(*) AS BIGINT), 0) AS cyclic_milli
+        |FROM cls
+        |""".stripMargin.trim)),
 
     // ---- 7-day trailing window over sparse daily series -------------
     // RANGE frame on the day ORDINAL (not ROWS — the series is sparse,

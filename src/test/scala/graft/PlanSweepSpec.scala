@@ -50,7 +50,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_text_length_trim",   // broadcast 1-row percentile bounds
     "q_eval_kappa",         // two 1-row aggregates combined (n/agree × S)
     "q_lm_ref_surprisal",   // broadcast 1-row vocab-size scalar (V)
-    "q_lm_surprisal_buckets" // composes refLmSurprisal: same V scalar
+    "q_lm_surprisal_buckets", // composes refLmSurprisal: same V scalar
+    "q_pref_bradley_terry", // broadcast 1-row max anchor per iteration
+    "q_pref_transitivity"   // broadcast 1-row edge-count scalar
   )
 
   test("no gate plans a CartesianProduct; BroadcastNestedLoopJoin " +
