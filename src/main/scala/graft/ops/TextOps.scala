@@ -732,4 +732,205 @@ object TextOps {
       .otherwise(decode(payload, dflt))
     struct(coalesce(cs, lit(dflt)).as("charset"), text.as("text"))
   }
+
+  // ---- within-document repetition signals (Gopher battery) -----------
+
+  /** All word n-grams of `toks` joined by single spaces — the MULTISET
+    * (unlike [[wordShinglesFromTokens]], which dedups for LSH):
+    * repetition metrics need occurrence counts.
+    *
+    * Built as ONE transform over gram positions with a per-element
+    * slice + array_join — each gram materializes exactly one string.
+    * The zip_with-chain form (n−1 intermediate arrays, each
+    * re-concatenating every prefix) profiled as the gate's hottest
+    * path (ZipWith.eval + Concat ≈ 2× everything else combined).
+    * `toks` MUST be a materialized column: the lambda body re-reads it
+    * per element, which is a row-field read for an attribute but a
+    * full re-tokenize for an expression. */
+  def wordNgramMultiset(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Occurrence statistics of a lexicographically SORTED string array:
+    * `struct(best_cnt, best_start, singles)` where `best_start` is the
+    * 1-based index of the first element of the most frequent run
+    * (ties → lexicographically smallest; 0 when the array is empty)
+    * and `singles` counts elements occurring exactly once. No explode,
+    * no shuffle, no per-row map building: the doc never leaves its
+    * scan partition, which is the whole point at 100 TB (the
+    * alternative is explode → groupBy(doc, gram) → groupBy(doc), two
+    * shuffles of a ~50× row blow-up).
+    *
+    * Shape notes, measured the hard way: HOF lambdas are interpreted
+    * (no codegen) and re-evaluate every non-attribute expression they
+    * reference PER ELEMENT — a first cut whose lambdas indexed into
+    * run-start/run-length ARRAYS re-derived those arrays per element
+    * (O(T²) per doc, 82 s at sf0.1 vs ~2 s for this form). Callers
+    * must hand `sorted` in as a materialized column (see
+    * [[repetitionSignals]]'s staging), not as an expression. */
+  def sortedRunStats(sorted: Column): Column = {
+    val n = size(sorted)
+    // One left-to-right run-length walk over the INDEX sequence: the
+    // lambda touches `sorted` only through element_at on the bound
+    // attribute (cheap row-field read per element) and accumulates
+    // four ints — no strings, no maps, no nested array rebuilds.
+    // best_start is the 1-based start of the FIRST maximal run
+    // (strict >), i.e. the lexicographically smallest max-count gram.
+    def closeRun(acc: Column, startOfClosed: Column): (Column, Column, Column) = {
+      val better = acc.getField("run") > acc.getField("best")
+      (when(better, acc.getField("run")).otherwise(acc.getField("best")),
+        when(better, startOfClosed).otherwise(acc.getField("start")),
+        acc.getField("singles") +
+          when(acc.getField("run") === 1, 1).otherwise(0))
+    }
+    val walk = aggregate(
+      when(n >= 2, sequence(lit(2), n))
+        .otherwise(array().cast(ArrayType(IntegerType))),
+      struct(lit(1).as("run"), lit(0).as("best"),
+        lit(1).as("start"), lit(0).as("singles")),
+      (acc, i) => {
+        val same = element_at(sorted, i) === element_at(sorted, i - 1)
+        val (best2, start2, singles2) = closeRun(acc, i - acc.getField("run"))
+        when(same, struct((acc.getField("run") + 1).as("run"),
+          acc.getField("best").as("best"),
+          acc.getField("start").as("start"),
+          acc.getField("singles").as("singles")))
+          .otherwise(struct(lit(1).as("run"), best2.as("best"),
+            start2.as("start"), singles2.as("singles")))
+      },
+      acc => {
+        val (best2, start2, singles2) = closeRun(acc, n + 1 - acc.getField("run"))
+        struct(best2.as("best_cnt"), start2.as("best_start"),
+          singles2.as("singles"))
+      })
+    when(n === 0, struct(lit(0).as("best_cnt"),
+      lit(0).as("best_start"), lit(0).as("singles"))).otherwise(walk)
+  }
+
+  /** Gopher-style within-document repetition battery (Rae et al. 2112.11446
+    * table A1 shape), exact integers:
+    *
+    *  - `top2_char_frac_milli` / `top3_char_frac_milli`: word-chars
+    *    covered by occurrences of the most frequent word 2-/3-gram,
+    *    per mille of the doc's total word chars (whitespace excluded;
+    *    a gram's chars = its token chars). Overlapping occurrences
+    *    each count, so degenerate stutter ("a b a b a") can exceed
+    *    1000 — same property as the paper's metric.
+    *  - `dup5_pos_frac_milli`: fraction of 5-gram POSITIONS whose gram
+    *    occurs ≥ 2× in the doc (position-fraction rather than the
+    *    paper's char-fraction: overlap-free, bounded [0,1000], same
+    *    threshold semantics).
+    *  - `repetition_ok`: 1 when top2 ≤ 200‰, top3 ≤ 180‰, dup5 ≤ 150‰
+    *    (the paper's 0.20/0.18/0.15 cutoffs).
+    *
+    * Ties for "most frequent" resolve to the lexicographically
+    * smallest gram — deterministic, oracle-matchable. Docs shorter
+    * than n tokens score 0 with a null gram. Per-row HOF pipeline:
+    * zero shuffles, the scan partition is the unit of work. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    // Staging discipline (the [[wordShinglesFromTokens]] lesson): HOF
+    // lambda bodies re-evaluate any non-attribute expression they
+    // reference PER ELEMENT, and [[sortedRunStats]]'s lambdas index
+    // into the sorted array — handed the array_sort(...) expression
+    // directly, each element access would re-build and re-sort the
+    // whole gram array (O(T² log T) per doc; measured as a hang at
+    // sf0.1). The sorted arrays are therefore materialized as columns
+    // in their own projection; each alias is referenced several times
+    // inside the run-stats HOFs, which keeps CollapseProject from
+    // inlining the sort back into the lambdas.
+    val staged = docs.select(col(idCol),
+      length(regexp_replace(col(textCol), "[ \\t\\n\\r\\f]+", ""))
+        .cast(LongType).as("__wchars"),
+      tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__wchars"),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        array_sort(wordNgramMultiset(col("__toks"), 2)).as("__g2"),
+        array_sort(wordNgramMultiset(col("__toks"), 3)).as("__g3"),
+        array_sort(wordNgramMultiset(col("__toks"), 5)).as("__g5"))
+      .select(col(idCol), col("__wchars"), col("n_tokens"),
+        col("__g2"), col("__g3"),
+        sortedRunStats(col("__g2")).as("__s2"),
+        sortedRunStats(col("__g3")).as("__s3"),
+        sortedRunStats(col("__g5")).as("__s5"))
+      .select(col(idCol), col("__wchars"), col("n_tokens"),
+        when(col("__s2").getField("best_cnt") > 0,
+          element_at(col("__g2"), col("__s2").getField("best_start")))
+          .as("top2_gram"),
+        col("__s2").getField("best_cnt").as("__c2"),
+        when(col("__s3").getField("best_cnt") > 0,
+          element_at(col("__g3"), col("__s3").getField("best_start")))
+          .as("__gram3"),
+        col("__s3").getField("best_cnt").as("__c3"),
+        col("__s5").getField("singles").as("__singles5"))
+    staged.selectExpr(
+      idCol,
+      "n_tokens",
+      "top2_gram",
+      "coalesce((1000 * CAST(__c2 * (length(top2_gram) - 1)" +
+        " AS BIGINT)) DIV __wchars, 0) AS top2_char_frac_milli",
+      "coalesce((1000 * CAST(__c3 * (length(__gram3) - 2)" +
+        " AS BIGINT)) DIV __wchars, 0) AS top3_char_frac_milli",
+      "CASE WHEN n_tokens >= 5 THEN (1000 * (n_tokens - 4 -" +
+        " CAST(__singles5 AS BIGINT))) DIV (n_tokens - 4)" +
+        " ELSE CAST(0 AS BIGINT) END AS dup5_pos_frac_milli")
+      .withColumn("repetition_ok",
+        (col("top2_char_frac_milli") <= 200 &&
+          col("top3_char_frac_milli") <= 180 &&
+          col("dup5_pos_frac_milli") <= 150).cast(IntegerType))
+  }
+
+  /** DuckDB oracle twin of [[repetitionSignals]] over relation `rel`
+    * (columns `doc_id`, `text`). */
+  def repetitionSignalsOracleSql(rel: String): String = {
+    def grams(n: Int, name: String): String =
+      s"""$name AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks) - ${n - 2}),
+         |      i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))
+         |      AS g
+         |  FROM base WHERE len(toks) >= $n)""".stripMargin
+    s"""
+      |WITH base AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS toks,
+      |    CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g'))
+      |      AS BIGINT) AS wchars
+      |  FROM $rel),
+      |${grams(2, "g2")},
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |t2 AS (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY c DESC, g ASC) AS rn FROM c2),
+      |top2 AS (SELECT doc_id, g AS top2_gram,
+      |    c * CAST(length(g) - 1 AS BIGINT) AS num2 FROM t2 WHERE rn = 1),
+      |${grams(3, "g3")},
+      |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |t3 AS (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY c DESC, g ASC) AS rn FROM c3),
+      |top3 AS (SELECT doc_id,
+      |    c * CAST(length(g) - 2 AS BIGINT) AS num3 FROM t3 WHERE rn = 1),
+      |${grams(5, "g5")},
+      |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+      |d5 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_pos,
+      |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+      |      AS dup_pos
+      |  FROM c5 GROUP BY doc_id),
+      |m AS (SELECT b.doc_id,
+      |    CAST(len(b.toks) AS BIGINT) AS n_tokens,
+      |    t.top2_gram,
+      |    coalesce((1000 * t.num2) // b.wchars, 0)
+      |      AS top2_char_frac_milli,
+      |    coalesce((1000 * u.num3) // b.wchars, 0)
+      |      AS top3_char_frac_milli,
+      |    coalesce((1000 * d.dup_pos) // d.n_pos, 0)
+      |      AS dup5_pos_frac_milli
+      |  FROM base b
+      |  LEFT JOIN top2 t USING (doc_id)
+      |  LEFT JOIN top3 u USING (doc_id)
+      |  LEFT JOIN d5 d USING (doc_id))
+      |SELECT *, CAST(top2_char_frac_milli <= 200
+      |    AND top3_char_frac_milli <= 180
+      |    AND dup5_pos_frac_milli <= 150 AS INTEGER) AS repetition_ok
+      |FROM m ORDER BY doc_id
+      |""".stripMargin.trim
+  }
 }

@@ -902,6 +902,32 @@ object TextQueries {
         |FROM agg ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- full Gopher repetition battery (zero-shuffle form) -----------
+    // Top-2/3-gram CHAR coverage + duplicate-5-gram position fraction
+    // + the paper's pass flag, all per-row HOF run-length walks — in
+    // contrast to q_text_repetition above, which pays two shuffles of
+    // an exploded gram stream for its single metric. Every 5th doc is
+    // planted DOUBLED (text || ' ' || text): a whole-document stutter
+    // drives dup5 near 1000 and must trip the flag, while unplanted
+    // random-vocab docs stay under every cutoff.
+    Q("q_quality_repetition_signals",
+      (s, d) => TextOps.repetitionSignals(
+        documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+          // per-row-heavy walk over a ONE-row-group fixture: spread
+          // the scan or the whole battery runs single-task (the
+          // q_scrape_extract_srx lesson; at deployment the input is
+          // many splits and this exchange wouldn't exist)
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("doc_id")),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(TextOps.repetitionSignalsOracleSql(
+        "(SELECT doc_id, CASE WHEN doc_id % 5 = 0" +
+          " THEN text || ' ' || text ELSE text END AS text" +
+          " FROM documents)"))),
+
     // ---- benchmark decontamination ------------------------------------
     // Planted contamination: every 50th doc is an "eval benchmark"
     // doc, and a copy of each (new id = doc_id + 2e6) is planted into
