@@ -180,6 +180,76 @@ object Corpus {
       .drop("cum_tokens")
   }
 
+  /** Length-bucketed packing plan — the other standard SFT batching
+    * strategy next to [[concatSplitWindows]]: docs are grouped into
+    * power-of-two length buckets (each doc padded to its bucket), and
+    * `k = capacity div bucket` docs share one context-window bin, so
+    * no document is ever split and attention never crosses documents.
+    * Docs longer than `capacity` form the overflow class (bucket 0,
+    * one doc per bin, truncated to capacity).
+    *
+    * Returns one row per doc: `bucket` (0 = overflow), `k`, `bin` and
+    * `slot` within the bucket (docs packed in `idCol` order — a
+    * deterministic plan, reproducible across engines), `pad_tokens`
+    * (bucket − n for bucketed docs) and `trunc_tokens`
+    * (n − capacity for overflow docs).
+    *
+    * Scale shape: bucket assignment is a per-row when-chain; the
+    * within-bucket sequence comes from [[GlobalOrder.withGlobalIndex]]
+    * over (bucket, id) — one range exchange — minus each bucket's
+    * first index, obtained from a ≤ #buckets-row aggregate joined back
+    * broadcast. NOT a window partitioned by bucket: with a handful of
+    * distinct buckets that window is the unpartitioned-cliff shape the
+    * plan lint bans (one task per bucket at 100 TB). */
+  def lengthBucketPacking(df: DataFrame, idCol: String, nTokCol: String,
+                          capacity: Int = 512,
+                          minBucket: Int = 16): DataFrame = {
+    require(capacity > 0 && minBucket > 0 && minBucket <= capacity,
+      "need 0 < minBucket <= capacity")
+    val buckets = Iterator.iterate(minBucket.toLong)(_ * 2)
+      .takeWhile(_ <= capacity).toSeq
+    val n = col(nTokCol).cast(LongType)
+    val bucketExpr = buckets.reverse.foldLeft(lit(0L)) { (acc, b) =>
+      when(n <= b, lit(b)).otherwise(acc) // smallest bucket >= n wins
+    }
+    val assigned = df.where(n > 0)
+      .select(col(idCol), n.as("n_tokens"), bucketExpr.as("bucket"))
+      .withColumn("k",
+        when(col("bucket") === 0L, lit(1L))
+          .otherwise(expr(s"${capacity}L DIV bucket")))
+    val indexed = GlobalOrder.withGlobalIndex(assigned,
+      Seq(col("bucket"), col(idCol)), out = "__gidx")
+    val starts = indexed.groupBy("bucket")
+      .agg(min(col("__gidx")).as("__start"))
+    indexed.join(broadcast(starts), Seq("bucket"))
+      .withColumn("__seq", col("__gidx") - col("__start"))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("k"),
+        expr("__seq DIV k").as("bin"),
+        pmod(col("__seq"), col("k")).as("slot"),
+        when(col("bucket") === 0L, lit(0L))
+          .otherwise(col("bucket") - col("n_tokens")).as("pad_tokens"),
+        when(col("bucket") === 0L, col("n_tokens") - capacity.toLong)
+          .otherwise(lit(0L)).as("trunc_tokens"))
+  }
+
+  /** Per-bucket datasheet of a [[lengthBucketPacking]] plan: bin
+    * count, total padding (per-doc padding + per-bin slot remainder +
+    * empty slots in the last bin — everything the accelerator pads),
+    * padding per mille of the bins' total capacity, and truncated
+    * tokens for the overflow class. Pure aggregation of the plan —
+    * one partial-aggregable pass, ≤ #buckets output rows. */
+  def lengthBucketStats(plan: DataFrame, capacity: Int): DataFrame =
+    plan.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("bin") + 1).as("n_bins"),
+        sum(col("trunc_tokens")).as("trunc_tokens"))
+      .withColumn("padding_tokens",
+        col("n_bins") * capacity.toLong -
+          (col("sum_tokens") - col("trunc_tokens")))
+      .withColumn("padding_frac_milli",
+        expr(s"(1000 * padding_tokens) DIV (n_bins * ${capacity}L)"))
+
   /** 4-hex-digit md5-prefix upper bounds for the first n-1 splits
     * (the last split is the CASE/otherwise fallthrough). Shared by
     * the Column and SQL forms so both engines draw identical

@@ -54,6 +54,56 @@ object CorpusQueries {
     tbl
   }
 
+  /** Shared oracle text for the length-bucket packing gates: both
+    * derive from one assignment CTE chain so the stats oracle is the
+    * assignment oracle's aggregation, never a drifted re-derivation. */
+  private object PackOracle {
+    private val base = """
+      |WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+'))
+      |      AS BIGINT) *
+      |    (CASE WHEN doc_id % 7 = 0 THEN 3
+      |          WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END) AS n_tokens
+      |  FROM documents),
+      |a AS (SELECT doc_id, n_tokens,
+      |    CAST(CASE WHEN n_tokens > 128 THEN 0
+      |         WHEN n_tokens <= 16 THEN 16
+      |         WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64
+      |         ELSE 128 END AS BIGINT) AS bucket
+      |  FROM t WHERE n_tokens > 0),
+      |b AS (SELECT *,
+      |    CAST(CASE WHEN bucket = 0 THEN 1 ELSE 128 // bucket END
+      |      AS BIGINT) AS k,
+      |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+      |      - 1 AS BIGINT) AS seq
+      |  FROM a)""".stripMargin
+
+    val assignSql: String = s"""$base
+      |SELECT doc_id, n_tokens, bucket, k,
+      |  seq // k AS bin, seq % k AS slot,
+      |  CASE WHEN bucket = 0 THEN 0 ELSE bucket - n_tokens END
+      |    AS pad_tokens,
+      |  CASE WHEN bucket = 0 THEN n_tokens - 128 ELSE 0 END
+      |    AS trunc_tokens
+      |FROM b ORDER BY doc_id
+      |""".stripMargin.trim
+
+    val statsSql: String = s"""$base,
+      |g AS (SELECT bucket, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |    CAST(max(seq // k) + 1 AS BIGINT) AS n_bins,
+      |    CAST(sum(CASE WHEN bucket = 0 THEN n_tokens - 128 ELSE 0 END)
+      |      AS BIGINT) AS trunc_tokens
+      |  FROM b GROUP BY bucket)
+      |SELECT bucket, n_docs, sum_tokens, n_bins, trunc_tokens,
+      |  n_bins * 128 - (sum_tokens - trunc_tokens) AS padding_tokens,
+      |  (1000 * (n_bins * 128 - (sum_tokens - trunc_tokens)))
+      |    // (n_bins * 128) AS padding_frac_milli
+      |FROM g ORDER BY bucket
+      |""".stripMargin.trim
+  }
+
   /** One-time content-addressed store builds (see
     * [[SimQueries.prepares]] for the rationale). */
   def prepares: Seq[(String,
@@ -425,6 +475,39 @@ object CorpusQueries {
         |  least(n_tokens, (win + 1) * 512 - off) AS b_tok
         |FROM e ORDER BY doc_id, win
         |""".stripMargin.trim)),
+
+    // ---- length-bucketed packing (no-split SFT batching) --------------
+    // (The other standard packing strategy next to concat-split:
+    // power-of-two length buckets, k = capacity/bucket docs per bin,
+    // overflow docs truncated one-per-bin. Token counts planted ×3
+    // for doc_id%7 and ×2 for doc_id%5 so all four buckets AND the
+    // overflow class populate at capacity 128.)
+    Q("q_pack_length_buckets",
+      (s, d) => Corpus.lengthBucketPacking(
+          documents(s, d).select(col("doc_id"),
+            (graft.ops.TextOps.tokenCount(col("text")).cast("long") *
+              when(col("doc_id") % 7 === 0, 3L)
+                .when(col("doc_id") % 5 === 0, 2L).otherwise(1L))
+              .as("n_tokens")),
+          idCol = "doc_id", nTokCol = "n_tokens",
+          capacity = 128, minBucket = 16)
+        .orderBy("doc_id"),
+      Some(PackOracle.assignSql)),
+
+    // ---- packing-plan datasheet: per-bucket padding economics ---------
+    Q("q_pack_bucket_stats",
+      (s, d) => Corpus.lengthBucketStats(
+          Corpus.lengthBucketPacking(
+            documents(s, d).select(col("doc_id"),
+              (graft.ops.TextOps.tokenCount(col("text")).cast("long") *
+                when(col("doc_id") % 7 === 0, 3L)
+                  .when(col("doc_id") % 5 === 0, 2L).otherwise(1L))
+                .as("n_tokens")),
+            idCol = "doc_id", nTokCol = "n_tokens",
+            capacity = 128, minBucket = 16),
+          capacity = 128)
+        .orderBy("bucket"),
+      Some(PackOracle.statsSql)),
 
     // ---- deterministic 80/10/10 train/val/test split ------------------
     // (md5-prefix range assignment: seedless, engine-portable, stable
