@@ -104,7 +104,14 @@ object BradleyTerry {
     * predecessor TWICE (the s(i) and s(j) sides) and r_k twice (the
     * max anchor + the update) — inlined, the plan would blow up
     * ~4^iters; the MATERIALIZED hints keep the oracle linear. */
-  def oracleSql(duelsSql: String, iters: Int): String = {
+  def oracleSql(duelsSql: String, iters: Int): String =
+    oracleChain(duelsSql, iters) +
+      s"\nSELECT id, s AS bt FROM it$iters ORDER BY id"
+
+  /** The CTE chain only (everything up to `it<iters>` = (id, s)) —
+    * shared by [[oracleSql]] and the calibration oracle so the two
+    * gates can never pin different score definitions. */
+  private def oracleChain(duelsSql: String, iters: Int): String = {
     val base =
       s"""WITH duels AS MATERIALIZED ($duelsSql),
          |pairs AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
@@ -133,7 +140,53 @@ object BradleyTerry {
          |    (sr * 1000000) // (SELECT max(sr) FROM r$k)) AS BIGINT) AS s
          |  FROM r$k)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT id, s AS bt FROM it$iters ORDER BY id"
+    (base +: steps).mkString(",\n")
   }
+
+  /** Reward-model calibration over the fitted scores — the
+    * reliability diagram of RLHF evals: bucket each duel by the score
+    * GAP between its sides (deciles of the micro-unit range, gap DIV
+    * 100,000 ∈ 0..9) and measure how often the higher-scored side
+    * actually won. A well-calibrated ranking shows the win rate
+    * rising with the gap; a flat curve means the scores order
+    * entities but their magnitudes carry no confidence information.
+    * Same-score duels are excluded (no prediction to grade).
+    *
+    * Exact integers throughout: `rate_milli = wins·1000 div n`.
+    * Scale shape: the entity-sized score vector broadcasts into the
+    * duel stream twice; one partial-aggregable groupBy over ≤ 10
+    * buckets — duels never shuffle. */
+  def calibration(duels: DataFrame, scores: DataFrame): DataFrame = {
+    val d = duels.select(col("i").cast("long"), col("j").cast("long"),
+      col("awin").cast("boolean"))
+    d.join(broadcast(scores.select(col("id").as("i"),
+        col("bt").as("sci"))), Seq("i"))
+      .join(broadcast(scores.select(col("id").as("j"),
+        col("bt").as("scj"))), Seq("j"))
+      .where(col("sci") =!= col("scj"))
+      .select(expr("abs(sci - scj) DIV 100000L").as("gap_decile"),
+        ((col("sci") > col("scj")) === col("awin")).as("hw"))
+      .groupBy("gap_decile")
+      .agg(count(lit(1)).as("n_duels"),
+        sum(when(col("hw"), 1L).otherwise(0L)).as("higher_wins"))
+      .withColumn("rate_milli",
+        expr("higher_wins * 1000L DIV n_duels"))
+  }
+
+  /** DuckDB oracle for [[calibration]] over the [[fit]] scores —
+    * appends the calibration aggregation to the shared score chain. */
+  def calibrationOracleSql(duelsSql: String, iters: Int): String =
+    oracleChain(duelsSql, iters) +
+      s""",
+         |cal AS (SELECT d.awin, si.s AS sci, sj.s AS scj
+         |  FROM duels d JOIN it$iters si ON si.id = d.i
+         |  JOIN it$iters sj ON sj.id = d.j
+         |  WHERE si.s <> sj.s)
+         |SELECT abs(sci - scj) // 100000 AS gap_decile,
+         |  CAST(count(*) AS BIGINT) AS n_duels,
+         |  CAST(sum(CASE WHEN (sci > scj) = awin THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS higher_wins,
+         |  (CAST(sum(CASE WHEN (sci > scj) = awin THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS rate_milli
+         |FROM cal GROUP BY 1 ORDER BY 1""".stripMargin
 }

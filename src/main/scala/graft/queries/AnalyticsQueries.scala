@@ -320,6 +320,46 @@ object AnalyticsQueries {
           |   AND a.l_quantity <> b.l_quantity""".stripMargin,
         iters = 5))),
 
+    // ---- reward-model calibration (reliability diagram) --------------
+    // Bucket every duel by the fitted-score GAP between its sides and
+    // measure how often the higher-scored side won: the win rate must
+    // rise with the gap for the scores' magnitudes to mean anything.
+    // Shares the BT gate's duel stream and score chain (oracle reuses
+    // the exact same unrolled CTEs, so the two gates cannot drift).
+    // (Duels carry a LATENT STRENGTH gradient — the higher suppkey
+    // wins unless a deterministic hash-noise term flips the outcome
+    // (~1/4 of duels) — so fitted scores spread over the range and
+    // several gap deciles populate; the BT gate's pure-quantity duels
+    // cluster every score mid-range and grade only two buckets.)
+    Q("q_pref_calibration",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_quantity")
+        val duels = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey") &&
+              col("a.l_quantity") =!= col("b.l_quantity"))
+          .select(col("a.l_suppkey").as("i"),
+            col("b.l_suppkey").as("j"),
+            (pmod(col("a.l_suppkey") * 7 + col("b.l_suppkey") * 13 +
+              col("a.l_orderkey"), lit(4)) > 0).as("awin0"))
+          // i < j always: "a wins" = noise says follow strength = j…
+          // so awin (i wins) = NOT(strength outcome kept)
+          .select(col("i"), col("j"), (!col("awin0")).as("awin"))
+          .localCheckpoint() // consumed twice: fit + grading pass
+        BradleyTerry.calibration(duels,
+          BradleyTerry.fit(duels, iters = 5)).orderBy("gap_decile")
+      },
+      Some(BradleyTerry.calibrationOracleSql(
+        """SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+          |    NOT ((a.l_suppkey*7 + b.l_suppkey*13 + a.l_orderkey)
+          |      % 4 > 0) AS awin
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_suppkey < b.l_suppkey
+          |   AND a.l_quantity <> b.l_quantity""".stripMargin,
+        iters = 5))),
+
     // ---- preference-data confound audit ------------------------------
     // The RLHF "length bias" check: does a covariate (response length;
     // here the line's extendedprice) predict duel outcomes? If the

@@ -71,4 +71,56 @@ class BradleyTerrySpec extends SparkSpec {
       }
     }
   }
+
+  /** Straight-line calibration reference over [[reference]] scores. */
+  private def calRef(duels: Seq[(Long, Long, Boolean)],
+                     iters: Int): Map[Long, (Long, Long, Long)] = {
+    val s = reference(duels, iters)
+    duels.map { case (i, j, awin) => (s(i), s(j), awin) }
+      .filter { case (si, sj, _) => si != sj }
+      .groupBy { case (si, sj, _) => math.abs(si - sj) / 100000L }
+      .map { case (dec, ds) =>
+        val n = ds.size.toLong
+        val w = ds.count { case (si, sj, awin) => (si > sj) == awin }
+          .toLong
+        dec -> (n, w, w * 1000L / n)
+      }
+  }
+
+  test("calibration: hand anchors and fuzz vs straight-line replay") {
+    // dominant entity 1 (score 1e6) vs floor entity 3 (score 1):
+    // gap decile 9; the higher-scored side won that duel.
+    val duels = Seq((1L, 2L, true), (1L, 2L, true), (1L, 3L, true),
+      (2L, 3L, true))
+    val got = BradleyTerry.calibration(
+        duels.toDF("i", "j", "awin"),
+        BradleyTerry.fit(duels.toDF("i", "j", "awin"), 5))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == calRef(duels, 5))
+    assert(got(9L)._3 == 1000L) // the 1-vs-3 duel: max gap, correct
+
+    val rnd = new scala.util.Random(0xca11b8L)
+    for (round <- 0 until 15) {
+      val m = 3 + rnd.nextInt(8)
+      val fuzz = (0 until 30 + rnd.nextInt(150)).flatMap { _ =>
+        val a = rnd.nextInt(m).toLong
+        val b = rnd.nextInt(m).toLong
+        if (a == b) None
+        else Some((math.min(a, b), math.max(a, b),
+          if (rnd.nextInt(4) > 0) math.min(a, b) > math.max(a, b)
+          else true))
+      }
+      if (fuzz.nonEmpty) {
+        val out = BradleyTerry.calibration(
+            fuzz.toDF("i", "j", "awin"),
+            BradleyTerry.fit(fuzz.toDF("i", "j", "awin"), 3))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            r.getLong(3))).toMap
+        assert(out == calRef(fuzz, 3), s"round $round")
+      }
+    }
+  }
 }
