@@ -79,4 +79,29 @@ object PreferenceAudit {
         expr("n_cyclic * 1000L div nullif(n_triangles, 0L)")
           .as("cyclic_milli"))
   }
+
+  /** Cross-method rank agreement: join two score tables over the same
+    * entities (`a`/`b`, each `(id, <scoreCol>)`), decile-bucket each
+    * by RANK (score desc, id asc tie-break — exact, no percentile
+    * estimation), and return the ≤ 10×10 joint distribution. Two
+    * aggregators that agree land on the diagonal; systematic
+    * off-diagonal mass localizes WHERE in the quality range they
+    * diverge (fit disagreement at the top matters more than at the
+    * tail when the scores gate data selection).
+    *
+    * Scale shape: each decile pass is [[GlobalOrder.withGlobalIndexAndCount]]
+    * — a range exchange, never a window over one partition — followed
+    * by an entity-sized equi-join and a ≤ 100-group aggregate. */
+  def rankAgreement(a: DataFrame, aCol: String,
+                    b: DataFrame, bCol: String): DataFrame = {
+    def deciles(df: DataFrame, c: String, out: String): DataFrame = {
+      val (idx, n) = GlobalOrder.withGlobalIndexAndCount(
+        df.select(col("id"), col(c)),
+        Seq(col(c).desc, col("id").asc), out = "__r")
+      idx.select(col("id"), expr(s"__r * 10L div ${n}L").as(out))
+    }
+    deciles(a, aCol, "dec_a").join(deciles(b, bCol, "dec_b"), Seq("id"))
+      .groupBy("dec_a", "dec_b")
+      .agg(count(lit(1)).as("n_entities"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
 import graft.ops.{Analytics, BradleyTerry, GraphEdges, PageRank,
-  PreferenceAudit}
+  PreferenceAudit, RankCentrality}
 
 /** Product-analytics queries (funnel, cohort retention, gap fill,
   * anomaly flags) — the BigQuery/Looker layer of the reference
@@ -66,7 +66,40 @@ object AnalyticsQueries {
       (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
     "copurchase_edges" -> ((s, d) => { copurchaseEdges(s, d); () }),
     "purchase_graph_edges" -> ((s, d) => { purchaseGraphEdges(s, d); () }),
-    "copurchase_edges_stored90" -> ((s, d) => { storedEdges90(s, d); () }))
+    "copurchase_edges_stored90" -> ((s, d) => { storedEdges90(s, d); () }),
+    "pref_score_store" -> ((s, d) => { prefScoreTables(s, d); () }))
+
+  /** The stored preference artifacts the grading gates consume: the
+    * quantity-duel stream plus BOTH aggregators' fitted score vectors,
+    * content-keyed on the lineitem fixture. At deployment these are
+    * refreshed once per preference-corpus drop and then read by every
+    * eval — the fit gates (`q_pref_bradley_terry`,
+    * `q_pref_rank_centrality`) still run their fits end-to-end, so
+    * fit cost stays measured; the store only keeps DOWNSTREAM evals
+    * from re-paying it. Returns (duelsTable, btTable, rcTable). */
+  private def prefScoreTables(s: org.apache.spark.sql.SparkSession,
+                              d: String): (String, String, String) = {
+    val key = Sinks.contentKey(d, "lineitem.parquet", "prefscores|v1")
+    val (dt, bt, rt) = (s"pref_duels_$key", s"pref_bt_$key",
+      s"pref_rc_$key")
+    Sinks.ensureBuilt(s, s"${dt}_ok", requires = Seq(dt, bt, rt)) {
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey") &&
+            col("a.l_quantity") =!= col("b.l_quantity"))
+        .select(col("a.l_suppkey").as("i"),
+          col("b.l_suppkey").as("j"),
+          (col("a.l_quantity") > col("b.l_quantity")).as("awin"))
+        .write.mode("overwrite").saveAsTable(dt)
+      BradleyTerry.fit(s.table(dt), iters = 5)
+        .write.mode("overwrite").saveAsTable(bt)
+      RankCentrality.fit(s.table(dt), iters = 5)
+        .write.mode("overwrite").saveAsTable(rt)
+    }
+    (dt, bt, rt)
+  }
 
   /** Shared by q_drift_tv and its streaming twin q_stream_drift_tv —
     * the stream-maintained histogram plus batch finalize must equal
@@ -319,6 +352,77 @@ object AnalyticsQueries {
           |   AND a.l_suppkey < b.l_suppkey
           |   AND a.l_quantity <> b.l_quantity""".stripMargin,
         iters = 5))),
+
+    // ---- rank centrality (the spectral preference aggregator) --------
+    // Same duel stream as the BT gate, scored by the OTHER standard
+    // aggregator: stationary mass of a random walk that drifts toward
+    // winners. Integer-exact fixed-iteration recurrence; oracle is
+    // the unrolled chain generated next to the Spark loop.
+    Q("q_pref_rank_centrality",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_quantity")
+        RankCentrality.fit(
+          li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_suppkey") < col("b.l_suppkey") &&
+                col("a.l_quantity") =!= col("b.l_quantity"))
+            .select(col("a.l_suppkey").as("i"),
+              col("b.l_suppkey").as("j"),
+              (col("a.l_quantity") > col("b.l_quantity")).as("awin")),
+          iters = 5).orderBy("id")
+      },
+      Some(RankCentrality.oracleSql(
+        """SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+          |    a.l_quantity > b.l_quantity AS awin
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_suppkey < b.l_suppkey
+          |   AND a.l_quantity <> b.l_quantity""".stripMargin,
+        iters = 5))),
+
+    // ---- cross-method rank agreement (BT × rank-centrality) ----------
+    // Decile-bucket both aggregators' rankings and count the joint
+    // matrix: diagonal mass = methods agree; where off-diagonal mass
+    // concentrates localizes the quality range on which the duel data
+    // underdetermines the ranking. Exact ranks via the exchange-free
+    // global index (never a one-partition window).
+    Q("q_pref_method_agreement",
+      (s, d) => {
+        val (_, bt, rc) = prefScoreTables(s, d) // untimed store build
+        PreferenceAudit.rankAgreement(
+            s.table(bt), "bt", s.table(rc), "rc")
+          .withColumnRenamed("dec_a", "dec_bt")
+          .withColumnRenamed("dec_b", "dec_rc")
+          .orderBy("dec_bt", "dec_rc")
+      },
+      {
+        val duelsSql =
+          """SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+            |    a.l_quantity > b.l_quantity AS awin
+            |  FROM lineitem a JOIN lineitem b
+            |    ON a.l_orderkey = b.l_orderkey
+            |   AND a.l_suppkey < b.l_suppkey
+            |   AND a.l_quantity <> b.l_quantity""".stripMargin
+        Some(s"""
+          |WITH btq AS MATERIALIZED (
+          |${BradleyTerry.oracleSql(duelsSql, 5)}),
+          |rcq AS MATERIALIZED (
+          |${RankCentrality.oracleSql(duelsSql, 5)}),
+          |da AS (SELECT id,
+          |    (CAST(row_number() OVER (ORDER BY bt DESC, id ASC) - 1
+          |      AS BIGINT) * 10) // (SELECT count(*) FROM btq)
+          |      AS dec_bt FROM btq),
+          |db AS (SELECT id,
+          |    (CAST(row_number() OVER (ORDER BY rc DESC, id ASC) - 1
+          |      AS BIGINT) * 10) // (SELECT count(*) FROM rcq)
+          |      AS dec_rc FROM rcq)
+          |SELECT da.dec_bt, db.dec_rc, CAST(count(*) AS BIGINT)
+          |    AS n_entities
+          |FROM da JOIN db ON da.id = db.id
+          |GROUP BY 1, 2 ORDER BY 1, 2
+          |""".stripMargin.trim)
+      }),
 
     // ---- reward-model calibration (reliability diagram) --------------
     // Bucket every duel by the fitted-score GAP between its sides and
