@@ -83,6 +83,11 @@ object AnalyticsQueries {
     val (dt, bt, rt) = (s"pref_duels_$key", s"pref_bt_$key",
       s"pref_rc_$key")
     Sinks.ensureBuilt(s, s"${dt}_ok", requires = Seq(dt, bt, rt)) {
+      // a fresh session's in-memory catalog doesn't know a previous
+      // JVM's tables, so saveAsTable takes the CREATE path onto the
+      // leftover warehouse directory and throws LOCATION_ALREADY_EXISTS
+      // — drop location + entry first (the store-build discipline)
+      Seq(dt, bt, rt).foreach(graft.ops.Compaction.dropManagedTable(s, _))
       val li = lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_quantity")
       li.as("a").join(li.as("b"),
@@ -853,6 +858,24 @@ object AnalyticsQueries {
     // basket pair expansion is paid once for the whole graph family,
     // not per query. The oracle recomputes edges, orientation, and
     // both joins from first principles.
+    // ---- k-core peel: structural-density filter over the co-purchase
+    // graph (the link-farm/spam cut of crawl curation). Fixed 6-round
+    // parallel peel at k=80: at sf0.01 the graph peels in 5 rounds
+    // (143 peripheral parts labeled by round, 1857-part core), so the
+    // 6-round answer IS the exact k-core there; the 6-round schedule
+    // itself is the deterministic contract the oracle replays.
+    Q("q_graph_kcore",
+      (s, d) => graft.ops.KCore.peel(
+          copurchaseEdges(s, d).select("src", "dst"),
+          k = 80, rounds = 6)
+        .orderBy("id"),
+      Some(graft.ops.KCore.oracleSql(
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |    AND a.l_partkey < b.l_partkey""".stripMargin,
+        k = 80, rounds = 6))),
+
     Q("q_triangle_count",
       (s, d) => {
         val edges = copurchaseEdges(s, d)
