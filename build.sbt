@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 264-plan bench session JITs ~50k nmethods (~155 MB measured via
+  // -XX:+PrintCodeCache); near the default 240 MB reserve the sweeper
+  // flushes hot code and CPU-bound per-row gates intermittently read
+  // many-x slower (A/B in BASELINE round-11). Headroom is cheap.
+  "-XX:ReservedCodeCacheSize=512m",
 )
