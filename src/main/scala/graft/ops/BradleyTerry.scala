@@ -49,16 +49,39 @@ object BradleyTerry {
     * (columns `i`, `j` long entity ids with i ≠ j, `awin` boolean —
     * one row per comparison, no ties). Entity set = all ids appearing
     * in a duel. `bt` is in micro units, max entity = 1,000,000. */
-  def fit(duels: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1, "bradleyTerry needs at least one iteration")
-    val d = duels.select(col("i").cast("long"), col("j").cast("long"),
-      col("awin").cast("boolean"))
-    // duel stream → per-pair sufficient statistics (n, wins of i):
-    // the ONLY pass over the raw comparisons
-    val pairs = d
+  def fit(duels: DataFrame, iters: Int): DataFrame =
+    fitFromPairs(pairStats(duels), iters)
+
+  /** Duel stream → per-pair sufficient statistics `(i, j, n, wi)` —
+    * the ONLY pass over the raw comparisons, and the quantity an
+    * incremental deployment PERSISTS: the statistics are ADDITIVE
+    * ([[mergePairs]]), so a new tranche of judgments costs one
+    * delta-sized aggregate plus a pair-matrix merge, never a replay
+    * of the historical duel stream. */
+  def pairStats(duels: DataFrame): DataFrame =
+    duels.select(col("i").cast("long"), col("j").cast("long"),
+        col("awin").cast("boolean"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         sum(when(col("awin"), 1L).otherwise(0L)).as("wi"))
+
+  /** Additive merge of pair-statistics tables: one partial-aggregable
+    * sum on the pair key. `mergePairs(pairStats(a), pairStats(b)) ==
+    * pairStats(a union b)` exactly — counts are longs, sums are
+    * associative — so a refit from the merged matrix is bit-identical
+    * to a from-scratch fit on the full duel history. */
+  def mergePairs(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.select("i", "j", "n", "wi")
+      .unionByName(delta.select("i", "j", "n", "wi"))
+      .groupBy("i", "j")
+      .agg(sum(col("n")).as("n"), sum(col("wi")).as("wi"))
+
+  /** [[fit]] from a (possibly merged) pair-statistics table. */
+  def fitFromPairs(pairStats: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "bradleyTerry needs at least one iteration")
+    val pairs = pairStats
+      .select(col("i"), col("j"), col("n").cast("long"),
+        col("wi").cast("long"))
       .localCheckpoint()
     val sym = pairs.select(col("i"), col("j"), col("n"))
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j"),

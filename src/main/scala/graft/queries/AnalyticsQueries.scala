@@ -78,23 +78,25 @@ object AnalyticsQueries {
     * fit cost stays measured; the store only keeps DOWNSTREAM evals
     * from re-paying it. Returns (duelsTable, btTable, rcTable). */
   private def prefScoreTables(s: org.apache.spark.sql.SparkSession,
-                              d: String): (String, String, String) = {
-    val key = Sinks.contentKey(d, "lineitem.parquet", "prefscores|v1")
-    val (dt, bt, rt) = (s"pref_duels_$key", s"pref_bt_$key",
-      s"pref_rc_$key")
-    Sinks.ensureBuilt(s, s"${dt}_ok", requires = Seq(dt, bt, rt)) {
+      d: String): (String, String, String, String) = {
+    val key = Sinks.contentKey(d, "lineitem.parquet", "prefscores|v2")
+    val (dt, bt, rt, p90) = (s"pref_duels_$key", s"pref_bt_$key",
+      s"pref_rc_$key", s"pref_pairs90_$key")
+    Sinks.ensureBuilt(s, s"${dt}_ok", requires = Seq(dt, bt, rt, p90)) {
       // a fresh session's in-memory catalog doesn't know a previous
       // JVM's tables, so saveAsTable takes the CREATE path onto the
       // leftover warehouse directory and throws LOCATION_ALREADY_EXISTS
       // — drop location + entry first (the store-build discipline)
-      Seq(dt, bt, rt).foreach(graft.ops.Compaction.dropManagedTable(s, _))
+      Seq(dt, bt, rt, p90)
+        .foreach(graft.ops.Compaction.dropManagedTable(s, _))
       val li = lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_quantity")
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_suppkey") < col("b.l_suppkey") &&
             col("a.l_quantity") =!= col("b.l_quantity"))
-        .select(col("a.l_suppkey").as("i"),
+        .select(col("a.l_orderkey").as("ok"),
+          col("a.l_suppkey").as("i"),
           col("b.l_suppkey").as("j"),
           (col("a.l_quantity") > col("b.l_quantity")).as("awin"))
         .write.mode("overwrite").saveAsTable(dt)
@@ -102,8 +104,14 @@ object AnalyticsQueries {
         .write.mode("overwrite").saveAsTable(bt)
       RankCentrality.fit(s.table(dt), iters = 5)
         .write.mode("overwrite").saveAsTable(rt)
+      // the incremental deployment's persisted artifact: the additive
+      // pair matrix over the historical tranche (ok % 10 != 0); the
+      // refresh gate merges the held-out tranche in delta-sized work
+      BradleyTerry.pairStats(
+          s.table(dt).where(pmod(col("ok"), lit(10L)) =!= 0L))
+        .write.mode("overwrite").saveAsTable(p90)
     }
-    (dt, bt, rt)
+    (dt, bt, rt, p90)
   }
 
   /** Shared by q_drift_tv and its streaming twin q_stream_drift_tv —
@@ -394,7 +402,7 @@ object AnalyticsQueries {
     // global index (never a one-partition window).
     Q("q_pref_method_agreement",
       (s, d) => {
-        val (_, bt, rc) = prefScoreTables(s, d) // untimed store build
+        val (_, bt, rc, _) = prefScoreTables(s, d) // untimed store build
         PreferenceAudit.rankAgreement(
             s.table(bt), "bt", s.table(rc), "rc")
           .withColumnRenamed("dec_a", "dec_bt")
@@ -428,6 +436,32 @@ object AnalyticsQueries {
           |GROUP BY 1, 2 ORDER BY 1, 2
           |""".stripMargin.trim)
       }),
+
+    // ---- incremental preference refresh (pair-matrix merge) ----------
+    // A new tranche of judgments (ok % 10 == 0, the held-out 10%)
+    // arrives against the STORED pair matrix of the historical 90%:
+    // the refresh is one delta-sized pairStats aggregate + one
+    // additive merge + the refit — the historical duel stream is
+    // never replayed. The oracle is the from-scratch chain over ALL
+    // duels: merged-refit must be bit-identical to full-history fit.
+    Q("q_incr_pref_refresh",
+      (s, d) => {
+        val (dt, _, _, p90) = prefScoreTables(s, d)
+        val delta = s.table(dt)
+          .where(pmod(col("ok"), lit(10L)) === 0L)
+        BradleyTerry.fitFromPairs(
+          BradleyTerry.mergePairs(s.table(p90),
+            BradleyTerry.pairStats(delta)),
+          iters = 5).orderBy("id")
+      },
+      Some(BradleyTerry.oracleSql(
+        """SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+          |    a.l_quantity > b.l_quantity AS awin
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_suppkey < b.l_suppkey
+          |   AND a.l_quantity <> b.l_quantity""".stripMargin,
+        iters = 5))),
 
     // ---- reward-model calibration (reliability diagram) --------------
     // Bucket every duel by the fitted-score GAP between its sides and

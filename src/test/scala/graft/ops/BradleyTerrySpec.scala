@@ -72,6 +72,33 @@ class BradleyTerrySpec extends SparkSpec {
     }
   }
 
+  test("incremental refresh: merged pair matrix refits bit-identical " +
+      "to a from-scratch fit on the full duel history") {
+    val rnd = new scala.util.Random(0x1ec4L)
+    for (round <- 0 until 10) {
+      val m = 3 + rnd.nextInt(8)
+      val duels = (0 until 40 + rnd.nextInt(150)).flatMap { _ =>
+        val a = rnd.nextInt(m).toLong
+        val b = rnd.nextInt(m).toLong
+        if (a == b) None
+        else Some((math.min(a, b), math.max(a, b), rnd.nextBoolean()))
+      }
+      // arbitrary split, including tranches with unseen entities
+      val (hist, delta) = duels.splitAt(duels.size * 2 / 3)
+      if (hist.nonEmpty && delta.nonEmpty) {
+        val merged = BradleyTerry.mergePairs(
+          BradleyTerry.pairStats(hist.toDF("i", "j", "awin")),
+          BradleyTerry.pairStats(delta.toDF("i", "j", "awin")))
+        val incr = BradleyTerry.fitFromPairs(merged, 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = BradleyTerry.fit(duels.toDF("i", "j", "awin"), 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incr == full, s"round $round")
+        assert(incr == reference(duels, 3), s"round $round vs replay")
+      }
+    }
+  }
+
   /** Straight-line calibration reference over [[reference]] scores. */
   private def calRef(duels: Seq[(Long, Long, Boolean)],
                      iters: Int): Map[Long, (Long, Long, Long)] = {
