@@ -881,6 +881,60 @@ object TextOps {
           col("dup5_pos_frac_milli") <= 150).cast(IntegerType))
   }
 
+  // ---- SFT loss-mask spans --------------------------------------------
+
+  /** Assistant-token span extraction for masked SFT training: given
+    * conversations (`turnsCol`: array<struct<role, content>>), emit
+    * one row per ASSISTANT turn with the token span [a_tok, b_tok)
+    * it occupies in the whitespace-token stream of the concatenated
+    * conversation, plus the conversation's total token count — the
+    * exact ranges a trainer unmasks when loss is computed only on
+    * model turns. Conversations without assistant turns emit nothing.
+    *
+    * Token offsets use [[tokens]] per turn content (count = 1 for an
+    * empty-after-trim content, both engines agree). Per-row HOF
+    * pipeline over arrays of ≤ tens of turns (the prefix sums are
+    * O(turns²) per row via slice+aggregate, negligible at that size);
+    * the turn-count array is staged as a column per the
+    * [[sortedRunStats]] shape rule. Zero shuffles — scan-speed at
+    * 100 TB, and composable with [[Corpus.concatSplitWindows]]
+    * (intersect spans with window boundaries downstream). */
+  def lossMaskSpans(convs: DataFrame, idCol: String,
+                    turnsCol: String): DataFrame = {
+    val staged = convs
+      .select(col(idCol), col(turnsCol).as("__turns"))
+      // NB the doubled escapes: a Spark SQL string literal folds the
+      // unknown escape \f to the LETTER f (the class would then eat
+      // every 'f' — caught by the oracle), so the regex backslashes
+      // must survive the SQL-literal layer
+      .select(col(idCol), col("__turns"),
+        expr("transform(__turns, t -> CAST(size(split(trim(t.content)," +
+          " '[ \\\\t\\\\n\\\\r\\\\f]+')) AS BIGINT))").as("__cnt"))
+      .select(col(idCol),
+        expr("aggregate(__cnt, 0L, (a, x) -> a + x)").as("total_tokens"),
+        // sequence(0, -1) would infer a NEGATIVE step: guard empty
+        expr("""
+          CASE WHEN size(__turns) = 0 THEN
+            CAST(array() AS array<struct<turn_idx:bigint,role:string,
+              a_tok:bigint,b_tok:bigint>>)
+          ELSE filter(transform(sequence(0, size(__turns) - 1),
+            i -> struct(
+              CAST(i AS BIGINT) AS turn_idx,
+              __turns[i].role AS role,
+              aggregate(slice(__cnt, 1, i), 0L, (a, x) -> a + x)
+                AS a_tok,
+              aggregate(slice(__cnt, 1, i + 1), 0L, (a, x) -> a + x)
+                AS b_tok)),
+            s -> s.role = 'assistant') END""").as("__spans"))
+    staged
+      .select(col(idCol), col("total_tokens"),
+        explode(col("__spans")).as("__s"))
+      .select(col(idCol), col("total_tokens"),
+        col("__s.turn_idx").as("turn_idx"),
+        col("__s.a_tok").as("a_tok"),
+        col("__s.b_tok").as("b_tok"))
+  }
+
   /** DuckDB oracle twin of [[repetitionSignals]] over relation `rel`
     * (columns `doc_id`, `text`). */
   def repetitionSignalsOracleSql(rel: String): String = {

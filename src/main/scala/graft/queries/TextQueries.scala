@@ -1113,6 +1113,49 @@ object TextQueries {
         |FROM m ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- SFT loss-mask spans ------------------------------------------
+    // Clean alternating conversations synthesized from document text
+    // (80-char chunks, user/assistant by chunk parity — chunks are
+    // prefix-contiguous so filtered index == chunk index): for each
+    // assistant turn, the whitespace-token span [a_tok, b_tok) it
+    // occupies in the concatenated conversation — the ranges a trainer
+    // unmasks when loss is computed only on model turns. Oracle
+    // re-derives offsets with window prefix sums over unnested turns.
+    Q("q_sft_loss_mask",
+      (s, d) => {
+        val turns = expr("""
+          filter(transform(sequence(0, 3), i -> struct(
+            CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+            substring(text, 1 + 80 * i, 80) AS content)),
+          t -> t.content <> '')""")
+        TextOps.lossMaskSpans(
+            documents(s, d).select(col("doc_id"), turns.as("turns")),
+            "doc_id", "turns")
+          .orderBy("doc_id", "turn_idx")
+      },
+      Some("""
+        |WITH turns AS (SELECT doc_id, i,
+        |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(len(string_split_regex(
+        |      trim(substring(text, 1 + 80 * i::INT, 80)),
+        |      '[ \t\n\r\f]+')) AS BIGINT) AS cnt
+        |  FROM documents, unnest(generate_series(0, 3)) AS u(i)
+        |  WHERE substring(text, 1 + 80 * i::INT, 80) <> ''),
+        |o AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, role, cnt,
+        |    CAST(COALESCE(sum(cnt) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS a_tok,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS b_tok,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+        |      AS total_tokens
+        |  FROM turns)
+        |SELECT doc_id, total_tokens, turn_idx, a_tok, b_tok
+        |FROM o WHERE role = 'assistant'
+        |ORDER BY doc_id, turn_idx
+        |""".stripMargin.trim)),
+
     // ---- duplicated-span fraction (Lee et al. 2022-style signal) ------
     // Per-doc fraction of distinct 8-token spans that appear in >= 2
     // docs — the "how much of this document is boilerplate" filter
