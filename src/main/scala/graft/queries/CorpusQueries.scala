@@ -509,6 +509,99 @@ object CorpusQueries {
         .orderBy("bucket"),
       Some(PackOracle.statsSql)),
 
+    // ---- supervised-token accounting per packed window ----------------
+    // The composition the two SFT operators exist for: conversations
+    // (80-char-chunk turns, user/assistant alternating) are packed
+    // GPT-style across doc boundaries into 128-token windows, and each
+    // (doc, window) overlap row gets the count of ASSISTANT tokens
+    // inside it — span-intersection of the loss masks with the window
+    // boundaries, all doc-relative integer arithmetic. The per-window
+    // supervised fraction is what a trainer reads to drop all-masked
+    // windows. Spans and windows are both ≤ a handful per doc; the
+    // join is on the doc key (co-partitioned, delta-free).
+    Q("q_sft_masked_pack",
+      (s, d) => {
+        val turns = expr("""
+          filter(transform(sequence(0, 3), i -> struct(
+            CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+            substring(text, 1 + 80 * i, 80) AS content)),
+          t -> t.content <> '')""")
+        val convs = documents(s, d)
+          .select(col("doc_id"), turns.as("turns"))
+        val totals = convs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          expr("aggregate(transform(turns, t -> CAST(size(split(" +
+            "trim(t.content), '[ \\\\t\\\\n\\\\r\\\\f]+')) AS BIGINT))," +
+            " 0L, (a, x) -> a + x)").as("n_tokens"))
+        val windows = Corpus.concatSplitWindows(totals,
+          shardCol = "shard", orderCol = "doc_id",
+          tokenCol = "n_tokens", window = 128L)
+          .select(col("doc_id"), col("win"), col("a_tok"), col("b_tok"))
+        val spans = graft.ops.TextOps
+          .lossMaskSpans(convs, "doc_id", "turns")
+          .select(col("doc_id"), col("a_tok").as("sa"),
+            col("b_tok").as("sb"))
+        // greatest/least SKIP nulls (both engines), so the
+        // no-assistant left-join row must short-circuit explicitly
+        windows.join(spans, Seq("doc_id"), "left")
+          .groupBy("doc_id", "win", "a_tok", "b_tok")
+          .agg(sum(when(col("sa").isNull, lit(0L))
+            .otherwise(greatest(lit(0L),
+              least(col("sb"), col("b_tok")) -
+                greatest(col("sa"), col("a_tok")))))
+            .as("supervised_tokens"))
+          .withColumn("window_tokens", col("b_tok") - col("a_tok"))
+          .withColumn("supervised_frac_milli",
+            expr("supervised_tokens * 1000L DIV window_tokens"))
+          .orderBy("doc_id", "win")
+      },
+      Some("""
+        |WITH turns AS (SELECT doc_id, i,
+        |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(len(string_split_regex(
+        |      trim(substring(text, 1 + 80 * i::INT, 80)),
+        |      '[ \t\n\r\f]+')) AS BIGINT) AS cnt
+        |  FROM documents, unnest(generate_series(0, 3)) AS u(i)
+        |  WHERE substring(text, 1 + 80 * i::INT, 80) <> ''),
+        |tot AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |  FROM turns GROUP BY doc_id),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum FROM tot WHERE n_tokens > 0),
+        |w AS (SELECT doc_id, cum - n_tokens AS off, n_tokens,
+        |    unnest(generate_series((cum - n_tokens) // 128,
+        |      (cum - 1) // 128)) AS win
+        |  FROM c),
+        |wb AS (SELECT doc_id, win,
+        |    greatest(0, win * 128 - off) AS a_tok,
+        |    least(n_tokens, (win + 1) * 128 - off) AS b_tok
+        |  FROM w),
+        |sp AS (SELECT doc_id,
+        |    CAST(COALESCE(sum(cnt) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS sa,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sb,
+        |    role
+        |  FROM turns),
+        |j AS (SELECT wb.doc_id, wb.win, wb.a_tok, wb.b_tok,
+        |    CAST(COALESCE(sum(CASE WHEN sp.sa IS NULL THEN 0
+        |      ELSE greatest(0,
+        |        least(sp.sb, wb.b_tok) - greatest(sp.sa, wb.a_tok))
+        |      END), 0) AS BIGINT) AS supervised_tokens
+        |  FROM wb LEFT JOIN (SELECT * FROM sp WHERE role = 'assistant')
+        |    sp ON sp.doc_id = wb.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, win, a_tok, b_tok, supervised_tokens,
+        |  b_tok - a_tok AS window_tokens,
+        |  (supervised_tokens * 1000) // (b_tok - a_tok)
+        |    AS supervised_frac_milli
+        |FROM j ORDER BY doc_id, win
+        |""".stripMargin.trim)),
+
     // ---- deterministic 80/10/10 train/val/test split ------------------
     // (md5-prefix range assignment: seedless, engine-portable, stable
     // under corpus growth — a doc's split never changes when other
