@@ -463,6 +463,37 @@ object AnalyticsQueries {
           |   AND a.l_quantity <> b.l_quantity""".stripMargin,
         iters = 5))),
 
+    // ---- streaming preference ingest (pair-matrix fold) --------------
+    // The online face of q_incr_pref_refresh: duels arrive in
+    // micro-batches from the stored duel table's directory, each
+    // batch folds into the running additive pair matrix, and the
+    // refit from the folded matrix must be bit-identical to the batch
+    // fit over all duels — stream ≡ incremental ≡ batch ≡ oracle,
+    // the same triad the near-dup path carries.
+    Q("q_stream_pref_refresh",
+      (s, d) => {
+        val (dt, _, _, _) = prefScoreTables(s, d)
+        val loc = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(dt))
+          .location.toString
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        val duelStream = s2.readStream
+          .schema("ok LONG, i LONG, j LONG, awin BOOLEAN")
+          .parquet(loc)
+        BradleyTerry.fitFromPairs(
+          graft.streaming.StreamingOps.streamingPairStats(duelStream),
+          iters = 5).orderBy("id")
+      },
+      Some(BradleyTerry.oracleSql(
+        """SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+          |    a.l_quantity > b.l_quantity AS awin
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_suppkey < b.l_suppkey
+          |   AND a.l_quantity <> b.l_quantity""".stripMargin,
+        iters = 5))),
+
     // ---- reward-model calibration (reliability diagram) --------------
     // Bucket every duel by the fitted-score GAP between its sides and
     // measure how often the higher-scored side won: the win rate must

@@ -808,10 +808,21 @@ object SimQueries {
         // micro-batch's session — the catalog is shared state
         val s2 = s.newSession()
         s2.conf.set("spark.sql.shuffle.partitions", "4")
-        val stream = s2.readStream
+        // directory-layout guard (the events-stream sf1 lesson): a
+        // glob over the sf dir matches NOTHING when documents.parquet
+        // is a real parquet DIRECTORY — monitor the table path itself
+        val docsPath = new org.apache.hadoop.fs.Path(
+          s"$d/documents.parquet")
+        val dfs = docsPath.getFileSystem(
+          s2.sparkContext.hadoopConfiguration)
+        val rs = s2.readStream
           .schema("doc_id LONG, text STRING, lang STRING, " +
             "source STRING, n_chars LONG")
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val stream =
+          if (dfs.exists(docsPath) &&
+              dfs.getFileStatus(docsPath).isDirectory)
+            rs.parquet(docsPath.toString)
+          else rs.option("pathGlobFilter", "documents.parquet").parquet(d)
         // in-stream derivation of the mutated-copy batch — the same
         // stateless projection as corpus()'s mut side
         val toks = TextOps.tokens(col("text"))

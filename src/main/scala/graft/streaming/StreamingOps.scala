@@ -281,6 +281,34 @@ object StreamingOps {
       throw new IllegalStateException("stream produced no batches"))
   }
 
+  /** Streaming preference ingest: duel micro-batches fold into the
+    * running ADDITIVE pair matrix ([[graft.ops.BradleyTerry.pairStats]]
+    * + [[graft.ops.BradleyTerry.mergePairs]]) with a batchId
+    * idempotence guard — the online face of the incremental refresh:
+    * a refit from the folded matrix is bit-identical to a batch fit
+    * over the full duel history, because the pair matrix is the
+    * order-insensitive sufficient statistic. Per batch the work is
+    * delta-sized stats + a pair-key merge; the matrix is
+    * entity-pair-sized, checkpointed per fold. */
+  def streamingPairStats(duels: DataFrame): DataFrame = {
+    var pairs: Option[DataFrame] = None
+    val applied = scala.collection.mutable.Set.empty[Long]
+    val fold = (batch: Dataset[Row], batchId: Long) => {
+      if (applied.add(batchId)) {
+        val ps = graft.ops.BradleyTerry.pairStats(batch)
+        pairs = Some(pairs
+          .map(p => graft.ops.BradleyTerry.mergePairs(p, ps))
+          .getOrElse(ps).localCheckpoint())
+      }
+      ()
+    }
+    val q = duels.writeStream.foreachBatch(fold)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    pairs.getOrElse(
+      throw new IllegalStateException("stream produced no batches"))
+  }
+
   final case class UserEvent(user_id: Long, value_c: Long)
   final case class UserState(n: Long, maxC: Long)
   final case class UserStats(user_id: Long, n_events: Long,

@@ -43,4 +43,30 @@ class DirLayoutStreamSpec extends SparkSpec {
         "matching the leaf files' names against the table's name again")
     assert(a === b)
   }
+
+  test("q_stream_neardup's documents stream reads a directory-layout " +
+      "fixture (same gate code, both layouts, identical rows)") {
+    // re-lay the whole sf dir: documents as a 3-part DIRECTORY, the
+    // rest copied through so the gate's store builds resolve
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dirlayout_docs_").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+    spark.read.parquet(s"$sf/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val gate = graft.queries.Registry.queries("q_stream_neardup")
+    def canon(d: String): Seq[String] =
+      gate(spark, d).collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val a = canon(sf)
+    val b = canon(dir)
+    assert(a.nonEmpty, "single-file docs stream produced no rows")
+    assert(b.nonEmpty,
+      "directory-layout docs stream produced no rows — the glob-only " +
+        "source shape is back")
+    assert(a === b)
+  }
 }
