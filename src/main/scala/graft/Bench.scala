@@ -35,6 +35,30 @@ object Bench {
       }
     }
 
+  /** Band-exit regression rule (r11 verdict item 2): the single-
+    * baseline rule above compares against ONE old reading, so bimodal
+    * gates (q_binaryfile_ingest 1.1–2.6 s) generated recurring noise
+    * adjudications. Against a band of the last N committed artifacts
+    * (scripts/bench_bands.py → bench_bands.json), a gate is flagged
+    * only when it EXITS the observed envelope: new > bandMax by BOTH
+    * the ratio margin and the absolute floor. The margin is tighter
+    * than the single-baseline 1.5× because the band already absorbs
+    * the host's measured run-to-run spread — exceeding its worst
+    * committed reading by 25% and a full second is signal, not noise.
+    * Pinned in BenchCompareSpec. */
+  private[graft] def bandRegressions(bands: Map[String, (Double, Double)],
+                                     results: Map[String, Double],
+                                     ratio: Double = 1.25,
+                                     absSec: Double = 1.0)
+      : Seq[(String, Double, Double)] =
+    results.toSeq.sortBy(_._1).flatMap { case (name, b) =>
+      bands.get(name) match {
+        case Some((_, hi)) if hi > 0 && b / hi > ratio && b - hi > absSec =>
+          Some((name, hi, b))
+        case _ => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // environment contract: local[32], shuffle.partitions = cores
@@ -225,40 +249,104 @@ object Bench {
     // builder session to notice
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "bench_closeout.json")
-    // (full details to the file artifact; the stdout tail window is
-    // ~2 KB, so the stdout line carries only the regression COUNT)
-    val (compareJson, nRegressed): (String, Int) =
+    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BANDS",
+      "bench_bands.json")
+    def readJson(path: String)
+        : Option[com.fasterxml.jackson.databind.JsonNode] =
       try {
-        val f = new java.io.File(baselinePath)
-        // -1 on the stdout line = "no comparison happened" (baseline
-        // absent/unreadable) — distinguishable from a genuinely clean
-        // compare's 0 inside the ~2 KB driver tail (r10 advice; the
-        // status detail only reaches the file artifact)
-        if (!f.isFile)
-          (s"""{"baseline":${jstr(baselinePath)},"status":"absent"}""", -1)
+        val f = new java.io.File(path)
+        if (!f.isFile) None
         else {
           val raw0 = new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          val raw = raw0.substring(raw0.indexOf('{'))
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(raw)
-          val oq = node.path("queries")
-          val baseQs = {
-            import scala.jdk.CollectionConverters._
-            oq.properties().asScala
-              .filter(_.getValue.isNumber)
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          }
-          val regressed = regressions(baseQs, results).map {
-            case (name, a, b) =>
-              s"""${jstr(name)}:{"old":${r3(a)},"new":${r3(b)}}"""
-          }
-          (s"""{"baseline":${jstr(baselinePath)},"baseline_total":${r3(node.path("value").asDouble())},"n_regressed":${regressed.size},"regressed":${regressed.mkString("{", ",", "}")}}""",
-            regressed.size)
+          Some(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(raw0.substring(raw0.indexOf('{'))))
         }
-      } catch { case e: Throwable =>
-        (s"""{"baseline":${jstr(baselinePath)},"status":${jstr("unreadable: " + Option(e.getMessage).getOrElse(e.getClass.getName))}}""", -1)
+      } catch { case _: Throwable => None }
+    val baseNode = readJson(baselinePath)
+    val baseQs: Map[String, Double] = baseNode.map { node =>
+      import scala.jdk.CollectionConverters._
+      node.path("queries").properties().asScala
+        .filter(_.getValue.isNumber)
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    }.getOrElse(Map.empty)
+    // per-gate honest bands (r11 verdict item 2): min/max over the
+    // last N committed artifacts, built by scripts/bench_bands.py —
+    // banded gates flag only on band-EXIT; gates new since the bands
+    // file fall back to the single-baseline rule
+    val bands: Map[String, (Double, Double)] = readJson(bandsPath)
+      .map { node =>
+        import scala.jdk.CollectionConverters._
+        node.path("bands").properties().asScala.map { e =>
+          e.getKey -> (e.getValue.path("min").asDouble(),
+            e.getValue.path("max").asDouble())
+        }.toMap
+      }.getOrElse(Map.empty)
+    val flagged: Seq[(String, Double, Double, String)] =
+      (bandRegressions(bands, results)
+         .map { case (n, hi, b) => (n, hi, b, "band") } ++
+       regressions(baseQs,
+           results.filter { case (k, _) => !bands.contains(k) })
+         .map { case (n, a, b) => (n, a, b, "baseline") })
+        .sortBy(_._1)
+    // SECOND-RUN attribution pass (r11 verdict item 1 — the third
+    // consecutive driver run flagged q_incr_curation_pipeline despite
+    // the warm pass holding 4/4 on the builder host): every flagged
+    // gate re-runs ONCE, timed, at the end of the session. The primary
+    // queries map keeps the honest FIRST-run reading; the pair is what
+    // separates a plan regression (second run still band-exits →
+    // "regressed") from driver-context cold-read/JIT effects (second
+    // run in-band → "context"). A recurrence now self-attributes in
+    // the driver's own artifact instead of costing a builder round.
+    val secondRun: Map[String, Double] =
+      if (sys.env.contains("SPARK_GRAFT_NO_SECOND_RUN")) Map.empty
+      else flagged.flatMap { case (name, _, _, _) =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val r = try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!baselineRdds.contains(id))
+              try rdd.unpersist(blocking = true)
+              catch { case _: Throwable => () }
+          }
+          r
+        }
+      }.toMap
+    def inBand(name: String, v: Double): Boolean = bands.get(name) match {
+      case Some((_, hi)) if hi > 0 => !(v / hi > 1.25 && v - hi > 1.0)
+      case _ => baseQs.get(name) match {
+        case Some(a) if a > 0 => !(v / a > 1.5 && v - a > 1.0)
+        case _ => true
       }
+    }
+    val verdicts = flagged.map { case (name, ref, b, rule) =>
+      val s2 = secondRun.get(name)
+      // no second reading (re-run skipped or itself failed): keep the
+      // honest flag rather than launder it into "context"
+      val verdict =
+        if (s2.exists(inBand(name, _))) "context" else "regressed"
+      (name, ref, b, rule, s2, verdict)
+    }
+    val nConfirmed = verdicts.count(_._6 == "regressed")
+    val nContext = verdicts.count(_._6 == "context")
+    // -1 on the stdout line = "no comparison happened" (baseline AND
+    // bands both absent/unreadable) — distinguishable from a genuinely
+    // clean compare's 0 inside the ~2 KB driver tail (r10 advice)
+    val nRegressed =
+      if (baseQs.isEmpty && bands.isEmpty) -1 else nConfirmed
+    val compareJson = {
+      val entries = verdicts.map { case (name, ref, b, rule, s2, v) =>
+        s"""${jstr(name)}:{"rule":${jstr(rule)},"ref":${r3(ref)},"new":${r3(b)}${s2.map(s => s""","second":${r3(s)}""").getOrElse("")},"verdict":${jstr(v)}}"""
+      }
+      val baseTotal = baseNode
+        .map(n => s""","baseline_total":${r3(n.path("value").asDouble())}""")
+        .getOrElse("")
+      s"""{"baseline":${jstr(baselinePath)},"bands":${jstr(bandsPath)},"n_bands":${bands.size}$baseTotal,"n_regressed":$nConfirmed,"n_context":$nContext,"regressed":${entries.mkString("{", ",", "}")}}"""
+    }
     val totalGcMs = gcMs.values.sum
     val endHeap = heapMb.toSeq.lastOption.map(_._2).getOrElse(0.0)
     // per-prepare breakdown (insertion order = execution order; bytes
@@ -298,7 +386,7 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     val topQs = fullQs.take(25).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"n_regressed":$nRegressed,"queries":$topQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"n_regressed":$nRegressed,"n_context":$nContext,"queries":$topQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

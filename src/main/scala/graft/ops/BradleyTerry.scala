@@ -168,8 +168,12 @@ object BradleyTerry {
 
   /** Reward-model calibration over the fitted scores — the
     * reliability diagram of RLHF evals: bucket each duel by the score
-    * GAP between its sides (deciles of the micro-unit range, gap DIV
-    * 100,000 ∈ 0..9) and measure how often the higher-scored side
+    * GAP between its sides (deciles of the micro-unit range,
+    * least(gap DIV 100,000, 9) ∈ 0..9 — the clamp folds a full-range
+    * gap of exactly 1,000,000 into the top bucket, so score sources
+    * without [[fit]]'s ≥1 floor, e.g. RankCentrality's possible 0s,
+    * cannot mint an 11th bucket) and measure how often the
+    * higher-scored side
     * actually won. A well-calibrated ranking shows the win rate
     * rising with the gap; a flat curve means the scores order
     * entities but their magnitudes carry no confidence information.
@@ -187,7 +191,7 @@ object BradleyTerry {
       .join(broadcast(scores.select(col("id").as("j"),
         col("bt").as("scj"))), Seq("j"))
       .where(col("sci") =!= col("scj"))
-      .select(expr("abs(sci - scj) DIV 100000L").as("gap_decile"),
+      .select(expr("least(abs(sci - scj) DIV 100000L, 9L)").as("gap_decile"),
         ((col("sci") > col("scj")) === col("awin")).as("hw"))
       .groupBy("gap_decile")
       .agg(count(lit(1)).as("n_duels"),
@@ -205,7 +209,7 @@ object BradleyTerry {
          |  FROM duels d JOIN it$iters si ON si.id = d.i
          |  JOIN it$iters sj ON sj.id = d.j
          |  WHERE si.s <> sj.s)
-         |SELECT abs(sci - scj) // 100000 AS gap_decile,
+         |SELECT least(abs(sci - scj) // 100000, 9) AS gap_decile,
          |  CAST(count(*) AS BIGINT) AS n_duels,
          |  CAST(sum(CASE WHEN (sci > scj) = awin THEN 1 ELSE 0 END)
          |    AS BIGINT) AS higher_wins,

@@ -868,10 +868,10 @@ object TextOps {
       idCol,
       "n_tokens",
       "top2_gram",
-      "coalesce((1000 * CAST(__c2 * (length(top2_gram) - 1)" +
-        " AS BIGINT)) DIV __wchars, 0) AS top2_char_frac_milli",
-      "coalesce((1000 * CAST(__c3 * (length(__gram3) - 2)" +
-        " AS BIGINT)) DIV __wchars, 0) AS top3_char_frac_milli",
+      "coalesce((1000 * (CAST(__c2 AS BIGINT) * (length(top2_gram) - 1)" +
+        ")) DIV __wchars, 0) AS top2_char_frac_milli",
+      "coalesce((1000 * (CAST(__c3 AS BIGINT) * (length(__gram3) - 2)" +
+        ")) DIV __wchars, 0) AS top3_char_frac_milli",
       "CASE WHEN n_tokens >= 5 THEN (1000 * (n_tokens - 4 -" +
         " CAST(__singles5 AS BIGINT))) DIV (n_tokens - 4)" +
         " ELSE CAST(0 AS BIGINT) END AS dup5_pos_frac_milli")

@@ -76,7 +76,8 @@ object AnalyticsQueries {
     * eval — the fit gates (`q_pref_bradley_terry`,
     * `q_pref_rank_centrality`) still run their fits end-to-end, so
     * fit cost stays measured; the store only keeps DOWNSTREAM evals
-    * from re-paying it. Returns (duelsTable, btTable, rcTable). */
+    * from re-paying it. Returns (duelsTable, btTable, rcTable,
+    * pairs90Table). */
   private def prefScoreTables(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String, String, String) = {
     val key = Sinks.contentKey(d, "lineitem.parquet", "prefscores|v2")
@@ -916,13 +917,6 @@ object AnalyticsQueries {
         |GROUP BY day ORDER BY day
         |""".stripMargin.trim)),
 
-    // ---- per-node triangle counts over the co-purchase graph --------
-    // Degree-oriented exact triangle counting (Triangles scaladoc: hub
-    // wedge explosion bounded to m^1.5 with no salting). Edges come
-    // from the SHARED write-once bucketed layout (GraphEdges) — the
-    // basket pair expansion is paid once for the whole graph family,
-    // not per query. The oracle recomputes edges, orientation, and
-    // both joins from first principles.
     // ---- k-core peel: structural-density filter over the co-purchase
     // graph (the link-farm/spam cut of crawl curation). Fixed 6-round
     // parallel peel at k=80: at sf0.01 the graph peels in 5 rounds
@@ -941,6 +935,13 @@ object AnalyticsQueries {
           |    AND a.l_partkey < b.l_partkey""".stripMargin,
         k = 80, rounds = 6))),
 
+    // ---- per-node triangle counts over the co-purchase graph --------
+    // Degree-oriented exact triangle counting (Triangles scaladoc: hub
+    // wedge explosion bounded to m^1.5 with no salting). Edges come
+    // from the SHARED write-once bucketed layout (GraphEdges) — the
+    // basket pair expansion is paid once for the whole graph family,
+    // not per query. The oracle recomputes edges, orientation, and
+    // both joins from first principles.
     Q("q_triangle_count",
       (s, d) => {
         val edges = copurchaseEdges(s, d)

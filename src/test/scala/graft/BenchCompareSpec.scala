@@ -47,4 +47,39 @@ class BenchCompareSpec extends AnyFunSuite {
     assert(Bench.regressions(base, now, ratio = 1.5, absSec = 0.5) ===
       Seq(("g", 1.0, 1.8)))
   }
+
+  // ---- band-exit rule (r11 verdict item 2) --------------------------
+
+  test("band rule: inside the band never regresses, even when the " +
+      "band min would have flagged under the single-baseline rule") {
+    // a bimodal gate observed at 1.1–2.6 s: a 2.5 s reading is 2.3x
+    // the band MIN (old rule would flag against an old 1.1 reading)
+    // but inside the committed envelope — not a regression
+    val bands = Map("bimodal" -> (1.1, 2.6))
+    assert(Bench.bandRegressions(bands, Map("bimodal" -> 2.5)).isEmpty)
+  }
+
+  test("band rule is two-sided against band MAX: ratio alone and " +
+      "absolute alone both pass") {
+    val bands = Map(
+      "tiny" -> (0.05, 0.1),   // 0.4 s = 4x max but +0.3 s
+      "heavy" -> (8.0, 10.0),  // 11.4 s = +1.4 s but 1.14x
+      "both" -> (1.5, 2.0))    // 3.5 s = 1.75x max AND +1.5 s
+    val now = Map("tiny" -> 0.4, "heavy" -> 11.4, "both" -> 3.5)
+    assert(Bench.bandRegressions(bands, now) ===
+      Seq(("both", 2.0, 3.5)))
+  }
+
+  test("band boundaries are strict; unbanded and non-positive-max " +
+      "gates never band-regress; output is name-sorted") {
+    val bands = Map("r" -> (1.0, 2.0), "zero" -> (0.0, 0.0),
+      "b" -> (0.5, 1.0), "a" -> (0.5, 1.0))
+    val now = Map(
+      "r" -> 2.5,       // exactly 1.25x (and +0.5 s): not > margin
+      "zero" -> 50.0,   // non-positive max: never regresses
+      "new_gate" -> 99.0,
+      "b" -> 9.0, "a" -> 9.0)
+    assert(Bench.bandRegressions(bands, now) ===
+      Seq(("a", 1.0, 9.0), ("b", 1.0, 9.0)))
+  }
 }
