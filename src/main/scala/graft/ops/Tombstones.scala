@@ -35,6 +35,25 @@ object Tombstones {
       .write.format("parquet").mode("append").saveAsTable(t)
   }
 
+  /** Cross-store takedown sweep — ONE removal id set applied to EVERY
+    * store family in a single pass, the shape a real DMCA / consent-
+    * revocation request has: the id is retracted everywhere it was
+    * ever indexed (postings, ANN buckets, media fingerprints), not
+    * store-by-store as each team gets around to it. The id frame is
+    * materialized once (localCheckpoint) so the N appends share one
+    * computation; each append is O(|removal|) and idempotent, so a
+    * re-delivered sweep is harmless. The propagation property — no
+    * retracted id survives in ANY store's read face — is what
+    * q_takedown_cross_store audits against its oracle. */
+  def recordAll(removeIds: DataFrame, stores: Seq[String]): Unit = {
+    val ids = removeIds.toDF("id").localCheckpoint()
+    try stores.foreach(record(ids, _))
+    finally {
+      try ids.unpersist()
+      catch { case _: Throwable => () }
+    }
+  }
+
   /** `df` minus tombstoned ids (`df`'s id column must be named `id`) —
     * a broadcast anti-join when the tombstone set is takedown-sized
     * (it is; a set large enough to defeat broadcast is overdue for

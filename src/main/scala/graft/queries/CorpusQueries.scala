@@ -54,6 +54,56 @@ object CorpusQueries {
     tbl
   }
 
+  /** The three dedicated stores of the CROSS-store takedown sweep
+    * (r11 verdict item 6): every store family a corpus feeds —
+    * inverted index (postings + doc stats), sign-LSH ANN buckets, and
+    * banded media-style fingerprints — built over the same fixtures,
+    * then ONE removal id set (id % 41 == 0, over the union of the doc
+    * and vector id domains) applied to ALL of them in one
+    * [[graft.ops.Tombstones.recordAll]] pass. The fingerprint store
+    * uses the rolling-hash text fingerprint (engine-portable, same
+    * fold as q_text_fingerprint's fp_roll) so the family exercises
+    * the banded-phash layout without re-decoding media. */
+  private def crossTdStores(s: org.apache.spark.sql.SparkSession,
+                            d: String): (String, String, String) = {
+    val key = Sinks.contentKey(d, "documents.parquet", "crosstd|v1")
+    val (invT, annT, phT) =
+      (s"xtd_inv_$key", s"xtd_ann_$key", s"xtd_ph_$key")
+    Sinks.ensureBuilt(s, s"${invT}_ok", requires = Seq(
+        invT, graft.ops.InvertedIndexStore.docsTable(invT), annT, phT,
+        graft.ops.Tombstones.table(invT),
+        graft.ops.Tombstones.table(annT),
+        graft.ops.Tombstones.table(phT))) {
+      // half-built leftovers (including stale tombstones from a prior
+      // wrong-code run) are cleared before the rebuild — the
+      // store-build discipline every ensureBuilt block follows
+      Seq(phT, graft.ops.Tombstones.table(invT),
+          graft.ops.Tombstones.table(annT),
+          graft.ops.Tombstones.table(phT))
+        .foreach(graft.ops.Compaction.dropManagedTable(s, _))
+      val docs = documents(s, d)
+      graft.ops.InvertedIndexStore.build(
+        docs, "doc_id", "text", invT, overwrite = true)
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val hyper = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("h_id"), col("embedding").as("hv"))
+      graft.ops.AnnIndex.buildSignIndex(emb, "vec_id", "embedding",
+        hyper, rowsPerBand = 4, table = annT, overwrite = true)
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      graft.ops.Multimodal.bandedPhash(
+          docs.select(col("doc_id").cast("long").as("doc_id"),
+            graft.functions.GraftFunctions.rollingHash(
+              graft.functions.GraftFunctions.charCodes(col("text")))
+              .as("phash")))
+        .write.format("parquet").partitionBy("band").saveAsTable(phT)
+      val removal = docs.select(col("doc_id").cast("long").as("id"))
+        .unionByName(emb.select(col("vec_id").cast("long").as("id")))
+        .filter(pmod(col("id"), lit(41)) === 0).distinct()
+      graft.ops.Tombstones.recordAll(removal, Seq(invT, annT, phT))
+    }
+    (invT, annT, phT)
+  }
+
   /** Shared oracle text for the length-bucket packing gates: both
     * derive from one assignment CTE chain so the stats oracle is the
     * assignment oracle's aggregation, never a drifted re-derivation. */
@@ -109,7 +159,8 @@ object CorpusQueries {
   def prepares: Seq[(String,
       (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
     "inverted_index" -> ((s, d) => { incrIndexTable(s, d); () }),
-    "takedown_index" -> ((s, d) => { takedownIndexTable(s, d); () }))
+    "takedown_index" -> ((s, d) => { takedownIndexTable(s, d); () }),
+    "cross_takedown_stores" -> ((s, d) => { crossTdStores(s, d); () }))
 
   def all: Seq[Q] = Seq(
 
@@ -831,6 +882,104 @@ object CorpusQueries {
         |  SELECT *, row_number() OVER (
         |    ORDER BY score_milli DESC, id ASC) AS rank FROM agg)
         |WHERE rank <= 20 ORDER BY rank
+        |""".stripMargin.trim)),
+
+    // ---- CROSS-store takedown propagation audit ----------------------
+    // The sweep a real DMCA request triggers (r11 verdict item 6): ONE
+    // removal id set (id % 41 == 0 over the union of doc and vector id
+    // domains) applied to ALL three store families in one
+    // Tombstones.recordAll pass, then audited per (family, surface):
+    // raw_removed_rows proves the raw files still carry the removed
+    // ids in exactly the expected multiplicity (the honest LSM
+    // statement — tombstoned, not yet compacted), retr_removed_rows
+    // is the propagation proof (the retracted read face EVERY probe
+    // path consumes serves ZERO removed ids — if recordAll had missed
+    // a store, its face would still serve them and the hash would
+    // diverge from the oracle's pinned 0), and retr_total_rows /
+    // retr_id_sum pin the face to the exact survivor id multiset. The
+    // oracle derives every count from first principles: postings =
+    // distinct (term, doc), ANN = 4 band rows per vector, fingerprint
+    // index = 4 band rows per doc — never from the stores. Scale
+    // shape: tagged union of the faces into ONE partial-aggregable
+    // groupBy over 4 keys; the retracted faces are broadcast
+    // anti-joins (takedown-sized tombstones).
+    Q("q_takedown_cross_store",
+      (s, d) => {
+        val (invT, annT, phT) = crossTdStores(s, d)
+        def face(family: String, surface: String,
+                 raw: org.apache.spark.sql.DataFrame,
+                 store: String): org.apache.spark.sql.DataFrame = {
+          val r = raw.select(col("id").cast("long").as("id"))
+          r.select(lit(family).as("family"), lit(surface).as("surface"),
+              col("id"), lit(0).as("face"))
+            .unionByName(graft.ops.Tombstones.minus(s, store, r)
+              .select(lit(family).as("family"),
+                lit(surface).as("surface"), col("id"),
+                lit(1).as("face")))
+        }
+        val invDocs = graft.ops.InvertedIndexStore.docsTable(invT)
+        val removed = pmod(col("id"), lit(41)) === 0
+        face("ann_sign_lsh", "index", s.table(annT), annT)
+          .unionByName(face("inverted_index", "docs",
+            s.table(invDocs), invT))
+          .unionByName(face("inverted_index", "postings",
+            s.table(invT), invT))
+          .unionByName(face("phash_banded", "index",
+            s.table(phT).withColumnRenamed("doc_id", "id"), phT))
+          .groupBy("family", "surface")
+          .agg(
+            count(when(col("face") === 0 && removed, lit(1)))
+              .as("raw_removed_rows"),
+            count(when(col("face") === 1 && removed, lit(1)))
+              .as("retr_removed_rows"),
+            count(when(col("face") === 1, lit(1)))
+              .as("retr_total_rows"),
+            coalesce(sum(when(col("face") === 1, col("id"))), lit(0L))
+              .as("retr_id_sum"))
+          .orderBy("family", "surface")
+      },
+      Some("""
+        |WITH tok AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+')) AS term
+        |  FROM documents),
+        |tt AS (SELECT DISTINCT id, term FROM tok WHERE term <> ''),
+        |surf AS (
+        |  SELECT 'ann_sign_lsh' AS family, 'index' AS surface,
+        |    CAST(4 * count(CASE WHEN vec_id % 41 = 0 THEN 1 END)
+        |      AS BIGINT) AS raw_removed_rows,
+        |    CAST(0 AS BIGINT) AS retr_removed_rows,
+        |    CAST(4 * count(CASE WHEN vec_id % 41 <> 0 THEN 1 END)
+        |      AS BIGINT) AS retr_total_rows,
+        |    CAST(4 * coalesce(sum(CASE WHEN vec_id % 41 <> 0
+        |      THEN vec_id END), 0) AS BIGINT) AS retr_id_sum
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 'inverted_index', 'docs',
+        |    CAST(count(CASE WHEN doc_id % 41 = 0 THEN 1 END) AS BIGINT),
+        |    CAST(0 AS BIGINT),
+        |    CAST(count(CASE WHEN doc_id % 41 <> 0 THEN 1 END) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN doc_id % 41 <> 0
+        |      THEN doc_id END), 0) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'inverted_index', 'postings',
+        |    CAST(count(CASE WHEN id % 41 = 0 THEN 1 END) AS BIGINT),
+        |    CAST(0 AS BIGINT),
+        |    CAST(count(CASE WHEN id % 41 <> 0 THEN 1 END) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN id % 41 <> 0 THEN id END), 0)
+        |      AS BIGINT)
+        |  FROM tt
+        |  UNION ALL
+        |  SELECT 'phash_banded', 'index',
+        |    CAST(4 * count(CASE WHEN doc_id % 41 = 0 THEN 1 END)
+        |      AS BIGINT),
+        |    CAST(0 AS BIGINT),
+        |    CAST(4 * count(CASE WHEN doc_id % 41 <> 0 THEN 1 END)
+        |      AS BIGINT),
+        |    CAST(4 * coalesce(sum(CASE WHEN doc_id % 41 <> 0
+        |      THEN doc_id END), 0) AS BIGINT)
+        |  FROM documents)
+        |SELECT * FROM surf ORDER BY family, surface
         |""".stripMargin.trim)),
 
     // ---- BM25 top-20 for a fixed term query ---------------------------

@@ -211,6 +211,47 @@ class TakedownSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(Tombstones.table(t)))
   }
 
+  test("recordAll: ONE removal set propagates to every store family " +
+      "in one pass — each retracted face forgets, re-delivery of the " +
+      "whole sweep is harmless") {
+    import org.apache.spark.sql.functions._
+    val invT = "td_xspec_inv"
+    val annT = "td_xspec_ann"
+    Seq(invT, InvertedIndexStore.docsTable(invT), annT,
+        Tombstones.table(invT), Tombstones.table(annT))
+      .foreach(Compaction.dropManagedTable(spark, _))
+    InvertedIndexStore.build(docs, "doc_id", "text", invT,
+      overwrite = true)
+    val dim = 8
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(i => (((seed * 31 + i * 7) % 13) - 6).toFloat)
+    val emb = (1L to 6L).map(i => (i, vec(i))).toDF("id", "vec")
+    val hyper = (0L until 8L).map(i => (i, vec(i + 100)))
+      .toDF("h_id", "hv")
+    AnnIndex.buildSignIndex(emb, "id", "vec", hyper, rowsPerBand = 4,
+      table = annT, overwrite = true)
+    // the DMCA shape: one id set, every store, one pass
+    val removal = Seq(2L, 4L).toDF("id")
+    Tombstones.recordAll(removal, Seq(invT, annT))
+    // and re-delivered wholesale (at-least-once pipelines do this)
+    Tombstones.recordAll(removal, Seq(invT, annT))
+    def servedIds(store: String, raw: org.apache.spark.sql.DataFrame)
+        : Set[Long] =
+      Tombstones.minus(spark, store, raw.select("id"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    assert(servedIds(invT, spark.table(invT)) === Set(1L, 3L, 5L, 6L),
+      "inverted postings face must serve exactly the survivors")
+    assert(servedIds(invT,
+        spark.table(InvertedIndexStore.docsTable(invT))) ===
+      Set(1L, 3L, 5L, 6L),
+      "doc-stats face must serve exactly the survivors")
+    assert(servedIds(annT, spark.table(annT)) === Set(1L, 3L, 5L, 6L),
+      "ANN bucket face must serve exactly the survivors")
+    Seq(invT, InvertedIndexStore.docsTable(invT), annT,
+        Tombstones.table(invT), Tombstones.table(annT))
+      .foreach(Compaction.dropManagedTable(spark, _))
+  }
+
   test("an unrecoverable compaction state (source gone, staging " +
       "partial or absent) fails with a descriptive error, not an " +
       "opaque TABLE_OR_VIEW_NOT_FOUND") {
