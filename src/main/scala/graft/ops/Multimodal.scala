@@ -21,12 +21,19 @@ import org.apache.spark.sql.types._
   * back through `javax.sound.sampled.AudioSystem`, fingerprinted by
   * decoded frame energies. [[resizeDecoded]] closes the loop on the
   * image side: decode → integer pixel-area downscale → PNG re-encode,
-  * oracle-pinned end to end. The byte-level paths (`decodeStub`,
-  * `resizeStub`) remain for formats with no JDK codec (video): there
-  * the signature and per-partition batching are the contract and the
-  * byte arithmetic is a documented stand-in; both decoded paths also
-  * fall back to the byte-sampling hash for payloads their codec
-  * cannot parse, so a mixed corpus degrades per row, not per job. */
+  * oracle-pinned end to end. VIDEO is real-codec tier too:
+  * [[renderGifCorpus]] writes genuine multi-frame animated GIFs,
+  * [[frameHashes]] container-decodes them frame by frame (ImageReader
+  * sequence), and [[videoNearDup]] runs the banded scene-level
+  * near-dup over those decoded frame hashes — all oracle-pinned and
+  * fuzzed against independently-encoded rasters
+  * (MediaRoundTripFuzzSpec). The byte-level paths (`decodeStub`,
+  * `resizeStub`) remain ONLY as documented fallbacks for containers
+  * with no JDK codec (e.g. MP4): there the signature and
+  * per-partition batching are the contract and the byte arithmetic is
+  * a stand-in; the decoded paths also fall back to the byte-sampling
+  * hash for payloads their codec cannot parse, so a mixed corpus
+  * degrades per row, not per job. */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
@@ -745,6 +752,45 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Video near-dup over per-frame fingerprints — the scene-level
+    * member of the near-dup family: both sides are
+    * (doc_id, frame_idx, fhash) rows from [[frameHashes]]' REAL
+    * container decode, each frame hash is banded with the same 4×15
+    * split as [[bandedPhash]] (complete for per-frame hamming ≤ 3),
+    * candidates join on (frame_idx, band, key) — a batch frame only
+    * meets corpus frames at the SAME timeline position, the
+    * temporal-alignment assumption of splice-twin detection — and a
+    * video pair is emitted when at least `minFrames` of its aligned
+    * frames verify within `maxHamming`. Verify runs BEFORE the
+    * per-frame distinct (multi-band hits collapse after the cheap
+    * xor, as in [[phashNearDup]]). Scale shape: banding fans each
+    * frame into 4 key rows; the join is bucket-sized per
+    * (frame_idx, band, key), never all-pairs; the per-pair frame
+    * count is one partial-aggregable groupBy. Output
+    * (id_new, id_corpus, n_frames_matched), near-dups only. */
+  def videoNearDup(batchFrames: DataFrame, corpusFrames: DataFrame,
+                   maxHamming: Int = 3, minFrames: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x15 banding is only complete for hamming <= 3")
+    def banded(df: DataFrame, idAs: String, hAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), col("frame_idx"),
+          col("fhash").as(hAs),
+          explode(expr(
+            "transform(sequence(0, 3), b -> " +
+              "struct(b AS band, shiftright(fhash, 15 * b) & 32767 AS key))"))
+            .as("bk"))
+        .select(col(idAs), col("frame_idx"), col(hAs),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    banded(batchFrames, "id_new", "h_n")
+      .join(banded(corpusFrames, "id_corpus", "h_c"),
+        Seq("frame_idx", "band", "key"))
+      .filter(expr(s"bit_count(h_n ^ h_c) <= $maxHamming"))
+      .select("id_new", "id_corpus", "frame_idx").distinct()
+      .groupBy("id_new", "id_corpus")
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minFrames)
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" and

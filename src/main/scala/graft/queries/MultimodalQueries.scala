@@ -501,6 +501,64 @@ object MultimodalQueries {
         |ORDER BY doc_id, frame_idx
         |""".stripMargin.trim)),
 
+    // ---- video near-dup over REAL decoded frames (r11 verdict 5) ----
+    // The scene-level near-dup a video pipeline runs: corpus = stored
+    // animated GIFs of docs < 400, batch = the stored one-char splice
+    // TWINS of docs < 80 — both sides genuinely container-decoded
+    // (ImageReader sequence, every frame), per-frame average-hashed,
+    // banded, and joined at the same timeline position; a pair is a
+    // near-dup when >= 3 of its 4 aligned frames verify within
+    // hamming 3. The oracle replays every frame hash from the text
+    // windows (the pixel-exact GIF roundtrip, as q_multimodal_video
+    // _frames) and brute-forces ALL (twin, corpus) frame pairs — so
+    // it also re-proves banding completeness at hamming <= 3: a
+    // banding that lost a qualifying frame would undercount
+    // n_frames_matched and hash-fail.
+    Q("q_multimodal_video_neardup",
+      (s, d) => {
+        val store = s.table(mediaGifTable(s, d))
+        val corpus = store
+          .filter(col("doc_id") < 400 && col("n_chars") >= 60)
+        val batch = store
+          .filter(col("doc_id") >= TwinOffset &&
+            col("doc_id") - TwinOffset < 80 && col("n_chars") >= 60)
+        Multimodal.videoNearDup(
+            Multimodal.frameHashes(batch).toDF(),
+            Multimodal.frameHashes(corpus).toDF(),
+            maxHamming = 3, minFrames = 3)
+          .orderBy("id_new", "id_corpus")
+      },
+      Some("""
+        |WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 60 AND doc_id < 400),
+        |batch AS (SELECT doc_id + 3000000 AS doc_id,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11)) AS text
+        |  FROM documents WHERE length(text) >= 60 AND doc_id < 80),
+        |cfe AS (SELECT doc_id, f, list_transform(range(0, 60),
+        |    k -> ord(substr(text,
+        |      1 + ((f * 300 + 5 * k) * length(text)) // 1200, 1))) AS bs
+        |  FROM corpus, (VALUES (0), (1), (2), (3)) frames(f)),
+        |cfh AS (SELECT doc_id, f, CAST(list_sum(list_transform(range(0, 60),
+        |    k -> CASE WHEN bs[k + 1] * 60 > list_sum(bs)
+        |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS fhash FROM cfe),
+        |bfe AS (SELECT doc_id, f, list_transform(range(0, 60),
+        |    k -> ord(substr(text,
+        |      1 + ((f * 300 + 5 * k) * length(text)) // 1200, 1))) AS bs
+        |  FROM batch, (VALUES (0), (1), (2), (3)) frames(f)),
+        |bfh AS (SELECT doc_id, f, CAST(list_sum(list_transform(range(0, 60),
+        |    k -> CASE WHEN bs[k + 1] * 60 > list_sum(bs)
+        |      THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS fhash FROM bfe),
+        |m AS (SELECT b.doc_id AS id_new, c.doc_id AS id_corpus, b.f
+        |  FROM bfh b JOIN cfh c ON b.f = c.f
+        |    AND bit_count(xor(b.fhash, c.fhash)) <= 3)
+        |SELECT id_new, id_corpus,
+        |  CAST(count(*) AS BIGINT) AS n_frames_matched
+        |FROM m GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_new, id_corpus
+        |""".stripMargin.trim)),
+
     // ---- binaryFile-source ingest: files on disk -> decode chain ----
     // Spark's `binaryFile` source is the media lake's real front door
     // ---- magic-byte format sniffing over a mixed blob column --------

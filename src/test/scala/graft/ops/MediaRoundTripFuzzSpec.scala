@@ -136,4 +136,78 @@ class MediaRoundTripFuzzSpec extends SparkSpec {
           s"area-mean formula")
     }
   }
+
+  test("random animated GIFs: every decoded frame's hash equals the " +
+      "source-raster formula; everyK sampling skips exactly; " +
+      "videoNearDup equals the brute-force frame-pair reference " +
+      "(18 videos)") {
+    val rnd = new Random(1123)
+    // (doc_id, w, h, frames as row-major gray pixels)
+    val videos = (0 until 18).map { i =>
+      val w = 8 + rnd.nextInt(12)
+      val h = 8 + rnd.nextInt(10) // w*h >= 64 > 60: stable hash grid
+      val nf = 2 + rnd.nextInt(5)
+      val frames = (0 until nf).map(_ =>
+        IndexedSeq.fill(w * h)(rnd.nextInt(256)))
+      (i.toLong, w, h, frames)
+    }
+    def refHash(px: IndexedSeq[Int]): Long = {
+      val np = px.length
+      bitsAboveMeanRef(Array.tabulate(60)(k =>
+        px(((k.toLong * np) / 60).toInt).toLong))
+    }
+    val binary = videos.map { case (id, w, h, frames) =>
+      (id, MediaTestCodecs.grayGifAnimated(w, h, frames))
+    }.toDF("doc_id", "payload")
+    val got = Multimodal.frameHashes(binary).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.fhash).toMap
+    videos.foreach { case (id, w, h, frames) =>
+      assert(frames.indices.forall(f => got.contains((id, f))) &&
+        !got.contains((id, frames.size)),
+        s"video $id: decoded frame count diverged")
+      frames.zipWithIndex.foreach { case (px, f) =>
+        assert(got((id, f)) === refHash(px),
+          s"video $id frame $f (${w}x$h): decoded hash diverged " +
+            "from the source raster")
+      }
+    }
+    // everyK=2 keeps exactly the even frame indices, same hashes
+    val sampled = Multimodal.frameHashes(binary, everyK = 2).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.fhash).toMap
+    assert(sampled.keySet === got.keySet.filter(_._2 % 2 == 0))
+    assert(sampled.forall { case (k, v) => got(k) === v })
+    // near-dup against a batch of bit-flipped twins: brute-force
+    // frame-pair reference over the REFERENCE hashes (aligned frame,
+    // hamming <= 3, >= 2 matched frames) must equal the banded op
+    val twins = videos.map { case (id, w, h, frames) =>
+      // flip one pixel per frame far from the mean: hamming stays
+      // small but nonzero often enough to exercise both verdicts
+      val mut = frames.map(px => px.updated(rnd.nextInt(px.length),
+        rnd.nextInt(256)))
+      (id + 1000L, w, h, mut)
+    }
+    val batchDf = twins.map { case (id, w, h, frames) =>
+      (id, MediaTestCodecs.grayGifAnimated(w, h, frames))
+    }.toDF("doc_id", "payload")
+    val want = (for {
+      (bid, _, _, bframes) <- twins
+      (cid, _, _, cframes) <- videos
+    } yield {
+      val matched = bframes.indices.count { f =>
+        f < cframes.size &&
+          java.lang.Long.bitCount(refHash(bframes(f)) ^
+            refHash(cframes(f))) <= 3
+      }
+      ((bid, cid), matched.toLong)
+    }).filter(_._2 >= 2).toMap
+    val gotNd = Multimodal.videoNearDup(
+        Multimodal.frameHashes(batchDf).toDF(),
+        Multimodal.frameHashes(binary).toDF(),
+        maxHamming = 3, minFrames = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getLong(2))).toMap
+    assert(gotNd === want,
+      "banded videoNearDup diverged from the brute-force reference")
+    assert(want.nonEmpty, "fuzz degenerate: no near-dup pairs at all")
+  }
 }

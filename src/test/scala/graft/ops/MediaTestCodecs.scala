@@ -19,4 +19,34 @@ object MediaTestCodecs {
     px.indices.foreach(p => img.getRaster.setSample(p % w, p / w, 0, px(p)))
     pngBytes(img)
   }
+
+  /** A multi-frame animated GIF from per-frame row-major gray pixels —
+    * the spec-side container encoder, independent of
+    * [[Multimodal.renderGifCorpus]]'s window-sampling arithmetic (same
+    * division of labor as [[grayPng]] vs renderPngCorpus: a decode bug
+    * symmetric with the engine's own renderer passes the planted-
+    * fixture gates but fails against frames encoded here). */
+  def grayGifAnimated(w: Int, h: Int,
+                      frames: Seq[IndexedSeq[Int]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    frames.foreach { px =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      px.indices.foreach(p =>
+        img.getRaster.setSample(p % w, p / w, 0, px(p)))
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null,
+        wr.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img),
+          wr.getDefaultWriteParam)), wr.getDefaultWriteParam)
+    }
+    wr.endWriteSequence()
+    ios.close()
+    wr.dispose()
+    bos.toByteArray
+  }
 }
