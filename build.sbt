@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Fast-by-default test pass (r11 verdict item 7): the randomized fuzz
+// suites are the bulk of the suite's 461 s wall-time; the default pass
+// excludes them (every *FuzzSpec / *PropertySpec carries a class-level
+// @org.scalatest.tags.Slow) so the per-change loop stays minutes-scale.
+// GRAFT_FULL_TESTS=1 sbt test runs EVERYTHING — the close-out (and
+// judge) configuration. Both documented in README.
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_FULL_TESTS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest,
+    "-l", "org.scalatest.tags.Slow")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

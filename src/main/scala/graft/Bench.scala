@@ -77,10 +77,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: scheduler + codegen + parquet reader init, excluded
-    // from per-query timings (standard bench hygiene)
+    // from per-query timings (standard bench hygiene). EVERY fixture
+    // table is touched, not just lineitem — documents/embeddings
+    // footers + page cache were previously charged to whichever gate
+    // read them first alphabetically (the same session-history signal
+    // as the store warm pass below, r12).
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      // noop sink, not count(): count prunes every column and reads
+      // only footers — the point is paging the column chunks in
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     // UNTIMED setup: one-time content-addressed store/index builds
     // (graph edge layouts, ANN/inverted indexes, maintained MVs).
     // With a metastore these are paid once per corpus refresh; the

@@ -49,8 +49,9 @@ object BradleyTerry {
     * (columns `i`, `j` long entity ids with i ≠ j, `awin` boolean —
     * one row per comparison, no ties). Entity set = all ids appearing
     * in a duel. `bt` is in micro units, max entity = 1,000,000. */
-  def fit(duels: DataFrame, iters: Int): DataFrame =
-    fitFromPairs(pairStats(duels), iters)
+  def fit(duels: DataFrame, iters: Int,
+          checkpointEvery: Int = 1): DataFrame =
+    fitFromPairs(pairStats(duels), iters, checkpointEvery)
 
   /** Duel stream → per-pair sufficient statistics `(i, j, n, wi)` —
     * the ONLY pass over the raw comparisons, and the quantity an
@@ -76,9 +77,20 @@ object BradleyTerry {
       .groupBy("i", "j")
       .agg(sum(col("n")).as("n"), sum(col("wi")).as("wi"))
 
-  /** [[fit]] from a (possibly merged) pair-statistics table. */
-  def fitFromPairs(pairStats: DataFrame, iters: Int): DataFrame = {
+  /** [[fit]] from a (possibly merged) pair-statistics table.
+    *
+    * `checkpointEvery` is the materialization cadence of the score
+    * vector: 1 (default) checkpoints every iteration; k fuses k MM
+    * steps into one lazy plan before cutting lineage (the raw update
+    * inside each iteration stays checkpointed — it feeds both the max
+    * anchor and the re-anchor, so leaving it lazy doubles the den
+    * aggregate). Results are BIT-IDENTICAL for any cadence (the
+    * recurrence is exact integer arithmetic); this is purely a plan
+    * experiment — measured A/B in BASELINE.md round 12. */
+  def fitFromPairs(pairStats: DataFrame, iters: Int,
+                   checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, "bradleyTerry needs at least one iteration")
+    require(checkpointEvery >= 1, "cadence must be >= 1")
     val pairs = pairStats
       .select(col("i"), col("j"), col("n").cast("long"),
         col("wi").cast("long"))
@@ -96,7 +108,7 @@ object BradleyTerry {
       .select(col("id"), coalesce(col("w"), lit(0L)).as("w"))
       .localCheckpoint()
     var sv = wt.select(col("id"), lit(1000000L).as("s"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val den = sym
         .join(sv.select(col("id").as("i"), col("s").as("si")), Seq("i"))
         .join(sv.select(col("id").as("j"), col("s").as("sj")), Seq("j"))
@@ -113,7 +125,8 @@ object BradleyTerry {
       sv = raw.crossJoin(broadcast(mx))
         .select(col("id"),
           greatest(lit(1L), expr("sr * 1000000L div mx")).as("s"))
-        .localCheckpoint()
+      if (it % checkpointEvery == 0 || it == iters)
+        sv = sv.localCheckpoint()
     }
     sv.select(col("id"), col("s").as("bt"))
   }

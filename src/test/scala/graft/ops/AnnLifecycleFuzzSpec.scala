@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * from scratch on the surviving vectors. Same fixed-seed discipline;
   * deterministic integer-derived vectors so probes have stable
   * neighborhoods across runs. */
+@org.scalatest.tags.Slow
 class AnnLifecycleFuzzSpec extends SparkSpec {
   import spark.implicits._
 

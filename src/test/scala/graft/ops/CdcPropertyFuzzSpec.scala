@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *
   * ASCII alphabet (ascii() reads code points; multibyte is out of the
   * chunker's documented scope), mask 16 for boundary density. */
+@org.scalatest.tags.Slow
 class CdcPropertyFuzzSpec extends SparkSpec {
   import spark.implicits._
 

@@ -24,6 +24,7 @@ import graft.SparkSpec
   * pairs (UTF-16's own surrogate mechanism), and strings whose UTF-8
   * bytes begin near the mark prefixes. Fixed seed — failures
   * reproduce. */
+@org.scalatest.tags.Slow
 class CharsetFuzzSpec extends SparkSpec {
   import spark.implicits._
 

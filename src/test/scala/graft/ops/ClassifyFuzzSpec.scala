@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * on random labeled vectors — negative components included (the
   * floor-division identity `(s - pmod(s, n)) div n` is exactly where
   * a sign bug would hide), ties resolved to the smaller label. */
+@org.scalatest.tags.Slow
 class ClassifyFuzzSpec extends SparkSpec {
   import spark.implicits._
 

@@ -10,6 +10,7 @@ import graft.SparkSpec
   * one giant component, self-loops, duplicate and reversed edges).
   * Labels are min-id per component by contract, so the comparison is
   * exact, not just partition-equal. */
+@org.scalatest.tags.Slow
 class ComponentsFuzzSpec extends SparkSpec {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import scala.util.Random
   * min_by_obj, declarative min_by) must produce IDENTICAL row sets
   * whenever the tiebreak is total — the invariant the optimizer rule
   * and the 100 TB path both rest on. Seeded, so failures reproduce. */
+@org.scalatest.tags.Slow
 class DedupPropertySpec extends SparkSpec {
   import spark.implicits._
 

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *    straight-line reference, on tie-heavy frames with nulls — the
   *    (null_count, tiebreak) ordering is where the forms could
   *    silently diverge. */
+@org.scalatest.tags.Slow
 class DedupTrianglesFuzzSpec extends SparkSpec {
   import spark.implicits._
 

@@ -8,6 +8,7 @@ import graft.SparkSpec
 /** Seeded randomized properties for the candidate-pruned operators:
   * the pruned form must equal the brute-force definition on corpora it
   * did not see during development. Fixed seeds — failures reproduce. */
+@org.scalatest.tags.Slow
 class FuzzPropertySpec extends SparkSpec {
   import spark.implicits._
 

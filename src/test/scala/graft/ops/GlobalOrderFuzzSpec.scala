@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *    same total order;
   *  - [[GlobalOrder.skylineMin2D]] == the NOT-EXISTS dominance
   *    definition over distinct points. */
+@org.scalatest.tags.Slow
 class GlobalOrderFuzzSpec extends SparkSpec {
   import spark.implicits._
 

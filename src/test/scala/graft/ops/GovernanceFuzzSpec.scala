@@ -13,6 +13,7 @@ import graft.SparkSpec
   * semantics (the RFC-9309 prefix subset for robots; the documented
   * regex chain for stripHtml), over generated corpora the operators
   * never saw during development. Fixed seeds — failures reproduce. */
+@org.scalatest.tags.Slow
 class GovernanceFuzzSpec extends SparkSpec {
   import spark.implicits._
 

@@ -8,6 +8,7 @@ import graft.SparkSpec
   * distributed formulation must equal an independent brute-force
   * definition on inputs it did not see during development. Fixed
   * seeds — failures reproduce. */
+@org.scalatest.tags.Slow
 class GraphRetrievalPropertySpec extends SparkSpec {
   import spark.implicits._
 

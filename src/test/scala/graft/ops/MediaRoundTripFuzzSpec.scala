@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * oracles on engine-rendered payloads; this fuzz removes the shared-
   * renderer blind spot — a decode bug symmetric with the renderer
   * would pass those gates but fail here. Fixed seed — reproducible. */
+@org.scalatest.tags.Slow
 class MediaRoundTripFuzzSpec extends SparkSpec {
   import spark.implicits._
 

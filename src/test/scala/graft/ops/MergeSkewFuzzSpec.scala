@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *  - [[Skew.saltedSum]] vs the plain one-shuffle groupBy sum on
   *    heavy-skew key distributions — salting must be a pure plan
   *    transformation, never a value change. */
+@org.scalatest.tags.Slow
 class MergeSkewFuzzSpec extends SparkSpec {
   import spark.implicits._
 

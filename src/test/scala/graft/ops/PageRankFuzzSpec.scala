@@ -10,6 +10,7 @@ import graft.SparkSpec
   * bit-identical on any engine at any parallelism"), so the fuzz
   * compares exact maps, covering the shapes the deterministic specs
   * don't: dangling nodes, sinks, multi-in-degree hubs, cycles. */
+@org.scalatest.tags.Slow
 class PageRankFuzzSpec extends SparkSpec {
   import spark.implicits._
 

@@ -13,6 +13,7 @@ import graft.SparkSpec
   * around it — the tf/df/dl/N/avgdl plumbing through four joins,
   * tokenless docs counted in N, docs sharing no query term excluded,
   * and the bounded-heap tie ordering. */
+@org.scalatest.tags.Slow
 class RetrievalFuzzSpec extends SparkSpec {
   import spark.implicits._
 

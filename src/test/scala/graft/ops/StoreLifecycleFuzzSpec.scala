@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   * (InvertedIndexStoreSpec, TakedownSpec) pin once, here run over
   * seeded random operation sequences the store never saw in
   * development. Fixed seeds — failures reproduce. */
+@org.scalatest.tags.Slow
 class StoreLifecycleFuzzSpec extends SparkSpec {
   import spark.implicits._
 

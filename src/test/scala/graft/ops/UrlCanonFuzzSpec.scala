@@ -27,6 +27,7 @@ import graft.SparkSpec
   *    group fails on any INTERNAL newline after the port.
   *
   * Fixed seeds — failures reproduce. */
+@org.scalatest.tags.Slow
 class UrlCanonFuzzSpec extends SparkSpec {
   import spark.implicits._
 

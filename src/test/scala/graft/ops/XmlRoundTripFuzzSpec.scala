@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
   * than tab/LF (not representable), and leading/trailing whitespace
   * (the reader's surrounding-space handling is a read option, not a
   * framing property). */
+@org.scalatest.tags.Slow
 class XmlRoundTripFuzzSpec extends SparkSpec {
   import spark.implicits._
 

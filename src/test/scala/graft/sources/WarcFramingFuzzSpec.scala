@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   * All 300 cases of a family share one directory (one read plans one
   * input partition per member file), so the suite costs 4 scans, not
   * 1200. */
+@org.scalatest.tags.Slow
 class WarcFramingFuzzSpec extends SparkSpec {
 
   private final case class Rec(uri: String, date: String, rid: String,
