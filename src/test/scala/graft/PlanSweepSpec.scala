@@ -13,6 +13,7 @@ import graft.queries.Registry
   *
   * Streaming gates are excluded: invoking them executes a real
   * micro-batch stream (their plans are pinned in their own specs). */
+@org.scalatest.tags.Slow
 class PlanSweepSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
@@ -136,7 +137,10 @@ class PlanSweepSpec extends SparkSpec {
                                   // catalog table LIST for the untimed
                                   // store warm pass (store-count-sized,
                                   // ~30 names)
-    "tools/DedupAB.scala" -> 1    // warm-up scalar (A/B harness main)
+    "tools/DedupAB.scala" -> 1,   // warm-up scalar (A/B harness main)
+    "tools/FitCadenceAB.scala" -> 2 // entity-sized fitted score vectors
+                                  // (≤ |suppliers| / |parts| rows) for
+                                  // the cadence bit-identity check
   )
 
   test("every main-source collect() is allowlisted with a documented " +

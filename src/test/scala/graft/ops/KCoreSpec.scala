@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 
+@org.scalatest.tags.Slow
 class KCoreSpec extends SparkSpec {
   import spark.implicits._
 

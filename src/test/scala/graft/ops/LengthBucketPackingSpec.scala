@@ -4,6 +4,7 @@ import graft.SparkSpec
 
 /** Length-bucketed packing: hand anchors plus a fuzz sweep against a
   * straight-line reference of the documented plan semantics. */
+@org.scalatest.tags.Slow
 class LengthBucketPackingSpec extends SparkSpec {
   import spark.implicits._
 
