@@ -50,7 +50,7 @@ object BradleyTerry {
     * one row per comparison, no ties). Entity set = all ids appearing
     * in a duel. `bt` is in micro units, max entity = 1,000,000. */
   def fit(duels: DataFrame, iters: Int,
-          checkpointEvery: Int = 1): DataFrame =
+          checkpointEvery: Int = 5): DataFrame =
     fitFromPairs(pairStats(duels), iters, checkpointEvery)
 
   /** Duel stream → per-pair sufficient statistics `(i, j, n, wi)` —
@@ -80,15 +80,19 @@ object BradleyTerry {
   /** [[fit]] from a (possibly merged) pair-statistics table.
     *
     * `checkpointEvery` is the materialization cadence of the score
-    * vector: 1 (default) checkpoints every iteration; k fuses k MM
-    * steps into one lazy plan before cutting lineage (the raw update
-    * inside each iteration stays checkpointed — it feeds both the max
-    * anchor and the re-anchor, so leaving it lazy doubles the den
-    * aggregate). Results are BIT-IDENTICAL for any cadence (the
-    * recurrence is exact integer arithmetic); this is purely a plan
-    * experiment — measured A/B in BASELINE.md round 12. */
+    * vector: 1 checkpoints every iteration; k fuses k MM steps into
+    * one lazy plan before cutting lineage (the raw update inside each
+    * iteration stays checkpointed — it feeds both the max anchor and
+    * the re-anchor, so leaving it lazy doubles the den aggregate, and
+    * it is ALSO what bounds lineage depth under fusion: the lazy sv
+    * is always one crossJoin off the last raw checkpoint). Results
+    * are BIT-IDENTICAL for any cadence (exact integer recurrence).
+    * Default 5 = the measured winner at the gates' iters=5 (A/B in
+    * BASELINE.md round 12: 3.61 → 3.32 s median; KCore's peel keeps
+    * cadence 1 — there fusion LOSES because the degree vector feeds
+    * two consumers per round). */
   def fitFromPairs(pairStats: DataFrame, iters: Int,
-                   checkpointEvery: Int = 1): DataFrame = {
+                   checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, "bradleyTerry needs at least one iteration")
     require(checkpointEvery >= 1, "cadence must be >= 1")
     val pairs = pairStats
@@ -212,6 +216,68 @@ object BradleyTerry {
       .withColumn("rate_milli",
         expr("higher_wins * 1000L DIV n_duels"))
   }
+
+  /** DPO training-pair export — the materialization step between
+    * preference aggregation and trainer input: one row per canonical
+    * entity pair with at least `minDuels` judgments, oriented by the
+    * FITTED scores (chosen = higher-scored side), carrying the score
+    * margin and the pair's empirical win rate, and kept only when the
+    * empirical majority AGREES with the score order (winrate ≥ 500
+    * milli — a pair whose own duels contradict the global ranking is
+    * a label-noise audit candidate, not a training pair). Equal-score
+    * pairs carry no preference signal and are dropped. Exact integers
+    * (`winrate_milli = wins·1000 div n`).
+    *
+    * Scale shape: duels collapse to [[pairStats]]' single shuffle;
+    * the entity-sized score vector broadcasts into the pair list
+    * twice; everything after is a per-pair projection — nothing else
+    * moves at billions of duels. */
+  def dpoPairs(duels: DataFrame, scores: DataFrame,
+               minDuels: Long = 2L): DataFrame =
+    pairStats(duels)
+      .join(broadcast(scores.select(col("id").as("i"),
+        col("bt").as("si"))), Seq("i"))
+      .join(broadcast(scores.select(col("id").as("j"),
+        col("bt").as("sj"))), Seq("j"))
+      .where(col("n") >= minDuels && col("si") =!= col("sj"))
+      .select(
+        when(col("si") > col("sj"), col("i")).otherwise(col("j"))
+          .as("chosen"),
+        when(col("si") > col("sj"), col("j")).otherwise(col("i"))
+          .as("rejected"),
+        col("n").as("n_duels"),
+        when(col("si") > col("sj"), col("wi"))
+          .otherwise(col("n") - col("wi")).as("wins_chosen"),
+        expr("abs(si - sj)").as("margin"))
+      .withColumn("winrate_milli",
+        expr("wins_chosen * 1000L div n_duels"))
+      .where(col("winrate_milli") >= 500L)
+
+  /** DuckDB oracle for [[dpoPairs]] over the [[fit]] scores — appends
+    * the export projection to the shared score chain, so the gate and
+    * the fit gates cannot pin different score definitions. */
+  def dpoPairsOracleSql(duelsSql: String, iters: Int,
+                        minDuels: Long = 2L): String =
+    oracleChain(duelsSql, iters) +
+      s""",
+         |dpo_p AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN awin THEN 1 ELSE 0 END) AS BIGINT) AS wi
+         |  FROM duels GROUP BY 1, 2),
+         |dpo AS (SELECT
+         |    CASE WHEN si.s > sj.s THEN p.i ELSE p.j END AS chosen,
+         |    CASE WHEN si.s > sj.s THEN p.j ELSE p.i END AS rejected,
+         |    p.n AS n_duels,
+         |    CASE WHEN si.s > sj.s THEN p.wi ELSE p.n - p.wi END
+         |      AS wins_chosen,
+         |    CAST(abs(si.s - sj.s) AS BIGINT) AS margin
+         |  FROM dpo_p p JOIN it$iters si ON si.id = p.i
+         |  JOIN it$iters sj ON sj.id = p.j
+         |  WHERE p.n >= $minDuels AND si.s <> sj.s)
+         |SELECT chosen, rejected, n_duels, wins_chosen, margin,
+         |  CAST((wins_chosen * 1000) // n_duels AS BIGINT)
+         |    AS winrate_milli
+         |FROM dpo WHERE (wins_chosen * 1000) // n_duels >= 500
+         |ORDER BY chosen, rejected""".stripMargin
 
   /** DuckDB oracle for [[calibration]] over the [[fit]] scores —
     * appends the calibration aggregation to the shared score chain. */

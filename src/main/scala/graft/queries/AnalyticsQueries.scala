@@ -535,6 +535,44 @@ object AnalyticsQueries {
           |   AND a.l_quantity <> b.l_quantity""".stripMargin,
         iters = 5))),
 
+    // ---- DPO training-pair export ------------------------------------
+    // The materialization step a post-training pipeline runs between
+    // preference aggregation and the trainer: every evidenced pair
+    // (>= 2 duels) oriented by the fitted scores into
+    // (chosen, rejected) with the score margin and empirical win
+    // rate, kept only where the pair's own duels AGREE with the
+    // global ranking (winrate >= 500 milli) — contradicting pairs are
+    // label-noise audit material, not training rows. Shares the
+    // calibration gate's noisy duel stream and the BT score chain
+    // (dpoPairsOracleSql appends to the same unrolled CTEs).
+    Q("q_pref_dpo_pairs",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_quantity")
+        val duels = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey") &&
+              col("a.l_quantity") =!= col("b.l_quantity"))
+          .select(col("a.l_suppkey").as("i"),
+            col("b.l_suppkey").as("j"),
+            (pmod(col("a.l_suppkey") * 7 + col("b.l_suppkey") * 13 +
+              col("a.l_orderkey"), lit(4)) > 0).as("awin0"))
+          .select(col("i"), col("j"), (!col("awin0")).as("awin"))
+          .localCheckpoint() // consumed twice: fit + export pass
+        BradleyTerry.dpoPairs(duels,
+            BradleyTerry.fit(duels, iters = 5), minDuels = 2L)
+          .orderBy("chosen", "rejected")
+      },
+      Some(BradleyTerry.dpoPairsOracleSql(
+        """SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+          |    NOT ((a.l_suppkey*7 + b.l_suppkey*13 + a.l_orderkey)
+          |      % 4 > 0) AS awin
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_suppkey < b.l_suppkey
+          |   AND a.l_quantity <> b.l_quantity""".stripMargin,
+        iters = 5, minDuels = 2L))),
+
     // ---- preference-data confound audit ------------------------------
     // The RLHF "length bias" check: does a covariate (response length;
     // here the line's extendedprice) predict duel outcomes? If the
