@@ -222,9 +222,10 @@ object BradleyTerry {
     * entity pair with at least `minDuels` judgments, oriented by the
     * FITTED scores (chosen = higher-scored side), carrying the score
     * margin and the pair's empirical win rate, and kept only when the
-    * empirical majority AGREES with the score order (winrate ≥ 500
-    * milli — a pair whose own duels contradict the global ranking is
-    * a label-noise audit candidate, not a training pair). Equal-score
+    * pair's own duels do not CONTRADICT the score order (winrate ≥
+    * 500 milli — exact 50/50 ties are kept, the score order breaks
+    * them; a pair whose duels majority-contradict the global ranking
+    * is a label-noise audit candidate, not a training pair). Equal-score
     * pairs carry no preference signal and are dropped. Exact integers
     * (`winrate_milli = wins·1000 div n`).
     *

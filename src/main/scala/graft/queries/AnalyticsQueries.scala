@@ -540,8 +540,9 @@ object AnalyticsQueries {
     // preference aggregation and the trainer: every evidenced pair
     // (>= 2 duels) oriented by the fitted scores into
     // (chosen, rejected) with the score margin and empirical win
-    // rate, kept only where the pair's own duels AGREE with the
-    // global ranking (winrate >= 500 milli) — contradicting pairs are
+    // rate, kept only where the pair's own duels do not CONTRADICT
+    // the global ranking (winrate >= 500 milli; exact ties kept, the
+    // score order breaks them) — majority-contradicting pairs are
     // label-noise audit material, not training rows. Shares the
     // calibration gate's noisy duel stream and the BT score chain
     // (dpoPairsOracleSql appends to the same unrolled CTEs).
