@@ -14,7 +14,9 @@ run / fork := true
 // Fast-by-default test pass (r11 verdict item 7): the randomized fuzz
 // suites are the bulk of the suite's 461 s wall-time; the default pass
 // excludes them (every *FuzzSpec / *PropertySpec carries a class-level
-// @org.scalatest.tags.Slow) so the per-change loop stays minutes-scale.
+// @org.scalatest.tags.Slow, and so do five heavy non-fuzz unit suites:
+// BradleyTerrySpec, RankCentralitySpec, KCoreSpec, PlanSweepSpec,
+// LengthBucketPackingSpec) so the per-change loop stays minutes-scale.
 // GRAFT_FULL_TESTS=1 sbt test runs EVERYTHING — the close-out (and
 // judge) configuration. Both documented in README.
 Test / testOptions ++= (

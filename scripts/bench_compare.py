@@ -69,8 +69,14 @@ def main(old_path, new_path, threshold=1.5, abs_sec=1.0,
             return b / hi > BAND_RATIO and b - hi > abs_sec
         a = oq.get(name, 0)  # unbanded: single-baseline two-sided rule
         return a > 0 and b / a > threshold and b - a > abs_sec
-    gate = [(n, bands[n][1] if n in bands else a, b)
-            for n, a, b in shared if exits(n, b)]
+    # Gate over EVERY new reading, mirroring graft.Bench: a banded gate
+    # is checked even when old.json lacks it (or reads 0) — previously
+    # such a gate printed as NEW and was never gated, contradicting the
+    # 'mirrored bit-for-bit' claim (r12 advice). Unbanded gates still
+    # need an old reading (nothing to compare otherwise).
+    gate = [(n, bands[n][1] if n in bands else oq[n], b)
+            for n, b in sorted(nq.items())
+            if (n in bands or oq.get(n, 0) > 0) and exits(n, b)]
     if gate:
         print(f"FAIL: {len(gate)} quer{'y' if len(gate) == 1 else 'ies'} "
               f"exited the band / regressed beyond "

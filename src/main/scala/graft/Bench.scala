@@ -15,6 +15,15 @@ object Bench {
     (rt.totalMemory() - rt.freeMemory()) / 1048576.0
   }
 
+  /** Shared flag thresholds (r12 advice): the flagging rules below and
+    * the second-run `inBand` adjudication must always apply the SAME
+    * margins, so they are hoisted here instead of re-hardcoded at each
+    * site. Single-baseline is looser (1.5×) than band-exit (1.25×)
+    * because a band already absorbs the host's run-to-run spread. */
+  private[graft] val BaselineRatio = 1.5
+  private[graft] val BandRatio = 1.25
+  private[graft] val AbsSecFloor = 1.0
+
   /** The close-out regression rule, IDENTICAL to
     * scripts/bench_compare.py's exit gate: a gate regressed when
     * new/old > `ratio` AND new - old > `absSec` (two-sided — ratio
@@ -24,8 +33,8 @@ object Bench {
     * regress. Pinned against hand-worked cases in BenchCompareSpec. */
   private[graft] def regressions(baseline: Map[String, Double],
                                  results: Map[String, Double],
-                                 ratio: Double = 1.5,
-                                 absSec: Double = 1.0)
+                                 ratio: Double = BaselineRatio,
+                                 absSec: Double = AbsSecFloor)
       : Seq[(String, Double, Double)] =
     results.toSeq.sortBy(_._1).flatMap { case (name, b) =>
       baseline.get(name) match {
@@ -48,8 +57,8 @@ object Bench {
     * Pinned in BenchCompareSpec. */
   private[graft] def bandRegressions(bands: Map[String, (Double, Double)],
                                      results: Map[String, Double],
-                                     ratio: Double = 1.25,
-                                     absSec: Double = 1.0)
+                                     ratio: Double = BandRatio,
+                                     absSec: Double = AbsSecFloor)
       : Seq[(String, Double, Double)] =
     results.toSeq.sortBy(_._1).flatMap { case (name, b) =>
       bands.get(name) match {
@@ -106,30 +115,73 @@ object Bench {
     // seconds, and warehouse-bytes delta the way gates carry gc/heap
     val setupSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val setupBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var setupDoubleBuilds: Seq[String] = Seq.empty
     val warehouse = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val whFs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def warehouseBytes(): Long =
+    // Bytes a single table left in the warehouse (its managed dir).
+    // Attribution switched from whole-warehouse getContentSummary
+    // deltas (2 full tree walks per prepare, both UNATTRIBUTED —
+    // ~18 s of r12's 87 - 69 s setup gap) to per-table walks over the
+    // tables each prepare's build registered in StoreLedger.
+    def tableBytes(tbl: String): Long =
       try {
-        if (whFs.exists(warehouse))
-          whFs.getContentSummary(warehouse).getLength
-        else 0L
-      } catch { case _: Throwable => -1L }
+        val p = new org.apache.hadoop.fs.Path(warehouse,
+          tbl.toLowerCase(java.util.Locale.ROOT))
+        if (whFs.exists(p)) whFs.getContentSummary(p).getLength else 0L
+      } catch { case _: Throwable => 0L }
     if (!sys.env.contains("SPARK_GRAFT_SKIP_SETUP")) {
-      graft.queries.Registry.prepares.foreach { case (name, fn) =>
-        val b0 = warehouseBytes()
-        val t = System.nanoTime()
-        try {
-          fn(spark, sfDir)
-          val sec = (System.nanoTime() - t) / 1e9
-          setupSecs(name) = sec
-          setupBytes(name) = warehouseBytes() - b0
-          System.err.println(f"[setup] $name $sec%.2f s")
-        } catch { case e: Throwable =>
-          setupSecs(name) = (System.nanoTime() - t) / 1e9
-          System.err.println(s"[setup] $name FAILED: ${e.getMessage}")
-        }
+      // The prepares are independent content-addressed store builds
+      // (shared sub-stores are serialized by StoreLedger's per-key
+      // locks), and each is a small Spark job that underuses 32 cores
+      // — at a deployment, store refreshes are submitted concurrently
+      // and the cluster scheduler interleaves them. Pool of 4 threads
+      // (r12 verdict item 2): setup wall drops toward the critical
+      // path; per-prepare secs remain wall-clock UNDER CONCURRENCY
+      // (they overlap; their sum exceeds setup_sec by design).
+      val prepares = graft.queries.Registry.prepares
+      val poolN = math.min(4, math.max(1, prepares.size))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolN)
+      val done = prepares.map { case (name, fn) =>
+        name -> pool.submit(new java.util.concurrent.Callable[Double] {
+          def call(): Double = {
+            graft.ops.StoreLedger.currentOwner.set(name)
+            val t = System.nanoTime()
+            try {
+              fn(spark, sfDir)
+              val sec = (System.nanoTime() - t) / 1e9
+              System.err.println(f"[setup] $name $sec%.2f s")
+              sec
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[setup] $name FAILED: ${e.getMessage}")
+              (System.nanoTime() - t) / 1e9
+            } finally graft.ops.StoreLedger.currentOwner.remove()
+          }
+        })
       }
+      done.foreach { case (name, fut) => setupSecs(name) = fut.get() }
+      pool.shutdown()
+      // bytes per prepare = the managed dirs of the tables its builds
+      // registered (deduped across markers of one prepare)
+      val owned = scala.collection.mutable
+        .LinkedHashMap[String, scala.collection.mutable.Set[String]]()
+      graft.ops.StoreLedger.buildLog.forEach { (_, rec) =>
+        if (rec.owner != null)
+          owned.getOrElseUpdate(rec.owner,
+            scala.collection.mutable.Set[String]()) ++= rec.tables
+      }
+      setupSecs.keys.foreach { name =>
+        setupBytes(name) =
+          owned.get(name).map(_.toSeq.map(tableBytes).sum).getOrElse(0L)
+      }
+      // "no store built twice per session" (r12 verdict item 2): any
+      // ledger key whose build block ran more than once is a wasted
+      // rebuild — surfaced in the artifact, asserted by the sweep spec
+      setupDoubleBuilds = graft.ops.StoreLedger.doubleBuilds()
+      if (setupDoubleBuilds.nonEmpty)
+        System.err.println(
+          s"[setup] DOUBLE BUILDS: ${setupDoubleBuilds.mkString(", ")}")
       // UNTIMED store warm pass: a store's first consumer gate otherwise
       // pays the cold read of its parquet files (footers + OS page
       // cache) — exactly the signal behind q_incr_curation_pipeline's
@@ -327,9 +379,11 @@ object Bench {
         }
       }.toMap
     def inBand(name: String, v: Double): Boolean = bands.get(name) match {
-      case Some((_, hi)) if hi > 0 => !(v / hi > 1.25 && v - hi > 1.0)
+      case Some((_, hi)) if hi > 0 =>
+        !(v / hi > BandRatio && v - hi > AbsSecFloor)
       case _ => baseQs.get(name) match {
-        case Some(a) if a > 0 => !(v / a > 1.5 && v - a > 1.0)
+        case Some(a) if a > 0 =>
+          !(v / a > BaselineRatio && v - a > AbsSecFloor)
         case _ => true
       }
     }
@@ -359,16 +413,19 @@ object Bench {
     }
     val totalGcMs = gcMs.values.sum
     val endHeap = heapMb.toSeq.lastOption.map(_._2).getOrElse(0.0)
-    // per-prepare breakdown (insertion order = execution order; bytes
-    // is the warehouse-size delta the prepare left behind, -1 when the
-    // filesystem walk failed) — file artifact only, the stdout tail
-    // window can't fit it
+    // per-prepare breakdown (insertion order = submit order; prepares
+    // run on a 4-thread pool so secs OVERLAP — their sum exceeds
+    // setup_sec by design; bytes is the size of the managed tables the
+    // prepare's builds registered in StoreLedger) — file artifact
+    // only, the stdout tail window can't fit it
     val setupJson = setupSecs.toSeq.map { case (k, v) =>
       jstr(k) + ":{\"sec\":" + r3(v) +
         setupBytes.get(k).map(b => s""","bytes":$b""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
+    val doubleBuildsJson =
+      setupDoubleBuilds.map(jstr).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"setup":$setupJson,"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"end_heap_mb":$endHeap,"compare":$compareJson,"queries":${fullQs.mkString("{", ",", "}")},"gc_ms":$gcJson,"heap_mb":$heapJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"setup_mode":"pool4","setup_double_builds":$doubleBuildsJson,"setup":$setupJson,"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"end_heap_mb":$endHeap,"compare":$compareJson,"queries":${fullQs.mkString("{", ",", "}")},"gc_ms":$gcJson,"heap_mb":$heapJson,"sf":"$sfDir"}"""
     // never clobber the driver's artifact: honor an explicit override,
     // else write a (millis, pid)-keyed file (a judge/builder repro once
     // overwrote bench_full.json and lost ~136 gates' timings; pid

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration Bradley–Terry preference aggregation, integer-exact
@@ -279,6 +280,120 @@ object BradleyTerry {
          |    AS winrate_milli
          |FROM dpo WHERE (wins_chosen * 1000) // n_duels >= 500
          |ORDER BY chosen, rejected""".stripMargin
+
+  /** Unpaired-preference (KTO-style) label export — the post-training
+    * data shape for trainers that consume per-response BINARY signals
+    * instead of pairs: one row per distinct (prompt, response)
+    * participant in the duel stream, labeled desirable = 1 iff its
+    * fitted score strictly exceeds the per-prompt LOWER MEDIAN (the
+    * element at rank ⌈n/2⌉ by (score, id) — integer-exact, unlike an
+    * averaged even-count median). `duels` must carry the prompt key in
+    * column `ok` alongside `i`/`j`/`awin`.
+    *
+    * Scale shape: one distinct over (prompt, response) — duels'
+    * participant projection, partial-aggregable — then ONE
+    * prompt-partitioned window pass (rank + count + median share a
+    * sort); the entity-sized score vector broadcasts in. Nothing
+    * prompt-global or driver-side. */
+  def ktoLabels(duels: DataFrame, scores: DataFrame): DataFrame = {
+    val resp = duels
+      .select(col("ok").cast("long"),
+        explode(array(col("i").cast("long"), col("j").cast("long")))
+          .as("id"))
+      .distinct()
+      .join(broadcast(scores.select(col("id"), col("bt").as("s"))),
+        Seq("id"))
+    val byScore = Window.partitionBy("ok")
+      .orderBy(col("s").asc, col("id").asc)
+    val all = Window.partitionBy("ok")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    resp
+      .withColumn("rn", row_number().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1L) DIV 2L"), col("s")))
+          .over(all))
+      .select(col("ok").as("prompt"), col("id"),
+        col("s").as("score_bt"),
+        when(col("s") > col("med"), 1L).otherwise(0L).as("desirable"))
+  }
+
+  /** DuckDB oracle for [[ktoLabels]] over the [[fit]] scores —
+    * appends to the shared score chain (`duelsSql` must select
+    * `ok, i, j, awin`; the chain's pair CTEs ignore the extra
+    * column). */
+  def ktoOracleSql(duelsSql: String, iters: Int): String =
+    oracleChain(duelsSql, iters) +
+      s""",
+         |kto_r AS (SELECT DISTINCT ok, id FROM (
+         |    SELECT ok, i AS id FROM duels
+         |    UNION ALL SELECT ok, j AS id FROM duels)),
+         |kto_w AS (SELECT r.ok, r.id, s.s,
+         |    CAST(row_number() OVER (PARTITION BY r.ok
+         |      ORDER BY s.s ASC, r.id ASC) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY r.ok) AS BIGINT) AS n
+         |  FROM kto_r r JOIN it$iters s ON s.id = r.id),
+         |kto_m AS (SELECT ok,
+         |    max(CASE WHEN rn = (n + 1) // 2 THEN s END) AS med
+         |  FROM kto_w GROUP BY ok)
+         |SELECT w.ok AS prompt, w.id, w.s AS score_bt,
+         |  CAST(CASE WHEN w.s > m.med THEN 1 ELSE 0 END AS BIGINT)
+         |    AS desirable
+         |FROM kto_w w JOIN kto_m m USING (ok)
+         |ORDER BY prompt, id""".stripMargin
+
+  /** Best-of-n selection export — the other per-response post-training
+    * shape: per prompt, the argmax-scored response (ties broken by
+    * id) with its margin over the runner-up and the prompt's response
+    * count. Prompts with a single distinct response are dropped (no
+    * runner-up, margin undefined). Same scale shape as [[ktoLabels]]:
+    * one participant distinct + one prompt-partitioned window pass. */
+  def bestOfN(duels: DataFrame, scores: DataFrame): DataFrame = {
+    val resp = duels
+      .select(col("ok").cast("long"),
+        explode(array(col("i").cast("long"), col("j").cast("long")))
+          .as("id"))
+      .distinct()
+      .join(broadcast(scores.select(col("id"), col("bt").as("s"))),
+        Seq("id"))
+    val byScore = Window.partitionBy("ok")
+      .orderBy(col("s").desc, col("id").asc)
+    val all = Window.partitionBy("ok")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    resp
+      .withColumn("rn", row_number().over(byScore))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s2", max(when(col("rn") === 2, col("s"))).over(all))
+      .where(col("rn") === 1 && col("n") >= 2L)
+      .select(col("ok").as("prompt"), col("id").as("best_id"),
+        col("s").as("score_bt"),
+        (col("s") - col("s2")).as("margin"),
+        col("n").as("n_responses"))
+  }
+
+  /** DuckDB oracle for [[bestOfN]] — appends to the shared score
+    * chain (`duelsSql` must select `ok, i, j, awin`). */
+  def bestOfNOracleSql(duelsSql: String, iters: Int): String =
+    oracleChain(duelsSql, iters) +
+      s""",
+         |bon_r AS (SELECT DISTINCT ok, id FROM (
+         |    SELECT ok, i AS id FROM duels
+         |    UNION ALL SELECT ok, j AS id FROM duels)),
+         |bon_w AS (SELECT r.ok, r.id, s.s,
+         |    row_number() OVER (PARTITION BY r.ok
+         |      ORDER BY s.s DESC, r.id ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY r.ok) AS BIGINT) AS n
+         |  FROM bon_r r JOIN it$iters s ON s.id = r.id),
+         |bon_m AS (SELECT ok,
+         |    max(CASE WHEN rn = 1 THEN id END) AS best_id,
+         |    max(CASE WHEN rn = 1 THEN s END) AS s1,
+         |    max(CASE WHEN rn = 2 THEN s END) AS s2,
+         |    max(n) AS n
+         |  FROM bon_w GROUP BY ok)
+         |SELECT ok AS prompt, best_id, s1 AS score_bt,
+         |  CAST(s1 - s2 AS BIGINT) AS margin, n AS n_responses
+         |FROM bon_m WHERE n >= 2
+         |ORDER BY prompt""".stripMargin
 
   /** DuckDB oracle for [[calibration]] over the [[fit]] scores —
     * appends the calibration aggregation to the shared score chain. */

@@ -57,9 +57,15 @@ object GraphEdges {
     * silently serve. */
   def shared(s: SparkSession, table: String,
              build: => DataFrame): DataFrame = {
-    if (!s.catalog.tableExists(table))
-      Bucketing.writeBucketed(build, table, "src",
-        buckets = s.sessionState.conf.numShufflePartitions)
+    // same lock + ledger discipline as Sinks.ensureBuilt: concurrent
+    // prepares reaching one shared layout build it exactly once
+    StoreLedger.lockFor(table).synchronized {
+      val exists = s.catalog.tableExists(table)
+      if (!exists)
+        Bucketing.writeBucketed(build, table, "src",
+          buckets = s.sessionState.conf.numShufflePartitions)
+      StoreLedger.record(table, ran = !exists, tables = Seq(table))
+    }
     s.table(table)
   }
 }

@@ -45,14 +45,27 @@ object RankCentrality {
     * micro units, max entity = 1,000,000. */
   def fit(duels: DataFrame, iters: Int,
           checkpointEvery: Int = 5): DataFrame = {
-    require(iters >= 1, "rankCentrality needs at least one iteration")
-    require(checkpointEvery >= 1, "cadence must be >= 1")
     val d = duels.select(col("i").cast("long"), col("j").cast("long"),
       col("awin").cast("boolean"))
-    val pairs = d
-      .groupBy("i", "j")
+    fitFromPairs(d.groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("awin"), 1L).otherwise(0L)).as("wi"))
+        sum(when(col("awin"), 1L).otherwise(0L)).as("wi")),
+      iters, checkpointEvery)
+  }
+
+  /** [[fit]] from a precomputed `(i, j, n, wi)` pair-statistics table
+    * (the same additive matrix [[BradleyTerry.pairStats]] persists) —
+    * the rank-centrality rates depend on the duel stream ONLY through
+    * per-pair counts and wins, so a store that already paid the one
+    * duel-stream shuffle can fit both models from it without a second
+    * pass. Bit-identical to [[fit]] on the originating duels. */
+  def fitFromPairs(pairStats: DataFrame, iters: Int,
+                   checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, "rankCentrality needs at least one iteration")
+    require(checkpointEvery >= 1, "cadence must be >= 1")
+    val pairs = pairStats
+      .select(col("i").cast("long"), col("j").cast("long"),
+        col("n").cast("long"), col("wi").cast("long"))
       .localCheckpoint()
     val deg = pairs.select(col("i").as("id"))
       .unionByName(pairs.select(col("j").as("id")))

@@ -47,11 +47,13 @@ object Tombstones {
     * q_takedown_cross_store audits against its oracle. */
   def recordAll(removeIds: DataFrame, stores: Seq[String]): Unit = {
     val ids = removeIds.toDF("id").localCheckpoint()
+    // Checkpoints.free, not ids.unpersist(): Dataset.unpersist is a
+    // no-op for a localCheckpoint()ed frame (the blocks are pinned on
+    // the RDD, invisible to the CacheManager), which leaked the id
+    // frame into the session baseline when recordAll ran inside an
+    // untimed prepare (round-12 advice)
     try stores.foreach(record(ids, _))
-    finally {
-      try ids.unpersist()
-      catch { case _: Throwable => () }
-    }
+    finally Checkpoints.free(ids)
   }
 
   /** `df` minus tombstoned ids (`df`'s id column must be named `id`) —

@@ -161,7 +161,7 @@ object ClusterQueries {
   private def ivfPqCodesTable(s: SparkSession, d: String): String = {
     val tbl = "ann_ivfpq_codes_" +
       Sinks.contentKey(d, "embeddings.parquet", "ivfpq8x16i2|v1")
-    if (!s.catalog.tableExists(tbl)) {
+    Sinks.buildOnce(s, tbl) {
       GraftFunctions.ensureRegistered(s)
       graft.ops.Compaction.dropManagedTable(s, tbl)
       val base = embeddings(s, d).select(col("vec_id"), col("embedding"))

@@ -25,7 +25,7 @@ object MergeQueries {
                              d: String): String = {
     val tbl = "orc_orders_" +
       Sinks.contentKey(d, "orders.parquet", "orc|v2")
-    if (!s.catalog.tableExists(tbl)) {
+    Sinks.buildOnce(s, tbl) {
       graft.ops.Compaction.dropManagedTable(s, tbl)
       orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),

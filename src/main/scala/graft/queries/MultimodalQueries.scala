@@ -74,7 +74,7 @@ object MultimodalQueries {
         org.apache.spark.sql.DataFrame): String = {
     val tbl = s"media_${kind}_" +
       Sinks.contentKey(d, "documents.parquet", s"media$kind|v1")
-    if (!s.catalog.tableExists(tbl)) {
+    Sinks.buildOnce(s, tbl) {
       // a previous session's warehouse directory may survive without
       // the catalog entry (fresh in-memory catalog, shared cwd) — the
       // CTAS would then throw locationAlreadyExists
@@ -148,7 +148,7 @@ object MultimodalQueries {
     val srcT = mediaPngTable(s, d)
     val tbl = "phash_idx_" +
       Sinks.contentKey(d, "documents.parquet", "phashix|v2")
-    if (!s.catalog.tableExists(tbl)) {
+    Sinks.buildOnce(s, tbl) {
       graft.ops.Compaction.dropManagedTable(s, tbl)
       Multimodal.bandedPhash(
           Multimodal.pHashDecoded(s.table(srcT)

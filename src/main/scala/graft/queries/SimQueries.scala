@@ -56,7 +56,7 @@ object SimQueries {
   private def corpusShingleTable(s: SparkSession, d: String): String = {
     val tbl = "sh_corpus_" +
       Sinks.contentKey(d, "documents.parquet", "sh3|v1")
-    if (!s.catalog.tableExists(tbl)) {
+    Sinks.buildOnce(s, tbl) {
       graft.ops.Compaction.dropManagedTable(s, tbl)
       corpus(s, d)
         .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
@@ -77,7 +77,7 @@ object SimQueries {
   private def neardupComponents(s: SparkSession, d: String): DataFrame = {
     val tbl = "neardup_comp_" +
       Sinks.contentKey(d, "documents.parquet", "k32b16t800|v1")
-    if (!s.catalog.tableExists(tbl)) {
+    Sinks.buildOnce(s, tbl) {
       val docs = s.table(corpusShingleTable(s, d))
       val pairs = Similarity.nearDupPairs(docs, k = 32, bands = 16,
         thresholdMilli = 800)
@@ -314,7 +314,7 @@ object SimQueries {
   private def simhashDetected(s: SparkSession, d: String): DataFrame = {
     val tbl = "simhash_det_" +
       Sinks.contentKey(d, "documents.parquet", "h16|v1")
-    if (!s.catalog.tableExists(tbl)) {
+    Sinks.buildOnce(s, tbl) {
       GraftFunctions.ensureRegistered(s)
       val nPart = s.sessionState.conf.numShufflePartitions
       // first barrier spreads per-row hash work across cores (small

@@ -22,16 +22,44 @@ object Sinks {
   def ensureBuilt(s: org.apache.spark.sql.SparkSession,
                   marker: String, requires: Seq[String] = Seq.empty)
                  (build: => Unit): Unit = {
-    val complete = s.catalog.tableExists(marker) &&
-      requires.forall(s.catalog.tableExists)
-    if (!complete) {
-      graft.ops.Compaction.dropManagedTable(s, marker)
-      build
-      import s.implicits._
-      Seq(1).toDF("ok").write.format("parquet")
-        .mode("overwrite").saveAsTable(marker)
+    // Per-marker JVM lock + session build log (see
+    // [[graft.ops.StoreLedger]]): Bench's parallel prepare pool may
+    // reach the SAME shared store from two threads — without the lock
+    // both see "not built" and race the overwrite. The second thread
+    // blocks, re-checks, and serves the finished store. Locks are per
+    // marker, so DISTINCT stores still build fully in parallel.
+    graft.ops.StoreLedger.lockFor(marker).synchronized {
+      val complete = s.catalog.tableExists(marker) &&
+        requires.forall(s.catalog.tableExists)
+      if (!complete) {
+        graft.ops.Compaction.dropManagedTable(s, marker)
+        build
+        import s.implicits._
+        Seq(1).toDF("ok").write.format("parquet")
+          .mode("overwrite").saveAsTable(marker)
+      }
+      graft.ops.StoreLedger.record(marker, ran = !complete,
+        tables = marker +: requires)
     }
   }
+
+  /** The single-CTAS sibling of [[ensureBuilt]]: run `build` once per
+    * `table` under the table's [[graft.ops.StoreLedger]] lock. For
+    * one-write sinks the catalog entry is the completion marker (CTAS
+    * registers only after a successful write), so no marker table is
+    * needed — but the LOCK is: Bench's parallel prepare pool reaches
+    * shared tables (the corpus shingle table feeds four prepares) from
+    * several threads, and two bare exists-checks then race the same
+    * output committer directory (observed: `_temporary/0 does not
+    * exist` on the shingle store, round 13). */
+  def buildOnce(s: org.apache.spark.sql.SparkSession, table: String)
+               (build: => Unit): Unit =
+    graft.ops.StoreLedger.lockFor(table).synchronized {
+      val exists = s.catalog.tableExists(table)
+      if (!exists) build
+      graft.ops.StoreLedger.record(table, ran = !exists,
+        tables = Seq(table))
+    }
 
   /** Content key for idempotent side-channel sinks: an MD5 over the
     * source file's actual BYTES (plus `extra`), so a regeneration that

@@ -222,7 +222,7 @@ object TextQueries {
                             d: String): String = {
     val tbl = "bpe_vocab_" +
       Sinks.contentKey(d, "documents.parquet", s"bpe|r$BpeRounds|v1")
-    if (!s.catalog.tableExists(tbl)) {
+    Sinks.buildOnce(s, tbl) {
       graft.ops.Compaction.dropManagedTable(s, tbl)
       val res = TextOps.bpeTrain(documents(s, d), "text", BpeRounds)
       res.vocab.select("word", "n", "sym")
