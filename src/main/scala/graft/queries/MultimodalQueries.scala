@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Similarity, TextOps}
 
 /** Multimodal binary-column queries. The perceptual-hash gates carry
   * REAL images: each document rendered as an 8-bit grayscale PNG and
@@ -372,6 +372,134 @@ object MultimodalQueries {
         |  CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming,
         |  bit_count(xor(h_a, h_b)) <= 3 AS detected
         |FROM tah a JOIN tbh b USING (doc_id) ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- cross-modal paired curation (image x caption) ---------------
+    // The multimodal-training-set operator the media and text families
+    // meet at (r12 verdict item 4): (image, caption) PAIRS are the
+    // unit, and curation must flag pairs whose two modalities
+    // disagree. Image near-dup comes from the banded-phash chain over
+    // STORED decoded PNGs; caption near-dup from the MinHash-LSH +
+    // exact-Jaccard chain — the same two cluster chains the dedup
+    // gates pin individually. A pair of pairs sharing a near-dup
+    // image but NOT a near-dup caption is a caption conflict (same
+    // picture, contradictory descriptions — a labeling defect);
+    // sharing a near-dup caption but NOT a near-dup image is an image
+    // conflict (stock caption pasted across different pictures). The
+    // planted universe: consistent pairs (doc, its render), the
+    // stored Z-splice twins (near image + near caption — consistent),
+    // a %7 tranche pairing the SAME stored image with reversed-token
+    // captions, and a %5 tranche pairing the SAME caption with the
+    // NEXT doc's stored image. Both anti-joins are pair-keyed over
+    // the two chains' bounded near-dup lists; at 100 TB both chains
+    // read their persisted banded stores and nothing else moves. The
+    // oracle replays BOTH chains from first principles (text-derived
+    // phash + brute-force all-pairs Jaccard).
+    Q("q_multimodal_paired_curation",
+      (s, d) => {
+        val store = s.table(mediaPngTable(s, d))
+        val base = documents(s, d)
+          .filter(length(col("text")) >= 60 && col("doc_id") < 400)
+          .select(col("doc_id"), col("text"))
+        val toks = TextOps.tokens(col("text"))
+        val p = base.select(col("doc_id").as("pair_id"),
+          col("doc_id").as("img_id"), col("text").as("caption"))
+        val t = base.select((col("doc_id") + TwinOffset).as("pair_id"),
+          (col("doc_id") + TwinOffset).as("img_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("caption"))
+        val u = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 7000000L).as("pair_id"),
+            col("doc_id").as("img_id"),
+            array_join(reverse(toks), " ").as("caption"))
+        val v = base.as("a")
+          .join(base.select(col("doc_id").as("nid")).as("b"),
+            col("a.doc_id") + 5 === col("b.nid"))
+          .filter(col("a.doc_id") % 5 === 0)
+          .select((col("a.doc_id") + 5000000L).as("pair_id"),
+            col("b.nid").as("img_id"), col("a.text").as("caption"))
+        val pairs = p.unionByName(t).unionByName(u).unionByName(v)
+          .localCheckpoint() // 3 consumers: img-id distinct, the
+          // hash join-back, and the caption shingle chain
+        val imgIds = pairs.select(col("img_id")).distinct()
+        val hashes = Multimodal.pHashDecoded(
+            store.join(imgIds, store("doc_id") === imgIds("img_id"))
+              .select(store("doc_id"), col("payload"))).toDF()
+          .select(col("doc_id").as("img_id"), col("phash"))
+        val pairHashes = pairs
+          .join(hashes, Seq("img_id"))
+          .select(col("pair_id").as("doc_id"), col("phash"))
+        val imgPairs = Multimodal.phashNearDup(pairHashes,
+            maxHamming = 3)
+          .select("id_a", "id_b")
+        val capPairs = Similarity.nearDupPairs(
+            pairs.select(col("pair_id").as("id"),
+                TextOps.wordShingles(col("caption"), 3).as("shingles"))
+              .filter(size(col("shingles")) > 0),
+            k = 32, bands = 16, thresholdMilli = 800)
+          .select("id_a", "id_b")
+        imgPairs.join(capPairs, Seq("id_a", "id_b"), "left_anti")
+          .withColumn("flag", lit("caption_conflict"))
+          .unionByName(
+            capPairs.join(imgPairs, Seq("id_a", "id_b"), "left_anti")
+              .withColumn("flag", lit("image_conflict")))
+          .orderBy("flag", "id_a", "id_b")
+      },
+      Some(s"""
+        |WITH mp_base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 60 AND doc_id < 400),
+        |mp_pairs AS (
+        |  SELECT doc_id AS pair_id, doc_id AS img_id, text AS caption
+        |    FROM mp_base
+        |  UNION ALL SELECT doc_id + 3000000, doc_id + 3000000,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11))
+        |    FROM mp_base
+        |  UNION ALL SELECT doc_id + 7000000, doc_id, array_to_string(
+        |      list_reverse(string_split_regex(trim(text),
+        |        '[ \\t\\n\\r\\f]+')), ' ')
+        |    FROM mp_base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT a.doc_id + 5000000, b.doc_id, a.text
+        |    FROM mp_base a JOIN mp_base b ON b.doc_id = a.doc_id + 5
+        |    WHERE a.doc_id % 5 = 0),
+        |mp_imgsrc AS (
+        |  SELECT doc_id, text FROM mp_base
+        |  UNION ALL SELECT doc_id + 3000000,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11))
+        |    FROM mp_base),
+        |${phashCtes("mp_imgsrc", "text", "mpi", "phash")},
+        |mp_ph AS (SELECT p.pair_id, h.phash
+        |  FROM mp_pairs p JOIN mpih h ON h.doc_id = p.img_id),
+        |mp_img AS (SELECT a.pair_id AS id_a, b.pair_id AS id_b
+        |  FROM mp_ph a JOIN mp_ph b ON a.pair_id < b.pair_id
+        |   AND bit_count(xor(a.phash, b.phash)) <= 3),
+        |mp_sh AS (SELECT pair_id AS id, list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    AS shingles
+        |  FROM (SELECT pair_id, string_split_regex(trim(caption),
+        |      '[ \\t\\n\\r\\f]+') AS toks FROM mp_pairs)
+        |  WHERE len(toks) >= 3),
+        |mp_capcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM (SELECT id, unnest(shingles) AS s FROM mp_sh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM mp_sh) b
+        |    ON a.s = b.s AND a.id < b.id),
+        |mp_cap AS (SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, floor(1000.0
+        |        * len(list_intersect(sa.shingles, sb.shingles))
+        |        / (len(sa.shingles) + len(sb.shingles)
+        |           - len(list_intersect(sa.shingles, sb.shingles)))
+        |        + 0.5) AS jm
+        |    FROM mp_capcand JOIN mp_sh sa ON sa.id = mp_capcand.id_a
+        |    JOIN mp_sh sb ON sb.id = mp_capcand.id_b)
+        |  WHERE jm >= 800)
+        |SELECT id_a, id_b, 'caption_conflict' AS flag FROM mp_img i
+        |  WHERE NOT EXISTS (SELECT 1 FROM mp_cap c
+        |    WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
+        |UNION ALL
+        |SELECT id_a, id_b, 'image_conflict' AS flag FROM mp_cap c
+        |  WHERE NOT EXISTS (SELECT 1 FROM mp_img i
+        |    WHERE i.id_a = c.id_a AND i.id_b = c.id_b)
+        |ORDER BY flag, id_a, id_b
         |""".stripMargin.trim)),
 
     // ---- audio fingerprint over REAL decoded WAVs -------------------

@@ -15,7 +15,8 @@ object Registry {
     RefQueries.all ++ AggQueries.all ++ TextQueries.all ++
       SimQueries.all ++ JobQueries.all ++ StreamQueries.all ++
       MultimodalQueries.all ++ CorpusQueries.all ++ MergeQueries.all ++
-      AnalyticsQueries.all ++ ScaleQueries.all ++ ClusterQueries.all
+      AnalyticsQueries.all ++ ScaleQueries.all ++ ClusterQueries.all ++
+      CodeQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1003,6 +1003,147 @@ object SimQueries {
         |ORDER BY doc_id
         |""".stripMargin.trim)),
 
+    // ---- provenance conservation audit --------------------------------
+    // The audit a 100 TB pipeline publishes with every release (the
+    // datasheet's missing half, r12 verdict item 3): every input doc
+    // accounted for EXACTLY ONCE across the five fates {admit,
+    // dup_exact, dup_near, short, quarantined}, with source-file
+    // lineage surviving to the output. The batch arrives from four
+    // "files" (exact recrawls, mutated near-copies, fresh
+    // reversed-token docs, and a broken tranche with empty text that
+    // the DQ stage quarantines before any dedup work), runs the SAME
+    // staged chain as q_incr_curation_pipeline (quarantine -> exact
+    // fingerprint anti-join -> near-dup vs the stored LSH buckets ->
+    // quality floor), and emits per (src_file, fate) counts AND id
+    // sums PLUS the per-file input totals — so the partition property
+    // (fates sum to input, per file, in both count and id mass) is IN
+    // the hashed artifact, not a claim beside it. Zero new shuffles
+    // beyond the pipeline's own; the rollup is partial-aggregable
+    // over a ~20-key domain.
+    Q("q_provenance_conservation",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id").as("id"), col("text"))
+        val toks = TextOps.tokens(col("text"))
+        val b1 = docs.filter(col("id") < 30)
+          .select((col("id") + 2000000L).as("id"), col("text"),
+            lit("recrawl.jsonl").as("src_file"))
+        val b2 = corpus(s, d).filter(col("id") >= 1000000L)
+          .select(col("id"), col("text"),
+            lit("mutations.jsonl").as("src_file"))
+        val b3 = docs.filter(col("id") >= 100 && col("id") < 150)
+          .select((col("id") + 2100000L).as("id"),
+            array_join(reverse(toks), " ").as("text"),
+            lit("fresh.jsonl").as("src_file"))
+        val b4 = docs.filter(col("id") >= 150 && col("id") < 160)
+          .select((col("id") + 2200000L).as("id"),
+            lit("").as("text"), lit("broken.jsonl").as("src_file"))
+        val batch = b1.unionByName(b2).unionByName(b3).unionByName(b4)
+        val quar = col("text").isNull || trim(col("text")) === ""
+        val s1 = graft.ops.Dedup.incrementalExactDedup(docs,
+          batch.filter(!quar).select("id", "text"),
+          contentCols = Seq("text"), tiebreak = Seq("id"))
+          .localCheckpoint() // 2 consumers: banding + verdict assembly
+        val (bT, shT) = corpusLshTables(s, d)
+        val shingled = s1
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+          .select("id", "shingles")
+        val nearIds = Similarity.nearDupPairsAgainstBuckets(shingled,
+            s.table(bT), s.table(shT),
+            k = 32, bands = 16, thresholdMilli = 800)
+          .select(col("id_new").as("id")).distinct()
+        val s1v = s1
+          .join(broadcast(nearIds.select(col("id"), lit(1).as("_nr"))),
+            Seq("id"), "left")
+          .select(col("id"),
+            when(col("_nr").isNotNull, lit("dup_near"))
+              .when(size(TextOps.tokens(col("text"))) >= 10,
+                lit("admit"))
+              .otherwise(lit("short")).as("fate"))
+        val fates = batch
+          .select(col("id"), col("src_file"),
+            when(quar, lit("quarantined")).as("qfate"))
+          .join(broadcast(s1v), Seq("id"), "left")
+          .select(col("id"), col("src_file"),
+            coalesce(col("qfate"), col("fate"), lit("dup_exact"))
+              .as("fate"))
+        fates.groupBy("src_file", "fate")
+          .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("id_sum"))
+          .unionByName(batch.groupBy("src_file")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("id")).as("id_sum"))
+            .select(col("src_file"), lit("input").as("fate"),
+              col("n_docs"), col("id_sum")))
+          .orderBy("src_file", "fate")
+      },
+      Some(s"""
+        |WITH $corpusSql,
+        |pc_b1 AS (SELECT id + 2000000 AS id, text,
+        |    'recrawl.jsonl' AS src_file FROM docs WHERE id < 30),
+        |pc_b2 AS (SELECT id, text, 'mutations.jsonl' AS src_file
+        |  FROM corpus WHERE id >= 1000000),
+        |pc_b3 AS (SELECT id + 2100000 AS id, array_to_string(
+        |    list_reverse(string_split_regex(trim(text),
+        |      '[ \t\n\r\f]+')), ' ') AS text,
+        |    'fresh.jsonl' AS src_file
+        |  FROM docs WHERE id >= 100 AND id < 150),
+        |pc_b4 AS (SELECT id + 2200000 AS id, '' AS text,
+        |    'broken.jsonl' AS src_file
+        |  FROM docs WHERE id >= 150 AND id < 160),
+        |pc_batch AS (SELECT * FROM pc_b1
+        |  UNION ALL SELECT * FROM pc_b2
+        |  UNION ALL SELECT * FROM pc_b3
+        |  UNION ALL SELECT * FROM pc_b4),
+        |pc_rest AS (SELECT id, text FROM pc_batch
+        |  WHERE NOT (text IS NULL OR trim(text) = '')),
+        |pc_s1 AS (SELECT id, text FROM (
+        |    SELECT id, text, row_number() OVER (
+        |      PARTITION BY text ORDER BY id) AS rn FROM pc_rest) b
+        |  WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM docs c
+        |    WHERE c.text IS NOT DISTINCT FROM b.text)),
+        |pc_bsh AS (SELECT id, list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    AS shingles
+        |  FROM (SELECT id, string_split_regex(trim(text),
+        |      '[ \t\n\r\f]+') AS toks FROM pc_s1)
+        |  WHERE len(toks) >= 3),
+        |pc_cand AS (SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+        |  FROM (SELECT id, unnest(shingles) AS s FROM pc_bsh) a
+        |  JOIN (SELECT id, unnest(shingles) AS s FROM sh
+        |        WHERE id < 1000000) b ON a.s = b.s),
+        |pc_near AS (SELECT DISTINCT id_new AS id FROM (
+        |    SELECT id_new, floor(1000.0
+        |        * len(list_intersect(sa.shingles, sb.shingles))
+        |        / (len(sa.shingles) + len(sb.shingles)
+        |           - len(list_intersect(sa.shingles, sb.shingles)))
+        |        + 0.5) AS jm
+        |    FROM pc_cand JOIN pc_bsh sa ON sa.id = pc_cand.id_new
+        |    JOIN sh sb ON sb.id = pc_cand.id_corpus)
+        |  WHERE jm >= 800),
+        |pc_fate AS (SELECT b.id, b.src_file,
+        |    CASE WHEN b.text IS NULL OR trim(b.text) = ''
+        |           THEN 'quarantined'
+        |         WHEN s1.id IS NULL THEN 'dup_exact'
+        |         WHEN nr.id IS NOT NULL THEN 'dup_near'
+        |         WHEN len(string_split_regex(trim(b.text),
+        |           '[ \t\n\r\f]+')) >= 10 THEN 'admit'
+        |         ELSE 'short' END AS fate
+        |  FROM pc_batch b
+        |  LEFT JOIN pc_s1 s1 ON s1.id = b.id
+        |  LEFT JOIN pc_near nr ON nr.id = b.id)
+        |SELECT src_file, fate, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(id) AS BIGINT) AS id_sum
+        |  FROM pc_fate GROUP BY 1, 2
+        |UNION ALL
+        |SELECT src_file, 'input' AS fate,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(id) AS BIGINT) AS id_sum
+        |  FROM pc_batch GROUP BY 1
+        |ORDER BY src_file, fate
+        |""".stripMargin.trim)),
+
     // ---- split-leakage audit ------------------------------------------
     // The reason dedup must precede splitting: every detected near-dup
     // pair here is (original, mutated copy), and a hash split by doc id
