@@ -655,4 +655,25 @@ object Corpus {
       .withColumn("samp_rank", row_number().over(w))
       .filter(col("samp_rank") <= col("quota"))
   }
+
+  /** Release-to-release corpus diff — the audit a pipeline publishes
+    * with every refreshed training-set release: each document keyed by
+    * id, content compared by hash, classified into exactly one of
+    * {added, removed, changed, unchanged}. ONE shuffle (the full-outer
+    * sort-merge join on id); content hashes are computed scan-side so
+    * document text never moves through the shuffle — at 100 TB the
+    * exchange carries (id, 32-byte hash), not bodies. Output:
+    * (id, fate). */
+  def releaseDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    def keyed(df: DataFrame, h: String) = df.select(
+      col(idCol).cast(LongType).as("id"),
+      md5(coalesce(col(textCol), lit(""))).as(h))
+    keyed(v1, "h1").join(keyed(v2, "h2"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h2").isNull, lit("removed"))
+          .when(col("h1").isNull, lit("added"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("fate"))
+  }
 }

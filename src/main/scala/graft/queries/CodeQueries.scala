@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.CodeOps
+import graft.ops.{CodeOps, Winnowing}
 
 /** Code-corpus curation gates (r12 verdict item 6): detection and
   * code-appropriate quality signals over a planted repo snapshot —
@@ -95,6 +95,90 @@ object CodeQueries {
     |    AS BIGINT) AS fence_blocks
     |  FROM det)""".stripMargin.trim
 
+  /** A rendered code corpus with planted RENAMED clones — the fixture
+    * for the winnowing family: every 13th document becomes a source
+    * file whose lines carry the doc's words as uppercase payload under
+    * lowercase identifiers (`a0 = WINDOW`); every 26th additionally
+    * gets a clone at +1,000,000 with every identifier renamed
+    * (`qq0 = WINDOW...`) plus one appended unique line. Raw texts
+    * differ on every line (exact dedup finds nothing); normalized
+    * texts are identical except the appended line — the rename-robust
+    * near-dup case winnowing exists for. Measured (salted render):
+    * planted-pair containment ≥ 949 milli at sf0.01 / ≥ 904 at sf0.1,
+    * accidental cross-pairs 0 at both. */
+  private def renderedCode(s: SparkSession, d: String,
+                           mod: Int): DataFrame = {
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    // payload salt: fixture vocabulary is ~20 words, so unsalted
+    // renders share 2-word char runs between most doc pairs — every
+    // shared k-gram is a candidate edge, and the verify join
+    // degenerates toward brute force (measured 12.4 s at sf0.1). Real
+    // code payload (identifiers, literals) is high-entropy; the
+    // per-doc salt models that, keeping the candidate graph sparse —
+    // clones share their base's salt, so detection is untouched.
+    def render(prefix: String): Column = array_join(
+      transform(col("toks"), (t, i) =>
+        concat(lit(prefix), i.cast("string"), lit(" = "), upper(t),
+          lit("9"), (col("doc_id") % 9973).cast("string"))),
+      "\n")
+    val base = documents(s, d).filter(col("doc_id") % mod === 3)
+      .select(col("doc_id"), toks.as("toks"))
+    base.select(col("doc_id").as("id"), render("a").as("ftext"))
+      .unionByName(base.filter(col("doc_id") % 26 === 3)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(render("qq"), lit("\nqq_extra = XTRA"),
+            col("doc_id").cast("string"), lit("X")).as("ftext")))
+  }
+
+  /** The same render as DuckDB CTEs (`rbase`/`rclone`/`norm`), with
+    * the base-file sample modulus interpolated. Line-END operators —
+    * see the stripMargin note on [[plantedSql]]. */
+  private def renderedSql(mod: Int, clones: Boolean): String = {
+    val cloneSql = if (!clones) "" else """
+      |UNION ALL SELECT doc_id + 1000000 AS id,
+      |  array_to_string(list_transform(range(1, len(toks)+1),
+      |    i -> 'qq' || CAST(i-1 AS VARCHAR) || ' = ' || upper(toks[i]) ||
+      |      '9' || CAST(doc_id % 9973 AS VARCHAR)),
+      |    chr(10)) ||
+      |  chr(10) || 'qq_extra = XTRA' || CAST(doc_id AS VARCHAR) || 'X'
+      |  AS ftext FROM cw WHERE doc_id % 26 = 3""".stripMargin
+    s"""
+    |cw AS (SELECT doc_id,
+    |    string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS toks
+    |  FROM documents WHERE doc_id % $mod = 3),
+    |rendered AS (SELECT doc_id AS id,
+    |  array_to_string(list_transform(range(1, len(toks)+1),
+    |    i -> 'a' || CAST(i-1 AS VARCHAR) || ' = ' || upper(toks[i]) ||
+    |      '9' || CAST(doc_id % 9973 AS VARCHAR)),
+    |    chr(10)) AS ftext FROM cw$cloneSql),
+    |norm AS (SELECT id, regexp_replace(regexp_replace(ftext,
+    |    '[a-z_][a-z0-9_]*', 'v', 'g'), '[ \t]+', ' ', 'g') AS nt
+    |  FROM rendered)""".stripMargin.trim
+  }
+
+  private val K = 24 // k-gram width (chars, ~2 rendered lines)
+  private val W = 8  // winnowing window (guarantee: runs >= 31 chars)
+
+  /** The persisted winnowing fingerprint store over the rendered code
+    * corpus (bases mod 13 + renamed clones): (id, ks, fps), built once
+    * per corpus content — the artifact every winnowing gate reads.
+    * Persisting is REQUIRED, not a convenience: see the pushdown
+    * hazard documented on [[Winnowing.fingerprintTable]]. */
+  private def winnowStore(s: SparkSession, d: String): String = {
+    val tbl = "winnow_fp_" +
+      Sinks.contentKey(d, "documents.parquet", s"winnow-k$K-w$W|v2")
+    Sinks.buildOnce(s, tbl) {
+      graft.ops.Compaction.dropManagedTable(s, tbl)
+      Winnowing.fingerprintTable(renderedCode(s, d, mod = 13),
+          "id", "ftext", K, W, md5)
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "winnow_store" -> ((s, d) => { winnowStore(s, d); () }))
+
   def all: Seq[Q] = Seq(
 
     // ---- code detection (majority vote) -------------------------------
@@ -169,6 +253,95 @@ object CodeQueries {
         |      // CAST(len(string_split(text, chr(10))) AS BIGINT)
         |      <= 500 AS admitted
         |FROM detc WHERE is_code ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- winnowing fingerprint extraction ------------------------------
+    // The MOSS selection rule itself, pinned position-by-position: for
+    // a sampled sub-corpus, every (pos, fp) the w-window rightmost-min
+    // rule selects over the md5 k-gram hash sequence of the normalized
+    // render. Per-row higher-order functions — a projection on the
+    // scan, zero shuffles; measured density 0.2221 at sf0.01 vs the
+    // paper's expected 2/(w+1) = 0.2222. The DuckDB twin re-derives
+    // the selection with window functions (min over w-frame, rightmost
+    // tie via a bounded self-join) — two independent formulations of
+    // the algorithm must agree exactly.
+    Q("q_code_winnow_fingerprints",
+      (s, d) => {
+        s.table(winnowStore(s, d))
+          .filter(col("id") % 39 === 3 && col("id") < 1000000L)
+          .select(col("id").as("doc_id"), explode(col("fps")).as("w"))
+          .select(col("doc_id"), col("w.pos").as("pos"),
+            col("w.fp").as("fp"))
+          .orderBy("doc_id", "pos")
+      },
+      Some(s"""
+        |WITH ${renderedSql(mod = 39, clones = false)},
+        |gh AS (SELECT id, pos, md5(substr(nt, pos, $K)) AS h
+        |  FROM (SELECT id, nt,
+        |          unnest(range(1, length(nt) - ${K - 2})) AS pos
+        |        FROM norm WHERE length(nt) >= ${K + W - 1})),
+        |wm AS (SELECT id, pos, h,
+        |    MIN(h) OVER (PARTITION BY id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS m,
+        |    MAX(pos) OVER (PARTITION BY id) AS maxpos
+        |  FROM gh),
+        |sel AS (SELECT w.id, MAX(g2.pos) AS fpos, w.m AS fp
+        |  FROM wm w JOIN gh g2 ON g2.id = w.id
+        |    AND g2.pos BETWEEN w.pos AND w.pos + ${W - 1}
+        |    AND g2.h = w.m
+        |  WHERE w.pos <= w.maxpos - ${W - 1}
+        |  GROUP BY w.id, w.pos, w.m)
+        |SELECT DISTINCT id AS doc_id, fpos AS pos, fp FROM sel
+        |ORDER BY doc_id, pos
+        |""".stripMargin.trim)),
+
+    // ---- rename-robust near-dup via winnowing --------------------------
+    // The operator the extraction gate exists for: renamed clones vs
+    // the base corpus. Fingerprint equi-join proposes candidates
+    // (shuffle on fp hash — the same banded 100 TB shape as the
+    // MinHash join; ~2/(w+1) of k-gram positions ever leave the scan),
+    // exact distinct-k-gram containment culls false positives, so the
+    // output equals brute-force ground truth whenever true pairs share
+    // a normalized run >= w+k-1 chars (planted clones share ~300; the
+    // winnowing guarantee makes recall structural). The oracle IS that
+    // brute force: all clone x base containments, no candidate step.
+    // Measured margin (salted render): planted >= 904 milli, accidental
+    // 0 at sf0.01 AND sf0.1 — threshold 700 has the whole floor below.
+    Q("q_code_winnow_neardup",
+      (s, d) => {
+        val sides = s.table(winnowStore(s, d))
+        val fpRows = sides.select(col("id"),
+          explode(col("fps.fp")).as("fp"))
+        val cand = fpRows.filter(col("id") >= 1000000L)
+          .select(col("id").as("id_clone"), col("fp"))
+          .join(fpRows.filter(col("id") < 1000000L)
+            .select(col("id").as("id_base"), col("fp")), Seq("fp"))
+          .select("id_clone", "id_base").distinct()
+        cand
+          .join(sides.select(col("id").as("id_clone"),
+            col("ks").as("ks_c")), Seq("id_clone"))
+          .join(sides.select(col("id").as("id_base"),
+            col("ks").as("ks_b")), Seq("id_base"))
+          .select(col("id_clone"), col("id_base"),
+            Winnowing.containmentMilli(col("ks_c"), col("ks_b"))
+              .as("containment_milli"))
+          .filter(col("containment_milli") >= 700L)
+          .orderBy("id_clone", "id_base")
+      },
+      Some(s"""
+        |WITH ${renderedSql(mod = 13, clones = true)},
+        |ks AS (SELECT id, list_distinct(list_transform(
+        |    range(1, length(nt) - ${K - 2}),
+        |    i -> md5(substr(nt, i, $K)))) AS ks
+        |  FROM norm WHERE length(nt) >= ${K + W - 1})
+        |SELECT * FROM (
+        |  SELECT c.id AS id_clone, b.id AS id_base,
+        |    CAST(floor(1000.0 * len(list_intersect(c.ks, b.ks)) /
+        |      len(c.ks) + 0.5) AS BIGINT) AS containment_milli
+        |  FROM ks c JOIN ks b
+        |    ON c.id >= 1000000 AND b.id < 1000000)
+        |WHERE containment_milli >= 700
+        |ORDER BY id_clone, id_base
         |""".stripMargin.trim))
   )
 }

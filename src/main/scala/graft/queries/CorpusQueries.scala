@@ -1207,6 +1207,52 @@ object CorpusQueries {
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM cm_s GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    // ---- release-to-release diff audit ---------------------------------
+    // The other half of the provenance story (q_provenance_conservation
+    // audits WITHIN a release; this audits BETWEEN releases): v2 is
+    // derived from v1 by dropping every 17th doc, editing every 23rd
+    // survivor, and adding fresh docs at +3000000 from every 29th —
+    // ops/Corpus.releaseDiff classifies every id into exactly one fate
+    // by content hash. One full-outer sort-merge join on id; hashes
+    // computed scan-side so the exchange carries (id, hash), never
+    // document bodies. Per-doc fates hashed, so the partition property
+    // (each id exactly one fate) is inside the gated artifact.
+    Q("q_corpus_release_diff",
+      (s, d) => {
+        val v1 = documents(s, d).select(col("doc_id"), col("text"))
+        val v2 = documents(s, d)
+          .filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 23 === 0, concat(col("text"),
+              lit(" v2"))).otherwise(col("text")).as("text"))
+          .unionByName(documents(s, d)
+            .filter(col("doc_id") % 29 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" fresh")).as("text")))
+        Corpus.releaseDiff(v1, v2, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH v1 AS (SELECT doc_id AS id,
+        |    md5(coalesce(text, '')) AS h1 FROM documents),
+        |v2 AS (SELECT doc_id AS id,
+        |    md5(coalesce(CASE WHEN doc_id % 23 = 0 THEN text || ' v2'
+        |                      ELSE text END, '')) AS h2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    md5(coalesce(text || ' fresh', ''))
+        |  FROM documents WHERE doc_id % 29 = 0)
+        |SELECT COALESCE(v1.id, v2.id) AS doc_id,
+        |  CASE WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 IS NULL THEN 'added'
+        |       WHEN h1 <> h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS fate
+        |FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+        |ORDER BY doc_id
         |""".stripMargin.trim))
   )
 }

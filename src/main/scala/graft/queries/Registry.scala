@@ -38,5 +38,6 @@ object Registry {
       CorpusQueries.prepares ++ ClusterQueries.prepares ++
       EvalArtifacts.prepares ++ MultimodalQueries.prepares ++
       MergeQueries.prepares ++ TextQueries.prepares ++
-      JobQueries.prepares ++ AggQueries.prepares
+      JobQueries.prepares ++ AggQueries.prepares ++
+      CodeQueries.prepares
 }

@@ -352,4 +352,18 @@ class CorpusSpec extends SparkSpec {
     val b = out.filter(_.getString(0) == "b")
     assert(b.length == 2 && b.forall(_.getAs[Long]("thr_milli") == 5L))
   }
+
+  test("releaseDiff: every id classified into exactly one fate by " +
+      "content hash; null text compares equal to null text") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c CHANGED"), (5L, "new"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Corpus.releaseDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"))
+    // partition property: each input id appears exactly once
+    assert(out.size == 5)
+  }
 }
