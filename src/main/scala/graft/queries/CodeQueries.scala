@@ -179,6 +179,31 @@ object CodeQueries {
   def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "winnow_store" -> ((s, d) => { winnowStore(s, d); () }))
 
+  /** The winnowing detection pipeline over the stored fingerprint
+    * table: fingerprint equi-join proposes (clone, base) candidates,
+    * exact distinct-k-gram containment culls false positives — the
+    * shared core of the file-level gate (q_code_winnow_neardup) and
+    * the repo-level fork rollup (q_code_repo_forkdup). */
+  private def winnowMatches(s: SparkSession, d: String): DataFrame = {
+    val sides = s.table(winnowStore(s, d))
+    val fpRows = sides.select(col("id"),
+      explode(col("fps.fp")).as("fp"))
+    val cand = fpRows.filter(col("id") >= 1000000L)
+      .select(col("id").as("id_clone"), col("fp"))
+      .join(fpRows.filter(col("id") < 1000000L)
+        .select(col("id").as("id_base"), col("fp")), Seq("fp"))
+      .select("id_clone", "id_base").distinct()
+    cand
+      .join(sides.select(col("id").as("id_clone"),
+        col("ks").as("ks_c")), Seq("id_clone"))
+      .join(sides.select(col("id").as("id_base"),
+        col("ks").as("ks_b")), Seq("id_base"))
+      .select(col("id_clone"), col("id_base"),
+        Winnowing.containmentMilli(col("ks_c"), col("ks_b"))
+          .as("containment_milli"))
+      .filter(col("containment_milli") >= 700L)
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- code detection (majority vote) -------------------------------
@@ -308,26 +333,7 @@ object CodeQueries {
     // Measured margin (salted render): planted >= 904 milli, accidental
     // 0 at sf0.01 AND sf0.1 — threshold 700 has the whole floor below.
     Q("q_code_winnow_neardup",
-      (s, d) => {
-        val sides = s.table(winnowStore(s, d))
-        val fpRows = sides.select(col("id"),
-          explode(col("fps.fp")).as("fp"))
-        val cand = fpRows.filter(col("id") >= 1000000L)
-          .select(col("id").as("id_clone"), col("fp"))
-          .join(fpRows.filter(col("id") < 1000000L)
-            .select(col("id").as("id_base"), col("fp")), Seq("fp"))
-          .select("id_clone", "id_base").distinct()
-        cand
-          .join(sides.select(col("id").as("id_clone"),
-            col("ks").as("ks_c")), Seq("id_clone"))
-          .join(sides.select(col("id").as("id_base"),
-            col("ks").as("ks_b")), Seq("id_base"))
-          .select(col("id_clone"), col("id_base"),
-            Winnowing.containmentMilli(col("ks_c"), col("ks_b"))
-              .as("containment_milli"))
-          .filter(col("containment_milli") >= 700L)
-          .orderBy("id_clone", "id_base")
-      },
+      (s, d) => winnowMatches(s, d).orderBy("id_clone", "id_base"),
       Some(s"""
         |WITH ${renderedSql(mod = 13, clones = true)},
         |ks AS (SELECT id, list_distinct(list_transform(
@@ -342,6 +348,64 @@ object CodeQueries {
         |    ON c.id >= 1000000 AND b.id < 1000000)
         |WHERE containment_milli >= 700
         |ORDER BY id_clone, id_base
+        |""".stripMargin.trim)),
+
+    // ---- repo-level fork detection --------------------------------------
+    // File matches say two FILES are clones; what a code-corpus dedup
+    // actually drops is the FORKED REPO (forks/mirrors dominate public
+    // code corpora). Files roll up to synthetic repos (130-id spans;
+    // clones to fork repos at +10000), the file-level winnow matches
+    // roll up per (fork, base) repo pair, and the matched-file
+    // fraction against the BASE repo's file count flags forks at >=
+    // 300 milli (fixture forks carry clones of half the base's files
+    // -> ~500). Two bounded rollups on top of the shared detection
+    // pipeline — the repo-pair table is orders smaller than the file
+    // pairs, the right shape for the final curation decision.
+    Q("q_code_repo_forkdup",
+      (s, d) => {
+        val m = winnowMatches(s, d)
+          .select((expr("(id_clone - 1000000) DIV 130") + 10000L)
+            .as("repo_a"), expr("id_base DIV 130").as("repo_b"))
+          .groupBy("repo_a", "repo_b")
+          .agg(count(lit(1)).as("n_matched_files"))
+        val sizes = s.table(winnowStore(s, d))
+          .filter(col("id") < 1000000L)
+          .groupBy(expr("id DIV 130").as("repo_b"))
+          .agg(count(lit(1)).as("n_files_b"))
+        m.join(sizes, Seq("repo_b"))
+          .withColumn("match_frac_milli",
+            floor(lit(1000.0) * col("n_matched_files") /
+              col("n_files_b") + lit(0.5)).cast("long"))
+          .filter(col("match_frac_milli") >= 300L)
+          .select("repo_a", "repo_b", "n_matched_files", "n_files_b",
+            "match_frac_milli")
+          .orderBy("repo_a", "repo_b")
+      },
+      Some(s"""
+        |WITH ${renderedSql(mod = 13, clones = true)},
+        |ks AS (SELECT id, list_distinct(list_transform(
+        |    range(1, length(nt) - ${K - 2}),
+        |    i -> md5(substr(nt, i, $K)))) AS ks
+        |  FROM norm WHERE length(nt) >= ${K + W - 1}),
+        |pm AS (SELECT (c.id - 1000000) // 130 + 10000 AS repo_a,
+        |    b.id // 130 AS repo_b
+        |  FROM ks c JOIN ks b
+        |    ON c.id >= 1000000 AND b.id < 1000000
+        |  WHERE CAST(floor(1000.0 * len(list_intersect(c.ks, b.ks)) /
+        |      len(c.ks) + 0.5) AS BIGINT) >= 700),
+        |m AS (SELECT repo_a, repo_b,
+        |    CAST(count(*) AS BIGINT) AS n_matched_files
+        |  FROM pm GROUP BY 1, 2),
+        |sz AS (SELECT id // 130 AS repo_b,
+        |    CAST(count(*) AS BIGINT) AS n_files_b
+        |  FROM rendered WHERE id < 1000000 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT m.repo_a, m.repo_b, m.n_matched_files, sz.n_files_b,
+        |    CAST(floor(1000.0 * n_matched_files / n_files_b + 0.5)
+        |      AS BIGINT) AS match_frac_milli
+        |  FROM m JOIN sz ON m.repo_b = sz.repo_b)
+        |WHERE match_frac_milli >= 300
+        |ORDER BY repo_a, repo_b
         |""".stripMargin.trim))
   )
 }

@@ -1212,47 +1212,131 @@ object CorpusQueries {
     // ---- release-to-release diff audit ---------------------------------
     // The other half of the provenance story (q_provenance_conservation
     // audits WITHIN a release; this audits BETWEEN releases): v2 is
-    // derived from v1 by dropping every 17th doc, editing every 23rd
-    // survivor, and adding fresh docs at +3000000 from every 29th —
-    // ops/Corpus.releaseDiff classifies every id into exactly one fate
-    // by content hash. One full-outer sort-merge join on id; hashes
-    // computed scan-side so the exchange carries (id, hash), never
-    // document bodies. Per-doc fates hashed, so the partition property
-    // (each id exactly one fate) is inside the gated artifact.
+    // derived from v1 by [[releaseV2]] (drops, minor edits, rewrites,
+    // additions) — ops/Corpus.releaseDiff classifies every id into
+    // exactly one fate by content hash. One full-outer sort-merge join
+    // on id; hashes computed scan-side so the exchange carries
+    // (id, hash), never document bodies. Per-doc fates hashed, so the
+    // partition property (each id exactly one fate) is inside the
+    // gated artifact.
     Q("q_corpus_release_diff",
       (s, d) => {
         val v1 = documents(s, d).select(col("doc_id"), col("text"))
-        val v2 = documents(s, d)
-          .filter(col("doc_id") % 17 =!= 0)
-          .select(col("doc_id"),
-            when(col("doc_id") % 23 === 0, concat(col("text"),
-              lit(" v2"))).otherwise(col("text")).as("text"))
-          .unionByName(documents(s, d)
-            .filter(col("doc_id") % 29 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"),
-              concat(col("text"), lit(" fresh")).as("text")))
-        Corpus.releaseDiff(v1, v2, "doc_id", "text")
+        Corpus.releaseDiff(v1, releaseV2(s, d), "doc_id", "text")
           .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id")
       },
-      Some("""
-        |WITH v1 AS (SELECT doc_id AS id,
+      Some(s"""
+        |WITH $releaseV2Sql,
+        |v1 AS (SELECT doc_id AS id,
         |    md5(coalesce(text, '')) AS h1 FROM documents),
-        |v2 AS (SELECT doc_id AS id,
-        |    md5(coalesce(CASE WHEN doc_id % 23 = 0 THEN text || ' v2'
-        |                      ELSE text END, '')) AS h2
-        |  FROM documents WHERE doc_id % 17 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 3000000,
-        |    md5(coalesce(text || ' fresh', ''))
-        |  FROM documents WHERE doc_id % 29 = 0)
-        |SELECT COALESCE(v1.id, v2.id) AS doc_id,
+        |v2h AS (SELECT id, md5(coalesce(text, '')) AS h2 FROM v2)
+        |SELECT COALESCE(v1.id, v2h.id) AS doc_id,
         |  CASE WHEN h2 IS NULL THEN 'removed'
         |       WHEN h1 IS NULL THEN 'added'
         |       WHEN h1 <> h2 THEN 'changed'
         |       ELSE 'unchanged' END AS fate
-        |FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+        |FROM v1 FULL OUTER JOIN v2h ON v1.id = v2h.id
         |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    // ---- churn classification of the changed slice ---------------------
+    // The diff says WHICH docs changed; a release datasheet also says
+    // HOW MUCH. For every id in both releases with changed content,
+    // 3-word-shingle Jaccard of old vs new classifies the edit:
+    // minor (>= 800 milli — the appended-suffix edits), moderate
+    // (300..799), rewrite (< 300 — the token-reversed docs). SAME-id
+    // pairing only: one sort-merge join on id, per-row shingle+Jaccard
+    // on the paired texts — no candidate generation, no pair blow-up,
+    // linear at any corpus size. Shares [[releaseV2]]/[[releaseV2Sql]]
+    // with the diff gate so the two audits cannot pin different
+    // release derivations.
+    Q("q_release_churn",
+      (s, d) => {
+        val sh = (c: org.apache.spark.sql.Column) =>
+          graft.ops.TextOps.wordShingles(c, 3)
+        val v1 = documents(s, d)
+          .select(col("doc_id"), sh(col("text")).as("sh1"),
+            md5(coalesce(col("text"), lit(""))).as("h1"))
+        val v2 = releaseV2(s, d)
+          .select(col("doc_id"), sh(col("text")).as("sh2"),
+            md5(coalesce(col("text"), lit(""))).as("h2"))
+        val inter = size(array_intersect(col("sh1"), col("sh2")))
+          .cast("long")
+        val uni = size(col("sh1")).cast("long") +
+          size(col("sh2")).cast("long") - inter
+        v1.join(v2, Seq("doc_id"))
+          .filter(col("h1") =!= col("h2"))
+          .select(col("doc_id"),
+            floor(lit(1000.0) * inter / uni + lit(0.5)).cast("long")
+              .as("jaccard_milli"))
+          .withColumn("churn_class",
+            when(col("jaccard_milli") >= 800L, lit("minor"))
+              .when(col("jaccard_milli") >= 300L, lit("moderate"))
+              .otherwise(lit("rewrite")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH $releaseV2Sql,
+        |s1 AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h,
+        |    list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(text),
+        |          '[ \\t\\n\\r\\f]+') AS toks FROM documents)),
+        |s2 AS (SELECT id, md5(coalesce(text, '')) AS h,
+        |    list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      AS sh
+        |  FROM (SELECT id, text, string_split_regex(trim(text),
+        |          '[ \\t\\n\\r\\f]+') AS toks FROM v2)),
+        |j AS (SELECT s1.id AS doc_id,
+        |    CAST(floor(1000.0 * len(list_intersect(s1.sh, s2.sh)) /
+        |      (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh,
+        |         s2.sh))) + 0.5) AS BIGINT) AS jaccard_milli
+        |  FROM s1 JOIN s2 ON s1.id = s2.id AND s1.h <> s2.h)
+        |SELECT doc_id, jaccard_milli,
+        |  CASE WHEN jaccard_milli >= 800 THEN 'minor'
+        |       WHEN jaccard_milli >= 300 THEN 'moderate'
+        |       ELSE 'rewrite' END AS churn_class
+        |FROM j ORDER BY doc_id
         |""".stripMargin.trim))
   )
+
+  /** Release v2 derived deterministically from v1 (= documents):
+    * every 17th id dropped; of the survivors, every 31st token-
+    * REVERSED (the rewrite case), else every 23rd suffix-edited (the
+    * minor-edit case); fresh docs added at +3000000 from every 29th.
+    * Shared by the diff and churn gates — one derivation, two audits.
+    * Reversal rebuilds text from whitespace tokens joined by single
+    * spaces, identically in both engines. */
+  private def releaseV2(s: org.apache.spark.sql.SparkSession,
+                        d: String) = {
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    documents(s, d)
+      .filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 31 === 0,
+          array_join(reverse(toks), " "))
+          .when(col("doc_id") % 23 === 0,
+            concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(documents(s, d)
+        .filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+  }
+
+  /** [[releaseV2]] as a DuckDB CTE named `v2` (id, text). */
+  private val releaseV2Sql = """
+    |v2 AS (SELECT doc_id AS id,
+    |  CASE WHEN doc_id % 31 = 0 THEN
+    |      array_to_string(list_reverse(string_split_regex(trim(text),
+    |        '[ \t\n\r\f]+')), ' ')
+    |    WHEN doc_id % 23 = 0 THEN text || ' v2'
+    |    ELSE text END AS text
+    |  FROM documents WHERE doc_id % 17 <> 0
+    |  UNION ALL
+    |  SELECT doc_id + 3000000, text || ' fresh'
+    |  FROM documents WHERE doc_id % 29 = 0)""".stripMargin.trim
 }
