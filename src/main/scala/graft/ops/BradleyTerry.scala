@@ -198,25 +198,41 @@ object BradleyTerry {
     * Same-score duels are excluded (no prediction to grade).
     *
     * Exact integers throughout: `rate_milli = wins·1000 div n`.
-    * Scale shape: the entity-sized score vector broadcasts into the
-    * duel stream twice; one partial-aggregable groupBy over ≤ 10
-    * buckets — duels never shuffle. */
-  def calibration(duels: DataFrame, scores: DataFrame): DataFrame = {
-    val d = duels.select(col("i").cast("long"), col("j").cast("long"),
-      col("awin").cast("boolean"))
-    d.join(broadcast(scores.select(col("id").as("i"),
+    * Scale shape: duels collapse to [[pairStats]]' single shuffle
+    * (the grading regrouped per pair — identical sums, see
+    * [[calibrationFromPairs]]); the entity-sized score vector
+    * broadcasts into the pair list twice; then one partial-aggregable
+    * groupBy over ≤ 10 buckets. */
+  def calibration(duels: DataFrame, scores: DataFrame): DataFrame =
+    calibrationFromPairs(pairStats(duels), scores)
+
+  /** [[calibration]] from a pair-statistics table — bit-identical to
+    * grading the raw duels (every duel of a pair shares the pair's
+    * scores, so its decile and prediction are per-pair constants, and
+    * long sums regroup associatively), but the frame in flight is the
+    * ENTITY-PAIR-bounded matrix, never the duel stream. This is the
+    * shape a sweep at any scale must use: round 13's sf10 run proved
+    * the duel-sized alternative OOMs a 48 GiB single-JVM stand-in
+    * (AGGREGATE_OUT_OF_MEMORY) where the pair matrix sails through. */
+  def calibrationFromPairs(pairStats: DataFrame,
+                           scores: DataFrame): DataFrame =
+    pairStats
+      .select(col("i").cast("long"), col("j").cast("long"),
+        col("n").cast("long"), col("wi").cast("long"))
+      .join(broadcast(scores.select(col("id").as("i"),
         col("bt").as("sci"))), Seq("i"))
       .join(broadcast(scores.select(col("id").as("j"),
         col("bt").as("scj"))), Seq("j"))
       .where(col("sci") =!= col("scj"))
       .select(expr("least(abs(sci - scj) DIV 100000L, 9L)").as("gap_decile"),
-        ((col("sci") > col("scj")) === col("awin")).as("hw"))
+        col("n"),
+        when(col("sci") > col("scj"), col("wi"))
+          .otherwise(col("n") - col("wi")).as("hw"))
       .groupBy("gap_decile")
-      .agg(count(lit(1)).as("n_duels"),
-        sum(when(col("hw"), 1L).otherwise(0L)).as("higher_wins"))
+      .agg(sum(col("n")).as("n_duels"),
+        sum(col("hw")).as("higher_wins"))
       .withColumn("rate_milli",
         expr("higher_wins * 1000L DIV n_duels"))
-  }
 
   /** DPO training-pair export — the materialization step between
     * preference aggregation and trainer input: one row per canonical
@@ -236,7 +252,17 @@ object BradleyTerry {
     * moves at billions of duels. */
   def dpoPairs(duels: DataFrame, scores: DataFrame,
                minDuels: Long = 2L): DataFrame =
-    pairStats(duels)
+    dpoPairsFromStats(pairStats(duels), scores, minDuels)
+
+  /** [[dpoPairs]] from a pair-statistics table — lets a caller that
+    * already holds (or checkpointed) the pair matrix share it between
+    * the fit and the export instead of re-deriving or, worse,
+    * checkpointing the duel stream (the round-13 sf10 OOM). */
+  def dpoPairsFromStats(pairStats: DataFrame, scores: DataFrame,
+                        minDuels: Long = 2L): DataFrame =
+    pairStats
+      .select(col("i").cast("long"), col("j").cast("long"),
+        col("n").cast("long"), col("wi").cast("long"))
       .join(broadcast(scores.select(col("id").as("i"),
         col("bt").as("si"))), Seq("i"))
       .join(broadcast(scores.select(col("id").as("j"),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Freeing `localCheckpoint()` storage deterministically.
   *
@@ -19,6 +20,29 @@ import org.apache.spark.sql.DataFrame
   * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in pref_score_store while
   * cross_takedown_stores' cleanup ran, round 13). */
 object Checkpoints {
+
+  /** STORAGE-LEVEL POLICY for localCheckpoints (r13 verdict item 2,
+    * pinned by `CheckpointPolicySpec`):
+    *
+    *  - Bare `localCheckpoint()` (deserialized MEMORY_AND_DISK) is
+    *    reserved for frames that are BOTH bounded-or-linear in row
+    *    count AND narrow (fixed-width numeric columns — entity/pair
+    *    vectors, edge lists, bounded aggregates). Their deserialized
+    *    footprint is a few dozen bytes per row and iterative
+    *    consumers re-read them every round, so deserialized blocks
+    *    are the right trade.
+    *  - Any checkpoint of a frame carrying CORPUS PAYLOAD
+    *    (variable-width text / array columns) or super-linear row
+    *    counts must use [[spill]] instead: serialized blocks cap the
+    *    storage-pool claim at the compact binary size and overflow to
+    *    disk, leaving the unified-memory execution half free. Round
+    *    13's sf10 sweep is the measured failure of breaking this:
+    *    duel-sized deserialized checkpoints in the preference gates
+    *    starved hash aggregation under -Xmx48g
+    *    (AGGREGATE_OUT_OF_MEMORY) where the pair matrix — or a
+    *    serialized level — sails through. */
+  def spill(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Unpersist the checkpoint blocks behind `df` (a frame returned by
     * `localCheckpoint()`). Safe on any frame: a plan that is not a

@@ -33,7 +33,7 @@ object GlobalOrder {
                           n: Int): DataFrame =
     df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint()
+      .transform(Checkpoints.spill)
 
   /** Appends a dense 0-based global row index along `sortCols` (which
     * must be a TOTAL order for the result to be deterministic).

@@ -517,6 +517,31 @@ object Multimodal {
   private val AudioFormat8k = new javax.sound.sampled.AudioFormat(
     8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
 
+  /** Canonical RIFF/WAVE container around a 16-bit mono 8 kHz PCM
+    * body — byte-identical to what `AudioSystem.write(...,
+    * Type.WAVE, ...)` emits for [[AudioFormat8k]] (pinned by
+    * `PhashSpec`'s header test), without the per-call
+    * audio-file-writer provider scan that dominated the sf10 store
+    * build (136.4 s for 500k docs, r13 sweep log): 44-byte header =
+    * RIFF(len) WAVE fmt(16: PCM, 1ch, 8000 Hz, byteRate 16000,
+    * block 2, bits 16) data(len). */
+  private[graft] def wavBytes(pcm: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)          // PCM
+      .putShort(1.toShort)          // mono
+      .putInt(8000)                 // sample rate
+      .putInt(16000)                // byte rate = rate · block align
+      .putShort(2.toShort)          // block align = ch · bits/8
+      .putShort(16.toShort)         // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    out
+  }
+
   /** PCM sample j of a document: the text byte at (j·len)/600,
     * centered and scaled to 16-bit range — (b − 128)·256. One
     * definition serves the render, the decoded-side expectation in
@@ -548,13 +573,7 @@ object Multimodal {
               pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
               j += 1
             }
-            val ais = new javax.sound.sampled.AudioInputStream(
-              new java.io.ByteArrayInputStream(pcm), AudioFormat8k,
-              AudioSamples.toLong)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-            Some(MediaRow(r.doc_id, bos.toByteArray))
+            Some(MediaRow(r.doc_id, wavBytes(pcm)))
           }
         }
       }
@@ -648,21 +667,40 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        // codec objects are PER-PARTITION, not per row: the writer
+        // (an ImageIO service lookup + plugin instantiation), the
+        // frame buffer, and its type specifier are identical for
+        // every doc (fixed 20×15 gray frames) — creating them per
+        // row dominated the sf10 store build (391.6 s for 500k docs
+        // = 783 µs/doc of object churn around ~1 µs of pixel work,
+        // r13 sweep log). The default image metadata is also
+        // per-partition: it is derived only from the (constant) image
+        // type, and the decode-side specs (PhashSpec,
+        // MediaRoundTripFuzzSpec) pin that every frame still
+        // round-trips pixel-exact through a real ImageReader.
+        val w = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val img = new java.awt.image.BufferedImage(RenderW,
+          RenderH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        val spec = new javax.imageio.ImageTypeSpecifier(img)
+        val param = w.getDefaultWriteParam
+        val meta = w.getDefaultImageMetadata(spec, param)
+        val frame = new javax.imageio.IIOImage(img, null, meta)
         rows.flatMap { r =>
           val b = r.payload
           if (b.isEmpty) None
           else {
             val bos = new java.io.ByteArrayOutputStream()
-            val w = javax.imageio.ImageIO
-              .getImageWritersByFormatName("gif").next()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            // direct construction: ImageIO.createImageOutputStream
+            // runs a service-registry scan per call and (with
+            // useCache off) returns exactly this class anyway
+            val ios = new javax.imageio.stream
+              .MemoryCacheImageOutputStream(bos)
             w.setOutput(ios)
             w.prepareWriteSequence(null)
             var f = 0
             while (f < nf) {
-              val img = new java.awt.image.BufferedImage(RenderW,
-                RenderH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-              val raster = img.getRaster
               var p = 0
               while (p < RenderN) {
                 val v = b((((f * RenderN + p).toLong * b.length)
@@ -670,15 +708,11 @@ object Multimodal {
                 raster.setSample(p % RenderW, p / RenderW, 0, v)
                 p += 1
               }
-              w.writeToSequence(new javax.imageio.IIOImage(img, null,
-                w.getDefaultImageMetadata(
-                  new javax.imageio.ImageTypeSpecifier(img),
-                  w.getDefaultWriteParam)), w.getDefaultWriteParam)
+              w.writeToSequence(frame, param)
               f += 1
             }
             w.endWriteSequence()
             ios.close()
-            w.dispose()
             Some(MediaRow(r.doc_id, bos.toByteArray))
           }
         }

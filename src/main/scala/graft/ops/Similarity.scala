@@ -224,7 +224,7 @@ object Similarity {
     val mat = docs.select(col("id"),
         array_distinct(col("shingles")).as("shingles"))
       .repartition(n0, col("id"))
-      .localCheckpoint()
+      .transform(Checkpoints.spill)
     val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))
     // prefix extraction via per-doc array sort (hash aggregate +
@@ -254,7 +254,7 @@ object Similarity {
         (col("pos") + 1).as("i"))
       // narrow (id, n, t, i) rows, stored once, read by both join
       // sides — see the materialization note on `mat`
-      .localCheckpoint()
+      .transform(Checkpoints.spill)
     // length filter (PPJoin): max overlap is min(|A|,|B|), and the
     // ROUNDED J >= t filter needs 2000·o >= (2t−1)(|A|+|B|−o), i.e.
     // o(1999+2t) >= (2t−1)(|A|+|B|) — size-mismatched collisions die
@@ -325,7 +325,7 @@ object Similarity {
     // (gate 15.0 → ~8 s at sf0.1 with the checkpoint)
     val mat = docs.select(col("id"),
         array_distinct(col("shingles")).as("shingles"))
-      .localCheckpoint()
+      .transform(Checkpoints.spill)
     val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))
     // C >= t (rounded) forces overlap >= minOverlap(n) — prefix
@@ -386,7 +386,7 @@ object Similarity {
     // result once — the checkpoint-wins side of the A/B rule
     val mat = batch.select(col("id"),
         array_distinct(col("shingles")).as("shingles"))
-      .localCheckpoint()
+      .transform(Checkpoints.spill)
     val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
     val withF = toks.join(corpusFreq, Seq("t"), "left")
       .select(col("id"), col("t"), coalesce(col("f"), lit(0L)).as("f"))

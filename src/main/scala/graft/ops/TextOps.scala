@@ -428,7 +428,7 @@ object TextOps {
     val spans = docs
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
       .repartition(s.sessionState.conf.numShufflePartitions, col(idCol))
-      .localCheckpoint()
+      .transform(Checkpoints.spill)
     // (doc, span) rows are distinct (wordShingles array_distincts),
     // so count-per-span IS the distinct-doc count
     val dupSpans = spans.groupBy("s")
@@ -489,7 +489,7 @@ object TextOps {
         expr("substring(text, col.start + 1, col.end - col.start)")
           .as("chunk"))
       .withColumn("fp", md5(col("chunk")))
-      .localCheckpoint()
+      .transform(Checkpoints.spill)
     // canonical occurrence per duplicated long-enough fingerprint;
     // fp determines the chunk bytes, so the length filter keeps or
     // drops ALL occurrences of an fp together

@@ -974,9 +974,12 @@ object AggQueries {
     // ---- 3-way analytical join pipeline (shipping-priority shape) ------
     // customer ⋈ orders ⋈ lineitem with selective date filters — the
     // classic multi-join the planner must get right: filters pushed to
-    // all three scans, the small filtered customer side broadcast, the
-    // orders-lineitem join shuffled on the key, aggregation partial on
-    // the map side.
+    // all three scans, the orders-lineitem join shuffled on the key,
+    // aggregation partial on the map side. The filtered customer side
+    // is left UNHINTED: it is a fixed fraction of a corpus-scaled
+    // table (one mktsegment ≈ 1/5 of customer), so a hard broadcast
+    // would not survive 100×; AQE broadcasts it while it fits and
+    // shuffles it when it doesn't.
     Q("q_agg_shipping_priority",
       (s, d) => {
         val cust = customer(s, d)
@@ -990,7 +993,7 @@ object AggQueries {
           .select(col("l_orderkey"),
             cents(col("l_extendedprice")).as("price_c"),
             cents(col("l_discount")).as("disc_c"))
-        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
           .join(li, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           // integer `div`, not `/` (double division loses exactness)

@@ -555,9 +555,14 @@ object AnalyticsQueries {
           // i < j always: "a wins" = noise says follow strength = j…
           // so awin (i wins) = NOT(strength outcome kept)
           .select(col("i"), col("j"), (!col("awin0")).as("awin"))
-          .localCheckpoint() // consumed twice: fit + grading pass
-        BradleyTerry.calibration(duels,
-          BradleyTerry.fit(duels, iters = 5)).orderBy("gap_decile")
+        // pair-matrix-first: the duel stream collapses to the
+        // entity-pair-bounded matrix in ONE shuffle and only THAT is
+        // checkpointed for the two consumers (fit + grading) — a
+        // duel-sized checkpoint here OOMed the 48 GiB sf10 sweep (r13)
+        val pairs = BradleyTerry.pairStats(duels).localCheckpoint()
+        BradleyTerry.calibrationFromPairs(pairs,
+          BradleyTerry.fitFromPairs(pairs, iters = 5))
+          .orderBy("gap_decile")
       },
       Some(BradleyTerry.calibrationOracleSql(
         """SELECT a.l_suppkey AS i, b.l_suppkey AS j,
@@ -593,9 +598,10 @@ object AnalyticsQueries {
             (pmod(col("a.l_suppkey") * 7 + col("b.l_suppkey") * 13 +
               col("a.l_orderkey"), lit(4)) > 0).as("awin0"))
           .select(col("i"), col("j"), (!col("awin0")).as("awin"))
-          .localCheckpoint() // consumed twice: fit + export pass
-        BradleyTerry.dpoPairs(duels,
-            BradleyTerry.fit(duels, iters = 5), minDuels = 2L)
+        // pair-matrix-first, same rationale as q_pref_calibration
+        val pairs = BradleyTerry.pairStats(duels).localCheckpoint()
+        BradleyTerry.dpoPairsFromStats(pairs,
+            BradleyTerry.fitFromPairs(pairs, iters = 5), minDuels = 2L)
           .orderBy("chosen", "rejected")
       },
       Some(BradleyTerry.dpoPairsOracleSql(

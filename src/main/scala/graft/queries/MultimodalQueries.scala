@@ -71,9 +71,9 @@ object MultimodalQueries {
     * filters. */
   private def mediaStore(s: SparkSession, d: String, kind: String,
       render: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame): String = {
+        org.apache.spark.sql.DataFrame, ver: String = "v1"): String = {
     val tbl = s"media_${kind}_" +
-      Sinks.contentKey(d, "documents.parquet", s"media$kind|v1")
+      Sinks.contentKey(d, "documents.parquet", s"media$kind|$ver")
     Sinks.buildOnce(s, tbl) {
       // a previous session's warehouse directory may survive without
       // the catalog entry (fresh in-memory catalog, shared cwd) — the
@@ -134,7 +134,7 @@ object MultimodalQueries {
   private def mediaWavTable(s: SparkSession, d: String): String =
     mediaStore(s, d, "wav", Multimodal.renderWavCorpus)
   private def mediaGifTable(s: SparkSession, d: String): String =
-    mediaStore(s, d, "gif", Multimodal.renderGifCorpus)
+    mediaStore(s, d, "gif", Multimodal.renderGifCorpus, ver = "v2")
 
   /** Persisted banded phash index over the media corpus (originals
     * with doc_id < 400 — the "existing corpus" of the incremental
@@ -419,7 +419,7 @@ object MultimodalQueries {
           .select((col("a.doc_id") + 5000000L).as("pair_id"),
             col("b.nid").as("img_id"), col("a.text").as("caption"))
         val pairs = p.unionByName(t).unionByName(u).unionByName(v)
-          .localCheckpoint() // 3 consumers: img-id distinct, the
+          .transform(graft.ops.Checkpoints.spill) // 3 consumers: img-id distinct, the
           // hash join-back, and the caption shingle chain
         val imgIds = pairs.select(col("img_id")).distinct()
         val hashes = Multimodal.pHashDecoded(

@@ -916,7 +916,7 @@ object SimQueries {
         // fold — lazy, it feeds a broadcast directly.
         val s1 = graft.ops.Dedup.incrementalExactDedup(docs, batch,
           contentCols = Seq("text"), tiebreak = Seq("id"))
-          .localCheckpoint()
+          .transform(graft.ops.Checkpoints.spill)
         val (bT, shT) = corpusLshTables(s, d)
         val shingled = s1
           .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
@@ -928,24 +928,24 @@ object SimQueries {
           .select(col("id_new").as("id")).distinct()
         // verdict assembly in ONE pass over s1 (r9 verdict item 4):
         // the near-rejection and quality-floor fates are both decidable
-        // per s1 row once the near-id set is at hand — and that set is
-        // batch-bounded, so it broadcasts. The previous triple
-        // left-join re-read s1 twice (directly + via admitted) and
-        // nearIds twice; this shape reads each exactly once, and both
-        // assembly joins are broadcasts (near-ids into s1, then
-        // batch-sized s1 verdicts into the batch id list) — no
-        // assembly shuffle at all. dup_exact falls out as the
-        // left-join miss: an id the exact-dedup stage dropped has no
-        // s1 row.
+        // per s1 row once the near-id set is at hand. The previous
+        // triple left-join re-read s1 twice (directly + via admitted)
+        // and nearIds twice; this shape reads each exactly once.
+        // Join strategy is left to AQE (r13 verdict item 4): these
+        // frames are BATCH-sized — they scale with the arriving
+        // tranche, not with a fixed dim — so a hard broadcast hint
+        // would pin an unbounded frame into every executor at 100 TB;
+        // AQE broadcasts exactly when the runtime size clears the
+        // threshold and falls back to a shuffle join when it doesn't.
         val s1v = s1
-          .join(broadcast(nearIds.select(col("id"), lit(1).as("_nr"))),
+          .join(nearIds.select(col("id"), lit(1).as("_nr")),
             Seq("id"), "left")
           .select(col("id"),
             when(col("_nr").isNotNull, lit("dup_near"))
               .when(size(TextOps.tokens(col("text"))) >= 10, lit("admit"))
               .otherwise(lit("short")).as("verdict"))
         batch.select(col("id"))
-          .join(broadcast(s1v), Seq("id"), "left")
+          .join(s1v, Seq("id"), "left")
           .select(col("id").as("doc_id"),
             coalesce(col("verdict"), lit("dup_exact")).as("verdict"))
           .orderBy("doc_id")
@@ -1043,7 +1043,7 @@ object SimQueries {
         val s1 = graft.ops.Dedup.incrementalExactDedup(docs,
           batch.filter(!quar).select("id", "text"),
           contentCols = Seq("text"), tiebreak = Seq("id"))
-          .localCheckpoint() // 2 consumers: banding + verdict assembly
+          .transform(graft.ops.Checkpoints.spill) // 2 consumers: banding + verdict assembly
         val (bT, shT) = corpusLshTables(s, d)
         val shingled = s1
           .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
@@ -1053,8 +1053,10 @@ object SimQueries {
             s.table(bT), s.table(shT),
             k = 32, bands = 16, thresholdMilli = 800)
           .select(col("id_new").as("id")).distinct()
+        // batch-sized frames: no broadcast hints — AQE decides (see
+        // q_incr_curation_pipeline's verdict-assembly note)
         val s1v = s1
-          .join(broadcast(nearIds.select(col("id"), lit(1).as("_nr"))),
+          .join(nearIds.select(col("id"), lit(1).as("_nr")),
             Seq("id"), "left")
           .select(col("id"),
             when(col("_nr").isNotNull, lit("dup_near"))
@@ -1064,7 +1066,7 @@ object SimQueries {
         val fates = batch
           .select(col("id"), col("src_file"),
             when(quar, lit("quarantined")).as("qfate"))
-          .join(broadcast(s1v), Seq("id"), "left")
+          .join(s1v, Seq("id"), "left")
           .select(col("id"), col("src_file"),
             coalesce(col("qfate"), col("fate"), lit("dup_exact"))
               .as("fate"))
@@ -1829,7 +1831,7 @@ object SimQueries {
           concat(substring(col("s"), 1, 24), lit("Q"),
             expr("substring(s, 26, 14)"), lit("Q"),
             expr("substring(s, 41)")).as("s")))
-          .localCheckpoint() // candidates + payload rejoin below
+          .transform(graft.ops.Checkpoints.spill) // candidates + payload rejoin below
         val key = substring(
           regexp_replace(lower(col("s")), "[^a-z0-9]", ""), 1, 12)
         val cand = graft.ops.Blocking.sortedNeighborhoodPairs(

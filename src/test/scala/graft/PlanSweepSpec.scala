@@ -180,4 +180,174 @@ class PlanSweepSpec extends SparkSpec {
     assert(bannedHits.isEmpty,
       s"driver-unbounded materialization APIs: $bannedHits")
   }
+
+  /** Every explicit `broadcast(...)` hint in the MAIN sources, with
+    * its documented bound (r13 verdict item 4). A hard broadcast hint
+    * pins the hinted frame into EVERY executor regardless of its
+    * runtime size — admissible only when the frame is bounded by
+    * CONTRACT (a dim table, k centroids, a query batch, a 1-row
+    * scalar, an entity-score vector), never when it scales with the
+    * corpus or the arriving batch. Corpus/batch-scaled joins carry no
+    * hint: AQE broadcasts them exactly while the runtime size clears
+    * `autoBroadcastJoinThreshold` and shuffles them when it doesn't
+    * (the r14 fix to q_incr_curation_pipeline /
+    * q_provenance_conservation / q_agg_shipping_priority). Adding a
+    * `broadcast(` anywhere under src/main/scala/graft fails this
+    * sweep until the site is entered here with its written bound. */
+  private val boundedBroadcasts: Map[String, Int] = Map(
+    "plans/AsOfJoin.scala" -> 1,  // sc.broadcast of the built dim-side
+                                  // sorted index (build side ≤ dim)
+    "ops/Joins.scala" -> 4,       // dim-enrich helpers: callers pass
+                                  // dim tables by contract (scaladoc)
+    "ops/Similarity.scala" -> 3,  // k×d hyperplanes; PassJoin segment
+                                  // index / combos (≤ L·τ rows)
+    "ops/Clustering.scala" -> 2,  // sc.broadcast of k centroids
+    "ops/Analytics.scala" -> 3,   // bin grid, group list, per-group
+                                  // thresholds (bounded domains)
+    "ops/TextOps.scala" -> 1,     // per-source template-line dictionary
+                                  // (lines with df ≥ minRatio of a
+                                  // source's docs — template-sized)
+    "ops/InvertedIndexStore.scala" -> 4, // query-term sets + 1-row
+                                  // corpus scalars (N, avgdl)
+    "ops/Ngram.scala" -> 1,       // 1-row vocab-size scalar
+    "ops/Robots.scala" -> 1,      // per-host crawl-delay dim
+    "ops/Classify.scala" -> 1,    // |labels|-row centroid model
+    "ops/Retrieval.scala" -> 3,   // query-term sets + 1-row scalars
+    "ops/BradleyTerry.scala" -> 7, // 1-row max anchor per iteration;
+                                  // entity score vectors (id, bt — two
+                                  // longs per entity) into pair lists
+    "ops/AnnIndex.scala" -> 4,    // codebooks (k rows), probe buckets,
+                                  // query vectors (batch by contract)
+    "ops/Tombstones.scala" -> 1,  // takedown id store (request-sized)
+    "ops/PreferenceAudit.scala" -> 1, // 1-row duel-count scalar
+    "ops/RankCentrality.scala" -> 2,  // 1-row dmax / max anchors
+    "ops/Corpus.scala" -> 5,      // bucket offsets, 64-bucket relevance,
+                                  // strata counts/thresholds/quotas
+                                  // (bounded key domains)
+    "queries/ScaleQueries.scala" -> 1, // eval-set shingles (fixed
+                                  // decontamination set by contract)
+    "queries/AggQueries.scala" -> 5,  // nation/region dims, ≤3-row
+                                  // medians, constructed micro-dim
+    "queries/SimQueries.scala" -> 10, // query batches, k centroids,
+                                  // anchor/eval sets, LSH query buckets
+    "queries/TextQueries.scala" -> 2, // 1-row percentile bounds;
+                                  // eval-set shingles
+    "queries/ClusterQueries.scala" -> 6 // query batches, k centroids,
+                                  // probe buckets
+  )
+
+  test("every main-source broadcast() hint is allowlisted with a " +
+      "documented bound") {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    import scala.jdk.CollectionConverters._
+    val scalaFiles = {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".scala")).toVector
+      finally s.close()
+    }
+    val hintRe = """broadcast\(""".r
+    val found = scalaFiles.flatMap { p =>
+      val code = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator
+        .filterNot { l =>
+          val t = l.trim
+          t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
+        }
+        .mkString("\n")
+      val n = hintRe.findAllIn(code).size
+      if (n > 0) Some(root.relativize(p).toString -> n) else None
+    }.toMap
+    val unlisted = found.filterNot { case (f, n) =>
+      boundedBroadcasts.get(f).contains(n)
+    }
+    assert(unlisted.isEmpty,
+      "broadcast() hints not matching the bounded allowlist (file -> " +
+        s"count): $unlisted — document the bound in boundedBroadcasts " +
+        "or drop the hint and let AQE size the join")
+    val stale = boundedBroadcasts.keySet.diff(found.keySet)
+    assert(stale.isEmpty,
+      s"allowlisted files no longer hint broadcasts: $stale")
+  }
+
+  /** Storage-level policy for localCheckpoints (r13 verdict item 2;
+    * policy text on [[graft.ops.Checkpoints.spill]]): bare
+    * `.localCheckpoint()` — deserialized MEMORY_AND_DISK — is
+    * reserved for NARROW bounded-or-linear frames (fixed-width
+    * numeric entity/pair/edge vectors, bounded aggregates). Frames
+    * carrying corpus payload (text / array columns) or super-linear
+    * row counts must go through `Checkpoints.spill` (serialized
+    * MEMORY_AND_DISK_SER), which caps the storage-pool claim at the
+    * compact binary size — round 13's sf10 sweep OOMed on exactly
+    * this distinction. Every bare site is enumerated here with its
+    * narrowness argument; a new bare `.localCheckpoint()` fails this
+    * sweep until it is entered (or routed through spill). */
+  private val narrowCheckpoints: Map[String, Int] = Map(
+    "ops/KCore.scala" -> 4,        // edge list + degree/node vectors (longs)
+    "ops/Blocking.scala" -> 1,     // (__idx, id) — two longs per row
+    "ops/Clustering.scala" -> 2,   // (id, cluster, dist_sq) fixed-width
+    "ops/Components.scala" -> 3,   // edge list + label vectors (2 longs)
+    "ops/PageRank.scala" -> 4,     // edges, node ids, rank vectors
+    "ops/Triangles.scala" -> 1,    // oriented edge list (2 longs)
+    "ops/BradleyTerry.scala" -> 4, // pair matrix (4 longs), wins/score
+                                   // vectors (2 longs per entity)
+    "ops/Communities.scala" -> 3,  // edges + label vectors
+    "ops/Tombstones.scala" -> 1,   // takedown id list (request-sized)
+    "ops/PreferenceAudit.scala" -> 1, // pair matrix (4 longs)
+    "ops/RankCentrality.scala" -> 5,  // pair matrix + entity vectors
+    "streaming/StreamingOps.scala" -> 4, // fold states: key-domain-
+                                   // bounded snapshots + narrow pair
+                                   // matrices (audited r14)
+    "tools/SetSimAB.scala" -> 3,   // A/B harness mirroring the
+                                   // measured op's exact shape
+    "queries/StreamQueries.scala" -> 1,   // ≤bins histogram snapshot
+    "queries/AnalyticsQueries.scala" -> 4, // pair matrices (4 longs)
+    "queries/TextQueries.scala" -> 1  // lang×pred confusion grid
+  )
+
+  test("bare localCheckpoint() only on narrow bounded-or-linear " +
+      "frames; corpus-payload checkpoints route through " +
+      "Checkpoints.spill") {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    import scala.jdk.CollectionConverters._
+    val scalaFiles = {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".scala")).toVector
+      finally s.close()
+    }
+    def code(p: java.nio.file.Path): String =
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator
+        .filterNot { l =>
+          val t = l.trim
+          t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
+        }
+        .mkString("\n")
+    val bareRe = """\.localCheckpoint\(\)""".r
+    val found = scalaFiles.flatMap { p =>
+      val n = bareRe.findAllIn(code(p)).size
+      if (n > 0) Some(root.relativize(p).toString -> n) else None
+    }.toMap
+    val unlisted = found.filterNot { case (f, n) =>
+      narrowCheckpoints.get(f).contains(n)
+    }
+    assert(unlisted.isEmpty,
+      "bare localCheckpoint() sites not matching the narrow allowlist " +
+        s"(file -> count): $unlisted — document the narrow bound in " +
+        "narrowCheckpoints or route the site through Checkpoints.spill")
+    val stale = narrowCheckpoints.keySet.diff(found.keySet)
+    assert(stale.isEmpty,
+      s"allowlisted files no longer take bare checkpoints: $stale")
+    // leveled localCheckpoint(eager, level) calls live ONLY in the
+    // policy helper — everything else must route through spill so the
+    // level choice stays centralized and documented
+    val leveledRe = """\.localCheckpoint\([^)]""".r
+    val leveled = scalaFiles.flatMap { p =>
+      val n = leveledRe.findAllIn(code(p)).size
+      if (n > 0) Some(root.relativize(p).toString -> n) else None
+    }.toMap
+    assert(leveled == Map("ops/Checkpoints.scala" -> 1),
+      s"leveled localCheckpoint calls outside Checkpoints.spill: $leveled")
+  }
 }

@@ -308,6 +308,25 @@ class PhashSpec extends SparkSpec {
     assert(meta.getAs[String]("media_type") == "audio/wav")
   }
 
+  test("wavBytes is byte-identical to AudioSystem.write for the " +
+      "render format (random PCM bodies)") {
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 20) {
+      val pcm = Array.fill(Multimodal.AudioSamples * 2)(
+        rnd.nextInt(256).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false),
+        Multimodal.AudioSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(Multimodal.wavBytes(pcm),
+        bos.toByteArray),
+        "manual RIFF header diverged from AudioSystem.write")
+    }
+  }
+
   test("audioFingerprint falls back to byte sampling for non-audio " +
       "payloads and drops short ones") {
     val garbageLong = Array.tabulate[Byte](120)(i => (i * 13 + 5).toByte)
