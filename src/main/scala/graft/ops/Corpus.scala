@@ -663,7 +663,17 @@ object Corpus {
     * sort-merge join on id); content hashes are computed scan-side so
     * document text never moves through the shuffle — at 100 TB the
     * exchange carries (id, 32-byte hash), not bodies. Output:
-    * (id, fate). */
+    * (id, fate).
+    *
+    * Conventions (both deliberate, both shared with the gate oracle):
+    * NULL text hashes as the empty string, so a null→'' edit (and
+    * vice versa) classifies as `unchanged` — the diff audits CONTENT
+    * BYTES as a sink would serialize them, and both render to zero
+    * bytes. Ids must be UNIQUE within each release (the usual corpus
+    * invariant; [[releaseDiff]]'s caller gates run downstream of
+    * exact dedup): a duplicated id fans out through the full-outer
+    * join — one output row per cross-release id pairing — rather
+    * than raising. */
   def releaseDiff(v1: DataFrame, v2: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
     def keyed(df: DataFrame, h: String) = df.select(

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *     normalized text (position i → hash of chars [i, i+k)).
   *  3. [[winnow]] — slide a w-window over the k-gram hash sequence and
   *     keep each window's MINIMUM, breaking ties by the RIGHTMOST
-  *     occurrence (the paper's robust-winnowing rule); de-duplicate
+  *     occurrence (a deterministic simplification of the paper's
+  *     robust winnowing, which prefers re-selecting the previous
+  *     window's pick on ties; unconditional rightmost-min keeps the
+  *     pick a pure function of window content, which is what a SQL
+  *     twin can replay); de-duplicate
   *     the (position, hash) picks. Guarantee (paper §3): any shared
   *     substring of length ≥ w + k − 1 yields at least one shared
   *     fingerprint, so recall on real clones is structural, not
@@ -34,11 +38,13 @@ import org.apache.spark.sql.functions._
   * output is exact ground truth whenever every true pair shares a run
   * of ≥ w + k − 1 normalized chars.
   *
-  * Hashing is pluggable: production uses `xxhash64` (codegen long
-  * hash); the oracle-checked gates instantiate with `md5` because the
-  * DuckDB twin must compute bit-identical fingerprints and both
-  * engines ship md5 — the selection rule is hash-agnostic (any total
-  * order works; hex strings order identically in both engines).
+  * Hashing is pluggable — the empty-sequence branches take their type
+  * from the hasher's result, so both string hashers (`md5`) and long
+  * hashers (`xxhash64`, codegen — the production choice) analyze. The
+  * oracle-checked gates instantiate with `md5` because the DuckDB twin
+  * must compute bit-identical fingerprints and both engines ship md5 —
+  * the selection rule is hash-agnostic (any total order works; hex
+  * strings order identically in both engines).
   */
 object Winnowing {
 
@@ -55,32 +61,43 @@ object Winnowing {
 
   /** Hashes of every overlapping char k-gram of `text`: element i
     * (1-based) = `hasher(substr(text, i, k))`; empty array when the
-    * text is shorter than k. O(len·k) per row, whole-stage codegen. */
+    * text is NULL or shorter than k. The empty branch is
+    * `slice(arr, 1, 0)` of the (clamped, ≥1-element) transform — not
+    * a hardcoded `array<string>` cast — so the element type follows
+    * the hasher and long hashers (`xxhash64`) analyze too (Spark's
+    * `sequence` rejects empty ranges, hence the clamp + slice).
+    * O(len·k) per row, whole-stage codegen. */
   def kgramHashes(text: Column, k: Int,
                   hasher: Column => Column): Column = {
     val n = length(text) - (k - 1)
-    when(n < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), n),
-        i => hasher(text.substr(i, lit(k)))))
+    val arr = transform(sequence(lit(1), greatest(n, lit(1)), lit(1)),
+      i => hasher(text.substr(i, lit(k))))
+    when(n >= 1, arr).otherwise(slice(arr, 1, 0))
   }
 
   /** Winnowing selection over a k-gram hash sequence: for each window
     * of w consecutive hashes keep the minimum, ties broken by the
-    * RIGHTMOST position (robust winnowing — makes the pick a function
-    * of window content, so equal content selects equal fingerprints
-    * on both sides of a comparison). Returns the de-duplicated
-    * `array<struct<pos, fp>>`; empty when fewer than w hashes. */
+    * RIGHTMOST position (a deterministic simplification of the
+    * paper's robust winnowing — the paper prefers re-selecting the
+    * previous window's pick on ties; rightmost-min makes the pick a
+    * pure function of window content, so equal content selects equal
+    * fingerprints on both sides of a comparison and a SQL oracle can
+    * replay it). Returns the de-duplicated `array<struct<pos, fp>>`;
+    * empty when the input is null or has fewer than w hashes (the
+    * same clamp + `slice(…, 1, 0)` shape as [[kgramHashes]], so the
+    * fp type follows the hash element type). */
   def winnow(hashes: Column, w: Int): Column = {
     val n = size(hashes)
-    val picks = transform(sequence(lit(1), n - (w - 1)), p => {
-      val win = slice(hashes, p, lit(w))
-      val m = array_min(win)
-      // rightmost index of m in win: first index in reverse(win).
-      val pos = p + lit(w) - array_position(reverse(win), m)
-      struct(pos.cast("long").as("pos"), m.as("fp"))
-    })
-    when(n < w, array().cast("array<struct<pos:bigint,fp:string>>"))
-      .otherwise(array_distinct(picks))
+    val picks = transform(
+      sequence(lit(1), greatest(n - (w - 1), lit(1)), lit(1)), p => {
+        val win = slice(hashes, p, lit(w))
+        val m = array_min(win)
+        // rightmost index of m in win: first index in reverse(win).
+        val pos = p + lit(w) - array_position(reverse(win), m)
+        struct(pos.cast("long").as("pos"), m.as("fp"))
+      })
+    when(n - (w - 1) >= 1, array_distinct(picks))
+      .otherwise(slice(picks, 1, 0))
   }
 
   /** The staged per-document fingerprint table: (id, ks, fps) where
@@ -88,7 +105,9 @@ object Winnowing {
     * containment(a in b) = |K_a ∩ K_b| / |K_a|) and `fps` the winnowed
     * `array<struct<pos, fp>>`. Documents with fewer than w k-grams
     * (normalized length < w+k−1, below the winnowing guarantee) are
-    * dropped.
+    * KEPT with an empty `fps` — they can never be near-dup candidates,
+    * but they stay in the table so per-repo denominators (e.g. the
+    * fork-detection matched-file fraction) count every file.
     *
     * Staging discipline (the [[Similarity.bucketize]] /
     * [[TextOps.repetitionSignals]] lesson): HOF lambdas re-evaluate

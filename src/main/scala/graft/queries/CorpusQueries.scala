@@ -1265,10 +1265,15 @@ object CorpusQueries {
           .cast("long")
         val uni = size(col("sh1")).cast("long") +
           size(col("sh2")).cast("long") - inter
+        // a changed doc with <3 tokens on BOTH sides has two empty
+        // shingle sets: uni = 0, and 0/0 is NaN→0 in Spark but NULL
+        // in DuckDB — greatest(uni, 1) pins both engines to
+        // jaccard 0 (= rewrite) for that degenerate pair
         v1.join(v2, Seq("doc_id"))
           .filter(col("h1") =!= col("h2"))
           .select(col("doc_id"),
-            floor(lit(1000.0) * inter / uni + lit(0.5)).cast("long")
+            floor(lit(1000.0) * inter / greatest(uni, lit(1L)) +
+              lit(0.5)).cast("long")
               .as("jaccard_milli"))
           .withColumn("churn_class",
             when(col("jaccard_milli") >= 800L, lit("minor"))
@@ -1292,8 +1297,8 @@ object CorpusQueries {
         |          '[ \\t\\n\\r\\f]+') AS toks FROM v2)),
         |j AS (SELECT s1.id AS doc_id,
         |    CAST(floor(1000.0 * len(list_intersect(s1.sh, s2.sh)) /
-        |      (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh,
-        |         s2.sh))) + 0.5) AS BIGINT) AS jaccard_milli
+        |      greatest(len(s1.sh) + len(s2.sh) - len(list_intersect(
+        |         s1.sh, s2.sh)), 1) + 0.5) AS BIGINT) AS jaccard_milli
         |  FROM s1 JOIN s2 ON s1.id = s2.id AND s1.h <> s2.h)
         |SELECT doc_id, jaccard_milli,
         |  CASE WHEN jaccard_milli >= 800 THEN 'minor'

