@@ -406,6 +406,149 @@ object CodeQueries {
         |  FROM m JOIN sz ON m.repo_b = sz.repo_b)
         |WHERE match_frac_milli >= 300
         |ORDER BY repo_a, repo_b
+        |""".stripMargin.trim)),
+
+    // ---- routed quality cutoff: code vs prose (r13 verdict item 7) ----
+    // The composed curation decision the two signal gates feed: docs
+    // detected as CODE route through a code-appropriate score
+    // (1000 − comment-ratio milli — generated comment-flooded
+    // boilerplate scores low), prose through the stopword-ratio score,
+    // and ONE shared exact-histogram quantile machine
+    // ([[Corpus.quantileCutoff]], stratum = route) drops each route's
+    // bottom quartile by ITS OWN distribution. The plant makes both
+    // halves of the claim land in the hashed artifact: every 7th doc
+    // is rendered clean code (salted uppercase payload — near-zero
+    // stopword ratio, so the PROSE filter would have killed it; the
+    // emitted `would_die_under_prose` flag says so per row), every
+    // 21st is comment-flooded boilerplate (high comment ratio — the
+    // code route drops it; clean code all survives). Scale shape:
+    // per-row signal columns on the scan, one histogram groupBy over
+    // ≤1001 bins per route, strata-sized threshold broadcast, one
+    // 1-row prose-threshold scalar onto the code rows.
+    Q("q_code_quality_cutoff",
+      (s, d) => {
+        val id = col("doc_id"); val ids = id.cast("string")
+        val toks = graft.ops.TextOps.tokens(col("text"))
+        val payload = array_join(transform(toks, (t, i) =>
+          concat(lit("v"), i.cast("string"), lit(" = "), upper(t),
+            lit("9"))), "\n")
+        val flood = array_join(transform(toks, t =>
+          concat(lit("# generated: "), upper(t), lit("9"))), "\n")
+        val header = concat(lit("import os\nimport sys\ndef f_"), ids,
+          lit("(x):\n    return x + "), (id % 97).cast("string"),
+          lit("\n"))
+        // the driver fixtures are one parquet row group: without the
+        // id exchange the per-row render + signal HOFs run single-task
+        // (the q_scrape_extract lesson; measured 9.5 vs 2.2 s at sf0.1)
+        val planted = documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("doc_id"))
+          .select(id.as("doc_id"),
+            when(id % 7 === 0, concat(lit("gen_"), ids, lit(".py")))
+              .otherwise(concat(lit("doc_"), ids, lit(".txt")))
+              .as("filename"),
+            when(id % 21 === 0, concat(header, flood))
+              .when(id % 7 === 0, concat(header, payload))
+              .otherwise(col("text")).as("text"))
+        val sig = planted.select(col("doc_id"), col("filename"),
+          col("text"),
+          CodeOps.lineCount(col("text")).as("n_lines"),
+          CodeOps.commentLines(col("text")).as("comment_lines"),
+          graft.ops.TextOps.stopwordCount(col("text")).as("n_stop"),
+          graft.ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+        val scored = sig
+          .select(col("doc_id"),
+            when(CodeOps.isCode(col("filename"), col("text")),
+              lit("code")).otherwise(lit("prose")).as("stratum"),
+            (lit(1000L) - expr(
+              "comment_lines * 1000 DIV n_lines")).as("code_score"),
+            floor(lit(1000.0) * col("n_stop") / col("n_tokens") +
+              lit(0.5)).cast("long").as("prose_score_milli"))
+        val routed = scored.select(col("doc_id"), col("stratum"),
+          when(col("stratum") === "code", col("code_score"))
+            .otherwise(col("prose_score_milli")).as("score_milli"),
+          col("prose_score_milli"))
+        val admitted = graft.ops.Corpus.quantileCutoff(routed,
+          "stratum", "score_milli", pctMilli = 250L)
+        val proseThr = admitted.filter(col("stratum") === "prose")
+          .agg(max(col("thr_milli")).as("prose_thr_milli"))
+        admitted.crossJoin(broadcast(proseThr))
+          .select(col("doc_id"), col("stratum"), col("score_milli"),
+            col("thr_milli"), col("prose_score_milli"),
+            (col("stratum") === "code" &&
+              col("prose_score_milli") < col("prose_thr_milli"))
+              .as("would_die_under_prose"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        |WITH cq AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |         THEN 'gen_' || CAST(doc_id AS VARCHAR) || '.py'
+        |       ELSE 'doc_' || CAST(doc_id AS VARCHAR) || '.txt'
+        |  END AS filename,
+        |  CASE WHEN doc_id % 21 = 0 THEN
+        |      'import os' || chr(10) || 'import sys' || chr(10) ||
+        |      'def f_' || CAST(doc_id AS VARCHAR) || '(x):' ||
+        |      chr(10) ||
+        |      '    return x + ' || CAST(doc_id % 97 AS VARCHAR) ||
+        |      chr(10) ||
+        |      array_to_string(list_transform(
+        |        string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'),
+        |        t -> '# generated: ' || upper(t) || '9'), chr(10))
+        |    WHEN doc_id % 7 = 0 THEN
+        |      'import os' || chr(10) || 'import sys' || chr(10) ||
+        |      'def f_' || CAST(doc_id AS VARCHAR) || '(x):' ||
+        |      chr(10) ||
+        |      '    return x + ' || CAST(doc_id % 97 AS VARCHAR) ||
+        |      chr(10) ||
+        |      array_to_string(list_transform(range(1,
+        |        len(string_split_regex(trim(text),
+        |          '[ \\t\\n\\r\\f]+'))+1),
+        |        i -> 'v' || CAST(i-1 AS VARCHAR) || ' = ' ||
+        |          upper(string_split_regex(trim(text),
+        |            '[ \\t\\n\\r\\f]+')[i]) || '9'), chr(10))
+        |    ELSE text
+        |  END AS text
+        |  FROM documents),
+        |cqd AS (SELECT doc_id,
+        |  CASE WHEN (CAST(regexp_matches(filename,
+        |        '\\.(py|scala|js|java|go|rs|c)$$') AS INT)
+        |      + CAST(starts_with(text, '#!') AS INT)
+        |      + CAST(((len(text) - len(replace(text, 'def ', ''))) // 4
+        |        + (len(text) - len(replace(text, 'import ', ''))) // 7
+        |        + (len(text) - len(replace(text, 'class ', ''))) // 6
+        |        + (len(text) - len(replace(text, 'return ', ''))) // 7)
+        |          >= 3 AS INT)) >= 2
+        |    THEN 'code' ELSE 'prose' END AS stratum,
+        |  1000 - CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> (starts_with(ltrim(l), '#')
+        |              AND NOT starts_with(ltrim(l), '#!'))
+        |           OR starts_with(ltrim(l), '//'))) AS BIGINT) * 1000
+        |    // CAST(len(string_split(text, chr(10))) AS BIGINT)
+        |    AS code_score,
+        |  CAST(floor(1000.0 *
+        |      len(list_filter(string_split_regex(lower(text),
+        |        '[ \\t\\n\\r\\f]+'), w -> w IN (${
+             graft.ops.TextOps.stopwordsSql})))
+        |    / len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))
+        |    + 0.5) AS BIGINT) AS prose_score_milli
+        |  FROM cq),
+        |scored AS (SELECT doc_id, stratum,
+        |    CASE WHEN stratum = 'code' THEN code_score
+        |         ELSE prose_score_milli END AS score_milli,
+        |    prose_score_milli
+        |  FROM cqd),
+        |${graft.ops.Corpus.quantileCutoffSql(
+             "scored", "stratum", "score_milli", 250L)},
+        |adm AS (SELECT scored.*, qc_thr.thr_milli
+        |  FROM scored JOIN qc_thr USING (stratum)
+        |  WHERE score_milli >= thr_milli)
+        |SELECT doc_id, stratum, score_milli, thr_milli,
+        |  prose_score_milli,
+        |  stratum = 'code' AND prose_score_milli <
+        |    (SELECT max(thr_milli) FROM adm WHERE stratum = 'prose')
+        |    AS would_die_under_prose
+        |FROM adm ORDER BY doc_id
         |""".stripMargin.trim))
   )
 }

@@ -50,6 +50,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_source_overlap",     // #strata × #strata pair grid (bounded domain)
     "q_text_length_trim",   // broadcast 1-row percentile bounds
     "q_eval_kappa",         // two 1-row aggregates combined (n/agree × S)
+    "q_code_quality_cutoff", // broadcast 1-row prose-threshold scalar
     "q_lm_ref_surprisal",   // broadcast 1-row vocab-size scalar (V)
     "q_lm_surprisal_buckets", // composes refLmSurprisal: same V scalar
     "q_pref_bradley_terry", // broadcast 1-row max anchor per iteration
@@ -232,8 +233,9 @@ class PlanSweepSpec extends SparkSpec {
                                   // anchor/eval sets, LSH query buckets
     "queries/TextQueries.scala" -> 2, // 1-row percentile bounds;
                                   // eval-set shingles
-    "queries/ClusterQueries.scala" -> 6 // query batches, k centroids,
+    "queries/ClusterQueries.scala" -> 6, // query batches, k centroids,
                                   // probe buckets
+    "queries/CodeQueries.scala" -> 1 // 1-row prose-threshold scalar
   )
 
   test("every main-source broadcast() hint is allowlisted with a " +
