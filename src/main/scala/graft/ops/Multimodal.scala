@@ -666,54 +666,33 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
-        // codec objects are PER-PARTITION, not per row: the writer
-        // (an ImageIO service lookup + plugin instantiation), the
-        // frame buffer, and its type specifier are identical for
-        // every doc (fixed 20×15 gray frames) — creating them per
-        // row dominated the sf10 store build (391.6 s for 500k docs
-        // = 783 µs/doc of object churn around ~1 µs of pixel work,
-        // r13 sweep log). The default image metadata is also
-        // per-partition: it is derived only from the (constant) image
-        // type, and the decode-side specs (PhashSpec,
-        // MediaRoundTripFuzzSpec) pin that every frame still
-        // round-trips pixel-exact through a real ImageReader.
-        val w = javax.imageio.ImageIO
-          .getImageWritersByFormatName("gif").next()
-        val img = new java.awt.image.BufferedImage(RenderW,
-          RenderH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        val spec = new javax.imageio.ImageTypeSpecifier(img)
-        val param = w.getDefaultWriteParam
-        val meta = w.getDefaultImageMetadata(spec, param)
-        val frame = new javax.imageio.IIOImage(img, null, meta)
+        // the container is written by [[Gif89a]], not the imageio GIF
+        // plugin: the plugin's per-frame IIOMetadata tree conversion
+        // (GIFImageWriter.convertMetadata/mergeTree — jstack-confirmed
+        // hot path) cost ~100× the pixel + LZW work at these frame
+        // sizes and dominated the sf10 store build (391.6 s for 500k
+        // docs, r13 sweep log). Decoded-pixel exactness through the
+        // real imageio READER is pinned by PhashSpec and the
+        // round-trip fuzz specs — the raster byte IS the palette
+        // index and the gray global table maps i → (i,i,i).
+        val frames = Array.fill(nf)(new Array[Byte](RenderN))
         rows.flatMap { r =>
           val b = r.payload
           if (b.isEmpty) None
           else {
-            val bos = new java.io.ByteArrayOutputStream()
-            // direct construction: ImageIO.createImageOutputStream
-            // runs a service-registry scan per call and (with
-            // useCache off) returns exactly this class anyway
-            val ios = new javax.imageio.stream
-              .MemoryCacheImageOutputStream(bos)
-            w.setOutput(ios)
-            w.prepareWriteSequence(null)
             var f = 0
             while (f < nf) {
+              val fr = frames(f)
               var p = 0
               while (p < RenderN) {
-                val v = b((((f * RenderN + p).toLong * b.length)
-                  / (nf * RenderN)).toInt) & 0xff
-                raster.setSample(p % RenderW, p / RenderW, 0, v)
+                fr(p) = b((((f * RenderN + p).toLong * b.length)
+                  / (nf * RenderN)).toInt)
                 p += 1
               }
-              w.writeToSequence(frame, param)
               f += 1
             }
-            w.endWriteSequence()
-            ios.close()
-            Some(MediaRow(r.doc_id, bos.toByteArray))
+            Some(MediaRow(r.doc_id,
+              Gif89a.encodeGray(frames, RenderW, RenderH)))
           }
         }
       }

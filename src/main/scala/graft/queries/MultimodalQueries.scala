@@ -134,7 +134,7 @@ object MultimodalQueries {
   private def mediaWavTable(s: SparkSession, d: String): String =
     mediaStore(s, d, "wav", Multimodal.renderWavCorpus)
   private def mediaGifTable(s: SparkSession, d: String): String =
-    mediaStore(s, d, "gif", Multimodal.renderGifCorpus, ver = "v2")
+    mediaStore(s, d, "gif", Multimodal.renderGifCorpus, ver = "v3")
 
   /** Persisted banded phash index over the media corpus (originals
     * with doc_id < 400 — the "existing corpus" of the incremental
