@@ -240,7 +240,11 @@ object Bench {
         // expression work most of these queries exist to measure
         val r = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          // one stderr line per gate: long sweeps (hours at sf10) are
+          // otherwise unobservable until the final JSON
+          System.err.println(f"[bench] $name $sec%.2f s")
+          Some(name -> sec)
         } catch { case e: Throwable =>
           // a throwing query must not masquerade as a speedup: it is
           // EXCLUDED from the timing map entirely (its time-to-fail
