@@ -158,20 +158,33 @@ class PlanQualitySpec extends SparkSpec {
       "tf must partial-aggregate before the shuffle")
   }
 
-  test("q_incr_curation_pipeline: verdict assembly joins broadcast " +
-      "(the r10 fold), no sort-merge join in the gate") {
-    val p = plan("q_incr_curation_pipeline")
-    // the two assembly LeftOuters (near-ids into s1, s1 verdicts into
-    // the batch id list) are both batch-bounded and must broadcast —
-    // a shuffle here would re-introduce exactly the re-read shape the
-    // fold removed
-    val bhjLeft = "BroadcastHashJoin .*LeftOuter".r
-      .findAllIn(p).size
-    assert(bhjLeft >= 2,
-      s"both verdict-assembly left joins must broadcast (found " +
-        s"$bhjLeft):\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the whole incremental gate stays broadcast/hash-join only:\n$p")
+  test("q_incr_curation_pipeline: verdict assembly joins are " +
+      "AQE-sized equi-joins (the r14 policy), never nested-loop") {
+    // r14 dropped the hard broadcast hints on the two assembly
+    // LeftOuters (near-ids into s1, s1 verdicts into the batch id
+    // list): the frames are BATCH-scaled, so a pinned broadcast would
+    // not survive 100× — AQE broadcasts them exactly while the
+    // runtime size clears the threshold. The static pin is therefore:
+    // equi-join shapes only (every join AQE can freely size), no
+    // cartesian/nested-loop anywhere. The observed final shape at
+    // sf0.001 is a CO-PARTITIONED sort-merge join with no new
+    // exchange: the verdict side rides the spill checkpoint's
+    // id-hash partitioning, so the join moves nothing — as good a
+    // 100 TB shape as the broadcast the old hint forced, without
+    // pinning batch-sized frames into every executor. We pin the
+    // invariants (equi-join, no nested-loop) and leave the
+    // broadcast-vs-merge choice to AQE, which is the point of r14's
+    // hint removal.
+    val df = Registry.queries("q_incr_curation_pipeline")(spark, sf)
+    // force THIS QueryExecution's adaptive plan to finalize (a write
+    // would execute a separate QueryExecution and leave this one at
+    // isFinalPlan=false)
+    df.queryExecution.executedPlan.execute().count()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"))
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"assembly joins must stay AQE-sizable equi-joins:\n$finalPlan")
   }
 
   test("q_triangle_count: no cartesian, no nested-loop join anywhere") {
