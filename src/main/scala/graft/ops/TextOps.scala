@@ -935,6 +935,52 @@ object TextOps {
         col("__s.b_tok").as("b_tok"))
   }
 
+  /** Conversation-tree PREFIX dedup — the SFT-corpus shape exact and
+    * near dedup both miss: sampled-response datasets carry many
+    * conversations with IDENTICAL leading turns (same system + user
+    * context, different continuations; re-rolled generations), and
+    * training on every copy over-weights the shared prefixes. For
+    * each conversation this computes the longest prefix (in turns) it
+    * shares with ANY other conversation, via cumulative prefix
+    * fingerprints: position p's fingerprint is md5 of turns 1..p
+    * joined by a 0x1F separator, so two conversations share a
+    * p-prefix iff their p-fingerprints collide. The training-side
+    * action is the returned `trainable_from_turn` = shared + 1: mask
+    * the shared prefix, supervise only the unique suffix (the
+    * prefix-masked SFT discipline) — a fully-duplicated conversation
+    * masks entirely.
+    *
+    * Scale shape: turns explode linearly (one fingerprint row per
+    * (conv, position)); ONE shuffle on (p, fingerprint) with a
+    * partial-aggregable count; the rejoin is on the same key, so the
+    * exchange is reused. Nothing is quadratic in conversations —
+    * unlike pairwise prefix comparison, a million-way shared prefix
+    * costs one hash group. Input: (idCol, turnsCol array<string>).
+    * Output: (idCol, n_turns, shared_prefix_turns,
+    * trainable_from_turn), all longs. */
+  def sharedPrefixTurns(convs: DataFrame, idCol: String,
+                        turnsCol: String): DataFrame = {
+    val fps = convs
+      .select(col(idCol), col(turnsCol).as("__turns"))
+      .select(col(idCol),
+        size(col("__turns")).cast("long").as("n_turns"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__turns")), lit(1)),
+            lit(1)),
+          p => md5(concat_ws("\u001f",
+            slice(col("__turns"), lit(1), p))))))
+      .filter(col("pos") < col("n_turns")) // clamp guard: 0-turn convs
+      .select(col(idCol), col("n_turns"),
+        (col("pos") + 1).cast("long").as("p"), col("col").as("fp"))
+    val counts = fps.groupBy("p", "fp").agg(count(lit(1)).as("__m"))
+    fps.join(counts, Seq("p", "fp"))
+      .groupBy(col(idCol), col("n_turns"))
+      .agg(coalesce(max(when(col("__m") >= 2L, col("p"))), lit(0L))
+        .as("shared_prefix_turns"))
+      .withColumn("trainable_from_turn",
+        col("shared_prefix_turns") + 1L)
+  }
+
   /** DuckDB oracle twin of [[repetitionSignals]] over relation `rel`
     * (columns `doc_id`, `text`). */
   def repetitionSignalsOracleSql(rel: String): String = {

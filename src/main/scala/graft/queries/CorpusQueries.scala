@@ -560,6 +560,59 @@ object CorpusQueries {
         .orderBy("bucket"),
       Some(PackOracle.statsSql)),
 
+    // ---- conversation-tree prefix dedup (SFT over-weighting) ----------
+    // Sampled-response SFT corpora carry many conversations with
+    // IDENTICAL leading turns (shared system+user context, different
+    // continuations); exact and near dedup both miss it because the
+    // FULL conversations differ. Cumulative prefix fingerprints find,
+    // per conversation, the longest prefix shared with any other —
+    // one (position, fingerprint) shuffle, never pairwise — and emit
+    // the training action: supervise only from trainable_from_turn on
+    // (prefix-masked SFT; a fully-duplicated conversation masks
+    // entirely). The plant derives a conversation TREE from doc ids
+    // (turn i's content comes from the id's 2^(4-i)-block leader, so
+    // octet-mates share turn 1, quad-mates turns 1-2, pair-mates
+    // turns 1-3) with 2-4 turns per conv — every sharing depth and
+    // the truncated-sibling case (a pair-mate too short to extend the
+    // match) are exercised on any fixture.
+    Q("q_conv_prefix_dedup",
+      (s, d) => {
+        val id = col("doc_id")
+        val turns = transform(
+          sequence(lit(1), (lit(2) + pmod(id, lit(3))).cast("int"),
+            lit(1)),
+          i => concat(lit("turn"), i.cast("string"), lit(" of "),
+            (id - pmod(id, when(i === 1, 8L).when(i === 2, 4L)
+              .when(i === 3, 2L).otherwise(1L))).cast("string")))
+        graft.ops.TextOps.sharedPrefixTurns(
+            documents(s, d).select(id, turns.as("turns")),
+            "doc_id", "turns")
+          .withColumnRenamed("doc_id", "conv_id")
+          .orderBy("conv_id")
+      },
+      Some("""
+        |WITH cpd AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS n_turns,
+        |    list_transform(range(1, CAST(2 + doc_id % 3 AS INT) + 1),
+        |      i -> 'turn' || CAST(i AS VARCHAR) || ' of ' ||
+        |        CAST(doc_id - doc_id % (CASE WHEN i = 1 THEN 8
+        |          WHEN i = 2 THEN 4 WHEN i = 3 THEN 2 ELSE 1 END)
+        |          AS VARCHAR)) AS turns
+        |  FROM documents),
+        |cpf AS (SELECT doc_id, n_turns, CAST(u.p AS BIGINT) AS p,
+        |    md5(array_to_string(turns[1:u.p], chr(31))) AS fp
+        |  FROM cpd, unnest(generate_series(1, 4)) AS u(p)
+        |  WHERE u.p <= n_turns),
+        |cpc AS (SELECT p, fp, count(*) AS m FROM cpf GROUP BY 1, 2)
+        |SELECT doc_id AS conv_id, n_turns,
+        |  CAST(coalesce(max(CASE WHEN m >= 2 THEN p END), 0) AS BIGINT)
+        |    AS shared_prefix_turns,
+        |  CAST(coalesce(max(CASE WHEN m >= 2 THEN p END), 0) + 1
+        |    AS BIGINT) AS trainable_from_turn
+        |FROM cpf JOIN cpc USING (p, fp)
+        |GROUP BY 1, 2 ORDER BY conv_id
+        |""".stripMargin.trim)),
+
     // ---- supervised-token accounting per packed window ----------------
     // The composition the two SFT operators exist for: conversations
     // (80-char-chunk turns, user/assistant alternating) are packed

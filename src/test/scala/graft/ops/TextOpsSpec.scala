@@ -234,4 +234,46 @@ class TextOpsSpec extends SparkSpec {
     assert(res.merges.head == TextOps.BpeMerge(1, "h", "e", "he", 3L))
     res.release()
   }
+
+  test("sharedPrefixTurns: hand case — shared system prompt, one " +
+      "re-rolled continuation, one full duplicate, one unique conv") {
+    val convs = Seq(
+      (1L, Seq("sys", "ask A", "ans A1")),         // shares 2 with 2
+      (2L, Seq("sys", "ask A", "ans A2")),         // shares 2 with 1
+      (3L, Seq("sys", "ask B", "ans B", "more")),  // shares 1 (sys)
+      (4L, Seq("sys", "ask C")),                   // shares 1 (sys)
+      (5L, Seq("dup", "dup2")),                    // full duplicate of 6
+      (6L, Seq("dup", "dup2")),
+      (7L, Seq("lonely"))                          // shares nothing
+    ).toDF("id", "turns")
+    val got = TextOps.sharedPrefixTurns(convs, "id", "turns")
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 3L), (2L, 3L, 2L, 3L), (3L, 4L, 1L, 2L),
+      (4L, 2L, 1L, 2L), (5L, 2L, 2L, 3L), (6L, 2L, 2L, 3L),
+      (7L, 1L, 0L, 1L)))
+  }
+
+  test("sharedPrefixTurns fuzz: equals the brute-force pairwise " +
+      "longest-common-prefix reference on random conversation sets") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 5) {
+      val convs = (1L to 40L).map { id =>
+        val n = 1 + rnd.nextInt(4)
+        (id, Seq.tabulate(n)(i => s"t${rnd.nextInt(3)}_$i"))
+      }
+      val expect = convs.map { case (id, ts) =>
+        val best = convs.filter(_._1 != id).map { case (_, os) =>
+          ts.zip(os).takeWhile { case (a, b) => a == b }.length
+        }.maxOption.getOrElse(0)
+        id -> best.toLong
+      }.toMap
+      val got = TextOps
+        .sharedPrefixTurns(convs.toDF("id", "turns"), "id", "turns")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expect, s"trial $trial diverged from brute force")
+    }
+  }
 }
