@@ -960,7 +960,23 @@ object TextOps {
     * trainable_from_turn), all longs. */
   def sharedPrefixTurns(convs: DataFrame, idCol: String,
                         turnsCol: String): DataFrame = {
-    val fps = convs
+    val fps = prefixFps(convs, idCol, turnsCol)
+    val counts = fps.groupBy("p", "fp").agg(count(lit(1)).as("__m"))
+    fps.join(counts, Seq("p", "fp"))
+      .groupBy(col(idCol), col("n_turns"))
+      .agg(coalesce(max(when(col("__m") >= 2L, col("p"))), lit(0L))
+        .as("shared_prefix_turns"))
+      .withColumn("trainable_from_turn",
+        col("shared_prefix_turns") + 1L)
+  }
+
+  /** The per-(conversation, position) cumulative prefix fingerprints
+    * behind [[sharedPrefixTurns]] / [[prefixIndex]]: one row per
+    * prefix length p in 1..n_turns with `fp` = md5 of turns 1..p
+    * joined by 0x1F. */
+  private def prefixFps(convs: DataFrame, idCol: String,
+                        turnsCol: String): DataFrame =
+    convs
       .select(col(idCol), col(turnsCol).as("__turns"))
       .select(col(idCol),
         size(col("__turns")).cast("long").as("n_turns"),
@@ -972,11 +988,36 @@ object TextOps {
       .filter(col("pos") < col("n_turns")) // clamp guard: 0-turn convs
       .select(col(idCol), col("n_turns"),
         (col("pos") + 1).cast("long").as("p"), col("col").as("fp"))
-    val counts = fps.groupBy("p", "fp").agg(count(lit(1)).as("__m"))
-    fps.join(counts, Seq("p", "fp"))
+
+  /** The PERSISTED face of conversation-prefix dedup: the additive
+    * (p, fp, n) prefix-fingerprint index of a conversation corpus.
+    * Counts are longs under a plain sum, so a new tranche folds in as
+    * the union of the stored index and the batch index, re-aggregated
+    * on (p, fp) - the same sufficient-statistic discipline as
+    * [[graft.ops.BradleyTerry.pairStats]]: historical conversations
+    * are never rescanned. */
+  def prefixIndex(convs: DataFrame, idCol: String,
+                  turnsCol: String): DataFrame =
+    prefixFps(convs, idCol, turnsCol)
+      .groupBy("p", "fp").agg(count(lit(1)).as("n"))
+
+  /** Incremental [[sharedPrefixTurns]]: each BATCH conversation's
+    * longest prefix shared with the stored corpus (via its
+    * [[prefixIndex]] - any stored occurrence suffices) or with
+    * another batch conversation (needs >= 2 within the batch). The
+    * batch pays one fingerprint pass over itself plus an equi-join
+    * into the index on (p, fp); the stored corpus never moves. */
+  def sharedPrefixAgainstIndex(batch: DataFrame, idCol: String,
+                               turnsCol: String,
+                               index: DataFrame): DataFrame = {
+    val fps = prefixFps(batch, idCol, turnsCol)
+    val within = fps.groupBy("p", "fp").agg(count(lit(1)).as("__mb"))
+    fps.join(within, Seq("p", "fp"))
+      .join(index.select(col("p"), col("fp"), col("n").as("__ms")),
+        Seq("p", "fp"), "left")
       .groupBy(col(idCol), col("n_turns"))
-      .agg(coalesce(max(when(col("__m") >= 2L, col("p"))), lit(0L))
-        .as("shared_prefix_turns"))
+      .agg(coalesce(max(when(col("__mb") >= 2L || col("__ms") >= 1L,
+        col("p"))), lit(0L)).as("shared_prefix_turns"))
       .withColumn("trainable_from_turn",
         col("shared_prefix_turns") + 1L)
   }

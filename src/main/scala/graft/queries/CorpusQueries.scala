@@ -154,13 +154,67 @@ object CorpusQueries {
       |""".stripMargin.trim
   }
 
+  /** Turn i (1-based Column) of the planted conversation for doc id
+    * `id`: the content comes from the id's 2^(4-i)-block leader, so
+    * octet-mates share turn 1, quad-mates turns 1-2, pair-mates
+    * turns 1-3 — a conversation TREE with every sharing depth, from
+    * ids alone. Shared by the batch ([[plantedConvs]]) and
+    * incremental prefix-dedup gates and the stored index. */
+  private def convTurn(id: org.apache.spark.sql.Column,
+                       i: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit("turn"), i.cast("string"), lit(" of "),
+      (id - pmod(id, when(i === 1, 8L).when(i === 2, 4L)
+        .when(i === 3, 2L).otherwise(1L))).cast("string"))
+
+  /** The planted conversation corpus: (doc_id, turns), 2-4 turns. */
+  private def plantedConvs(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    val id = col("doc_id")
+    documents(s, d).select(id,
+      transform(
+        sequence(lit(1), (lit(2) + pmod(id, lit(3))).cast("int"),
+          lit(1)),
+        i => convTurn(id, i)).as("turns"))
+  }
+
+  /** [[plantedConvs]] as a DuckDB CTE named `cpd`
+    * (doc_id, n_turns, turns). */
+  private val convPlantSql: String =
+    """cpd AS (SELECT doc_id,
+      |    CAST(2 + doc_id % 3 AS BIGINT) AS n_turns,
+      |    list_transform(range(1, CAST(2 + doc_id % 3 AS INT) + 1),
+      |      i -> 'turn' || CAST(i AS VARCHAR) || ' of ' ||
+      |        CAST(doc_id - doc_id % (CASE WHEN i = 1 THEN 8
+      |          WHEN i = 2 THEN 4 WHEN i = 3 THEN 2 ELSE 1 END)
+      |          AS VARCHAR)) AS turns
+      |  FROM documents)""".stripMargin
+
+  /** Persisted (p, fp, n) prefix-fingerprint index over the planted
+    * conversation corpus — the stored artifact the incremental gate
+    * probes (additive: a tranche folds in by union + re-aggregate,
+    * see [[graft.ops.TextOps.prefixIndex]]). */
+  private def convPrefixIndexTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val tbl = "conv_prefix_idx_" +
+      Sinks.contentKey(d, "documents.parquet", "convpfx|v1")
+    Sinks.buildOnce(s, tbl) {
+      graft.ops.Compaction.dropManagedTable(s, tbl)
+      graft.ops.TextOps.prefixIndex(plantedConvs(s, d),
+          "doc_id", "turns")
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
   /** One-time content-addressed store builds (see
     * [[SimQueries.prepares]] for the rationale). */
   def prepares: Seq[(String,
       (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
     "inverted_index" -> ((s, d) => { incrIndexTable(s, d); () }),
     "takedown_index" -> ((s, d) => { takedownIndexTable(s, d); () }),
-    "cross_takedown_stores" -> ((s, d) => { crossTdStores(s, d); () }))
+    "cross_takedown_stores" -> ((s, d) => { crossTdStores(s, d); () }),
+    "conv_prefix_index" -> ((s, d) => { convPrefixIndexTable(s, d); () }))
 
   def all: Seq[Q] = Seq(
 
@@ -577,28 +631,13 @@ object CorpusQueries {
     // match) are exercised on any fixture.
     Q("q_conv_prefix_dedup",
       (s, d) => {
-        val id = col("doc_id")
-        val turns = transform(
-          sequence(lit(1), (lit(2) + pmod(id, lit(3))).cast("int"),
-            lit(1)),
-          i => concat(lit("turn"), i.cast("string"), lit(" of "),
-            (id - pmod(id, when(i === 1, 8L).when(i === 2, 4L)
-              .when(i === 3, 2L).otherwise(1L))).cast("string")))
         graft.ops.TextOps.sharedPrefixTurns(
-            documents(s, d).select(id, turns.as("turns")),
-            "doc_id", "turns")
+            plantedConvs(s, d), "doc_id", "turns")
           .withColumnRenamed("doc_id", "conv_id")
           .orderBy("conv_id")
       },
-      Some("""
-        |WITH cpd AS (SELECT doc_id,
-        |    CAST(2 + doc_id % 3 AS BIGINT) AS n_turns,
-        |    list_transform(range(1, CAST(2 + doc_id % 3 AS INT) + 1),
-        |      i -> 'turn' || CAST(i AS VARCHAR) || ' of ' ||
-        |        CAST(doc_id - doc_id % (CASE WHEN i = 1 THEN 8
-        |          WHEN i = 2 THEN 4 WHEN i = 3 THEN 2 ELSE 1 END)
-        |          AS VARCHAR)) AS turns
-        |  FROM documents),
+      Some(s"""
+        |WITH $convPlantSql,
         |cpf AS (SELECT doc_id, n_turns, CAST(u.p AS BIGINT) AS p,
         |    md5(array_to_string(turns[1:u.p], chr(31))) AS fp
         |  FROM cpd, unnest(generate_series(1, 4)) AS u(p)
@@ -610,6 +649,83 @@ object CorpusQueries {
         |  CAST(coalesce(max(CASE WHEN m >= 2 THEN p END), 0) + 1
         |    AS BIGINT) AS trainable_from_turn
         |FROM cpf JOIN cpc USING (p, fp)
+        |GROUP BY 1, 2 ORDER BY conv_id
+        |""".stripMargin.trim)),
+
+    // ---- incremental conversation-prefix dedup ------------------------
+    // The ingest-time face: an arriving batch of conversations is
+    // checked against the STORED prefix-fingerprint index (one
+    // (p, fp) equi-join — historical conversations never rescan) plus
+    // itself. The batch plants all three fates: every 5k-th base doc
+    // contributes a truncated REPLAY of its stored conversation (full
+    // prefix stored, depth varies with the pair-block's turn counts),
+    // every 5k+1-th shares two stored turns then diverges fresh, the
+    // rest are wholly new (within-batch distinct, cross-store
+    // unseen). The stored index is the additive (p, fp, n) sufficient
+    // statistic, so this batch's own index folds in afterwards by
+    // union + re-aggregate — never a corpus replay.
+    Q("q_incr_conv_prefix",
+      (s, d) => {
+        val idxT = convPrefixIndexTable(s, d)
+        val id = col("doc_id")
+        val bid = (id + 5000000L).as("conv_id")
+        val replay = documents(s, d).filter(id % 5 === 0)
+          .select(bid, transform(
+            sequence(lit(1), (lit(2) + pmod(id, lit(2))).cast("int"),
+              lit(1)),
+            i => convTurn(id, i)).as("turns"))
+        val diverge = documents(s, d).filter(id % 5 === 1)
+          .select(bid, array(convTurn(id, lit(1)), convTurn(id, lit(2)),
+            concat(lit("fresh "), id.cast("string"))).as("turns"))
+        val fresh = documents(s, d).filter(id % 5 >= 2)
+          .select(bid, array(
+            concat(lit("new "), id.cast("string"), lit(" a")),
+            concat(lit("new "), id.cast("string"), lit(" b")))
+            .as("turns"))
+        graft.ops.TextOps.sharedPrefixAgainstIndex(
+            replay.unionByName(diverge).unionByName(fresh),
+            "conv_id", "turns", s.table(idxT))
+          .orderBy("conv_id")
+      },
+      Some(s"""
+        |WITH $convPlantSql,
+        |spf AS (SELECT doc_id, n_turns, CAST(u.p AS BIGINT) AS p,
+        |    md5(array_to_string(turns[1:u.p], chr(31))) AS fp
+        |  FROM cpd, unnest(generate_series(1, 4)) AS u(p)
+        |  WHERE u.p <= n_turns),
+        |spi AS (SELECT p, fp, count(*) AS ms FROM spf GROUP BY 1, 2),
+        |bat AS (
+        |  SELECT doc_id + 5000000 AS conv_id,
+        |    CAST(2 + doc_id % 2 AS BIGINT) AS n_turns,
+        |    list_transform(range(1, CAST(2 + doc_id % 2 AS INT) + 1),
+        |      i -> 'turn' || CAST(i AS VARCHAR) || ' of ' ||
+        |        CAST(doc_id - doc_id % (CASE WHEN i = 1 THEN 8
+        |          WHEN i = 2 THEN 4 WHEN i = 3 THEN 2 ELSE 1 END)
+        |          AS VARCHAR)) AS turns
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, CAST(3 AS BIGINT),
+        |    ['turn1 of ' || CAST(doc_id - doc_id % 8 AS VARCHAR),
+        |     'turn2 of ' || CAST(doc_id - doc_id % 4 AS VARCHAR),
+        |     'fresh ' || CAST(doc_id AS VARCHAR)]
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, CAST(2 AS BIGINT),
+        |    ['new ' || CAST(doc_id AS VARCHAR) || ' a',
+        |     'new ' || CAST(doc_id AS VARCHAR) || ' b']
+        |  FROM documents WHERE doc_id % 5 >= 2),
+        |bfp AS (SELECT conv_id, n_turns, CAST(u.p AS BIGINT) AS p,
+        |    md5(array_to_string(turns[1:u.p], chr(31))) AS fp
+        |  FROM bat, unnest(generate_series(1, 4)) AS u(p)
+        |  WHERE u.p <= n_turns),
+        |bwc AS (SELECT p, fp, count(*) AS mb FROM bfp GROUP BY 1, 2)
+        |SELECT conv_id, n_turns,
+        |  CAST(coalesce(max(CASE WHEN mb >= 2 OR ms >= 1 THEN p END), 0)
+        |    AS BIGINT) AS shared_prefix_turns,
+        |  CAST(coalesce(max(CASE WHEN mb >= 2 OR ms >= 1 THEN p END), 0)
+        |    + 1 AS BIGINT) AS trainable_from_turn
+        |FROM bfp JOIN bwc USING (p, fp)
+        |LEFT JOIN spi USING (p, fp)
         |GROUP BY 1, 2 ORDER BY conv_id
         |""".stripMargin.trim)),
 

@@ -256,6 +256,38 @@ class TextOpsSpec extends SparkSpec {
       (7L, 1L, 0L, 1L)))
   }
 
+  test("sharedPrefixAgainstIndex: stored occurrences count once, " +
+      "batch-internal sharing needs two; index merge is additive") {
+    val stored = Seq(
+      (1L, Seq("sys", "ask A", "ans A")),
+      (2L, Seq("sys", "ask B"))).toDF("id", "turns")
+    val idx = TextOps.prefixIndex(stored, "id", "turns")
+    val batch = Seq(
+      (10L, Seq("sys", "ask A", "ans A")),   // full replay of stored 1
+      (11L, Seq("sys", "ask C")),            // shares 1 turn w/ store
+      (12L, Seq("own", "twin")),             // batch-internal pair...
+      (13L, Seq("own", "twin")),             // ...shares 2 within batch
+      (14L, Seq("alone"))                    // nothing anywhere
+    ).toDF("id", "turns")
+    val got = TextOps
+      .sharedPrefixAgainstIndex(batch, "id", "turns", idx)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((10L, 3L), (11L, 1L), (12L, 2L), (13L, 2L),
+      (14L, 0L)))
+    // additivity: index over (stored ∪ batch) == fold of the two
+    // indexes re-aggregated on (p, fp)
+    val all = stored.unionByName(batch)
+    val whole = TextOps.prefixIndex(all, "id", "turns")
+      .orderBy("p", "fp").collect().map(_.toSeq).toSeq
+    val folded = idx
+      .unionByName(TextOps.prefixIndex(batch, "id", "turns"))
+      .groupBy("p", "fp")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .orderBy("p", "fp").collect().map(_.toSeq).toSeq
+    assert(whole == folded)
+  }
+
   test("sharedPrefixTurns fuzz: equals the brute-force pairwise " +
       "longest-common-prefix reference on random conversation sets") {
     val rnd = new scala.util.Random(20260816L)
