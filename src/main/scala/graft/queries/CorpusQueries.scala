@@ -729,6 +729,52 @@ object CorpusQueries {
         |GROUP BY 1, 2 ORDER BY conv_id
         |""".stripMargin.trim)),
 
+    // ---- streaming conversation-prefix ingest --------------------------
+    // The online face of the conversation dedup triad: conversations
+    // arrive in micro-batches (derived per batch from the streamed
+    // documents source), each batch's prefix fingerprints fold into
+    // the running additive index, and the folded index must be
+    // bit-identical to the batch build — stream ≡ incremental ≡
+    // batch ≡ oracle, the same parity the pair-matrix and near-dup
+    // paths carry. Output is the full (p, fp, n) index, ordered.
+    Q("q_stream_conv_prefix",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        // file-vs-directory fixture split: same handling as
+        // StreamingOps.eventsStream (single-file fixtures at small
+        // SFs, real parquet DIRECTORIES from the tiled sf>=1 layout)
+        val tablePath =
+          new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+        val fs = tablePath.getFileSystem(
+          s2.sparkContext.hadoopConfiguration)
+        val rs = s2.readStream.schema("doc_id LONG")
+          .option("maxFilesPerTrigger", 1)
+        val docStream =
+          if (fs.exists(tablePath) &&
+              fs.getFileStatus(tablePath).isDirectory)
+            rs.parquet(tablePath.toString)
+          else rs.option("pathGlobFilter", "documents.parquet").parquet(d)
+        val id = col("doc_id")
+        val convStream = docStream.select(id,
+          transform(
+            sequence(lit(1), (lit(2) + pmod(id, lit(3))).cast("int"),
+              lit(1)),
+            i => convTurn(id, i)).as("turns"))
+        graft.streaming.StreamingOps
+          .streamingPrefixIndex(convStream, "doc_id", "turns")
+          .orderBy("p", "fp")
+      },
+      Some(s"""
+        |WITH $convPlantSql,
+        |scf AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+        |    md5(array_to_string(turns[1:u.p], chr(31))) AS fp
+        |  FROM cpd, unnest(generate_series(1, 4)) AS u(p)
+        |  WHERE u.p <= n_turns)
+        |SELECT p, fp, CAST(count(*) AS BIGINT) AS n
+        |FROM scf GROUP BY 1, 2 ORDER BY p, fp
+        |""".stripMargin.trim)),
+
     // ---- supervised-token accounting per packed window ----------------
     // The composition the two SFT operators exist for: conversations
     // (80-char-chunk turns, user/assistant alternating) are packed

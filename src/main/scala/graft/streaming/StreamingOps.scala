@@ -309,6 +309,38 @@ object StreamingOps {
       throw new IllegalStateException("stream produced no batches"))
   }
 
+  /** Streaming conversation-prefix ingest: conversation micro-batches
+    * fold into the running ADDITIVE prefix-fingerprint index
+    * ([[graft.ops.TextOps.prefixIndex]]; union + re-aggregate on
+    * (p, fp)) with a batchId idempotence guard — the online face of
+    * the incremental conversation dedup, same sufficient-statistic
+    * argument as [[streamingPairStats]]: the folded index is
+    * bit-identical to a batch build over all conversations, because
+    * counts are order-insensitive long sums. Per batch the work is
+    * delta-sized fingerprints + one (p, fp) merge; the index is
+    * prefix-distinct-sized, checkpointed per fold (narrow: two longs
+    * + a 32-char md5 per row). */
+  def streamingPrefixIndex(convs: DataFrame, idCol: String,
+                           turnsCol: String): DataFrame = {
+    var idx: Option[DataFrame] = None
+    val applied = scala.collection.mutable.Set.empty[Long]
+    val fold = (batch: Dataset[Row], batchId: Long) => {
+      if (applied.add(batchId)) {
+        val bi = graft.ops.TextOps.prefixIndex(batch, idCol, turnsCol)
+        idx = Some(idx
+          .map(p => p.unionByName(bi).groupBy("p", "fp")
+            .agg(org.apache.spark.sql.functions.sum("n").as("n")))
+          .getOrElse(bi).localCheckpoint())
+      }
+      ()
+    }
+    val q = convs.writeStream.foreachBatch(fold)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    idx.getOrElse(
+      throw new IllegalStateException("stream produced no batches"))
+  }
+
   final case class UserEvent(user_id: Long, value_c: Long)
   final case class UserState(n: Long, maxC: Long)
   final case class UserStats(user_id: Long, n_events: Long,

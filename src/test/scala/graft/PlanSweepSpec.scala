@@ -297,9 +297,10 @@ class PlanSweepSpec extends SparkSpec {
     "ops/Tombstones.scala" -> 1,   // takedown id list (request-sized)
     "ops/PreferenceAudit.scala" -> 1, // pair matrix (4 longs)
     "ops/RankCentrality.scala" -> 5,  // pair matrix + entity vectors
-    "streaming/StreamingOps.scala" -> 4, // fold states: key-domain-
+    "streaming/StreamingOps.scala" -> 5, // fold states: key-domain-
                                    // bounded snapshots + narrow pair
-                                   // matrices (audited r14)
+                                   // matrices + the (p, fp-md5, n)
+                                   // prefix index (audited r14)
     "tools/SetSimAB.scala" -> 3,   // A/B harness mirroring the
                                    // measured op's exact shape
     "queries/StreamQueries.scala" -> 1,   // ≤bins histogram snapshot
