@@ -16,7 +16,9 @@ class ArtifactCitationSpec extends AnyFunSuite {
     * (failed/preempted runs kept in the history for honesty). */
   private val citedAsAbsent = Set(
     "bench_scale_sf10_full_r12.json", // r12: preempted by round end
-    "bench_scale_sf10_full_r13.json"  // r13: falsely claimed, corrected
+    "bench_scale_sf10_full_r13.json", // r13: falsely claimed, corrected
+    "bench_scale_sf10_full_r14.json"  // r14: 4.2 h in, preempted by round end
+
   )
 
   test("every bench artifact cited in BASELINE.md / SURVEY.md exists " +
