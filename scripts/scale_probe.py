@@ -25,7 +25,11 @@ import sys
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--envelope")]
+    # one pass consuming flag+value PAIRS: the two-token form
+    # "--envelope gate=ratio" must remove BOTH tokens from the
+    # positional list, or the value token lands in args[2] and
+    # float() on it crashes the probe (round-14 advice)
+    args = []
     envelopes = {}
     it = iter(sys.argv[1:])
     for a in it:
@@ -35,6 +39,8 @@ def main() -> int:
         elif a.startswith("--envelope="):
             g, _, r = a[len("--envelope="):].partition("=")
             envelopes[g] = float(r)
+        else:
+            args.append(a)
     if len(args) < 2:
         print(__doc__)
         return 2

@@ -15,6 +15,63 @@ object Bench {
     (rt.totalMemory() - rt.freeMemory()) / 1048576.0
   }
 
+  /** GATE WATCHDOG (r14 post-mortem): the r14 sf10 full-registry sweep
+    * wedged for 4.5+ h inside ONE gate — seven executor threads
+    * spinning at 100% CPU in a codegen'd hash aggregate, the main
+    * thread blocked in AQE's stage-event wait — and the whole sweep
+    * (and the round's artifact) died with it. One pathological gate
+    * must cost its own timeout, not the sweep: when
+    * SPARK_GRAFT_GATE_TIMEOUT_SEC is set, a gate still running after
+    * that many seconds has its job group cancelled
+    * (interrupt-on-cancel), which fails the query into the existing
+    * failed[]/errors{} accounting and lets the sweep continue. Tasks
+    * that ignore interruption (a tight generated loop) are abandoned
+    * as zombies — the scheduler still fails the job, so the loop
+    * advances; the watchdog line in stderr records the abandonment.
+    * Unset (the driver contract) nothing changes. */
+  private def withGateWatchdog(spark: SparkSession, name: String,
+                               timeoutSec: Option[Int])
+                              (body: => Unit): Unit =
+    timeoutSec match {
+      case None => body
+      case Some(t) =>
+        val sc = spark.sparkContext
+        val group = s"gate:$name"
+        sc.setJobGroup(group, s"bench gate $name (watchdog ${t}s)",
+          interruptOnCancel = true)
+        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val timer = new java.util.Timer(s"gate-watchdog", true)
+        timer.schedule(new java.util.TimerTask {
+          def run(): Unit = {
+            fired.set(true)
+            System.err.println(
+              s"[bench] $name WATCHDOG fired after $t s - cancelling " +
+                "job group (zombie tasks, if any, are abandoned)")
+            try sc.cancelJobGroup(group) catch { case _: Throwable => () }
+          }
+        }, t * 1000L)
+        try {
+          body
+          // completed only because the cancel raced the finish — the
+          // gate still exceeded its budget; record it as a failure,
+          // not a timing
+          if (fired.get) throw new RuntimeException(
+            s"gate exceeded ${t}s watchdog (cancelled)")
+        } finally { timer.cancel(); sc.clearJobGroup() }
+    }
+
+  /** 1-minute system load average — the contention witness. Round 14's
+    * "confirmed" dedup regression was host contention (a 4.2 h builder
+    * sweep covered the driver's whole bench window, so even second-run
+    * adjudication ran loaded and the context/regressed split failed);
+    * a quiet-box A/B reproduced every gate in-band. Recording load per
+    * gate makes the next such episode self-attributing. -1 when the
+    * platform bean cannot report it. */
+  private def loadAvg1(): Double =
+    try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   /** Shared flag thresholds (r12 advice): the flagging rules below and
     * the second-run `inBand` adjudication must always apply the SAME
     * margins, so they are hoisted here instead of re-hardcoded at each
@@ -228,10 +285,63 @@ object Bench {
     // local-iteration filter (comma-separated names); the driver never
     // sets it, so the per-round contract is unchanged
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // per-gate contention witness (see loadAvg1)
+    val load1 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val loadStart = loadAvg1()
+    // RESUMABLE PROGRESS (r14: two sf10 full-registry sweeps were
+    // preempted by round end with ZERO artifact to show for 4+ h of
+    // green gates). When SPARK_GRAFT_BENCH_PROGRESS names a file, each
+    // completed gate appends one JSON line {gate, sec, gc_ms, heap_mb,
+    // load1} immediately; on startup, gates already present are SKIPPED
+    // and their recorded numbers merged into the final artifact (the
+    // content-addressed stores persist in the warehouse, so a resumed
+    // session rebuilds nothing). A preempted sweep thus always leaves a
+    // line-per-gate record that the next session finishes or a script
+    // assembles. Failed gates are never recorded — a resume retries
+    // them. The artifact carries n_resumed for honesty.
+    val progressPath = sys.env.get("SPARK_GRAFT_BENCH_PROGRESS")
+    val resumed = scala.collection.mutable.LinkedHashMap[String,
+      (Double, Long, Double, Double)]() // sec, gcMs, heapMb, load1
+    progressPath.foreach { p =>
+      val f = new java.io.File(p)
+      if (f.isFile) {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        scala.io.Source.fromFile(f, "UTF-8").getLines()
+          .filter(_.trim.nonEmpty).foreach { line =>
+            try {
+              val n = om.readTree(line)
+              resumed(n.path("gate").asText()) = (
+                n.path("sec").asDouble(),
+                n.path("gc_ms").asLong(),
+                n.path("heap_mb").asDouble(),
+                if (n.has("load1")) n.path("load1").asDouble() else -1.0)
+            } catch { case _: Throwable => () }
+          }
+        if (resumed.nonEmpty) System.err.println(
+          s"[bench] resuming past ${resumed.size} recorded gate(s) from $p")
+      }
+    }
+    val gateTimeoutSec =
+      sys.env.get("SPARK_GRAFT_GATE_TIMEOUT_SEC").flatMap(_.toIntOption)
+    def appendProgress(name: String, sec: Double, gc: Long,
+                       heap: Double, ld: Double): Unit =
+      progressPath.foreach { p =>
+        try {
+          val w = new java.io.FileWriter(p, true)
+          try w.write(
+            s"""{"gate":"$name","sec":$sec,"gc_ms":$gc,"heap_mb":$heap,"load1":$ld}""" + "\n")
+          finally w.close()
+        } catch { case _: Throwable => () }
+      }
     System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap {
+      case (name, _) if resumed.contains(name) =>
+        val (sec, gc, heap, ld) = resumed(name)
+        gcMs(name) = gc; heapMb(name) = heap
+        if (ld >= 0) load1(name) = ld
+        Some(name -> sec)
       case (name, fn) =>
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
@@ -239,7 +349,9 @@ object Bench {
         // in the plan — .count() let Catalyst prune exactly the per-row
         // expression work most of these queries exist to measure
         val r = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          withGateWatchdog(spark, name, gateTimeoutSec) {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
           val sec = (System.nanoTime() - t0) / 1e9
           // one stderr line per gate: long sweeps (hours at sf10) are
           // otherwise unobservable until the final JSON
@@ -278,6 +390,12 @@ object Bench {
         val h = usedHeapMb()
         heapMb(name) = math.round(h * 10) / 10.0
         if (h > peakHeapMb) peakHeapMb = h
+        val ld = loadAvg1()
+        if (ld >= 0) load1(name) = math.round(ld * 100) / 100.0
+        r.foreach { case (_, sec) =>
+          appendProgress(name, math.round(sec * 1000) / 1000.0,
+            gcMs(name), heapMb(name), load1.getOrElse(name, -1.0))
+        }
         r
     }.toMap
     // The driver captures only the TAIL of this process's output
@@ -364,14 +482,29 @@ object Bench {
     // "regressed") from driver-context cold-read/JIT effects (second
     // run in-band → "context"). A recurrence now self-attributes in
     // the driver's own artifact instead of costing a builder round.
+    // CAP on re-runs (r14: 36 flags under host contention cost ~4.5 min
+    // of re-runs inside the driver window — the re-runs themselves were
+    // half the wall regression). Re-run the WORST offenders by ratio;
+    // flags beyond the cap stay flagged with verdict "unadjudicated"
+    // (never laundered into context, never claimed regressed without a
+    // second reading). A quiet session rarely flags more than a handful,
+    // so the cap only binds exactly when re-runs are least informative.
+    val secondRunCap = sys.env.get("SPARK_GRAFT_SECOND_RUN_CAP")
+      .flatMap(_.toIntOption).getOrElse(12)
+    val rerunSet: Set[String] = flagged
+      .sortBy { case (_, ref, b, _) => -(b / math.max(ref, 1e-9)) }
+      .take(secondRunCap).map(_._1).toSet
     val secondRun: Map[String, Double] =
       if (sys.env.contains("SPARK_GRAFT_NO_SECOND_RUN")) Map.empty
-      else flagged.flatMap { case (name, _, _, _) =>
+      else flagged.filter(f => rerunSet.contains(f._1))
+        .flatMap { case (name, _, _, _) =>
         SparkEntry.queries.get(name).flatMap { fn =>
           System.gc()
           val t0 = System.nanoTime()
           val r = try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            withGateWatchdog(spark, name, gateTimeoutSec) {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            }
             Some(name -> (System.nanoTime() - t0) / 1e9)
           } catch { case _: Throwable => None }
           spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
@@ -393,14 +526,21 @@ object Bench {
     }
     val verdicts = flagged.map { case (name, ref, b, rule) =>
       val s2 = secondRun.get(name)
-      // no second reading (re-run skipped or itself failed): keep the
-      // honest flag rather than launder it into "context"
+      // no second reading: a gate the cap excluded is "unadjudicated"
+      // (flag stands, no verdict without evidence); a gate whose
+      // re-run was attempted but failed/skipped keeps the honest
+      // "regressed" rather than laundering into "context"
       val verdict =
-        if (s2.exists(inBand(name, _))) "context" else "regressed"
+        if (s2.exists(inBand(name, _))) "context"
+        else if (!rerunSet.contains(name) &&
+                 !sys.env.contains("SPARK_GRAFT_NO_SECOND_RUN"))
+          "unadjudicated"
+        else "regressed"
       (name, ref, b, rule, s2, verdict)
     }
     val nConfirmed = verdicts.count(_._6 == "regressed")
     val nContext = verdicts.count(_._6 == "context")
+    val nUnadjudicated = verdicts.count(_._6 == "unadjudicated")
     // -1 on the stdout line = "no comparison happened" (baseline AND
     // bands both absent/unreadable) — distinguishable from a genuinely
     // clean compare's 0 inside the ~2 KB driver tail (r10 advice)
@@ -413,7 +553,7 @@ object Bench {
       val baseTotal = baseNode
         .map(n => s""","baseline_total":${r3(n.path("value").asDouble())}""")
         .getOrElse("")
-      s"""{"baseline":${jstr(baselinePath)},"bands":${jstr(bandsPath)},"n_bands":${bands.size}$baseTotal,"n_regressed":$nConfirmed,"n_context":$nContext,"regressed":${entries.mkString("{", ",", "}")}}"""
+      s"""{"baseline":${jstr(baselinePath)},"bands":${jstr(bandsPath)},"n_bands":${bands.size}$baseTotal,"n_regressed":$nConfirmed,"n_context":$nContext,"n_unadjudicated":$nUnadjudicated,"regressed":${entries.mkString("{", ",", "}")}}"""
     }
     val totalGcMs = gcMs.values.sum
     val endHeap = heapMb.toSeq.lastOption.map(_._2).getOrElse(0.0)
@@ -428,8 +568,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val doubleBuildsJson =
       setupDoubleBuilds.map(jstr).mkString("[", ",", "]")
+    val loadJson = load1.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val loadEnd = loadAvg1()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"setup_mode":"pool4","setup_double_builds":$doubleBuildsJson,"setup":$setupJson,"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"end_heap_mb":$endHeap,"compare":$compareJson,"queries":${fullQs.mkString("{", ",", "}")},"gc_ms":$gcJson,"heap_mb":$heapJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_resumed":${resumed.size},"failed":$failedJson,"errors":$errsJson,"setup_sec":${r3(setupSec)},"setup_mode":"pool4","setup_double_builds":$doubleBuildsJson,"setup":$setupJson,"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"end_heap_mb":$endHeap,"load_start":${math.round(loadStart * 100) / 100.0},"load_end":${math.round(loadEnd * 100) / 100.0},"compare":$compareJson,"queries":${fullQs.mkString("{", ",", "}")},"gc_ms":$gcJson,"heap_mb":$heapJson,"load1":$loadJson,"sf":"$sfDir"}"""
     // never clobber the driver's artifact: honor an explicit override,
     // else write a (millis, pid)-keyed file (a judge/builder repro once
     // overwrote bench_full.json and lost ~136 gates' timings; pid
@@ -457,7 +600,7 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     val topQs = fullQs.take(25).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"n_regressed":$nRegressed,"n_context":$nContext,"queries":$topQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"setup_sec":${r3(setupSec)},"gc_ms_total":$totalGcMs,"peak_heap_mb":${r3(peakHeapMb)},"load_start":${math.round(loadStart * 100) / 100.0},"load_end":${math.round(loadEnd * 100) / 100.0},"n_regressed":$nRegressed,"n_context":$nContext,"n_unadjudicated":$nUnadjudicated,"queries":$topQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

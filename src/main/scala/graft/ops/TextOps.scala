@@ -961,8 +961,12 @@ object TextOps {
   def sharedPrefixTurns(convs: DataFrame, idCol: String,
                         turnsCol: String): DataFrame = {
     val fps = prefixFps(convs, idCol, turnsCol)
-    val counts = fps.groupBy("p", "fp").agg(count(lit(1)).as("__m"))
-    fps.join(counts, Seq("p", "fp"))
+    val counts = fps.filter(col("p") >= 1L)
+      .groupBy("p", "fp").agg(count(lit(1)).as("__m"))
+    // LEFT join: the p=0 placeholder a null/empty-turns conversation
+    // emits (fp null — never equi-matches) must survive to the output
+    // row the scaladoc promises, with shared_prefix_turns = 0
+    fps.join(counts, Seq("p", "fp"), "left")
       .groupBy(col(idCol), col("n_turns"))
       .agg(coalesce(max(when(col("__m") >= 2L, col("p"))), lit(0L))
         .as("shared_prefix_turns"))
@@ -973,21 +977,41 @@ object TextOps {
   /** The per-(conversation, position) cumulative prefix fingerprints
     * behind [[sharedPrefixTurns]] / [[prefixIndex]]: one row per
     * prefix length p in 1..n_turns with `fp` = md5 of turns 1..p
-    * joined by 0x1F. */
+    * joined by 0x1F.
+    *
+    * Conventions (r14 advice): a NULL turn element fingerprints as the
+    * sentinel U+0000 (concat_ws SKIPS nulls, so ["a", null] and
+    * [null, "a"] would otherwise collide at p = 2); a conversation
+    * whose turns array is null or empty still emits exactly one row --
+    * a (p = 0, fp = null) placeholder -- so every consumer stays
+    * one-output-row-per-conversation (null fp never equi-joins, and
+    * [[prefixIndex]] filters p >= 1, so placeholders can't match
+    * anything or pollute the stored index). */
   private def prefixFps(convs: DataFrame, idCol: String,
                         turnsCol: String): DataFrame =
     convs
-      .select(col(idCol), col(turnsCol).as("__turns"))
       .select(col(idCol),
-        size(col("__turns")).cast("long").as("n_turns"),
-        posexplode(transform(
-          sequence(lit(1), greatest(size(col("__turns")), lit(1)),
-            lit(1)),
-          p => md5(concat_ws("\u001f",
-            slice(col("__turns"), lit(1), p))))))
-      .filter(col("pos") < col("n_turns")) // clamp guard: 0-turn convs
+        transform(col(turnsCol),
+          t => coalesce(t, lit("\u0000"))).as("__turns"))
+      .select(col(idCol),
+        greatest(coalesce(size(col("__turns")).cast("long"), lit(0L)),
+          lit(0L)).as("n_turns"),
+        posexplode(when(
+          coalesce(size(col("__turns")), lit(0)) <= 0,
+          array(lit(null).cast("string"))) // empty/null conv placeholder
+          .otherwise(transform(
+            sequence(lit(1), greatest(size(col("__turns")), lit(1)),
+              lit(1)),
+            p => md5(concat_ws("\u001f",
+              slice(col("__turns"), lit(1), p)))))))
+      // real rows: pos in 0..n_turns-1 -> p = pos+1; the placeholder
+      // row of an empty conv (pos = 0, n_turns = 0) maps to p = 0
+      .filter(col("pos") < col("n_turns") || col("n_turns") === 0L)
       .select(col(idCol), col("n_turns"),
-        (col("pos") + 1).cast("long").as("p"), col("col").as("fp"))
+        when(col("n_turns") === 0L, lit(0L))
+          .otherwise(col("pos") + 1).cast("long").as("p"),
+        when(col("n_turns") === 0L, lit(null).cast("string"))
+          .otherwise(col("col")).as("fp"))
 
   /** The PERSISTED face of conversation-prefix dedup: the additive
     * (p, fp, n) prefix-fingerprint index of a conversation corpus.
@@ -999,6 +1023,7 @@ object TextOps {
   def prefixIndex(convs: DataFrame, idCol: String,
                   turnsCol: String): DataFrame =
     prefixFps(convs, idCol, turnsCol)
+      .filter(col("p") >= 1L) // drop empty-conv placeholders
       .groupBy("p", "fp").agg(count(lit(1)).as("n"))
 
   /** Incremental [[sharedPrefixTurns]]: each BATCH conversation's
@@ -1011,8 +1036,11 @@ object TextOps {
                                turnsCol: String,
                                index: DataFrame): DataFrame = {
     val fps = prefixFps(batch, idCol, turnsCol)
-    val within = fps.groupBy("p", "fp").agg(count(lit(1)).as("__mb"))
-    fps.join(within, Seq("p", "fp"))
+    val within = fps.filter(col("p") >= 1L)
+      .groupBy("p", "fp").agg(count(lit(1)).as("__mb"))
+    // LEFT joins keep the p=0 placeholder of a null/empty-turns batch
+    // conversation (see prefixFps) in the per-conversation output
+    fps.join(within, Seq("p", "fp"), "left")
       .join(index.select(col("p"), col("fp"), col("n").as("__ms")),
         Seq("p", "fp"), "left")
       .groupBy(col(idCol), col("n_turns"))

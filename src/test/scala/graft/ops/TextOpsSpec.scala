@@ -288,6 +288,39 @@ class TextOpsSpec extends SparkSpec {
     assert(whole == folded)
   }
 
+  test("sharedPrefixTurns conventions (r14 advice): null/empty-turns " +
+      "conversations still emit a row; null turn elements don't " +
+      "collide with their absence") {
+    val convs = Seq(
+      (1L, Seq("a", null)),   // null SECOND turn...
+      (2L, Seq(null, "a")),   // ...must not collide with null FIRST
+      (3L, Seq.empty[String]),
+      (4L, null)              // null turns array
+    ).toDF("id", "turns")
+    val got = TextOps.sharedPrefixTurns(convs, "id", "turns")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // pre-fix, concat_ws skipped nulls so 1 and 2 collided at p=2 (both
+    // md5("a")) and 3/4 vanished from the output entirely
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 1L), (2L, 2L, 0L, 1L),
+      (3L, 0L, 0L, 1L), (4L, 0L, 0L, 1L)))
+    // same conventions through the index path: the placeholder rows
+    // stay out of the stored index, the empty convs stay in the output
+    val idx = TextOps.prefixIndex(convs, "id", "turns")
+    assert(idx.filter($"p" < 1L).count() == 0L)
+    val batch = Seq(
+      (10L, Seq("a", null)),  // replay of stored 1 -> shares 2
+      (11L, Seq.empty[String]),
+      (12L, null)
+    ).toDF("id", "turns")
+    val viaIdx = TextOps
+      .sharedPrefixAgainstIndex(batch, "id", "turns", idx)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(viaIdx == Seq((10L, 2L), (11L, 0L), (12L, 0L)))
+  }
+
   test("sharedPrefixTurns fuzz: equals the brute-force pairwise " +
       "longest-common-prefix reference on random conversation sets") {
     val rnd = new scala.util.Random(20260816L)
