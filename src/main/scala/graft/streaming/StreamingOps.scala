@@ -146,18 +146,20 @@ object StreamingOps {
         col("user_id").as("click_user"), col("ts_us").as("click_ts_us"),
         col("event_time").as("click_time"))
       .withWatermark("click_time", "1 hour")
-    // Both predicate families on purpose: the micros pair gives
-    // byte-exact lag arithmetic; the timestamp pair below is what
-    // StreamingJoinHelper derives the state watermark from (it logs a
-    // caught WARN stack probing the micros conjuncts first — benign;
-    // JoinStateBoundSpec pins that eviction still fires).
+    // ONLY the watermarked timestamp conjuncts in the join condition
+    // (r14 verdict item 5): timestamp_micros is a bijection on the
+    // stored micros, so the interval pair bounds event time exactly —
+    // a redundant raw-long pair (click_ts_us >= view_ts_us, ...) made
+    // StreamingJoinHelper probe unevaluable attributes and print an
+    // INTERNAL_ERROR stack at WARN in every run before falling back
+    // to these conjuncts. Lag arithmetic still uses the micros
+    // columns below, byte-exact. JoinStateBoundSpec pins that state
+    // eviction still fires from this condition.
     views.join(clicks,
       col("user_id") === col("click_user") &&
-        col("click_ts_us") >= col("view_ts_us") &&
-        col("click_ts_us") <= col("view_ts_us") + withinUs &&
         col("click_time") >= col("view_time") &&
         // exact micros interval: a seconds-truncated bound would be
-        // strictly tighter than the ts_us predicate and silently drop
+        // strictly tighter than the micros semantics and silently drop
         // pairs for any withinUs not a whole-second multiple
         col("click_time") <= col("view_time") + expr(
           s"INTERVAL $withinUs MICROSECOND"),
