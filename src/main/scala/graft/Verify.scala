@@ -31,14 +31,36 @@ object Verify {
     // all 246 gates (cross-gate sharing is content-addressed tables
     // on disk, never in-memory blocks, so freeing them is safe)
     val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    SparkEntry.queries
+    // CONCURRENT dump (r14 verdict item 1/6: the driver's correctness
+    // record was empty because the round's gate window ran out of
+    // wall; each gate is an independent small Spark job that underuses
+    // 32 cores, so a pool of 4 cuts the sweep toward its critical path
+    // — same rationale as Bench's prepare pool, and same-store builds
+    // stay serialized by StoreLedger's per-key locks). Gate-local
+    // checkpoint blocks are freed at WAVE boundaries on this thread,
+    // never per-gate from pool threads: a getPersistentRDDs id-delta
+    // from one thread would unpersist a CONCURRENT gate's live
+    // checkpoints (the round-13 CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    // incident, documented in ops/Checkpoints.scala). Sequential
+    // escape hatch: SPARK_GRAFT_VERIFY_POOL=1.
+    val poolN = math.max(1,
+      sys.env.get("SPARK_GRAFT_VERIFY_POOL").flatMap(_.toIntOption)
+        .getOrElse(4))
+    val gates = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    gates.grouped(4 * poolN).foreach { wave =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolN)
+      wave.foreach { case (name, fn) =>
+        pool.execute { () =>
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
       }
+      pool.shutdown()
+      pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!baselineRdds.contains(id))
           try rdd.unpersist(blocking = false)
