@@ -586,6 +586,68 @@ object Multimodal {
 
   final case class AudioFp(doc_id: Long, afp: Long)
 
+  /** Clean-room RIFF/WAVE parser for the bulk fingerprint path:
+    * returns the decoded 16-bit little-endian mono PCM samples, or
+    * None for anything that is not that exact shape (non-RIFF bytes,
+    * PCM format codes other than 1, multi-channel, other bit depths,
+    * a missing fmt/data chunk). A REAL chunk walker — chunk order is
+    * free, unknown chunks are skipped, odd sizes consume their RIFF
+    * pad byte, and a data chunk claiming more bytes than the stream
+    * holds yields only the samples actually present (the caller's
+    * sample-count check rejects truncations, same as the
+    * AudioSystem path it replaces did).
+    *
+    * WHY not AudioSystem here (r15, measured): every
+    * `AudioSystem.getAudioInputStream` call goes through a
+    * synchronized JVM-global provider registry — 8 decode threads
+    * reach only 1.55x ONE thread's throughput (microbench in
+    * BASELINE), and the sf10 sweep's audio gates ran at system load
+    * ~1 on 32 cores (q_multimodal_audio_fp 729 s, 62.8x the sf1
+    * reading for 10x rows). On a 1000-executor cluster every
+    * 16-thread executor would convoy on the same lock. Equivalence
+    * with the AudioSystem decode is pinned by AudioParseSpec over
+    * rendered, mutated, and truncated containers; the fingerprint
+    * gates' DuckDB oracles pin the end-to-end chain as before. */
+  private[graft] def parseWavPcm16Mono(b: Array[Byte])
+      : Option[Array[Int]] = {
+    def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0L
+    // walk every chunk: [4-byte id][4-byte size][payload][pad to even]
+    while (off + 8 <= b.length) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      val payload = off + 8
+      if (id == "fmt " && size >= 16 && payload + 16 <= b.length) {
+        fmtOk = u16(payload) == 1 &&      // PCM format code
+          u16(payload + 2) == 1 &&        // mono
+          u16(payload + 14) == 16         // bits per sample
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = payload
+        dataLen = size
+      }
+      val advance = size + (size & 1L) // RIFF pads chunks to even
+      // a size field pointing past the stream (oversized/corrupt
+      // declaration) ends the walk — chunks already found stay valid,
+      // and the data clamp below bounds what a lying length can claim
+      off =
+        if (advance > b.length.toLong - payload) b.length
+        else payload + advance.toInt
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val avail = math.max(0L, math.min(dataLen, (b.length - dataOff).toLong))
+    val n = (avail / 2).toInt
+    Some(Array.tabulate(n)(j =>
+      (b(dataOff + 2 * j + 1) << 8) | (b(dataOff + 2 * j) & 0xff)))
+  }
+
   /** 60-bit audio fingerprint over GENUINELY DECODED samples:
     * `AudioSystem.getAudioInputStream` parses the container, the PCM
     * frames are read back, and bit k is frame k's energy
@@ -604,27 +666,15 @@ object Multimodal {
     binary.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
+          // lock-free clean-room container parse (see
+          // parseWavPcm16Mono's scaladoc for the measured AudioSystem
+          // global-lock convoy this replaces; AudioParseSpec pins the
+          // decode equivalence)
           val decoded: Option[Array[Int]] =
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(r.payload))
-              try {
-                val f = ais.getFormat
-                val ok = f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
-                  !f.isBigEndian && f.getEncoding ==
-                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-                if (!ok) None
-                else {
-                  val bytes = ais.readAllBytes()
-                  val n = bytes.length / 2
-                  if (n != AudioSamples) None
-                  else Some(Array.tabulate(n)(j =>
-                    ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff))))
-                }
-              } finally ais.close()
-            } catch {
-              // corrupt-but-recognized containers throw unchecked from
-              // javax.sound plugins too — degrade per row, never the task
+            try parseWavPcm16Mono(r.payload)
+              .filter(_.length == AudioSamples)
+            catch {
+              // degrade per row, never the task
               case scala.util.control.NonFatal(_) => None
             }
           decoded match {
