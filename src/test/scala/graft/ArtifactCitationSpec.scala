@@ -21,6 +21,13 @@ class ArtifactCitationSpec extends AnyFunSuite {
 
   )
 
+  /** Protocol names, not result claims: rolling files Bench itself
+    * maintains (a symlink refreshed to the newest artifact). SURVEY
+    * documents the MECHANISM by name, so the name appears in prose
+    * whether or not a local run has created the file yet — exempt
+    * from both the exists check and the stale check. */
+  private val rollingNames = Set("bench_latest.json")
+
   test("every bench artifact cited in BASELINE.md / SURVEY.md exists " +
       "(or is on the documented absent list)") {
     val root = java.nio.file.Paths.get(".")
@@ -31,6 +38,7 @@ class ArtifactCitationSpec extends AnyFunSuite {
       val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       cite.findAllIn(text).toSet.toSeq.sorted
         .filterNot(citedAsAbsent)
+        .filterNot(rollingNames)
         .filterNot(n => java.nio.file.Files.isRegularFile(root.resolve(n)))
         .map(n => s"$f cites $n")
     }
