@@ -323,20 +323,27 @@ object ClusterQueries {
     // Cluster the corpus (k-means on quantized vectors), then flag every
     // vector that has a within-cluster partner with smaller id and
     // cos_milli >= 950. Pairs are generated ONLY inside clusters — the
-    // SemDeDup move: at 100 TB, k grows with n so members-per-cluster
-    // stays bounded and the per-cluster pair expansion is local work,
-    // not an n² join (the cluster-id equi-join below is the bucketed
-    // shape; a giant cluster is the same skew as any hot key — salt or
-    // split it). Planted near-identical copies land in their source's
-    // cluster and are flagged; the oracle replays clustering + pairing
-    // end-to-end.
+    // SemDeDup move: k GROWS WITH n (k = max(8, n/1000), so
+    // members-per-cluster stays ~1000-bounded) and the per-cluster pair
+    // expansion is local work, not an n² join (the cluster-id equi-join
+    // below is the bucketed shape; a giant cluster is the same skew as
+    // any hot key — salt or split it). The r15 sf10 sweep is the
+    // measured reason the growth is real code, not a comment: with k
+    // pinned at 8, clusters held ~50k members at 400k vectors and the
+    // pair expansion blew a 900 s watchdog (~1e10 candidate pairs);
+    // n/1000 keeps the pair side linear in n. At every SF the oracle
+    // and the bands pin (corpus ≤ 8000 vectors), the formula collapses
+    // to the k = 8 the unrolled DuckDB replay hard-codes. Planted
+    // near-identical copies land in their source's cluster and are
+    // flagged; the oracle replays clustering + pairing end-to-end.
     Q("q_semdedup",
       (s, d) => {
         GraftFunctions.ensureRegistered(s)
         val corp = semCorpus(s, d)
+        val k = math.max(8L, corp.count() / 1000L).toInt
         val qv = corp.select(col("vec_id").as("id"),
           Clustering.quantizeMilli(col("embedding")).as("qv"))
-        val asg = Clustering.kmeansAssign(qv, "id", "qv", k = 8, iters = 2)
+        val asg = Clustering.kmeansAssign(qv, "id", "qv", k = k, iters = 2)
           .select("id", "cluster")
         val withV = asg.join(
           corp.select(col("vec_id").as("id"), col("embedding").as("ev")),

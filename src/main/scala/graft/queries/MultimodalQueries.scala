@@ -100,15 +100,31 @@ object MultimodalQueries {
   /** The media lake as it actually lands: one image FILE per doc
     * (content-keyed dir, executor-side writes with atomic member
     * renames — the WarcSink discipline; on a cluster this dir is
-    * shared storage). Front door for the `binaryFile` source gate. */
+    * shared storage). Front door for the `binaryFile` source gate.
+    *
+    * SHARDED, and a registered prepare, since the sf10 sweep: the v1
+    * layout wrote every member into ONE flat directory, inside the
+    * gate body. At 5k files that is invisible; at 500k files the
+    * local filesystem serializes every create/rename on the single
+    * directory's lock and the gate blew a 900 s watchdog — the same
+    * reason real object-store lakes spread keys across prefixes.
+    * Members now land in 256 `shard=NN/` subdirectories (doc_id mod
+    * 256, ~2k files each at sf10), and the materialization itself is
+    * fixture manufacturing (the lake EXISTS before anyone queries
+    * it), so it runs with the other untimed store builds via
+    * [[prepares]]; the timed gate pays listing + read + decode — the
+    * actual operator. */
+  private val MediaShards = 256
   private def mediaFilesDir(s: SparkSession, d: String): String = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_mediafiles_" +
-        Sinks.contentKey(d, "documents.parquet", "mediafiles|v1"))
+        Sinks.contentKey(d, "documents.parquet", "mediafiles|v2"))
     val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
     if (!marker.exists()) {
-      dir.mkdirs()
       val path = dir.getAbsolutePath
+      (0 until MediaShards).foreach { sh =>
+        new java.io.File(dir, f"shard=$sh%03d").mkdirs()
+      }
       s.table(mediaPngTable(s, d))
         .filter(col("doc_id") < TwinOffset)
         .select("doc_id", "payload")
@@ -116,13 +132,15 @@ object MultimodalQueries {
           (rows: Iterator[org.apache.spark.sql.Row]) =>
             rows.foreach { r =>
               val id = r.getLong(0)
-              val tmp = new java.io.File(path, s".doc_$id.png.tmp")
+              val shard = new java.io.File(path,
+                f"shard=${(id % MediaShards).toInt}%03d")
+              val tmp = new java.io.File(shard, s".doc_$id.png.tmp")
               java.nio.file.Files.write(tmp.toPath,
                 r.getAs[Array[Byte]](1))
               // throws on failure — a silently missing member would
               // poison the marker-guarded dir until manually deleted
               java.nio.file.Files.move(tmp.toPath,
-                new java.io.File(path, s"doc_$id.png").toPath,
+                new java.io.File(shard, s"doc_$id.png").toPath,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             }
@@ -192,6 +210,7 @@ object MultimodalQueries {
     * per session). */
   def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "media_png_store" -> ((s, d) => { mediaPngTable(s, d); () }),
+    "media_files_dir" -> ((s, d) => { mediaFilesDir(s, d); () }),
     "media_wav_store" -> ((s, d) => { mediaWavTable(s, d); () }),
     "media_gif_store" -> ((s, d) => { mediaGifTable(s, d); () }),
     "phash_index" -> ((s, d) => { phashIndexTable(s, d); () }),
@@ -746,7 +765,8 @@ object MultimodalQueries {
       (s, d) => {
         val dir = mediaFilesDir(s, d)
         val bin = s.read.format("binaryFile")
-          .option("pathGlobFilter", "*.png").load(dir)
+          .option("pathGlobFilter", "*.png")
+          .option("recursiveFileLookup", "true").load(dir)
           .select(regexp_extract(col("path"), "doc_([0-9]+)\\.png$", 1)
             .cast("long").as("doc_id"),
             col("content").as("payload"))
