@@ -113,6 +113,8 @@ object GraftFunctions {
         es => JaccardMilli(es.head, es(1))),
       ("containment_milli", classOf[ContainmentMilli],
         es => ContainmentMilli(es.head, es(1))),
+      ("nearest_centroid_milli", classOf[NearestCentroidMilli],
+        es => NearestCentroidMilli(es.head, es(1), es(2), es(3))),
       ("char_codes", classOf[CharCodes],
         es => CharCodes(es.head)),
       ("selenium_text", classOf[SeleniumText],
@@ -161,6 +163,12 @@ object GraftFunctions {
     call_function("jaccard_milli", a, b)
   def containmentMilli(a: Column, b: Column): Column =
     call_function("containment_milli", a, b)
+  def nearestCentroidMilli(qv: Column, centsFlat: Array[Long],
+                           cids: Array[Long], dim: Int): Column =
+    call_function("nearest_centroid_milli", qv,
+      org.apache.spark.sql.functions.lit(centsFlat),
+      org.apache.spark.sql.functions.lit(cids),
+      org.apache.spark.sql.functions.lit(dim))
   def charCodes(c: Column): Column =
     call_function("char_codes", c)
   def seleniumText(c: Column): Column =

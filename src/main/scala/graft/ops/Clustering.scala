@@ -53,14 +53,22 @@ object Clustering {
     * id; a cluster that loses all members keeps its previous centroid.
     * `dist_sq` is the exact integer squared-L2 to the FINAL centroid. */
   // argmin over the literal codebook inside ONE projection:
-  // min of (dist, cid) structs = nearest centroid, ties to smaller id
+  // the native nearest_centroid_milli kernel — one fused (k·dim)
+  // long-loop per row inside whole-stage codegen, struct(d, cid),
+  // ties to the smaller cid (centroids fed ascending by cid; the
+  // kernel's strict-< scan then keeps the first). The composed
+  // array_min-over-structs form it replaced ran each candidate
+  // through interpreted HOFs (zip_with/aggregate have no doGenCode)
+  // — invisible at k = 8, fatal at the SemDeDup k-grows-with-n
+  // shape (r15 sf10: k = 400 × 400k rows × 3 passes blew a 900 s
+  // watchdog). cids ride beside the codebook because k-center
+  // induction assigns against centers keyed by ORIGINAL row ids,
+  // not positions.
   private def assignCol(cs: Seq[(Long, Seq[Long])]): Column = {
-    val cands = array(cs.map { case (cid, cv) =>
-      struct(
-        l2sqLong(array(cv.map(lit): _*), col("qv")).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
-    array_min(cands)
+    val sorted = cs.sortBy(_._1)
+    val dim = sorted.head._2.length
+    graft.functions.GraftFunctions.nearestCentroidMilli(col("qv"),
+      sorted.flatMap(_._2).toArray, sorted.map(_._1).toArray, dim)
   }
 
   /** The Lloyd loop over a persisted `(id, qv)` frame: seed from rows
@@ -70,6 +78,7 @@ object Clustering {
     * codebook itself — e.g. as a trained PQ/IVF seed). */
   private def lloyd(in: DataFrame, k: Int,
                     iters: Int): Seq[(Long, Seq[Long])] = {
+    graft.functions.GraftFunctions.ensureRegistered(in.sparkSession)
     // seed codebook: rows with id < k (KB-sized collect, k·dim longs)
     var cents: Seq[(Long, Seq[Long])] = in.filter(col("id") < k)
       .collect().map(r =>
