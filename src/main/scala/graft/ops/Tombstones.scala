@@ -18,6 +18,13 @@ object Tombstones {
   /** The tombstone side table beside a store table. */
   def table(store: String): String = s"${store}_tombstones"
 
+  /** The durable staging table [[compact]] writes a table's survivor
+    * set to in phase 1. Exposed so a `derived` unit's thunk can read a
+    * DATA table's already-staged survivors (the post-compaction truth
+    * in every crash window) instead of the live table, whose state
+    * depends on how far a previous crashed run got. */
+  def stagingTable(t: String): String = s"${t}__compact_staging"
+
   /** Record `removeIds` (a 1-column id frame) as taken down —
     * append-only, idempotent under re-delivery (readers anti-join, so
     * duplicate tombstones change nothing). */
@@ -72,7 +79,8 @@ object Tombstones {
     * removed documents (the property a takedown audit checks). */
   def compact(s: SparkSession, store: String,
               tables: Seq[(String, Seq[String])],
-              idCol: String = "id"): Unit = {
+              idCol: String = "id",
+              derived: Seq[(String, () => DataFrame)] = Seq.empty): Unit = {
     if (!s.catalog.tableExists(table(store))) return
     // Two durable phases, never a window where the only copy of a
     // store's surviving rows is ephemeral. Phase 1 writes every
@@ -87,8 +95,21 @@ object Tombstones {
     // compaction is RE-RUNNABLE: the restore step below heals the one
     // non-atomic window (saveAsTable drops the target before
     // recreating it), and until then readers keep anti-joining.
-    val staged = tables.map { case (t, parts) =>
-      val tmp = s"${t}__compact_staging"
+    // `derived` tables (e.g. a store's maintained corpus-scalars
+    // summary) have no per-row id to anti-join: their post-compaction
+    // content is the caller's thunk, EVALUATED IN PHASE 1 while the
+    // sources and the tombstone table are both still intact, and
+    // carried through the identical staging/restore discipline — so
+    // summary maintenance inherits the same crash story as the data
+    // files instead of adding a second, weaker one.
+    val units: Seq[(String, Seq[String], () => DataFrame)] =
+      tables.map { case (t, parts) =>
+        (t, parts, () => minus(s, store,
+            s.table(t).withColumnRenamed(idCol, "id"))
+          .withColumnRenamed("id", idCol))
+      } ++ derived.map { case (t, f) => (t, Seq.empty[String], f) }
+    val staged = units.map { case (t, parts, survivorsOf) =>
+      val tmp = stagingTable(t)
       // crash recovery: a previous run died inside phase 2's
       // drop-then-recreate on THIS table — the source is gone but its
       // survivors are durable in staging. Detection and restore go
@@ -151,8 +172,8 @@ object Tombstones {
       // idCol: the phash index keys rows by doc_id while the
       // inverted-index/ANN stores use id — rename through the
       // anti-join so the stored layout's own column name survives
-      minus(s, store, s.table(t).withColumnRenamed(idCol, "id"))
-        .withColumnRenamed("id", idCol)
+      // (derived units substitute their own survivor frame here)
+      survivorsOf()
         .write.format("parquet").mode("overwrite").saveAsTable(tmp)
       (t, parts, tmp)
     }

@@ -16,13 +16,14 @@ object CorpusQueries {
   private def incrIndexTable(s: org.apache.spark.sql.SparkSession,
                              d: String): String = {
     val tbl = "inv_idx_" +
-      Sinks.contentKey(d, "documents.parquet", "terms-tf|v2")
+      Sinks.contentKey(d, "documents.parquet", "terms-tf|v3")
     // marker-guarded: the sequence is FOUR writes (postings + doc
     // stats, then the appended halves) — a death mid-sequence must
     // re-run it, not leave later gates reading a store missing the
     // holdout
     Sinks.ensureBuilt(s, s"${tbl}_ok",
-      requires = Seq(tbl, graft.ops.InvertedIndexStore.docsTable(tbl))) {
+      requires = Seq(tbl, graft.ops.InvertedIndexStore.docsTable(tbl),
+        graft.ops.InvertedIndexStore.summaryTable(tbl))) {
       val docs = documents(s, d)
       graft.ops.InvertedIndexStore.build(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
@@ -41,9 +42,10 @@ object CorpusQueries {
   private def takedownIndexTable(s: org.apache.spark.sql.SparkSession,
                                  d: String): String = {
     val tbl = "inv_idx_td_" +
-      Sinks.contentKey(d, "documents.parquet", "takedown|v1")
+      Sinks.contentKey(d, "documents.parquet", "takedown|v2")
     Sinks.ensureBuilt(s, s"${tbl}_ok",
-      requires = Seq(tbl, graft.ops.InvertedIndexStore.docsTable(tbl))) {
+      requires = Seq(tbl, graft.ops.InvertedIndexStore.docsTable(tbl),
+        graft.ops.InvertedIndexStore.summaryTable(tbl))) {
       val docs = documents(s, d)
       graft.ops.InvertedIndexStore.build(
         docs, "doc_id", "text", tbl, overwrite = true)
@@ -66,11 +68,12 @@ object CorpusQueries {
     * the banded-phash layout without re-decoding media. */
   private def crossTdStores(s: org.apache.spark.sql.SparkSession,
                             d: String): (String, String, String) = {
-    val key = Sinks.contentKey(d, "documents.parquet", "crosstd|v1")
+    val key = Sinks.contentKey(d, "documents.parquet", "crosstd|v2")
     val (invT, annT, phT) =
       (s"xtd_inv_$key", s"xtd_ann_$key", s"xtd_ph_$key")
     Sinks.ensureBuilt(s, s"${invT}_ok", requires = Seq(
-        invT, graft.ops.InvertedIndexStore.docsTable(invT), annT, phT,
+        invT, graft.ops.InvertedIndexStore.docsTable(invT),
+        graft.ops.InvertedIndexStore.summaryTable(invT), annT, phT,
         graft.ops.Tombstones.table(invT),
         graft.ops.Tombstones.table(annT),
         graft.ops.Tombstones.table(phT))) {

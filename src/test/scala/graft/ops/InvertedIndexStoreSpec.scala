@@ -57,4 +57,32 @@ class InvertedIndexStoreSpec extends SparkSpec {
       .orderBy("rank").collect().toSeq
     assert(fromStore.nonEmpty && fromStore == payload)
   }
+
+  test("the append-merged summary carries the exact corpus scalars") {
+    val fromSummary = InvertedIndexStore.corpusScalars(spark, store)
+      .collect().head
+    val fromStats = spark.table(InvertedIndexStore.docsTable(store))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .collect().head
+    assert(fromSummary.getLong(0) === fromStats.getLong(0))
+    assert(fromSummary.getLong(1) === fromStats.getLong(1))
+    // append-merged, not recomputed: one row per ingested batch
+    assert(spark.table(InvertedIndexStore.summaryTable(store))
+      .count() === 2)
+  }
+
+  test("the stored BM25 read touches nothing corpus-sized: summary " +
+      "scalars, shard-pruned dl lookup (dynamic partition pruning)") {
+    val q = InvertedIndexStore.bm25FromStore(spark, store,
+      Seq("batch", "join", "filter"), k = 10)
+    val plan = q.queryExecution.executedPlan.toString
+    // the dl side must be the id-selective sharded lookup — the stats
+    // scan carries a dynamic pruning filter on the shard column, not a
+    // full-table pass (the r15 sf10 store-shape defect)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"doc-stats scan must be shard-pruned:\n$plan")
+    // corpus scalars come from the summary table, never a stats agg
+    assert(plan.contains(InvertedIndexStore.summaryTable(store)),
+      s"scalars must read the maintained summary:\n$plan")
+  }
 }
