@@ -19,12 +19,16 @@ import graft.ops.{Clustering, Quantization}
   * possible: float k-means could not be pinned across engines. */
 object ClusterQueries {
 
-  /** embeddings ∪ near-duplicate perturbed copies (id+1e5, first
-    * component +2⁻⁵ — binary-exact, cos ≈ 1): the corpus q_semdedup
-    * dedups. Same planting recipe as q_embed_neardup. */
+  /** embeddings ∪ near-duplicate perturbed copies (id+1e6 — the
+    * suite's documented mutated-copy sentinel, ABOVE ScaleUp's
+    * +10,000·r replica id space so a scaled corpus never collides
+    * with its own perturbed copies (r15 advice: at +1e5, replica
+    * r+10's ids reused replica r's pert ids from 11 replicas on) —
+    * first component +2⁻⁵, binary-exact, cos ≈ 1): the corpus
+    * q_semdedup dedups. Same planting recipe as q_embed_neardup. */
   private def semCorpus(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).select("vec_id", "embedding")
-    val pert = emb.select((col("vec_id") + 100000L).as("vec_id"),
+    val pert = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       concat(
         array((element_at(col("embedding"), 1).cast(DoubleType)
           + 0.03125).cast(FloatType)),
@@ -32,9 +36,34 @@ object ClusterQueries {
     emb.unionByName(pert)
   }
 
+  /** The k the SemDeDup oracles hard-code — the ONE constant both the
+    * Spark-side k formula ([[semDedupK]]) and the unrolled DuckDB
+    * replay derive from, so the two cannot drift. */
+  private val SemDedupOracleK = 8
+
+  /** k ∝ n for SemDeDup clustering: k = max([[SemDedupOracleK]],
+    * n/1000) keeps members-per-cluster ~1000-bounded (the r15 sf10
+    * fix). Oracle-coupling guards, failing at the CAUSE: the unrolled
+    * DuckDB replay hard-codes k = [[SemDedupOracleK]], which equals
+    * this formula exactly while n < 1000·(k+1) — the verify-fixture
+    * regime (sf0.01 corpus ≈ 4k rows; scale fixtures at sf ≥ 1 pass
+    * k > 8 by design and are never hash-compared). lloyd's seeding
+    * additionally requires ids 0..k-1 present, which holds while
+    * k ≤ the base table's dense-id prefix (~2k at sf0.01): a verify
+    * fixture grown past either bound fails HERE with the coupling
+    * named, not downstream as a bare hash mismatch. */
+  private def semDedupK(n: Long): Int = {
+    val k = math.max(SemDedupOracleK.toLong, n / 1000L).toInt
+    require(k == SemDedupOracleK || n > 9000L,
+      s"semDedupK coupling broken: k=$k for n=$n but the DuckDB " +
+        s"replay hard-codes k=$SemDedupOracleK — regenerate the " +
+        "oracle alongside the formula")
+    k
+  }
+
   private val semCorpusSql =
     """e AS (SELECT vec_id, embedding FROM embeddings),
-      |pert AS (SELECT vec_id + 100000 AS vec_id,
+      |pert AS (SELECT vec_id + 1000000 AS vec_id,
       |    list_prepend(CAST(CAST(embedding[1] AS DOUBLE)
       |        + CAST(0.03125 AS DOUBLE) AS REAL),
       |      embedding[2:64]) AS embedding FROM e),
@@ -333,14 +362,22 @@ object ClusterQueries {
     // pair expansion blew a 900 s watchdog (~1e10 candidate pairs);
     // n/1000 keeps the pair side linear in n. At every SF the oracle
     // and the bands pin (corpus ≤ 8000 vectors), the formula collapses
-    // to the k = 8 the unrolled DuckDB replay hard-codes. Planted
-    // near-identical copies land in their source's cluster and are
-    // flagged; the oracle replays clustering + pairing end-to-end.
+    // to the k = SemDedupOracleK the unrolled DuckDB replay uses — the
+    // SAME constant on both sides (semDedupK / the oracleCtes call),
+    // so the floor cannot drift; semDedupK fails loudly (cause named)
+    // if a grown verify fixture ever breaks the collapse or lloyd's
+    // dense-seed precondition, instead of surfacing as a bare hash
+    // mismatch downstream. Planted near-identical copies land in their
+    // source's cluster and are flagged; the oracle replays clustering
+    // + pairing end-to-end.
     Q("q_semdedup",
       (s, d) => {
         GraftFunctions.ensureRegistered(s)
         val corp = semCorpus(s, d)
-        val k = math.max(8L, corp.count() / 1000L).toInt
+        // n WITHOUT re-evaluating the union+perturbation pipeline: the
+        // corpus is by construction exactly 2x the base embeddings
+        // table (r15 advice — corp.count() paid the corpus scan twice)
+        val k = semDedupK(2L * embeddings(s, d).count())
         val qv = corp.select(col("vec_id").as("id"),
           Clustering.quantizeMilli(col("embedding")).as("qv"))
         val asg = Clustering.kmeansAssign(qv, "id", "qv", k = k, iters = 2)
@@ -366,7 +403,7 @@ object ClusterQueries {
         val kmeans = Clustering.oracleCtes(
           s"SELECT vec_id AS id, ${OracleSql.quantMilli("embedding", 64)} " +
             "AS qv FROM corp",
-          k = 8, iters = 2, dim = 64)
+          k = SemDedupOracleK, iters = 2, dim = 64)
         s"""WITH $semCorpusSql,
            |$kmeans,
            |wv AS (SELECT a.id, a.cluster, c.embedding AS ev
