@@ -215,9 +215,37 @@ object ClusterQueries {
     tbl
   }
 
+  /** The persisted IVF store q_semdedup_ann assigns from: the sem
+    * corpus laid out by nearest data-seeded centroid (k from the SAME
+    * [[semDedupK]] formula as the exact gate, so members-per-cluster
+    * stays ~1000-bounded at every SF), base half built + perturbed
+    * half appended (assignment is per-row deterministic against the
+    * stored codebook, so build ∪ append ≡ rebuild — the
+    * q_ann_ivf_persisted contract). Corpus-refresh cost, untimed. */
+  private def semAnnIvfTable(s: SparkSession, d: String): String = {
+    GraftFunctions.ensureRegistered(s)
+    val k = semDedupK(2L * embeddings(s, d).count())
+    val tbl = "semdedup_ivf_" +
+      Sinks.contentKey(d, "embeddings.parquet", s"semivf$k|v1")
+    Sinks.ensureBuilt(s, s"${tbl}_ok",
+      requires = Seq(tbl, graft.ops.AnnIndex.codebookTable(tbl))) {
+      val corp = semCorpus(s, d)
+      val cents = embeddings(s, d).filter(col("vec_id") < k)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      graft.ops.AnnIndex.buildIvf(
+        corp.filter(col("vec_id") < 1000000L),
+        "vec_id", "embedding", cents, tbl, overwrite = true)
+      graft.ops.AnnIndex.appendIvf(
+        corp.filter(col("vec_id") >= 1000000L),
+        "vec_id", "embedding", tbl)
+    }
+    tbl
+  }
+
   def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "pq_codebooks" -> ((s, d) => { pqTopK(s, d); () }),
-    "ivfpq_codes_store" -> ((s, d) => { ivfPqCodesTable(s, d); () }))
+    "ivfpq_codes_store" -> ((s, d) => { ivfPqCodesTable(s, d); () }),
+    "semdedup_ivf_store" -> ((s, d) => { semAnnIvfTable(s, d); () }))
 
   /** The IVF-PQ probe both gates share: nprobe=2 coarse cells per
     * query (exact cosine vs the 8 centroids), candidates = the probed
@@ -414,6 +442,111 @@ object ClusterQueries {
            |SELECT w.id, w.cluster, d.id IS NOT NULL AS is_dup
            |FROM wv w LEFT JOIN dups d ON w.id = d.id
            |ORDER BY w.id
+           |""".stripMargin.trim
+      }),
+
+    // ---- SemDeDup with ANN-ASSIGNED clusters (the deployment swap) ----
+    // q_semdedup's documented 100 TB answer, demonstrated instead of
+    // asserted (r15 verdict item 4): the exact gate's nearest-centroid
+    // assignment grows n·k = 100×/decade with k ∝ n, so at deployment
+    // scale the assignment step swaps to the persisted IVF route —
+    // clusters come from the STORED index (assigned once at build
+    // against the data-seeded codebook, partition-laid-out, appended
+    // incrementally), and query time only reads them. This gate runs
+    // the SAME keep-rule (within-cluster pair, cos_milli >= 950,
+    // smaller id kept) over the stored assignment and pins the
+    // AGREEMENT with the exact k-means path as one hash-compared
+    // summary row: dup-set sizes of both variants, their overlap, and
+    // the per-id flag agreement in milli. The oracle replays BOTH
+    // pipelines end-to-end (kmeans CTE chain + cosine-argmax
+    // assignment), so the agreement number is pinned, not asserted;
+    // SemDeDupAnnSpec holds the bound (agree_milli >= 990). Scale
+    // shape: both pair expansions are within-~1000-member clusters
+    // (shared semDedupK), the agreement join is one id-keyed merge.
+    Q("q_semdedup_ann",
+      (s, d) => {
+        GraftFunctions.ensureRegistered(s)
+        val corp = semCorpus(s, d)
+        val k = semDedupK(2L * embeddings(s, d).count())
+        // exact path: k-means on quantized vectors (q_semdedup's body)
+        val qv = corp.select(col("vec_id").as("id"),
+          Clustering.quantizeMilli(col("embedding")).as("qv"))
+        val asg = Clustering.kmeansAssign(qv, "id", "qv", k = k, iters = 2)
+          .select("id", "cluster")
+        val withV = asg.join(
+          corp.select(col("vec_id").as("id"), col("embedding").as("ev")),
+          "id")
+        def dupsWithin(wv: DataFrame): DataFrame = {
+          val a = wv.select(col("id").as("id_a"), col("cluster"),
+            col("ev").as("ea"))
+          val b = wv.select(col("id").as("id_b"), col("cluster"),
+            col("ev").as("eb"))
+          a.join(b, Seq("cluster"))
+            .filter(col("id_a") < col("id_b"))
+            .filter(GraftFunctions.cosineMilli(col("ea"), col("eb"))
+              >= 950)
+            .select(col("id_b").as("id")).distinct()
+        }
+        val exactDup = dupsWithin(withV).withColumn("e", lit(1))
+        // ANN path: clusters READ from the persisted IVF store
+        val annDup = dupsWithin(
+            s.table(semAnnIvfTable(s, d))
+              .select(col("id"), col("cluster"), col("vec").as("ev")))
+          .withColumn("a", lit(1))
+        val flags = corp.select(col("vec_id").as("id"))
+          .join(exactDup, Seq("id"), "left")
+          .join(annDup, Seq("id"), "left")
+          .select(coalesce(col("e"), lit(0)).as("e"),
+            coalesce(col("a"), lit(0)).as("a"))
+        flags.agg(
+          count(lit(1)).as("n_vectors"),
+          sum(col("e")).cast("long").as("exact_dups"),
+          sum(col("a")).cast("long").as("ann_dups"),
+          sum(when(col("e") === 1 && col("a") === 1, 1).otherwise(0))
+            .cast("long").as("both_dups"),
+          floor(lit(1000.0)
+              * sum(when(col("e") === col("a"), 1).otherwise(0))
+              / count(lit(1)) + lit(0.5))
+            .cast("long").as("agree_milli"))
+      },
+      Some {
+        val kmeans = Clustering.oracleCtes(
+          s"SELECT vec_id AS id, ${OracleSql.quantMilli("embedding", 64)} " +
+            "AS qv FROM corp",
+          k = SemDedupOracleK, iters = 2, dim = 64)
+        s"""WITH $semCorpusSql,
+           |$kmeans,
+           |wv AS (SELECT a.id, a.cluster, c.embedding AS ev
+           |  FROM asg a JOIN corp c ON c.vec_id = a.id),
+           |edups AS (SELECT DISTINCT b.id FROM wv a JOIN wv b
+           |  ON a.cluster = b.cluster AND a.id < b.id
+           |  WHERE ${OracleSql.cosMilli("a.ev", "b.ev")} >= 950),
+           |cents AS (SELECT vec_id AS c_id, embedding AS cv
+           |  FROM embeddings WHERE vec_id < $SemDedupOracleK),
+           |aasg AS (SELECT id, cluster, ev FROM (
+           |    SELECT c.vec_id AS id, ct.c_id AS cluster,
+           |      c.embedding AS ev,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY ${OracleSql.cosMilli("c.embedding", "ct.cv")}
+           |          DESC, ct.c_id ASC) AS rn
+           |    FROM corp c, cents ct) WHERE rn = 1),
+           |adups AS (SELECT DISTINCT b.id FROM aasg a JOIN aasg b
+           |  ON a.cluster = b.cluster AND a.id < b.id
+           |  WHERE ${OracleSql.cosMilli("a.ev", "b.ev")} >= 950),
+           |fl AS (SELECT c.vec_id AS id,
+           |    CASE WHEN e.id IS NULL THEN 0 ELSE 1 END AS e,
+           |    CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS a
+           |  FROM corp c LEFT JOIN edups e ON e.id = c.vec_id
+           |    LEFT JOIN adups a ON a.id = c.vec_id)
+           |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           |  CAST(sum(e) AS BIGINT) AS exact_dups,
+           |  CAST(sum(a) AS BIGINT) AS ann_dups,
+           |  CAST(sum(CASE WHEN e = 1 AND a = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS both_dups,
+           |  CAST(floor(1000.0
+           |      * sum(CASE WHEN e = a THEN 1 ELSE 0 END)
+           |      / count(*) + 0.5) AS BIGINT) AS agree_milli
+           |FROM fl
            |""".stripMargin.trim
       }),
 
