@@ -162,6 +162,37 @@ object TextOps {
   def normalizedFingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
 
+  /** Script-fold translation tables — ONE pair of constants shared by
+    * the Spark fold ([[scriptFold]]) and the DuckDB oracle (via
+    * string-literal interpolation), so the two cannot drift. Folds the
+    * confusables a cross-lingual dup actually hides behind: Cyrillic
+    * lowercase homoglyphs of Latin letters (the classic spoofing set —
+    * Unicode TR39 confusables) and the common Latin-1 diacritic forms,
+    * each to its ASCII skeleton. Deliberately a curated TABLE, not a
+    * library call: ICU transliteration is neither deterministic across
+    * engines nor available in DuckDB, and the fold must replay
+    * bit-identically there. */
+  val ScriptFoldFrom: String =
+    "аеорсхукмтнвіѕј" +                  // Cyrillic homoglyphs
+    "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"        // Latin-1 diacritics
+  val ScriptFoldTo: String =
+    "aeopcxykmthbisj" +
+    "aaaaaaeeeeiiiiooooouuuucnyy"
+  require(ScriptFoldFrom.length == ScriptFoldTo.length,
+    "script-fold tables must align char-for-char")
+
+  /** Case + script + diacritic fold to an ASCII skeleton — the
+    * normalization under which a Cyrillic-homoglyph or accented twin
+    * of a Latin document becomes byte-identical to it. */
+  def scriptFold(c: Column): Column =
+    translate(lower(c), ScriptFoldFrom, ScriptFoldTo)
+
+  /** Content fingerprint over the script-folded skeleton — the
+    * cross-lingual counterpart of [[normalizedFingerprint]]: equal for
+    * documents that differ only in script/case/diacritics/punct. */
+  def crossScriptFingerprint(c: Column): Column =
+    md5(regexp_replace(scriptFold(c), "[^a-z0-9]", ""))
+
   /** Polynomial rolling hash (Rabin–Karp): fold h → (h·B + byte) mod M
     * over the ASCII codes, B=257, M=1e9+7. Engine-portable exact
     * integer arithmetic (h·257+255 < 2^63); the incremental fold is

@@ -210,6 +210,47 @@ object CorpusQueries {
     tbl
   }
 
+  /** The stored artifacts q_curation_capstone's incremental flow reads
+    * (built once per corpus content, untimed): the corpus fingerprint
+    * table (exact-dedup face of the ingested base), the packed base
+    * layout whose per-shard token totals the batch pack CONTINUES
+    * from, and — shared, not duplicated — the frozen eval-shingle
+    * table ([[EvalArtifacts.evalShingleTable]]). Base derivation runs
+    * the same staged chain the batch will: quality floor, within-base
+    * dedup (keep-min), decontaminate vs eval, token-budget pack. */
+  private def capstoneStores(s: org.apache.spark.sql.SparkSession,
+                             d: String): (String, String, String) = {
+    val key = Sinks.contentKey(d, "documents.parquet", "capstone|v1")
+    val (fpT, packT) = (s"cap_fp_$key", s"cap_pack_$key")
+    val evalT = EvalArtifacts.evalShingleTable(s, d)
+    Sinks.ensureBuilt(s, s"${fpT}_ok",
+      requires = Seq(fpT, packT, evalT)) {
+      Seq(fpT, packT)
+        .foreach(graft.ops.Compaction.dropManagedTable(s, _))
+      val base = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+        .filter(col("n_tok") >= 10)
+      graft.ops.Dedup.contentFingerprints(base, Seq("text"))
+        .write.format("parquet").mode("overwrite").saveAsTable(fpT)
+      val dd = graft.ops.Dedup.exactDedup(base,
+        contentCols = Seq("text"), tiebreak = Seq("id"))
+      val contam = dd.select(col("id"),
+          explode(TextOps.wordShingles(col("text"), 8)).as("s"))
+        .join(broadcast(s.table(evalT)), Seq("s"), "left_semi")
+        .select("id").distinct()
+      Corpus.packByTokenBudget(
+          dd.join(contam, Seq("id"), "left_anti")
+            .select(col("id"), pmod(col("id"), lit(4L)).as("shard"),
+              col("n_tok").cast("long").as("n_tokens")),
+          shardCol = "shard", orderCol = "id",
+          tokenCol = "n_tokens", budget = 1000L)
+        .write.format("parquet").mode("overwrite").saveAsTable(packT)
+    }
+    (fpT, packT, evalT)
+  }
+
   /** One-time content-addressed store builds (see
     * [[SimQueries.prepares]] for the rationale). */
   def prepares: Seq[(String,
@@ -217,7 +258,8 @@ object CorpusQueries {
     "inverted_index" -> ((s, d) => { incrIndexTable(s, d); () }),
     "takedown_index" -> ((s, d) => { takedownIndexTable(s, d); () }),
     "cross_takedown_stores" -> ((s, d) => { crossTdStores(s, d); () }),
-    "conv_prefix_index" -> ((s, d) => { convPrefixIndexTable(s, d); () }))
+    "conv_prefix_index" -> ((s, d) => { convPrefixIndexTable(s, d); () }),
+    "curation_capstone_stores" -> ((s, d) => { capstoneStores(s, d); () }))
 
   def all: Seq[Q] = Seq(
 
@@ -1425,6 +1467,174 @@ object CorpusQueries {
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM cm_s GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    // ---- the CURATION CAPSTONE: incremental quality -> dedup ->
+    // ---- decontaminate -> pack, through the STORED artifacts ----------
+    // Every stage of the curation chain exists as an incremental
+    // primitive and a stored artifact; this gate composes them
+    // end-to-end for an arriving batch (r15 verdict item 5): quality
+    // floor (per-row), exact dedup vs the STORED corpus fingerprint
+    // table (anti-join, never a corpus payload scan), decontamination
+    // vs the STORED frozen eval-shingle table (broadcast semi-join),
+    // and token-budget packing that APPENDS to the stored packed
+    // layout — per-shard bin numbering continues from the stored
+    // token totals, the append-only discipline under which
+    // base-then-batch packing IS the one-shot repack of the combined
+    // survivor stream. The batch plants every fate: recrawls of base
+    // docs (dup_exact — including a recrawled eval doc that is ALSO
+    // contaminated, pinning the stage ORDER), eval-only copies
+    // (contaminated), fresh reversed-token docs (packed), truncated
+    // stubs (short). Output = the per-doc verdict audit + the bin
+    // each admitted doc landed in. The oracle replays the WHOLE
+    // composition from first principles — base artifact derivation
+    // included — so the hash pins that the incremental stored-artifact
+    // flow equals a full recompute, which is the capstone claim.
+    // Scale shape: batch-sized work end to end — one within-batch
+    // min_by shuffle, one broadcast anti-join per store probe, one
+    // shard-partitioned window; the stores are read partition/
+    // broadcast-selectively, never rebuilt.
+    Q("q_curation_capstone",
+      (s, d) => {
+        val (fpT, packT, evalT) = capstoneStores(s, d)
+        val docsAll = documents(s, d).select(col("doc_id"), col("text"))
+        val toks = TextOps.tokens(col("text"))
+        val b1 = docsAll
+          .filter(pmod(col("doc_id"), lit(4)) =!= 0 && col("doc_id") < 53)
+          .select((col("doc_id") + 3000000L).as("id"), col("text"))
+        val b2 = docsAll
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 3050000L).as("id"), col("text"))
+        val b3 = docsAll
+          .filter(col("doc_id") % 4 === 0 &&
+            col("doc_id") >= 100 && col("doc_id") < 200)
+          .select((col("doc_id") + 3100000L).as("id"),
+            array_join(reverse(toks), " ").as("text"))
+        val b4 = docsAll
+          .filter(col("doc_id") % 4 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 3150000L).as("id"),
+            array_join(slice(toks, 1, 5), " ").as("text"))
+        val batch = b1.unionByName(b2).unionByName(b3).unionByName(b4)
+          .withColumn("n_tok", TextOps.tokenCount(col("text")))
+          .transform(graft.ops.Checkpoints.spill)
+        // stage 1: quality floor; stage 2: exact dedup vs the stored
+        // fingerprints (within-batch + anti-join, batch-sized)
+        val d1 = graft.ops.Dedup.incrementalExactDedupByFp(
+          s.table(fpT), batch.filter(col("n_tok") >= 10),
+          contentCols = Seq("text"), tiebreak = Seq("id"))
+        // stage 3: decontaminate vs the stored frozen eval shingles
+        val contam = d1.select(col("id"),
+            explode(TextOps.wordShingles(col("text"), 8)).as("s"))
+          .join(broadcast(s.table(evalT)), Seq("s"), "left_semi")
+          .select("id").distinct()
+        // stage 4: pack, continuing the STORED per-shard token totals
+        val offs = s.table(packT).groupBy("shard")
+          .agg(sum(col("n_tokens")).as("off0"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val packed = d1.join(contam, Seq("id"), "left_anti")
+          .select(col("id"), pmod(col("id"), lit(4L)).as("shard"),
+            col("n_tok").cast("long").as("n_tokens"))
+          .join(broadcast(offs), Seq("shard"), "left")
+          .withColumn("cum",
+            sum(col("n_tokens")).over(w) + coalesce(col("off0"), lit(0L)))
+          .withColumn("bin", expr("(cum - n_tokens) div 1000L"))
+          .select(col("id"), col("bin"))
+        batch.select(col("id"), col("n_tok"))
+          .join(d1.select(col("id"), lit(1).as("_d")), Seq("id"), "left")
+          .join(contam.select(col("id"), lit(1).as("_c")),
+            Seq("id"), "left")
+          .join(packed, Seq("id"), "left")
+          .select(col("id").as("doc_id"),
+            when(col("n_tok") < 10, lit("short"))
+              .when(col("_d").isNull, lit("dup_exact"))
+              .when(col("_c").isNotNull, lit("contaminated"))
+              .otherwise(lit("packed")).as("verdict"),
+            col("bin"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH cap_evs AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |  FROM (SELECT string_split_regex(trim(text), '[ \t\n\r\f]+')
+        |      AS toks FROM documents WHERE doc_id % 50 = 0)
+        |  WHERE len(toks) >= 8),
+        |cap_base AS (SELECT doc_id AS id, text,
+        |    len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS n_tok
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |cap_bq AS (SELECT * FROM cap_base WHERE n_tok >= 10),
+        |cap_bd AS (SELECT id, text, n_tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY id)
+        |      AS rn FROM cap_bq) WHERE rn = 1),
+        |cap_bsh AS (SELECT id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |  FROM (SELECT id, string_split_regex(trim(text),
+        |      '[ \t\n\r\f]+') AS toks FROM cap_bd)
+        |  WHERE len(toks) >= 8),
+        |cap_bcon AS (SELECT DISTINCT id FROM cap_bsh
+        |  WHERE s IN (SELECT s FROM cap_evs)),
+        |cap_badm AS (SELECT id, id % 4 AS shard,
+        |    CAST(n_tok AS BIGINT) AS n_tokens
+        |  FROM cap_bd WHERE id NOT IN (SELECT id FROM cap_bcon)),
+        |cap_off AS (SELECT shard, sum(n_tokens) AS off0
+        |  FROM cap_badm GROUP BY shard),
+        |cap_b1 AS (SELECT id + 3000000 AS id, text FROM cap_base
+        |  WHERE id < 53),
+        |cap_b2 AS (SELECT doc_id + 3050000 AS id, text FROM documents
+        |  WHERE doc_id % 50 = 0 AND doc_id % 4 = 0),
+        |cap_b3 AS (SELECT doc_id + 3100000 AS id, array_to_string(
+        |    list_reverse(string_split_regex(trim(text),
+        |      '[ \t\n\r\f]+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |    AND doc_id >= 100 AND doc_id < 200),
+        |cap_b4 AS (SELECT doc_id + 3150000 AS id, array_to_string(
+        |    string_split_regex(trim(text), '[ \t\n\r\f]+')[1:5], ' ')
+        |    AS text
+        |  FROM documents WHERE doc_id % 4 = 0 AND doc_id < 40),
+        |cap_bt AS (SELECT id, text,
+        |    len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS n_tok
+        |  FROM (SELECT * FROM cap_b1 UNION ALL SELECT * FROM cap_b2
+        |    UNION ALL SELECT * FROM cap_b3
+        |    UNION ALL SELECT * FROM cap_b4)),
+        |cap_s1 AS (SELECT id, text, n_tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY id)
+        |      AS rn FROM cap_bt WHERE n_tok >= 10) b
+        |  WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM cap_bq c
+        |    WHERE c.text IS NOT DISTINCT FROM b.text)),
+        |cap_ssh AS (SELECT id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |  FROM (SELECT id, string_split_regex(trim(text),
+        |      '[ \t\n\r\f]+') AS toks FROM cap_s1)
+        |  WHERE len(toks) >= 8),
+        |cap_scon AS (SELECT DISTINCT id FROM cap_ssh
+        |  WHERE s IN (SELECT s FROM cap_evs)),
+        |cap_sadm AS (SELECT id, id % 4 AS shard,
+        |    CAST(n_tok AS BIGINT) AS n_tokens
+        |  FROM cap_s1 WHERE id NOT IN (SELECT id FROM cap_scon)),
+        |cap_spk AS (SELECT id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cap_sadm),
+        |cap_sbin AS (SELECT p.id,
+        |    (p.cum - p.n_tokens + coalesce(o.off0, 0)) // 1000 AS bin
+        |  FROM cap_spk p LEFT JOIN cap_off o ON o.shard = p.shard)
+        |SELECT b.id AS doc_id,
+        |  CASE WHEN b.n_tok < 10 THEN 'short'
+        |       WHEN s1.id IS NULL THEN 'dup_exact'
+        |       WHEN sc.id IS NOT NULL THEN 'contaminated'
+        |       ELSE 'packed' END AS verdict,
+        |  sb.bin AS bin
+        |FROM cap_bt b
+        |LEFT JOIN cap_s1 s1 ON s1.id = b.id
+        |LEFT JOIN cap_scon sc ON sc.id = b.id
+        |LEFT JOIN cap_sbin sb ON sb.id = b.id
+        |ORDER BY doc_id
         |""".stripMargin.trim)),
 
     // ---- release-to-release diff audit ---------------------------------

@@ -513,6 +513,67 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     // ---- document fingerprinting (md5 exact + normalized) -------------
+    // ---- cross-lingual / cross-script dedup ---------------------------
+    // The dup class exact and shingle dedup are BLIND to: the same
+    // content re-encoded in another script's homoglyphs (Cyrillic
+    // look-alikes — the spoofing set a multilingual crawl actually
+    // contains) or with diacritics/case changed. Corpus = documents ∪
+    // planted Cyrillic-homoglyph twins (+1e6, the mutated-copy
+    // sentinel) ∪ accented twins (+2e6); dedup keys on the
+    // script-folded fingerprint (TextOps.scriptFold — ONE curated
+    // confusables table shared verbatim with the oracle, not an ICU
+    // call that cannot replay in DuckDB). Output pins, per surviving
+    // group: the kept id, the copy count, and n_variants — the count
+    // of DISTINCT raw byte forms, which proves the members were NOT
+    // exact duplicates (the fold, not md5, found them). Scale shape:
+    // planting is a projection; detection is ONE fingerprint groupBy
+    // (the exact-dedup shuffle) — no pairwise work, no second pass.
+    Q("q_crosslingual_dedup",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val cyr = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            translate(col("text"), "aeocpxykmt", "аеосрхукмт")
+              .as("text"))
+        val acc = docs.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            translate(col("text"), "aeiou", "àéîöú").as("text"))
+        docs.unionByName(cyr).unionByName(acc)
+          .select(col("doc_id"),
+            TextOps.crossScriptFingerprint(col("text")).as("fp"),
+            md5(col("text")).as("fp_exact"))
+          .groupBy("fp")
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("copies"),
+            countDistinct(col("fp_exact")).as("n_variants"))
+          .filter(col("copies") >= 2)
+          .select("keep_id", "copies", "n_variants")
+          .orderBy("keep_id")
+      },
+      Some(s"""
+        |WITH base AS (SELECT doc_id, text FROM documents),
+        |cyr AS (SELECT doc_id + 1000000 AS doc_id,
+        |    translate(text, 'aeocpxykmt', 'аеосрхукмт') AS text
+        |  FROM base WHERE doc_id < 40),
+        |acc AS (SELECT doc_id + 2000000 AS doc_id,
+        |    translate(text, 'aeiou', 'àéîöú') AS text
+        |  FROM base WHERE doc_id >= 40 AND doc_id < 80),
+        |corp AS (SELECT * FROM base UNION ALL SELECT * FROM cyr
+        |  UNION ALL SELECT * FROM acc),
+        |fp AS (SELECT doc_id,
+        |    md5(regexp_replace(translate(lower(text),
+        |      ${sqlLit(TextOps.ScriptFoldFrom)},
+        |      ${sqlLit(TextOps.ScriptFoldTo)}), '[^a-z0-9]', '', 'g'))
+        |      AS fp,
+        |    md5(text) AS fp_exact
+        |  FROM corp)
+        |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT)
+        |    AS copies,
+        |  CAST(count(DISTINCT fp_exact) AS BIGINT) AS n_variants
+        |FROM fp GROUP BY fp HAVING count(*) >= 2
+        |ORDER BY keep_id
+        |""".stripMargin.trim)),
+
     Q("q_text_fingerprint",
       (s, d) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
