@@ -208,8 +208,14 @@ class PlanSweepSpec extends SparkSpec {
     "ops/TextOps.scala" -> 1,     // per-source template-line dictionary
                                   // (lines with df ≥ minRatio of a
                                   // source's docs — template-sized)
-    "ops/InvertedIndexStore.scala" -> 4, // query-term sets + 1-row
-                                  // corpus scalars (N, avgdl)
+    "ops/InvertedIndexStore.scala" -> 6, // query-term sets, 1-row
+                                  // corpus scalars / tombstone
+                                  // corrections, and the dl-lookup id
+                                  // set (bounded by the query terms'
+                                  // posting rows — the set BM25 must
+                                  // rank anyway; a stop-word-scale
+                                  // term is a query-hygiene problem,
+                                  // not a plan-shape one)
     "ops/Ngram.scala" -> 1,       // 1-row vocab-size scalar
     "ops/Robots.scala" -> 1,      // per-host crawl-delay dim
     "ops/Classify.scala" -> 1,    // |labels|-row centroid model
@@ -227,6 +233,10 @@ class PlanSweepSpec extends SparkSpec {
                                   // (bounded key domains)
     "queries/ScaleQueries.scala" -> 1, // eval-set shingles (fixed
                                   // decontamination set by contract)
+    "queries/CorpusQueries.scala" -> 3, // capstone stores: eval-set
+                                  // shingles ×2 (frozen set by
+                                  // contract) + 4-row per-shard pack
+                                  // offsets
     "queries/AggQueries.scala" -> 5,  // nation/region dims, ≤3-row
                                   // medians, constructed micro-dim
     "queries/SimQueries.scala" -> 10, // query batches, k centroids,
