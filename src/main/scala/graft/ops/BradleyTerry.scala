@@ -100,6 +100,12 @@ object BradleyTerry {
       .select(col("i"), col("j"), col("n").cast("long"),
         col("wi").cast("long"))
       .localCheckpoint()
+    // NOT pinned-partitioned (Checkpoints.pinPartitioned): measured
+    // round 16 — the den exchange ships the PARTIAL-aggregated
+    // entity-sized vector, so pinning traded 5 tiny exchanges for one
+    // full pair-matrix shuffle and lost (A/B medians 3.53 -> 3.99 s);
+    // the lazy union over the pairs checkpoint stays the right shape
+    // whenever entities << pairs.
     val sym = pairs.select(col("i"), col("j"), col("n"))
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j"),
         col("n")))

@@ -43,9 +43,13 @@ object KCore {
         greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-    val sym = e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    // iteration-static big side, pinned hash-partitioned on src: the
+    // initial degree count and every round's delta aggregate group by
+    // src (rm broadcasts into the dst join), so one upfront shuffle
+    // makes them all exchange-free — see Checkpoints.pinPartitioned
+    val sym = Checkpoints.pinPartitioned(
+      e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"))), "src")
     // DELTA peeling: maintain the surviving-subgraph degree instead of
     // recomputing it — after the first round, only neighbors of the
     // just-removed nodes change degree, so round r's work is the edges

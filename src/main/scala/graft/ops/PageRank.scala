@@ -37,14 +37,19 @@ object PageRank {
     * all ids appearing as src or dst. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    // no pre-partitioning of the edge side: the rank vector is
-    // node-sized, so AQE broadcasts it into every iteration's join and
-    // the edge list STREAMS without moving (measured — an explicit
-    // hash-partition of the edges cost a shuffle and bought nothing;
-    // at a scale where the rank vector outgrows broadcast, revisit
-    // with a partitioned-both-sides layout)
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+    // edge side pinned hash-partitioned on dst: the rank vector is
+    // node-sized and AQE broadcasts it into every iteration's src
+    // join, so the edge list streams from cache and each contrib
+    // aggregate (groupBy dst) is exchange-free. The r11 A/B that
+    // found "an explicit hash-partition cost a shuffle and bought
+    // nothing" had checkpointed the repartitioned edges —
+    // localCheckpoint DROPS the partitioning (UnknownPartitioning;
+    // measured in tools.PlanPeek round 16), so that run paid the
+    // shuffle and kept the per-iteration exchange. persist() keeps
+    // it — see Checkpoints.pinPartitioned.
+    val e = Checkpoints.pinPartitioned(
+      edges.select(col("src").cast("long"), col("dst").cast("long")),
+      "dst")
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()

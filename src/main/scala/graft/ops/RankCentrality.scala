@@ -71,6 +71,11 @@ object RankCentrality {
       .unionByName(pairs.select(col("j").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dcount"))
     val dmax = deg.agg(max(col("dcount")).as("dm"))
+    // NOT pinned-partitioned (Checkpoints.pinPartitioned): measured
+    // round 16 — same verdict as BradleyTerry.fitFromPairs, the
+    // per-iteration inflow exchange ships the partial-aggregated
+    // entity vector, so pinning's upfront pair-matrix shuffle bought
+    // nothing (A/B flat to worse, 4.30 -> 4.38 s median).
     val edges = pairs
       .select(col("i").as("src"), col("j").as("dst"),
         col("n"), (col("n") - col("wi")).as("w"))
