@@ -111,6 +111,8 @@ object GraftFunctions {
         es => DotDouble(es.head, es(1))),
       ("jaccard_milli", classOf[JaccardMilli],
         es => JaccardMilli(es.head, es(1))),
+      ("sorted_intersect_longs", classOf[SortedIntersectLongs],
+        es => SortedIntersectLongs(es.head, es(1))),
       ("containment_milli", classOf[ContainmentMilli],
         es => ContainmentMilli(es.head, es(1))),
       ("nearest_centroid_milli", classOf[NearestCentroidMilli],
@@ -161,6 +163,8 @@ object GraftFunctions {
     call_function("dot_double", a, b)
   def jaccardMilli(a: Column, b: Column): Column =
     call_function("jaccard_milli", a, b)
+  def sortedIntersectLongs(a: Column, b: Column): Column =
+    call_function("sorted_intersect_longs", a, b)
   def containmentMilli(a: Column, b: Column): Column =
     call_function("containment_milli", a, b)
   def nearestCentroidMilli(qv: Column, centsFlat: Array[Long],

@@ -71,12 +71,28 @@ object Triangles {
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val e = oriented.select(col("src").as("u"), col("dst").as("v"))
+    // the local intersect runs the native sorted-merge kernel
+    // (functions.SortedIntersectLongs): the neighbor arrays are
+    // sorted+distinct by construction (sort_array over a distinct
+    // edge list), so a single primitive merge walk replaces
+    // array_intersect's per-row OpenHashSet build+probe — the top
+    // executor frame of the round-16 profile. Same result by the
+    // kernel's precondition contract (pinned in SortedIntersectSpec;
+    // -Dgraft.native.intersect.disable=1 is the dev A/B toggle).
+    graft.functions.GraftFunctions.ensureRegistered(canonEdges.sparkSession)
+    val dstIsLong = oriented.schema("dst").dataType ==
+      org.apache.spark.sql.types.LongType
+    val inter =
+      if (!dstIsLong ||
+          System.getProperty("graft.native.intersect.disable", "") == "1")
+        array_intersect(col("u_nbrs"), col("v_nbrs"))
+      else graft.functions.GraftFunctions
+        .sortedIntersectLongs(col("u_nbrs"), col("v_nbrs"))
     // inner joins: u always has out-edges; a v with no out-edges
     // cannot close a triangle, so dropping it is pruning, not loss
     e.join(adj.select(col("src").as("u"), col("nbrs").as("u_nbrs")), "u")
       .join(adj.select(col("src").as("v"), col("nbrs").as("v_nbrs")), "v")
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("u_nbrs"), col("v_nbrs"))).as("w"))
+      .select(col("u"), col("v"), explode(inter).as("w"))
   }
 
   /** Dedup to one row per undirected edge with a < b; drop self-loops. */

@@ -94,6 +94,35 @@ object GateAB {
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_AB_SAMPLE=1: sample executor-task stacks during the
+    // timed reps (Prof's sampler, but with the store-prepare pass paid
+    // so store-consuming gates profile their own work, not the build)
+    val sampleCounts =
+      new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    val sampling = new java.util.concurrent.atomic.AtomicBoolean(false)
+    if (sys.env.contains("SPARK_GRAFT_AB_SAMPLE")) {
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(20)
+          if (sampling.get) Thread.getAllStackTraces.forEach { (th, st) =>
+            if (th.getName.startsWith("Executor task launch")) {
+              st.take(48).find { f =>
+                val c = f.getClassName
+                c.startsWith("org.apache.spark.sql.catalyst.expressions") ||
+                c.contains("codegen") || c.contains("unsafe") ||
+                c.startsWith("graft.") || c.contains("collection") ||
+                c.contains("aggregate") || c.contains("joins") ||
+                c.contains("parquet") || c.contains("UTF8String")
+              }.foreach { f =>
+                sampleCounts.merge(
+                  s"${f.getClassName}.${f.getMethodName}", 1, _ + _)
+              }
+            }
+          }
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
     gates.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
         case None => println(s"[ab] $name: NO SUCH GATE")
@@ -132,8 +161,29 @@ object GateAB {
           def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
           // SPARK_GRAFT_AB_PROP=<sysprop>: interleave variant A (prop
           // unset) and variant B (prop=1) reps in ONE JVM — the only
-          // timing comparison this host's cross-session drift allows
+          // timing comparison this host's cross-session drift allows.
+          // SPARK_GRAFT_AB_CONF=<sqlconf>=<vA>|<vB>: same, toggling a
+          // runtime SQLConf between the variants instead.
+          val abConf = sys.env.get("SPARK_GRAFT_AB_CONF").map { s =>
+            val Array(k, vs) = s.split("=", 2)
+            val Array(va, vb) = vs.split("\\|", 2)
+            (k, va, vb)
+          }
           sys.env.get("SPARK_GRAFT_AB_PROP") match {
+            case _ if abConf.isDefined =>
+              val (k, va, vb) = abConf.get
+              val (as, bs) = (1 to reps).map { _ =>
+                spark.conf.set(k, va)
+                val a = timedRep(attr = false)
+                spark.conf.set(k, vb)
+                val b = timedRep(attr = false)
+                spark.conf.set(k, va)
+                (a, b)
+              }.unzip
+              println(f"[ab-cmp] $name%-32s A($k=$va) ${med(as)}%7.3f s " +
+                f"B($k=$vb) ${med(bs)}%7.3f s   A " +
+                as.map(s => f"$s%.3f").mkString(" ") + "   B " +
+                bs.map(s => f"$s%.3f").mkString(" "))
             case Some(prop) =>
               val (as, bs) = (1 to reps).map { rep =>
                 System.clearProperty(prop)
@@ -148,9 +198,17 @@ object GateAB {
                 as.map(s => f"$s%.3f").mkString(" ") + "   B " +
                 bs.map(s => f"$s%.3f").mkString(" "))
             case None =>
+              sampleCounts.clear(); sampling.set(true)
               val secs = (1 to reps).map(rep => timedRep(attr = rep == reps))
+              sampling.set(false)
               println(f"[ab] $name%-32s median ${med(secs)}%7.3f s   " +
                 secs.map(s => f"$s%.3f").mkString(" "))
+              if (sys.env.contains("SPARK_GRAFT_AB_SAMPLE")) {
+                import scala.jdk.CollectionConverters._
+                sampleCounts.asScala.toSeq.sortBy(-_._2).take(12)
+                  .foreach { case (k, v) =>
+                    println(f"[ab-prof] $v%6d  $k") }
+              }
           }
       }
     }
