@@ -225,7 +225,26 @@ object Similarity {
         array_distinct(col("shingles")).as("shingles"))
       .repartition(n0, col("id"))
       .transform(Checkpoints.spill)
-    val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
+    // FILTER phase on the xxhash64-COARSENED token alphabet (round 16;
+    // same move bucketize documents — "hash shingle strings to longs
+    // once"): every freq/sort/prefix/candidate step below then hashes,
+    // sorts, and ships 8-byte longs instead of ~30-byte UTF8 shingles
+    // (Murmur3 over string bytes was the gate's top executor frame).
+    // Correctness is the COARSENING LEMMA, not a no-collision
+    // assumption: hashing can only MERGE tokens, merging only raises
+    // set overlap and shrinks set sizes, so coarse Jaccard >= true
+    // Jaccard and every pair passing the true-J >= t verify also
+    // passes the coarse filters — the candidate set stays provably
+    // complete (sizes n and positions below all come from the
+    // coarsened arrays, keeping the filter arithmetic internally
+    // consistent). False extras die in the exact string-array verify
+    // as before. -Dgraft.hashtok.disable=1 is the dev A/B toggle.
+    val toks =
+      if (System.getProperty("graft.hashtok.disable", "") == "1")
+        mat.select(col("id"), explode(col("shingles")).as("t"))
+      else mat.select(col("id"),
+        explode(array_distinct(
+          transform(col("shingles"), s => xxhash64(s)))).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))
     // prefix extraction via per-doc array sort (hash aggregate +
     // local array sort) — measured FASTER than the two-window
@@ -323,10 +342,23 @@ object Similarity {
     // explode, and both verify payload sides — and the upstream
     // corpus→tokenize→shingle→distinct chain is the expensive part
     // (gate 15.0 → ~8 s at sf0.1 with the checkpoint)
+    // filter phase on the xxhash64-coarsened alphabet — see the
+    // coarsening-lemma note in setSimilarityPairsExact; for the
+    // asymmetric C(a,b) = |a∩b|/|a| the same argument holds (merging
+    // raises overlap and shrinks |a|, so coarse C >= true C) as long
+    // as BOTH the prefix-side n and the container-side n come from
+    // the coarsened arrays, which they do below. The hashed array is
+    // computed ONCE into the checkpoint (hashing per consumer measured
+    // away the narrow-key win — 3.45 vs 3.13 s A/B).
+    val hashTok = System.getProperty("graft.hashtok.disable", "") != "1"
     val mat = docs.select(col("id"),
         array_distinct(col("shingles")).as("shingles"))
+      .withColumn("h",
+        if (hashTok)
+          array_distinct(transform(col("shingles"), s => xxhash64(s)))
+        else col("shingles"))
       .transform(Checkpoints.spill)
-    val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
+    val toks = mat.select(col("id"), explode(col("h")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("f"))
     // C >= t (rounded) forces overlap >= minOverlap(n) — prefix
     // sizing lives in the shared rareFirstPrefixes helper
@@ -336,8 +368,8 @@ object Similarity {
     // per-doc sort pipeline is paid once, on the (much smaller)
     // prefix side only (measured 15.7 → ~7 s at sf0.1)
     val fullToks = mat
-      .select(col("id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("t"))
+      .select(col("id"), size(col("h")).as("n"),
+        explode(col("h")).as("t"))
     val cands = prefixes.as("a")
       .join(fullToks.as("b"),
         col("a.t") === col("b.t") &&
