@@ -416,10 +416,25 @@ object Similarity {
     // payload side; the upstream tokenize→shingle projection costs
     // more than materializing the batch-sized (by definition small)
     // result once — the checkpoint-wins side of the A/B rule
+    // alphabet dispatch: a LONG-typed stored token index means the
+    // store was built on the xxhash64-coarsened alphabet — hash the
+    // batch side to match (coarsening lemma, see
+    // setSimilarityPairsExact; verify below stays on true strings).
+    // NOTE the shipped store keeps STRING tokens: the round-16 A/B
+    // measured the hashed index ~4x larger on disk and ~30% slower to
+    // probe — parquet dictionary-encodes repeated shingles far better
+    // than incompressible hashes. The dispatch stays so either
+    // alphabet works (both fuzz-pinned).
+    val hashedStore = corpusTokens.schema("t").dataType ==
+      org.apache.spark.sql.types.LongType
     val mat = batch.select(col("id"),
         array_distinct(col("shingles")).as("shingles"))
+      .withColumn("h",
+        if (hashedStore)
+          array_distinct(transform(col("shingles"), s => xxhash64(s)))
+        else col("shingles"))
       .transform(Checkpoints.spill)
-    val toks = mat.select(col("id"), explode(col("shingles")).as("t"))
+    val toks = mat.select(col("id"), explode(col("h")).as("t"))
     val withF = toks.join(corpusFreq, Seq("t"), "left")
       .select(col("id"), col("t"), coalesce(col("f"), lit(0L)).as("f"))
     val prefixes = rareFirstPrefixes(withF, thresholdMilli)

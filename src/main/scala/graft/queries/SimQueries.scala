@@ -169,6 +169,14 @@ object SimQueries {
   private def containmentTables(s: SparkSession,
                                 d: String): (String, String, String) = {
     val (_, shT) = corpusLshTables(s, d)
+    // STRING token alphabet, deliberately (round-16 A/B): an xxhash64
+    // long index measured ~4x LARGER on disk (744K vs 192K at sf0.1)
+    // and the probe ~30% slower — high-entropy hashes defeat parquet's
+    // dictionary encoding, while repeated shingle strings dictionary-
+    // encode to small ints that also decode faster than they re-hash.
+    // The in-flight SELF-JOIN paths (setSimilarityPairsExact /
+    // containmentPairs) keep the hashed alphabet — shuffles have no
+    // dictionary, and the A/B favored longs there.
     val key = Sinks.contentKey(d, "documents.parquet", "contix|v1")
     val tokT = s"cont_ctokens_$key"
     val freqT = s"cont_cfreq_$key"

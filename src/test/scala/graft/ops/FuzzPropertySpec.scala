@@ -190,6 +190,21 @@ class FuzzPropertySpec extends SparkSpec {
         .toSet
       assert(got == expected,
         s"seed=$seed: missing=${expected -- got} extra=${got -- expected}")
+      // hashed-store variant (round 16): a LONG-typed token index makes
+      // containmentAgainstTokens probe on the xxhash64 alphabet — same
+      // results by the coarsening lemma + exact verify
+      val toksH = corpusDf.select(col("id"),
+        explode(array_distinct(
+          transform(col("shingles"), t => xxhash64(t)))).as("t"))
+      val freqH = toksH.groupBy("t").agg(count(lit(1)).as("f"))
+      val gotH = Similarity.containmentAgainstTokens(
+          batch.toDF("id", "shingles"), toksH, corpusDf, freqH,
+          thresholdMilli = 800)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(gotH == expected,
+        s"seed=$seed hashed: missing=${expected -- gotH} " +
+          s"extra=${gotH -- expected}")
     }
   }
 
