@@ -914,7 +914,14 @@ object SimQueries {
         val bNew = docs.filter(col("id") >= 100 && col("id") < 150)
           .select((col("id") + 2100000L).as("id"),
             array_join(reverse(toks), " ").as("text"))
+        // batch feeds TWO consumers (the s1 dedup chain and the final
+        // verdict join): materialize the batch-sized assembly once —
+        // lazy, the whole docs/corpus scan + reverse-token projection
+        // re-ran per consumer and re-appeared as ~8 extra scans in the
+        // physical plan (round-16 profile: codegen compile of the
+        // duplicated subtrees was the gate's top frame)
         val batch = bExact.unionByName(bNear).unionByName(bNew)
+          .transform(graft.ops.Checkpoints.spill)
         // s1 feeds 2 consumers (the banding stage AND the verdict
         // assembly): materialize once — batch-sized id/text rows, a
         // tiny payload against the min_by_obj shuffle + corpus
@@ -922,12 +929,17 @@ object SimQueries {
         // 5-consumer checkpoint doctrine; measured A/B in BASELINE.md
         // round-9). nearIds has ONE consumer since the r10 verdict
         // fold — lazy, it feeds a broadcast directly.
+        // the checkpoint carries the token array once: shingling AND
+        // the quality floor both re-split text per row otherwise
+        // (UTF8String.split was a top profile frame, round 16)
         val s1 = graft.ops.Dedup.incrementalExactDedup(docs, batch,
           contentCols = Seq("text"), tiebreak = Seq("id"))
+          .withColumn("__toks", TextOps.tokens(col("text")))
           .transform(graft.ops.Checkpoints.spill)
         val (bT, shT) = corpusLshTables(s, d)
         val shingled = s1
-          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .withColumn("shingles",
+            TextOps.wordShinglesFromTokens(col("__toks"), 3))
           .filter(size(col("shingles")) > 0)
           .select("id", "shingles")
         val nearIds = Similarity.nearDupPairsAgainstBuckets(shingled,
@@ -950,7 +962,7 @@ object SimQueries {
             Seq("id"), "left")
           .select(col("id"),
             when(col("_nr").isNotNull, lit("dup_near"))
-              .when(size(TextOps.tokens(col("text"))) >= 10, lit("admit"))
+              .when(size(col("__toks")) >= 10, lit("admit"))
               .otherwise(lit("short")).as("verdict"))
         batch.select(col("id"))
           .join(s1v, Seq("id"), "left")
@@ -1046,15 +1058,23 @@ object SimQueries {
         val b4 = docs.filter(col("id") >= 150 && col("id") < 160)
           .select((col("id") + 2200000L).as("id"),
             lit("").as("text"), lit("broken.jsonl").as("src_file"))
+        // batch feeds THREE consumers (dedup chain, fates join, input
+        // rollup): materialize the batch-sized assembly once (same
+        // rationale + profile evidence as q_incr_curation_pipeline)
         val batch = b1.unionByName(b2).unionByName(b3).unionByName(b4)
+          .transform(graft.ops.Checkpoints.spill)
         val quar = col("text").isNull || trim(col("text")) === ""
+        // token array carried once through the checkpoint — shingling
+        // and the quality floor re-split otherwise (round-16 profile)
         val s1 = graft.ops.Dedup.incrementalExactDedup(docs,
           batch.filter(!quar).select("id", "text"),
           contentCols = Seq("text"), tiebreak = Seq("id"))
+          .withColumn("__toks", TextOps.tokens(col("text")))
           .transform(graft.ops.Checkpoints.spill) // 2 consumers: banding + verdict assembly
         val (bT, shT) = corpusLshTables(s, d)
         val shingled = s1
-          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .withColumn("shingles",
+            TextOps.wordShinglesFromTokens(col("__toks"), 3))
           .filter(size(col("shingles")) > 0)
           .select("id", "shingles")
         val nearIds = Similarity.nearDupPairsAgainstBuckets(shingled,
@@ -1068,7 +1088,7 @@ object SimQueries {
             Seq("id"), "left")
           .select(col("id"),
             when(col("_nr").isNotNull, lit("dup_near"))
-              .when(size(TextOps.tokens(col("text"))) >= 10,
+              .when(size(col("__toks")) >= 10,
                 lit("admit"))
               .otherwise(lit("short")).as("fate"))
         val fates = batch
