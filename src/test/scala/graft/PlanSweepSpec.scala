@@ -139,9 +139,12 @@ class PlanSweepSpec extends SparkSpec {
                                   // store warm pass (store-count-sized,
                                   // ~30 names)
     "tools/DedupAB.scala" -> 1,   // warm-up scalar (A/B harness main)
-    "tools/FitCadenceAB.scala" -> 2 // entity-sized fitted score vectors
+    "tools/FitCadenceAB.scala" -> 2, // entity-sized fitted score vectors
                                   // (≤ |suppliers| / |parts| rows) for
                                   // the cadence bit-identity check
+    "tools/GateAB.scala" -> 2     // warm-up scalar + catalog table LIST
+                                  // (store-count-sized, ~30 names) —
+                                  // same bounds as Bench.scala's pair
   )
 
   test("every main-source collect() is allowlisted with a documented " +
@@ -295,11 +298,13 @@ class PlanSweepSpec extends SparkSpec {
     * narrowness argument; a new bare `.localCheckpoint()` fails this
     * sweep until it is entered (or routed through spill). */
   private val narrowCheckpoints: Map[String, Int] = Map(
-    "ops/KCore.scala" -> 4,        // edge list + degree/node vectors (longs)
+    "ops/KCore.scala" -> 3,        // degree/node vectors (longs); the
+                                   // edge list moved to pinPartitioned
     "ops/Blocking.scala" -> 1,     // (__idx, id) — two longs per row
     "ops/Clustering.scala" -> 2,   // (id, cluster, dist_sq) fixed-width
     "ops/Components.scala" -> 3,   // edge list + label vectors (2 longs)
-    "ops/PageRank.scala" -> 4,     // edges, node ids, rank vectors
+    "ops/PageRank.scala" -> 3,     // node ids, rank vectors; the edge
+                                   // list moved to pinPartitioned
     "ops/Triangles.scala" -> 1,    // oriented edge list (2 longs)
     "ops/BradleyTerry.scala" -> 4, // pair matrix (4 longs), wins/score
                                    // vectors (2 longs per entity)
@@ -315,7 +320,12 @@ class PlanSweepSpec extends SparkSpec {
                                    // measured op's exact shape
     "queries/StreamQueries.scala" -> 1,   // ≤bins histogram snapshot
     "queries/AnalyticsQueries.scala" -> 4, // pair matrices (4 longs)
-    "queries/TextQueries.scala" -> 1  // lang×pred confusion grid
+    "queries/TextQueries.scala" -> 1, // lang×pred confusion grid
+    "ops/Checkpoints.scala" -> 1,  // pinPartitioned's dev-toggle
+                                   // fallback (narrow iteration-static
+                                   // frames by the callers' contract)
+    "tools/PlanPeek.scala" -> 4    // scratch plan inspector: synthetic
+                                   // narrow long frames (dev tool)
   )
 
   test("bare localCheckpoint() only on narrow bounded-or-linear " +
