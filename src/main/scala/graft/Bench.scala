@@ -140,13 +140,12 @@ object Bench {
       // dedup state (~200 B/entry; 256k entries ~= 50 MB/task)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "262144")
-      // let AQE size CACHED-plan partitions from runtime data while
-      // keeping their hash partitioning: the iteration-static frames
-      // pinned by Checkpoints.pinPartitioned stay exchange-free AND
-      // coalesce to data-proportional partition counts instead of a
-      // fixed shuffle.partitions fan-out (scale-adaptive, guide S2.2)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+      // canChangeCachedPlanOutputPartitioning=true (added round 16 for
+      // Checkpoints.pinPartitioned) REMOVED round 17: it changed AQE
+      // behavior for EVERY cached frame in the engine and shipped
+      // inside the harness file, and the driver's cold bench flagged
+      // the gates it served as regressed. pinPartitioned now sizes its
+      // partition count explicitly, which needs no session conf.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: scheduler + codegen + parquet reader init, excluded

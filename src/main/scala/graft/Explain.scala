@@ -24,13 +24,9 @@ object Explain {
       // dedup state (~200 B/entry; 256k entries ~= 50 MB/task)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "262144")
-      // let AQE size CACHED-plan partitions from runtime data while
-      // keeping their hash partitioning: the iteration-static frames
-      // pinned by Checkpoints.pinPartitioned stay exchange-free AND
-      // coalesce to data-proportional partition counts instead of a
-      // fixed shuffle.partitions fan-out (scale-adaptive, guide S2.2)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+      // (canChangeCachedPlanOutputPartitioning removed round 17 —
+      // pinPartitioned sizes its partition count explicitly; keep this
+      // session conf-identical to Bench)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

@@ -100,7 +100,8 @@ object BradleyTerry {
       .select(col("i"), col("j"), col("n").cast("long"),
         col("wi").cast("long"))
       .localCheckpoint()
-    // NOT pinned-partitioned (Checkpoints.pinPartitioned): measured
+    // NOT pinned-partitioned (the round-16 pinPartitioned helper,
+    // removed round 17 — see Checkpoints.scala): measured
     // round 16 — the den exchange ships the PARTIAL-aggregated
     // entity-sized vector, so pinning traded 5 tiny exchanges for one
     // full pair-matrix shuffle and lost (A/B medians 3.53 -> 3.99 s);

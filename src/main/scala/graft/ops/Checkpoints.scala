@@ -44,45 +44,31 @@ object Checkpoints {
   def spill(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
-  /** Materialize an ITERATION-STATIC frame hash-partitioned on `key`
-    * so every per-iteration aggregate (or equi-join) keyed on it runs
-    * EXCHANGE-FREE: the fixed-iteration fits (BradleyTerry,
-    * RankCentrality, PageRank, KCore's peel) aggregate the big static
-    * side by the same key every round, and without a pinned
-    * partitioning each round pays one shuffle + its AQE stage jobs.
+  /** REMOVED round 17: `pinPartitioned(df, key)` — materialize an
+    * iteration-static frame hash-partitioned on `key` via
+    * `repartition(key).persist()` so per-iteration aggregates plan no
+    * Exchange (round 16, KCore/PageRank). The exchange-free plan was
+    * real (PinPartitionedSpec pinned it), but the mechanism LOST under
+    * cold conditions every time it was measured honestly: the round-16
+    * driver bench adjudicated q_graph_kcore 7.8 → 13.8 s (inverse
+    * scaling 0.31 — 8 cores beat 32 by 3×) and q_web_host_rank
+    * 1.7 → 2.5 s cold, and a round-17 interleaved cold A/B still
+    * measured the pin behind plain `localCheckpoint()` with a
+    * data-proportional partition count and no engine-wide conf
+    * (kcore pinned 9.99 s vs checkpointed 8.69 s; pagerank flat).
+    * The per-iteration exchange it removes ships a NODE-sized
+    * partial-aggregated vector — cheap — while the pin bills the gate
+    * an upfront full-edge shuffle, a persist whose blocks carry live
+    * lineage, and (in the r16 form) an AQE-cached-plan conf that
+    * changed behavior for every cached frame in the engine. Do not
+    * re-add on warm same-JVM A/B evidence; only a cold-JVM paired win
+    * at local[32] AND a non-degraded 8-core reading justifies it.
     *
-    * Why persist and not localCheckpoint: a checkpoint's scan reports
-    * `UnknownPartitioning` — measured round 16 (`tools.PlanPeek`):
-    * `repartition(col).localCheckpoint()` still plans `Exchange` above
-    * the partial aggregate, which is why the earlier "explicit
-    * hash-partition of the edges cost a shuffle and bought nothing"
-    * A/B (PageRank r11 note) saw no win — it paid the repartition and
-    * then lost the partitioning in the checkpoint. A persisted
-    * InMemoryRelation KEEPS the cached plan's output partitioning
-    * (AQE does not re-number cached-plan partitions by default:
-    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` is
-    * false), so one upfront hash shuffle buys `iters` exchange-free
-    * rounds — the trade that wins whenever iters ≥ 2.
-    *
-    * Deserialized MEMORY_AND_DISK (the persist default) is correct
-    * here per the storage-level policy above: these are the narrow
-    * bounded/linear numeric frames (pair matrices, edge lists).
-    * Lazy by design — the first consumer materializes it; Bench's
-    * per-gate cleanup unpersists it with the other gate-local blocks.
-    * Skew note: a hub key concentrates its rows in one cached
-    * partition and AQE cannot split a cached side; acceptable for
-    * the bounded-degree graphs here — salt the key upstream if a
-    * deployment's graph carries mega-hubs. */
-  def pinPartitioned(df: DataFrame, key: String): DataFrame =
-    // dev-only A/B toggle (host noise makes cross-session timing
-    // untrustworthy — ±30%+ observed; a runtime property lets one JVM
-    // interleave pinned/unpinned reps): -Dgraft.pin.disable=1 falls
-    // back to the old localCheckpoint shape. Results are identical
-    // either way; never set by the driver contract.
-    if (System.getProperty("graft.pin.disable", "") == "1")
-      df.localCheckpoint()
-    else
-      df.repartition(org.apache.spark.sql.functions.col(key)).persist()
+    * (The original rationale, kept for the record: a checkpoint scan
+    * reports `UnknownPartitioning`, so `repartition(col)
+    * .localCheckpoint()` still plans the per-round Exchange — pinning
+    * needs persist(), whose cached plan keeps its output
+    * partitioning.) */
 
   /** Unpersist the checkpoint blocks behind `df` (a frame returned by
     * `localCheckpoint()`). Safe on any frame: a plan that is not a

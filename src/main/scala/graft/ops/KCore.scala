@@ -43,13 +43,24 @@ object KCore {
         greatest(col("src"), col("dst")).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-    // iteration-static big side, pinned hash-partitioned on src: the
-    // initial degree count and every round's delta aggregate group by
-    // src (rm broadcasts into the dst join), so one upfront shuffle
-    // makes them all exchange-free — see Checkpoints.pinPartitioned
-    val sym = Checkpoints.pinPartitioned(
-      e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst"))), "src")
+    // iteration-static big side: plain localCheckpoint (round-15
+    // shape, RESTORED round 17). Round 16 pinned it hash-partitioned
+    // (`repartition(src).persist()` + an engine-wide AQE-cached-plan
+    // conf) so per-round degree aggregates plan no Exchange — the
+    // exchange-free plan was real, but the driver's cold local[32]
+    // bench adjudicated it a regression (q_graph_kcore 7.8 → 13.8 s,
+    // inverse scaling 0.31), and a round-17 interleaved COLD A/B on
+    // the builder box confirmed the direction even with a
+    // data-proportional partition count (pinned 9.99 s vs
+    // checkpointed 8.69 s median of 3 alternating cold runs). The
+    // warm same-JVM A/B that accepted the pin (4.80 vs 8.53 s) does
+    // not survive cold conditions: the per-round exchange of a
+    // node-sized aggregate is cheaper than re-reading a persisted
+    // cache whose first materialization, storage maintenance, and
+    // lineage-bearing blocks all bill the gate itself.
+    val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     // DELTA peeling: maintain the surviving-subgraph degree instead of
     // recomputing it — after the first round, only neighbors of the
     // just-removed nodes change degree, so round r's work is the edges

@@ -37,19 +37,23 @@ object PageRank {
     * all ids appearing as src or dst. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    // edge side pinned hash-partitioned on dst: the rank vector is
-    // node-sized and AQE broadcasts it into every iteration's src
-    // join, so the edge list streams from cache and each contrib
-    // aggregate (groupBy dst) is exchange-free. The r11 A/B that
-    // found "an explicit hash-partition cost a shuffle and bought
-    // nothing" had checkpointed the repartitioned edges —
-    // localCheckpoint DROPS the partitioning (UnknownPartitioning;
-    // measured in tools.PlanPeek round 16), so that run paid the
-    // shuffle and kept the per-iteration exchange. persist() keeps
-    // it — see Checkpoints.pinPartitioned.
-    val e = Checkpoints.pinPartitioned(
-      edges.select(col("src").cast("long"), col("dst").cast("long")),
-      "dst")
+    // no pre-partitioning of the edge side (round-15 shape, RESTORED
+    // round 17): the rank vector is node-sized, so AQE broadcasts it
+    // into every iteration's join and the edge list streams without
+    // moving. Round 16 pinned the edges hash-partitioned on dst
+    // (`repartition(dst).persist()` + an engine-wide AQE-cached-plan
+    // conf) to make each contrib aggregate exchange-free; the driver
+    // bench showed a mild win here (4.14 → 3.75 s) but a confirmed
+    // cold regression on the sibling loops that shared the mechanism
+    // (KCore 7.8 → 13.8 s, q_web_host_rank 1.7 → 2.5 s), and a
+    // round-17 interleaved cold A/B measured pagerank FLAT pinned vs
+    // checkpointed (5.27 vs 5.36 s median). An exchange of a
+    // node-sized partial-aggregated contrib vector per iteration is
+    // not the cost worth a persisted cache + global conf; at a scale
+    // where the rank vector outgrows broadcast, revisit with a
+    // partitioned-both-sides layout.
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()

@@ -71,7 +71,8 @@ object RankCentrality {
       .unionByName(pairs.select(col("j").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dcount"))
     val dmax = deg.agg(max(col("dcount")).as("dm"))
-    // NOT pinned-partitioned (Checkpoints.pinPartitioned): measured
+    // NOT pinned-partitioned (the round-16 pinPartitioned helper,
+    // removed round 17 — see Checkpoints.scala): measured
     // round 16 — same verdict as BradleyTerry.fitFromPairs, the
     // per-iteration inflow exchange ships the partial-aggregated
     // entity vector, so pinning's upfront pair-matrix shuffle bought

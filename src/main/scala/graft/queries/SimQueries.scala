@@ -914,14 +914,18 @@ object SimQueries {
         val bNew = docs.filter(col("id") >= 100 && col("id") < 150)
           .select((col("id") + 2100000L).as("id"),
             array_join(reverse(toks), " ").as("text"))
-        // batch feeds TWO consumers (the s1 dedup chain and the final
-        // verdict join): materialize the batch-sized assembly once —
-        // lazy, the whole docs/corpus scan + reverse-token projection
-        // re-ran per consumer and re-appeared as ~8 extra scans in the
-        // physical plan (round-16 profile: codegen compile of the
-        // duplicated subtrees was the gate's top frame)
+        // batch deliberately NOT checkpointed, and s1 carries only
+        // (id, text) — this is the round-15 shape, RESTORED in round
+        // 17. Round 16 added an eager batch spill + the token array
+        // through the s1 checkpoint chasing a warm-A/B win (24 → 4
+        // scans); the driver's cold local[32] bench adjudicated it a
+        // 5× regression (4.46 → 22.4 s, scaling ratio 0.13 — 8 cores
+        // ran it 7.7× faster than 32), and even the builder's own cold
+        // close-out was worse (4.15 → 8.43 s on the provenance twin).
+        // The duplicated batch subtrees cost codegen compile time, but
+        // the double eager checkpoint + fatter serialized payload cost
+        // far more under 32-way cold conditions. r17 verdict item 1.
         val batch = bExact.unionByName(bNear).unionByName(bNew)
-          .transform(graft.ops.Checkpoints.spill)
         // s1 feeds 2 consumers (the banding stage AND the verdict
         // assembly): materialize once — batch-sized id/text rows, a
         // tiny payload against the min_by_obj shuffle + corpus
@@ -929,17 +933,12 @@ object SimQueries {
         // 5-consumer checkpoint doctrine; measured A/B in BASELINE.md
         // round-9). nearIds has ONE consumer since the r10 verdict
         // fold — lazy, it feeds a broadcast directly.
-        // the checkpoint carries the token array once: shingling AND
-        // the quality floor both re-split text per row otherwise
-        // (UTF8String.split was a top profile frame, round 16)
         val s1 = graft.ops.Dedup.incrementalExactDedup(docs, batch,
           contentCols = Seq("text"), tiebreak = Seq("id"))
-          .withColumn("__toks", TextOps.tokens(col("text")))
           .transform(graft.ops.Checkpoints.spill)
         val (bT, shT) = corpusLshTables(s, d)
         val shingled = s1
-          .withColumn("shingles",
-            TextOps.wordShinglesFromTokens(col("__toks"), 3))
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
           .filter(size(col("shingles")) > 0)
           .select("id", "shingles")
         val nearIds = Similarity.nearDupPairsAgainstBuckets(shingled,
@@ -962,7 +961,7 @@ object SimQueries {
             Seq("id"), "left")
           .select(col("id"),
             when(col("_nr").isNotNull, lit("dup_near"))
-              .when(size(col("__toks")) >= 10, lit("admit"))
+              .when(size(TextOps.tokens(col("text"))) >= 10, lit("admit"))
               .otherwise(lit("short")).as("verdict"))
         batch.select(col("id"))
           .join(s1v, Seq("id"), "left")
@@ -1058,23 +1057,19 @@ object SimQueries {
         val b4 = docs.filter(col("id") >= 150 && col("id") < 160)
           .select((col("id") + 2200000L).as("id"),
             lit("").as("text"), lit("broken.jsonl").as("src_file"))
-        // batch feeds THREE consumers (dedup chain, fates join, input
-        // rollup): materialize the batch-sized assembly once (same
-        // rationale + profile evidence as q_incr_curation_pipeline)
+        // batch deliberately NOT checkpointed (round-15 shape restored
+        // in round 17 — the r16 eager spill + token-array checkpoint
+        // was driver-adjudicated a 5× cold regression on this gate;
+        // full rationale at q_incr_curation_pipeline above)
         val batch = b1.unionByName(b2).unionByName(b3).unionByName(b4)
-          .transform(graft.ops.Checkpoints.spill)
         val quar = col("text").isNull || trim(col("text")) === ""
-        // token array carried once through the checkpoint — shingling
-        // and the quality floor re-split otherwise (round-16 profile)
         val s1 = graft.ops.Dedup.incrementalExactDedup(docs,
           batch.filter(!quar).select("id", "text"),
           contentCols = Seq("text"), tiebreak = Seq("id"))
-          .withColumn("__toks", TextOps.tokens(col("text")))
           .transform(graft.ops.Checkpoints.spill) // 2 consumers: banding + verdict assembly
         val (bT, shT) = corpusLshTables(s, d)
         val shingled = s1
-          .withColumn("shingles",
-            TextOps.wordShinglesFromTokens(col("__toks"), 3))
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
           .filter(size(col("shingles")) > 0)
           .select("id", "shingles")
         val nearIds = Similarity.nearDupPairsAgainstBuckets(shingled,
@@ -1088,7 +1083,7 @@ object SimQueries {
             Seq("id"), "left")
           .select(col("id"),
             when(col("_nr").isNotNull, lit("dup_near"))
-              .when(size(col("__toks")) >= 10,
+              .when(size(TextOps.tokens(col("text"))) >= 10,
                 lit("admit"))
               .otherwise(lit("short")).as("fate"))
         val fates = batch

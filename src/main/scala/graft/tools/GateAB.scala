@@ -28,13 +28,9 @@ object GateAB {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "262144")
-      // let AQE size CACHED-plan partitions from runtime data while
-      // keeping their hash partitioning: the iteration-static frames
-      // pinned by Checkpoints.pinPartitioned stay exchange-free AND
-      // coalesce to data-proportional partition counts instead of a
-      // fixed shuffle.partitions fan-out (scale-adaptive, guide S2.2)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+      // (canChangeCachedPlanOutputPartitioning removed round 17 —
+      // pinPartitioned sizes its partition count explicitly; keep this
+      // session conf-identical to Bench)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // same untimed warm-up + store-prepare pass as Bench.main

@@ -298,13 +298,13 @@ class PlanSweepSpec extends SparkSpec {
     * narrowness argument; a new bare `.localCheckpoint()` fails this
     * sweep until it is entered (or routed through spill). */
   private val narrowCheckpoints: Map[String, Int] = Map(
-    "ops/KCore.scala" -> 3,        // degree/node vectors (longs); the
-                                   // edge list moved to pinPartitioned
+    "ops/KCore.scala" -> 4,        // symmetrized edge list (2 longs) +
+                                   // degree/node vectors (longs)
     "ops/Blocking.scala" -> 1,     // (__idx, id) — two longs per row
     "ops/Clustering.scala" -> 2,   // (id, cluster, dist_sq) fixed-width
     "ops/Components.scala" -> 3,   // edge list + label vectors (2 longs)
-    "ops/PageRank.scala" -> 3,     // node ids, rank vectors; the edge
-                                   // list moved to pinPartitioned
+    "ops/PageRank.scala" -> 4,     // edge list (2 longs), node ids,
+                                   // rank vectors
     "ops/Triangles.scala" -> 1,    // oriented edge list (2 longs)
     "ops/BradleyTerry.scala" -> 4, // pair matrix (4 longs), wins/score
                                    // vectors (2 longs per entity)
@@ -321,9 +321,6 @@ class PlanSweepSpec extends SparkSpec {
     "queries/StreamQueries.scala" -> 1,   // ≤bins histogram snapshot
     "queries/AnalyticsQueries.scala" -> 4, // pair matrices (4 longs)
     "queries/TextQueries.scala" -> 1, // lang×pred confusion grid
-    "ops/Checkpoints.scala" -> 1,  // pinPartitioned's dev-toggle
-                                   // fallback (narrow iteration-static
-                                   // frames by the callers' contract)
     "tools/PlanPeek.scala" -> 4    // scratch plan inspector: synthetic
                                    // narrow long frames (dev tool)
   )
