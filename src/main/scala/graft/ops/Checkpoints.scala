@@ -70,6 +70,33 @@ object Checkpoints {
     * needs persist(), whose cached plan keeps its output
     * partitioning.) */
 
+  /** Eager deserialized localCheckpoint of a NARROW frame (same
+    * storage policy as a bare `localCheckpoint()` — callers' contract)
+    * that ALSO returns `max(c)` over the checkpointed rows, computed
+    * INSIDE the checkpoint job via `Dataset.observe` instead of a
+    * separate scalar job + BroadcastExchange (r16 verdict item 5:
+    * the preference fits ran one eager raw-vector checkpoint, one
+    * max-anchor aggregate job, and one broadcast build PER ITERATION;
+    * the anchor is derivable from rows the checkpoint job already
+    * streams past). The observed metric is a MAX, which is idempotent
+    * under task retries/resubmission — do NOT copy this pattern for
+    * sum-like metrics, where a resubmitted map stage can double-count
+    * accumulator updates. Returns `None` for the max when the frame
+    * is empty (callers' downstream is empty anyway). Results are
+    * bit-identical to the two-job shape: the same long max feeds the
+    * same integer expression, now as a literal (pinned by
+    * CheckpointWithMaxSpec and the exact-value fit specs). */
+  def checkpointWithMax(df: DataFrame, c: String)
+      : (DataFrame, Option[Long]) = {
+    val tag = s"graft_ckpt_max_$c"
+    val observed =
+      df.observe(tag, org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(c)))
+    val ck = observed.localCheckpoint()
+    val row = observed.queryExecution.observedMetrics(tag)
+    (ck, if (row.isNullAt(0)) None else Some(row.getLong(0)))
+  }
+
   /** Unpersist the checkpoint blocks behind `df` (a frame returned by
     * `localCheckpoint()`). Safe on any frame: a plan that is not a
     * checkpoint scan is left untouched. */

@@ -104,15 +104,20 @@ object RankCentrality {
         .join(edges, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("s") * col("rate")).as("x"))
-      val raw = sv.join(inflow, Seq("id"), "left")
-        .select(col("id"), col("r"),
-          (col("s") - expr("s * r div 1000000000L") +
-            expr("coalesce(x, 0L) div 1000000000L")).as("raw"))
-        .localCheckpoint()
-      val mx = raw.agg(max(col("raw")).as("mx"))
-      sv = raw.crossJoin(broadcast(mx))
-        .select(col("id"), col("r"),
-          expr("raw * 1000000L div mx").as("s"))
+      // max anchor fused into the raw checkpoint job (r17, verdict
+      // item 5 — same rewrite as BradleyTerry.fitFromPairs): the mx
+      // scalar job + BroadcastExchange + crossJoin per iteration
+      // becomes an observed metric of the checkpoint job, applied as
+      // a plan literal. Bit-identical (exact-value spec + oracle).
+      val (raw, mxOpt) = Checkpoints.checkpointWithMax(
+        sv.join(inflow, Seq("id"), "left")
+          .select(col("id"), col("r"),
+            (col("s") - expr("s * r div 1000000000L") +
+              expr("coalesce(x, 0L) div 1000000000L")).as("raw")),
+        "raw")
+      val mx = mxOpt.getOrElse(1L) // None only when raw is empty
+      sv = raw.select(col("id"), col("r"),
+        expr(s"raw * 1000000L div ${mx}L").as("s"))
       if (it % checkpointEvery == 0 || it == iters)
         sv = sv.localCheckpoint()
     }

@@ -306,12 +306,16 @@ class PlanSweepSpec extends SparkSpec {
     "ops/PageRank.scala" -> 4,     // edge list (2 longs), node ids,
                                    // rank vectors
     "ops/Triangles.scala" -> 1,    // oriented edge list (2 longs)
-    "ops/BradleyTerry.scala" -> 4, // pair matrix (4 longs), wins/score
-                                   // vectors (2 longs per entity)
+    "ops/BradleyTerry.scala" -> 3, // pair matrix (4 longs), wins/score
+                                   // vectors (2 longs per entity); the
+                                   // raw vector routes through
+                                   // checkpointWithMax (r17)
     "ops/Communities.scala" -> 3,  // edges + label vectors
     "ops/Tombstones.scala" -> 1,   // takedown id list (request-sized)
     "ops/PreferenceAudit.scala" -> 1, // pair matrix (4 longs)
-    "ops/RankCentrality.scala" -> 5,  // pair matrix + entity vectors
+    "ops/RankCentrality.scala" -> 4,  // pair matrix + entity vectors;
+                                   // the raw vector routes through
+                                   // checkpointWithMax (r17)
     "streaming/StreamingOps.scala" -> 5, // fold states: key-domain-
                                    // bounded snapshots + narrow pair
                                    // matrices + the (p, fp-md5, n)
@@ -321,6 +325,10 @@ class PlanSweepSpec extends SparkSpec {
     "queries/StreamQueries.scala" -> 1,   // ≤bins histogram snapshot
     "queries/AnalyticsQueries.scala" -> 4, // pair matrices (4 longs)
     "queries/TextQueries.scala" -> 1, // lang×pred confusion grid
+    "ops/Checkpoints.scala" -> 1,  // checkpointWithMax's own eager
+                                   // checkpoint (narrow frames by the
+                                   // callers' contract, same as a
+                                   // bare-site caller)
     "tools/PlanPeek.scala" -> 4    // scratch plan inspector: synthetic
                                    // narrow long frames (dev tool)
   )
