@@ -67,10 +67,17 @@ object RankCentrality {
       .select(col("i").cast("long"), col("j").cast("long"),
         col("n").cast("long"), col("wi").cast("long"))
       .localCheckpoint()
-    val deg = pairs.select(col("i").as("id"))
-      .unionByName(pairs.select(col("j").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("dcount"))
-    val dmax = deg.agg(max(col("dcount")).as("dm"))
+    // deg feeds TWO consumers (the d_max scalar and the node set for
+    // sv init) and was recomputed for each; checkpoint it once and
+    // take d_max as the checkpoint job's observed metric (r17, same
+    // fuse as the per-iteration anchor below) — the separate max
+    // aggregate + BroadcastExchange into the edges build disappear.
+    val (deg, dmOpt) = Checkpoints.checkpointWithMax(
+      pairs.select(col("i").as("id"))
+        .unionByName(pairs.select(col("j").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dcount")),
+      "dcount")
+    val dm = dmOpt.getOrElse(1L) // None only when pairs is empty
     // NOT pinned-partitioned (the round-16 pinPartitioned helper,
     // removed round 17 — see Checkpoints.scala): measured
     // round 16 — same verdict as BradleyTerry.fitFromPairs, the
@@ -82,9 +89,8 @@ object RankCentrality {
         col("n"), (col("n") - col("wi")).as("w"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst"),
         col("n"), col("wi").as("w")))
-      .crossJoin(broadcast(dmax))
       .select(col("src"), col("dst"),
-        expr("w * 1000000000L div (n * dm)").as("rate"))
+        expr(s"w * 1000000000L div (n * ${dm}L)").as("rate"))
       .localCheckpoint()
     val outr = edges.groupBy(col("src").as("id"))
       .agg(sum(col("rate")).as("r"))
