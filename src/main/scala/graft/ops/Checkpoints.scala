@@ -88,13 +88,28 @@ object Checkpoints {
     * CheckpointWithMaxSpec and the exact-value fit specs). */
   def checkpointWithMax(df: DataFrame, c: String)
       : (DataFrame, Option[Long]) = {
-    val tag = s"graft_ckpt_max_$c"
-    val observed =
-      df.observe(tag, org.apache.spark.sql.functions.max(
+    val row = checkpointObserving(df, s"graft_ckpt_max_$c",
+      org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col(c)))
+    (row._1, if (row._2.isNullAt(0)) None else Some(row._2.getLong(0)))
+  }
+
+  /** General form of [[checkpointWithMax]]: eager deserialized
+    * localCheckpoint returning the row of `metric` observed over the
+    * checkpointed data — for fusing an iterative loop's scalar control
+    * reads (max anchors, changed-row convergence counts) into the
+    * checkpoint job they would otherwise follow as a separate job.
+    * Retry caveat as above: only metrics whose CONSUMED property is
+    * idempotent under task resubmission belong here — max is, and so
+    * is the ZERONESS of a count over deterministic rows (replays can
+    * re-add contributions, but a zero count has none to re-add) —
+    * never a consumed exact sum. */
+  def checkpointObserving(df: DataFrame, tag: String,
+                          metric: org.apache.spark.sql.Column)
+      : (DataFrame, org.apache.spark.sql.Row) = {
+    val observed = df.observe(tag, metric)
     val ck = observed.localCheckpoint()
-    val row = observed.queryExecution.observedMetrics(tag)
-    (ck, if (row.isNullAt(0)) None else Some(row.getLong(0)))
+    (ck, observed.queryExecution.observedMetrics(tag))
   }
 
   /** Unpersist the checkpoint blocks behind `df` (a frame returned by

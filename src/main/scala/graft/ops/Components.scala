@@ -77,14 +77,21 @@ object Components {
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("label"),
           lit(null).cast("long").as("old"))
-      val next = self.unionByName(nbr)
-        .groupBy("id")
-        .agg(min("label").as("label"), max("old").as("old"))
-        .localCheckpoint()
-      val changed = next.filter(col("label") =!= col("old"))
-        .limit(1).count()
+      // convergence count fused into the checkpoint job (r17, same
+      // observe fuse as the preference-fit anchors): the separate
+      // filter+count job per round becomes a metric over rows the
+      // checkpoint already streams. Only the count's ZERONESS is
+      // consumed, which is retry-robust — a resubmitted task re-adds
+      // contributions from the same deterministic rows, so a zero
+      // stays zero and a nonzero stays nonzero.
+      val (next, metr) = Checkpoints.checkpointObserving(
+        self.unionByName(nbr)
+          .groupBy("id")
+          .agg(min("label").as("label"), max("old").as("old")),
+        "graft_cc_changed",
+        count(when(col("label") =!= col("old"), 1)).as("changed"))
       labels = next.select("id", "label")
-      converged = changed == 0
+      converged = metr.getLong(0) == 0L
       iter += 1
     }
     sym.unpersist()

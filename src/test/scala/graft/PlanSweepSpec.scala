@@ -302,7 +302,10 @@ class PlanSweepSpec extends SparkSpec {
                                    // degree/node vectors (longs)
     "ops/Blocking.scala" -> 1,     // (__idx, id) — two longs per row
     "ops/Clustering.scala" -> 2,   // (id, cluster, dist_sq) fixed-width
-    "ops/Components.scala" -> 3,   // edge list + label vectors (2 longs)
+    "ops/Components.scala" -> 2,   // edge list + label vectors (2
+                                   // longs); the per-round labels
+                                   // route through checkpointObserving
+                                   // (r17 convergence-count fuse)
     "ops/PageRank.scala" -> 4,     // edge list (2 longs), node ids,
                                    // rank vectors
     "ops/Triangles.scala" -> 1,    // oriented edge list (2 longs)
