@@ -223,14 +223,17 @@ class PlanSweepSpec extends SparkSpec {
     "ops/Robots.scala" -> 1,      // per-host crawl-delay dim
     "ops/Classify.scala" -> 1,    // |labels|-row centroid model
     "ops/Retrieval.scala" -> 3,   // query-term sets + 1-row scalars
-    "ops/BradleyTerry.scala" -> 7, // 1-row max anchor per iteration;
-                                  // entity score vectors (id, bt — two
-                                  // longs per entity) into pair lists
+    "ops/BradleyTerry.scala" -> 6, // entity score vectors (id, bt —
+                                  // two longs per entity) into pair
+                                  // lists; the per-iteration max
+                                  // anchor broadcast was fused into
+                                  // the checkpoint job (r17)
     "ops/AnnIndex.scala" -> 4,    // codebooks (k rows), probe buckets,
                                   // query vectors (batch by contract)
     "ops/Tombstones.scala" -> 1,  // takedown id store (request-sized)
     "ops/PreferenceAudit.scala" -> 1, // 1-row duel-count scalar
-    "ops/RankCentrality.scala" -> 2,  // 1-row dmax / max anchors
+    // (RankCentrality's dmax / max-anchor broadcasts were fused into
+    // checkpoint-job observed metrics in r17 — no hints remain)
     "ops/Corpus.scala" -> 5,      // bucket offsets, 64-bucket relevance,
                                   // strata counts/thresholds/quotas
                                   // (bounded key domains)
